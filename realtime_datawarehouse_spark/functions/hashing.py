@@ -1,0 +1,79 @@
+"""Portable deterministic hashing for dedup/sketch operators.
+
+The engine's sketch operators (MinHash, SimHash, LSH, fingerprints) must be
+*oracle-checkable*: the driver re-runs every query in DuckDB and hash-compares
+values (BASELINE.md §3). Spark's builtin ``hash``/``xxhash64`` have no DuckDB
+equivalent, so sketches are built on a portable 60-bit hash derived from
+``md5`` — identical in any engine that has md5 + hex→int:
+
+    Spark : conv(substr(md5(s), 1, 15), 16, 10) :: bigint
+    DuckDB: CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+
+15 hex digits = 60 bits, so the value fits signed int64 with no overflow.
+MinHash permutations are the classic universal-hash family
+``(a_i * h + b_i) mod p`` over that base hash (p = 2^61-1, a Mersenne prime),
+with (a_i, b_i) drawn from a fixed seeded stream so Spark and the SQL oracle
+agree exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61-1: (a*h+b) stays within signed-64 headroom after mod.
+MERSENNE_P = (1 << 61) - 1
+_SEED = 0x5EED_CAFE
+
+
+def permutation_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs shared by the Spark plan and the SQL oracle."""
+    rng = random.Random(_SEED)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(num_perm)
+    ]
+
+
+def hash64(col: Column | str) -> Column:
+    """Portable 60-bit hash of a string column (JVM-side, codegen'd)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def hash64_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`hash64` over SQL expression ``expr``."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def minhash_perm(h: Column, a: int, b: int) -> Column:
+    """One universal-hash permutation of a base hash value.
+
+    a*h can exceed int64 — compute in decimal(38,0) then mod p back to bigint.
+    Stays a builtin expression (no UDF): decimal math is codegen'd too.
+    """
+    big = h.cast("decimal(38,0)") * F.lit(a).cast("decimal(38,0)") + F.lit(b).cast(
+        "decimal(38,0)"
+    )
+    return (big % F.lit(MERSENNE_P).cast("decimal(38,0)")).cast("bigint")
+
+
+def minhash_perm_sql(h_expr: str, a: int, b: int) -> str:
+    """DuckDB rendering of :func:`minhash_perm` (HUGEINT intermediate)."""
+    return (
+        f"CAST((CAST({h_expr} AS HUGEINT) * {a} + {b}) % {MERSENNE_P} AS BIGINT)"
+    )
+
+
+def minhash_signature(token_hash: Column, num_perm: int) -> list[Column]:
+    """Min-aggregate columns for a MinHash signature.
+
+    Use inside ``groupBy(doc).agg(*minhash_signature(...))``: element i is
+    ``min((a_i*h + b_i) mod p)`` aliased ``mh{i}``.
+    """
+    return [
+        F.min(minhash_perm(token_hash, a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(permutation_params(num_perm))
+    ]

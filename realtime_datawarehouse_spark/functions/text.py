@@ -1,0 +1,56 @@
+"""Text scalar layer: tokenization, shingles, quality signals.
+
+The reference's one UDTF is ``ik_analyze`` — Chinese IK segmentation applied
+as ``LATERAL TABLE`` then tumble-counted
+(rt/app/func/KeywordUDTF.java:14-22, rt/util/KeywordUtil.java:17-31,
+rt/app/dws/DwsTrafficSourceKeywordPageViewWindow.java:55-69). The engine's
+equivalent is a deterministic regex tokenizer expressed with builtins
+(split + filter + explode ≡ lateral view), which keeps the whole pipeline in
+whole-stage codegen and is reproducible in the DuckDB oracle. A pluggable
+"real" segmenter (jieba et al.) would slot in as an Arrow-batched pandas UDF,
+but is intentionally not the default: UDFs are the slow path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Lowercase word tokens; the oracle uses the same split on single spaces for
+# the fixture corpus (documents.text is space-separated by construction).
+TOKEN_SPLIT_RE = r"\s+"
+
+# Tiny deterministic marker sets for the language-ID heuristic and quality
+# scoring. Chosen from the fixture corpus vocabulary; the point is the
+# *operator shape* (n-gram/marker scoring at scale), not linguistic accuracy.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokenize(col: Column | str) -> Column:
+    """string → array<string> of non-empty lowercase tokens (builtin-only)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """array<string> tokens → array<string> of n-word shingles joined by ' '.
+
+    Built with transform over an index sequence — no UDF. Empty array when
+    fewer than n tokens.
+    """
+    size = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(-1)))
+    return F.when(size < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+
+
+def stopword_count(tokens: Column) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS)))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col))

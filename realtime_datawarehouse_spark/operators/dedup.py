@@ -1,0 +1,276 @@
+"""Document deduplication operators (exact, n-gram Jaccard, MinHash-LSH,
+SimHash) — the training-data-pipeline extensions beyond the reference's own
+surface (BASELINE.json north-star).
+
+Everything is built from builtin expressions on the portable md5-based hash
+(functions/hashing.py) so each operator has an exact DuckDB oracle. No UDFs:
+shingling is transform/slice, signatures are groupBy-min, banding is
+explode + self-join — all JVM-side.
+
+Scale design (100 TB story):
+- Shingle explode multiplies rows ~Ntokens×; the immediate groupBy(doc) for
+  signatures is map-side-combinable, so the shuffle carries only
+  (doc, 16×min) signature rows — O(docs), not O(shingles).
+- LSH banding turns the quadratic all-pairs problem into an equi-join on
+  (band_idx, band_key): Spark shuffles both sides by bucket key; skew =
+  popular buckets → AQE skew-join splits them.
+- Exact dedup is a single hash aggregation on md5(text) — the cheapest
+  possible formulation; at 100 TB this is the one you run first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from realtime_datawarehouse_spark.functions.compare import pround, pround_sql
+from realtime_datawarehouse_spark.functions.hashing import (
+    hash64,
+    hash64_sql,
+    minhash_perm_sql,
+    minhash_signature,
+    permutation_params,
+)
+from realtime_datawarehouse_spark.functions.text import tokenize, word_shingles
+
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+SHINGLE_N = 3
+
+# Shared CTE prefix for DuckDB oracles: distinct word-shingles per document.
+# list_transform's lambda index is 1-based in DuckDB; toks[i..] slicing keeps
+# parity with the Spark transform/slice formulation.
+SHINGLE_CTE = f"""
+WITH docs AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - {SHINGLE_N - 2}),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM docs WHERE len(toks) >= {SHINGLE_N}
+), e AS (
+  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+)
+"""
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → (doc_id, shingle, n_shingles), distinct shingles per doc."""
+    with_sh = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokenize(text_col), SHINGLE_N)).alias(
+            "shingles"
+        ),
+    ).where(F.size("shingles") > 0)
+    return with_sh.select(
+        "doc_id",
+        F.explode("shingles").alias("s"),
+        F.size("shingles").alias("n"),
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash, keep the smallest doc_id.
+
+    (dup_ct = 1 groups are retained so the result is a full keeper mapping.)
+    """
+    return docs.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.count("*").alias("dup_ct"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS content_hash, count(*) AS dup_ct, min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via shingle inverted index.
+
+    shingle-join → per-pair intersection count → |A∩B| / (|A|+|B|-|A∩B|).
+    The join shuffles on the shingle key (the inverted index); hot shingles
+    are the skew risk — AQE skew handling splits them. For corpora where even
+    that explodes, the MinHash-LSH variant below is the scale path.
+    """
+    e = doc_shingles(docs)
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count("*").alias("inter"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.withColumn("jaccard", pround(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_oracle(threshold: float = 0.8) -> str:
+    return (
+        SHINGLE_CTE
+        + f"""
+, pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+         any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       {pround_sql('inter * 1.0 / (na + nb - inter)', 4)} AS jaccard
+FROM pairs
+WHERE {pround_sql('inter * 1.0 / (na + nb - inter)', 4)} >= {threshold}
+"""
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{NUM_PERM-1}) MinHash signature via groupBy-min."""
+    e = doc_shingles(docs)
+    h = e.select("doc_id", hash64(F.col("s")).alias("h"))
+    return h.groupBy("doc_id").agg(*minhash_signature(F.col("h"), NUM_PERM))
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, join within buckets.
+
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b. A pair is a candidate
+    iff it collides in ≥1 band — the classic banding guarantee
+    (P ≈ 1-(1-j^r)^b with r=4, b=4).
+    """
+    sig = minhash_signatures(docs)
+    band_rows = []
+    for b in range(BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_idx"),
+                F.concat_ws("_", *cols).alias("band_key"),
+            )
+        )
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.unionByName(extra)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_oracle() -> str:
+    params = permutation_params(NUM_PERM)
+    min_exprs = ",\n         ".join(
+        f"min({minhash_perm_sql('h', a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sig"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    return (
+        SHINGLE_CTE
+        + f"""
+, h AS (
+  SELECT doc_id, {hash64_sql('s')} AS h FROM e
+), sig AS (
+  SELECT doc_id,
+         {min_exprs}
+  FROM h GROUP BY doc_id
+), bands AS (
+  {bands_sql}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+"""
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash fingerprint per document over distinct tokens.
+
+    Per bit i: majority vote of (bit_i(token_hash) ? +1 : -1); fingerprint
+    packs the positive bits. One explode + one groupBy — the 32 bit-sums are
+    a single wide aggregation, map-side combined.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize(text_col))).alias("tok")
+    )
+    h = toks.select("doc_id", hash64(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sig = h.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return sig.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_oracle() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, {hash64_sql('tok')} AS h FROM toks
+), sig AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS simhash FROM sig
+"""

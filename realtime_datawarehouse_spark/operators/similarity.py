@@ -1,0 +1,191 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+Two physical strategies for the same logical top-k-cosine operator:
+
+- ``brute_topk`` — exact: broadcast the (small) query set against the full
+  corpus; per-row cosine is a builtin fold (functions/vector.py), top-k is a
+  per-query window. Linear scan → scales with executors; the baseline and
+  the recall oracle for everything else.
+- ``lsh_buckets`` — the scale path: random-hyperplane signs bucket the
+  corpus; at 100 TB the bucket id becomes the partition/cluster key so a
+  query probes only its bucket(s) instead of the full corpus. Hyperplane
+  components are deterministic module constants, so the bucketing has an
+  exact SQL oracle (literal arrays on both sides).
+
+All math is promoted to double before accumulation so Spark and the DuckDB
+oracle run the identical IEEE op sequence.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from realtime_datawarehouse_spark.functions.compare import pround, pround_sql
+from realtime_datawarehouse_spark.functions.vector import cosine_similarity
+
+NUM_PLANES = 8
+DIM = 64
+_PLANE_SEED = 0xB10C4ED
+
+
+def hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes shared with the SQL oracle."""
+    rng = random.Random(_PLANE_SEED)
+    return [
+        [round(rng.uniform(-1.0, 1.0), 6) for _ in range(DIM)]
+        for _ in range(NUM_PLANES)
+    ]
+
+
+def _as_double(col: F.Column) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``emb``: (vec_id, embedding); ``queries``: (query_id, query_vec).
+    The query side is broadcast — the corpus never shuffles; the only wide
+    operation is the per-query top-k window over candidate rows.
+    """
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    q = queries.select(
+        "query_id", _as_double(F.col("query_vec")).alias("qv")
+    )
+    scored = (
+        cand.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(cosine_similarity(F.col("qv"), F.col("v")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+_COS_QE = (
+    "list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv))"
+    " * sqrt(list_dot_product(e.v, e.v)))"
+)
+_COS_AB = (
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+    " * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+def brute_topk_oracle(k: int = 5, query_pred: str = "vec_id < 8") -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE {query_pred}
+), s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {pround_sql(_COS_QE, 4)} AS sim
+  FROM q JOIN e ON e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= {k}
+"""
+
+
+def lsh_buckets(emb: DataFrame) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment: (vec_id, bucket_id).
+
+    bucket_id packs the sign bit of ⟨v, plane_p⟩ for each plane p. At scale
+    this is the clustering/partitioning key for ANN probes (write the corpus
+    bucketed by it; a query touches 1 + multiprobe-neighbors buckets).
+    """
+    v = _as_double(F.col("embedding"))
+    bucket = None
+    for p, plane in enumerate(hyperplanes()):
+        lit_plane = F.array(*[F.lit(c) for c in plane])
+        d = F.aggregate(
+            F.zip_with(v, lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        term = F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return emb.select("vec_id", bucket.alias("bucket_id"))
+
+
+def lsh_bucket_stats(emb: DataFrame) -> DataFrame:
+    return lsh_buckets(emb).groupBy("bucket_id").agg(
+        F.count("*").alias("member_ct"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+def lsh_bucket_stats_oracle() -> str:
+    planes = hyperplanes()
+    terms = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(c) for c in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, {bucket} AS bucket_id FROM e
+)
+SELECT bucket_id, count(*) AS member_ct, min(vec_id) AS min_vec_id
+FROM b GROUP BY 1
+"""
+
+
+def near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim ≥ threshold).
+
+    All-pairs formulation — correct but quadratic; the LSH bucketing above is
+    the blocking strategy at scale (join within bucket instead of cross).
+    Fixture cosines top out ≈0.48, so 0.4 exercises a non-empty result.
+    """
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), _as_double(F.col("embedding")).alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), _as_double(F.col("embedding")).alias("vb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            pround(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def near_dup_pairs_oracle(threshold: float = 0.4) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {pround_sql(_COS_AB, 4)} AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {pround_sql(_COS_AB, 4)} >= {threshold}
+"""

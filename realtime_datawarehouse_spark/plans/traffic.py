@@ -1,0 +1,553 @@
+"""Traffic/log-side operator queries over the ``events`` stream table:
+projection/routing (P3/P4, R1/R3), event-time tumble windows (A1–A3),
+the stateful families ST1–ST8 in their exact batch (window-function)
+formulation, and the interval join J8 (SURVEY.md §2.3/§2.4/§2.6/§2.7).
+
+Fixture binding (FIXTURES.md §4): ``events(user_id, event_type, ts, value,
+props)`` plays topic_log — user_id ≈ mid, event_type ≈ page_id, props is the
+nested-JSON payload. Sessions/entries are gap-defined (no previous event for
+the same user within ENTRY_GAP), replacing the reference's
+``last_page_id is null`` entry marker with an equivalent, deterministic
+predicate over the fixture's flat schema.
+
+Batch-vs-streaming: each STn here is the *oracle-exact* batch form (window
+functions over partitions, per SURVEY §2.7's table); the streaming forms
+live in ``streaming/`` and are verified against these in tests.
+
+Scale notes: all window functions partition by ``user_id`` (or
+(user_id, day)) — one hash shuffle, then per-partition sorted scans; no
+driver-side state. Tumble aggregations are map-side-combined window+key
+groupBys. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtime_datawarehouse_spark.functions.compare import dsum, dsum_sql
+from realtime_datawarehouse_spark.functions.timeutil import fmt_date, fmt_ts
+from realtime_datawarehouse_spark.plans.registry import query
+from realtime_datawarehouse_spark.tables import table
+
+ENTRY_GAP_MS = 10 * 60 * 1000  # session entry = no prior event within 10 min
+WINDOW = "10 minutes"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events")
+
+
+# --------------------------------------------------------------------------
+# P3 — ETL filter (DimApp.java:127-144: drop bootstrap markers, require data).
+# Analog: drop 'error' envelopes, require props payload.
+# --------------------------------------------------------------------------
+
+P3_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  event_type,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time
+FROM events
+WHERE event_type NOT IN ('error') AND props IS NOT NULL
+"""
+
+
+@query("p3_etl_filter", oracle=P3_ORACLE)
+def p3_etl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.where(
+        (~F.col("event_type").isin("error")) & F.col("props").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        fmt_ts("ts").alias("event_time"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P4 — map/JSON element projection (DwdTradeCartAdd.java:31-44: data['id'] …).
+# props is the JSON payload; pull a typed field out of it.
+# --------------------------------------------------------------------------
+
+P4_ORACLE = """
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+WHERE props IS NOT NULL
+"""
+
+
+@query("p4_json_map_projection", oracle=P4_ORACLE)
+def p4_json_map_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.where(F.col("props").isNotNull()).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R1 — multi-way demultiplex via side outputs
+# (DwdTrafficBaseLogSplit.java:148-237: one event can fan out to err / start /
+# page / display / action). Spark-first: build the branch list per row, then
+# explode — a single narrow pass; no N scans of the source.
+# --------------------------------------------------------------------------
+
+R1_ORACLE = """
+SELECT event_id,
+       unnest(CASE event_type
+              WHEN 'error'    THEN ['err']
+              WHEN 'signup'   THEN ['start']
+              WHEN 'view'     THEN ['page']
+              WHEN 'click'    THEN ['page', 'display']
+              WHEN 'purchase' THEN ['page', 'action']
+              ELSE ['page'] END) AS branch
+FROM events
+"""
+
+
+@query("r1_demux_side_outputs", oracle=R1_ORACLE)
+def r1_demux_side_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    branches = (
+        F.when(F.col("event_type") == "error", F.array(F.lit("err")))
+        .when(F.col("event_type") == "signup", F.array(F.lit("start")))
+        .when(F.col("event_type") == "view", F.array(F.lit("page")))
+        .when(
+            F.col("event_type") == "click", F.array(F.lit("page"), F.lit("display"))
+        )
+        .when(
+            F.col("event_type") == "purchase",
+            F.array(F.lit("page"), F.lit("action")),
+        )
+        .otherwise(F.array(F.lit("page")))
+    )
+    return ev.select("event_id", F.explode(branches).alias("branch"))
+
+
+# --------------------------------------------------------------------------
+# R3 — same-type stream union (DwdTrafficUserJumpDetail.java:129;
+# DwsTrafficVcChArIsNewPageViewWindow.java:157). unionByName of two
+# projections of independent filters.
+# --------------------------------------------------------------------------
+
+R3_ORACLE = """
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time, 'signup' AS src
+FROM events WHERE event_type = 'signup'
+UNION ALL
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time, 'purchase' AS src
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+@query("r3_union_same_type", oracle=R3_ORACLE)
+def r3_union_same_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+
+    def branch(t: str) -> DataFrame:
+        return ev.where(F.col("event_type") == t).select(
+            "user_id",
+            fmt_ts("ts").alias("event_time"),
+            F.lit(t).alias("src"),
+        )
+
+    return branch("signup").unionByName(branch("purchase"))
+
+
+# --------------------------------------------------------------------------
+# A1 — tumble-window count by key
+# (DwsTrafficSourceKeywordPageViewWindow.java:61-69) with formatted stt/edt.
+# --------------------------------------------------------------------------
+
+A1_ORACLE = """
+SELECT
+  strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+  strftime(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes',
+           '%Y-%m-%d %H:%M:%S')                                         AS edt,
+  event_type,
+  count(*) AS keyword_count
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("a1_tumble_count_by_key", oracle=A1_ORACLE)
+def a1_tumble_count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", WINDOW), "event_type")
+        .agg(F.count("*").alias("keyword_count"))
+        .select(
+            fmt_ts(F.col("window.start")).alias("stt"),
+            fmt_ts(F.col("window.end")).alias("edt"),
+            "event_type",
+            "keyword_count",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 — keyed tumble window, multi-metric reduce
+# (DwsTrafficVcChArIsNewPageViewWindow.java:173-216: 5 counters per
+# (vc,ch,ar,is_new) key). Analog: count / exact-uv / money per
+# (window, event_type).
+# --------------------------------------------------------------------------
+
+A2_ORACLE = f"""
+SELECT
+  strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+  event_type,
+  count(*)                      AS pv_ct,
+  count(DISTINCT user_id)       AS uv_ct,
+  {dsum_sql('value')} AS dur_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("a2_tumble_multi_metric", oracle=A2_ORACLE)
+def a2_tumble_multi_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", WINDOW), "event_type")
+        .agg(
+            F.count("*").alias("pv_ct"),
+            F.countDistinct("user_id").alias("uv_ct"),
+            dsum(F.col("value")).alias("dur_sum"),
+        )
+        .select(
+            fmt_ts(F.col("window.start")).alias("stt"),
+            "event_type",
+            "pv_ct",
+            "uv_ct",
+            "dur_sum",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 — global (non-keyed) tumble window — the reference's parallelism-1
+# windowAll (DwsTrafficHomeDetailPageViewWindow.java:143-169). In Spark an
+# ungrouped window aggregation still computes partial aggregates in parallel;
+# only the tiny per-window combine is single-keyed (SURVEY §7.4 #7).
+# --------------------------------------------------------------------------
+
+A3_ORACLE = f"""
+SELECT
+  strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+  count(*)                 AS pv_ct,
+  count(DISTINCT user_id)  AS uv_ct,
+  {dsum_sql('value')} AS value_sum
+FROM events
+GROUP BY 1
+"""
+
+
+@query("a3_global_tumble_window", oracle=A3_ORACLE)
+def a3_global_tumble_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", WINDOW))
+        .agg(
+            F.count("*").alias("pv_ct"),
+            F.countDistinct("user_id").alias("uv_ct"),
+            dsum(F.col("value")).alias("value_sum"),
+        )
+        .select(
+            fmt_ts(F.col("window.start")).alias("stt"),
+            "pv_ct",
+            "uv_ct",
+            "value_sum",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ST1 — new-visitor flag repair (DwdTrafficBaseLogSplit.java:102-145): a
+# claimed is_new=1 is rewritten to 0 when the device was seen on an earlier
+# day. Batch form: compare against min(visit date) over the user.
+# --------------------------------------------------------------------------
+
+ST1_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  strftime(ts, '%Y-%m-%d') AS dt,
+  CASE WHEN CAST(ts AS DATE) = min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+       THEN 1 ELSE 0 END   AS is_new
+FROM events
+"""
+
+
+@query("st1_new_visitor_repair", oracle=ST1_ORACLE)
+def st1_new_visitor_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    d = F.to_date("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        fmt_date("ts").alias("dt"),
+        F.when(d == F.min(d).over(w), 1).otherwise(0).alias("is_new"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ST2 — daily unique-visitor detail (DwdTrafficUniqueVisitorDetail.java:51-88):
+# keep only each device's first page view per day. Batch form:
+# row_number over (user, day) ordered by time = 1.
+# --------------------------------------------------------------------------
+
+ST2_ORACLE = """
+SELECT
+  user_id,
+  strftime(ts, '%Y-%m-%d')          AS dt,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+FROM events
+GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+"""
+
+
+@query("st2_daily_unique_visitor", oracle=ST2_ORACLE)
+def st2_daily_unique_visitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            fmt_date("ts").alias("dt"),
+            fmt_ts("ts").alias("first_ts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ST3 — per-page-type daily UV, two states in one pass
+# (DwsTrafficHomeDetailPageViewWindow.java:88-141: home vs good_detail).
+# Analog pages: 'view' (home) and 'purchase' (good_detail).
+# --------------------------------------------------------------------------
+
+ST3_ORACLE = """
+SELECT
+  strftime(ts, '%Y-%m-%d') AS dt,
+  count(DISTINCT CASE WHEN event_type = 'view'     THEN user_id END) AS home_uv_ct,
+  count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS good_detail_uv_ct
+FROM events
+GROUP BY 1
+"""
+
+
+@query("st3_page_uv_two_states", oracle=ST3_ORACLE)
+def st3_page_uv_two_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(fmt_date("ts").alias("dt")).agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("home_uv_ct"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("good_detail_uv_ct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ST4 — daily unique user + 7-day-returning flag
+# (DwsUserUserLoginWindow.java:84-129: uuCt on first login of day, backCt when
+# the gap since the previous login is ≥ 8 days). Batch form: lag over the
+# distinct (user, day) grid.
+# --------------------------------------------------------------------------
+
+ST4_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), lagged AS (
+  SELECT user_id, d, lag(d) OVER (PARTITION BY user_id ORDER BY d) AS pd
+  FROM days
+)
+SELECT
+  strftime(d, '%Y-%m-%d') AS dt,
+  count(*)                AS uu_ct,
+  count(CASE WHEN pd IS NOT NULL AND date_diff('day', pd, d) >= 8 THEN 1 END)
+                          AS back_ct
+FROM lagged
+GROUP BY 1
+"""
+
+
+@query("st4_login_uu_and_back", oracle=ST4_ORACLE)
+def st4_login_uu_and_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    lagged = days.withColumn("pd", F.lag("d").over(w))
+    return lagged.groupBy(F.date_format("d", "yyyy-MM-dd").alias("dt")).agg(
+        F.count("*").alias("uu_ct"),
+        F.count(
+            F.when(
+                F.col("pd").isNotNull() & (F.datediff("d", "pd") >= 8), 1
+            )
+        ).alias("back_ct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ST5 — daily unique cart-add user (DwsTradeCartAddUuWindow.java:76-98).
+# Analog cart event: 'click'. The Spark plan keeps the reference's
+# "emit first event per user per day, then count" shape.
+# --------------------------------------------------------------------------
+
+ST5_ORACLE = """
+SELECT
+  strftime(ts, '%Y-%m-%d')  AS dt,
+  count(DISTINCT user_id)   AS cart_add_uu_ct
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1
+"""
+
+
+@query("st5_cart_add_uu", oracle=ST5_ORACLE)
+def st5_cart_add_uu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    firsts = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return firsts.groupBy(fmt_date("ts").alias("dt")).agg(
+        F.count("*").alias("cart_add_uu_ct")
+    )
+
+
+# --------------------------------------------------------------------------
+# ST7 — keep-latest dedup by version timestamp
+# (DwsTradeSkuOrderWindow.java:113-155 + TimestampLtz3CompareUtil: buffer one
+# row per key, keep the newest row_op_ts, flush on timer). Batch form:
+# row_number() over key ordered by ts desc = 1.
+# --------------------------------------------------------------------------
+
+ST7_ORACLE = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+       event_type,
+       round(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@query("st7_keep_latest_dedup", oracle=ST7_ORACLE)
+def st7_keep_latest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            fmt_ts("ts").alias("event_time"),
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ST8 — bounce ("user jump") detection, CEP pattern + timeout branch
+# (DwdTrafficUserJumpDetail.java:86-129): a session entry is a bounce when the
+# next event is another entry OR never arrives within the window. Batch form
+# (SURVEY §2.7): lag for entry detection, lead for the follow-up test. With
+# gap-defined entries the two conditions collapse: bounce ⇔ entry whose next
+# event is > gap away or absent — exactly the reference's match ∪ timeout.
+# --------------------------------------------------------------------------
+
+ST8_ORACLE = f"""
+WITH seq AS (
+  SELECT event_id, user_id, ts,
+         epoch_ms(ts) - epoch_ms(lag(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_gap,
+         epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_ms(ts) AS next_gap
+  FROM events
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS entry_time
+FROM seq
+WHERE (prev_gap IS NULL OR prev_gap > {ENTRY_GAP_MS})
+  AND (next_gap IS NULL OR next_gap > {ENTRY_GAP_MS})
+"""
+
+
+@query("st8_bounce_detection", oracle=ST8_ORACLE)
+def st8_bounce_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (ms - F.lag(ms).over(w)).alias("prev_gap"),
+        (F.lead(ms).over(w) - ms).alias("next_gap"),
+    )
+    return seq.where(
+        (F.col("prev_gap").isNull() | (F.col("prev_gap") > ENTRY_GAP_MS))
+        & (F.col("next_gap").isNull() | (F.col("next_gap") > ENTRY_GAP_MS))
+    ).select("event_id", "user_id", fmt_ts("ts").alias("entry_time"))
+
+
+# --------------------------------------------------------------------------
+# J8 — interval join (TestIntervalJoin.java:67-78: keyed join within
+# [-5ms, +5ms]; scaled to ±5 min for fixture density). Spark: equi-join on
+# the key plus a time-band predicate — planner executes the equi part hashed,
+# band as residual filter.
+# --------------------------------------------------------------------------
+
+J8_BAND_MS = 5 * 60 * 1000
+
+J8_ORACLE = f"""
+SELECT
+  p.event_id AS purchase_id,
+  c.event_id AS click_id,
+  p.user_id  AS user_id,
+  epoch_ms(c.ts) - epoch_ms(p.ts) AS offset_ms
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND epoch_ms(c.ts) BETWEEN epoch_ms(p.ts) - {J8_BAND_MS} AND epoch_ms(p.ts) + {J8_BAND_MS}
+"""
+
+
+@query("j8_interval_join", oracle=J8_ORACLE)
+def j8_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.unix_millis("ts").alias("p_ms"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.unix_millis("ts").alias("c_ms"),
+    )
+    return (
+        p.join(
+            c,
+            (p.user_id == c.c_user_id)
+            & (c.c_ms >= p.p_ms - J8_BAND_MS)
+            & (c.c_ms <= p.p_ms + J8_BAND_MS),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            (F.col("c_ms") - F.col("p_ms")).alias("offset_ms"),
+        )
+    )
