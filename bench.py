@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Execution is measured with the noop sink — full plan execution (scan →
+shuffle → aggregate) without driver-side collection cost, which is the
+number that scales to a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from realtime_datawarehouse_spark.plans import registry  # noqa: E402
+from realtime_datawarehouse_spark.session import build_session  # noqa: E402
+
+# Headline set: one per operator family that dominates cost at scale.
+BENCH_QUERIES = (
+    "tpch_q1_pricing_summary",      # scan-heavy multi-metric aggregation
+    "j1_order_detail_inner_join",   # fact-fact shuffle join
+    "j5_five_table_mixed_join",     # multi-way broadcast + shuffle join
+    "j7_dim_snowflake_enrich",      # broadcast dim chain
+    "a5_sku_order_count_distinct",  # exact count-distinct
+    "a6_money_sums_coalesced",      # left join + quantized sums
+    "a2_tumble_multi_metric",       # windowed multi-metric agg
+    "st2_daily_unique_visitor",     # window-function stateful op
+    "st8_bounce_detection",         # lag/lead sessionization
+    "u1_tokenize_explode_count",    # tokenize + explode + agg
+    "dedup_minhash_lsh",            # shingle → signature → band join
+    "dedup_ngram_jaccard",          # inverted-index similarity join
+    "dedup_simhash",                # wide bit-vote aggregation
+    "ann_brute_topk",               # vector fold scan + top-k window
+    "text_quality_score",           # per-doc array expressions
+    "mm_decode_metadata",           # Arrow-batched mapInPandas
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session(app_name="rdw-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.get_queries()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline query wall time, noop sink, local mode",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

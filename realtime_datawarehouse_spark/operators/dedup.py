@@ -71,6 +71,35 @@ def doc_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def doc_shingle_hashes(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, h, n): 60-bit-hashed distinct shingles.
+
+    Joining/aggregating on int64 hashes instead of shingle strings shrinks
+    shuffle width ~10× — the scale-relevant representation. The hash is the
+    portable md5-based one, so oracles reproduce any collision identically.
+    """
+    e = doc_shingles(docs, text_col)
+    return e.select("doc_id", hash64(F.col("s")).alias("h"), "n")
+
+
+def _pairs_from_sorted_members(members: F.Column) -> F.Column:
+    """array<struct<doc_id,n>> (sorted) → array of (a, b) combination structs.
+
+    Pair generation via array combinatorics instead of a self-join: the
+    upstream explode+aggregate runs ONCE (a self-join would recompute the
+    whole shingle pipeline per side — measured 2× cost at bench).
+    """
+    return F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: hash-groupBy on content hash, keep the smallest doc_id.
 
@@ -92,29 +121,30 @@ GROUP BY 1
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via shingle inverted index.
 
-    shingle-join → per-pair intersection count → |A∩B| / (|A|+|B|-|A∩B|).
-    The join shuffles on the shingle key (the inverted index); hot shingles
-    are the skew risk — AQE skew handling splits them. For corpora where even
-    that explodes, the MinHash-LSH variant below is the scale path.
+    inverted index (shingle-hash → sorted member list) → per-shingle pair
+    combinations → per-pair intersection count → |A∩B| / (|A|+|B|-|A∩B|).
+    One scan of the corpus; the only shuffle keys are the int64 shingle hash
+    and then the (doc_a, doc_b) pair. Hot shingles are the skew risk — their
+    member lists go quadratic; at real scale drop shingles with document
+    frequency above a cap (they carry no dedup signal) — for the oracle-
+    checked fixture the distribution is benign, so no cap is applied.
     """
-    e = doc_shingles(docs)
-    a = e.alias("a")
-    b = e.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(
-            F.count("*").alias("inter"),
-            F.first(F.col("a.n")).alias("na"),
-            F.first(F.col("b.n")).alias("nb"),
-        )
+    e = doc_shingle_hashes(docs)
+    inv = e.groupBy("h").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("n")))
+        ).alias("members")
+    )
+    pair = inv.select(
+        F.explode(_pairs_from_sorted_members(F.col("members"))).alias("p")
+    )
+    pairs = pair.groupBy(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+    ).agg(
+        F.count("*").alias("inter"),
+        F.first(F.col("p.a.n")).alias("na"),
+        F.first(F.col("p.b.n")).alias("nb"),
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
@@ -125,13 +155,17 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
 
 
 def ngram_jaccard_oracle(threshold: float = 0.8) -> str:
+    # joins on the same 60-bit shingle hash as the Spark plan so any hash
+    # collision affects both engines identically
     return (
         SHINGLE_CTE
         + f"""
-, pairs AS (
+, eh AS (
+  SELECT doc_id, {hash64_sql('s')} AS h, n FROM e
+), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
          any_value(a.n) AS na, any_value(b.n) AS nb
-  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM eh a JOIN eh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -144,47 +178,46 @@ WHERE {pround_sql('inter * 1.0 / (na + nb - inter)', 4)} >= {threshold}
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh{NUM_PERM-1}) MinHash signature via groupBy-min."""
-    e = doc_shingles(docs)
-    h = e.select("doc_id", hash64(F.col("s")).alias("h"))
+    h = doc_shingle_hashes(docs)
     return h.groupBy("doc_id").agg(*minhash_signature(F.col("h"), NUM_PERM))
 
 
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the signature, join within buckets.
+    """MinHash-LSH candidate pairs: band the signature, pair within buckets.
 
     Returns distinct (doc_a, doc_b) with doc_a < doc_b. A pair is a candidate
     iff it collides in ≥1 band — the classic banding guarantee
     (P ≈ 1-(1-j^r)^b with r=4, b=4).
+
+    Physical shape: the signature aggregation runs once; banding is an
+    explode of a literal band array (not a union of N projections, which
+    re-executes the signature N×); bucket membership lists turn candidate
+    generation into array combinatorics instead of a self-join (which would
+    re-execute everything 2×).
     """
     sig = minhash_signatures(docs)
-    band_rows = []
+    band_structs = []
     for b in range(BANDS):
         cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band_idx"),
                 F.concat_ws("_", *cols).alias("band_key"),
             )
         )
-    bands = band_rows[0]
-    for extra in band_rows[1:]:
-        bands = bands.unionByName(extra)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
     )
+    buckets = bands.groupBy("band.band_idx", "band.band_key").agg(
+        F.sort_array(F.collect_list(F.struct(F.col("doc_id")))).alias("members")
+    )
+    pair = buckets.where(F.size("members") > 1).select(
+        F.explode(_pairs_from_sorted_members(F.col("members"))).alias("p")
+    )
+    return pair.select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+    ).distinct()
 
 
 def lsh_candidate_pairs_oracle() -> str:
