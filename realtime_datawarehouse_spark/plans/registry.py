@@ -47,6 +47,7 @@ def load() -> None:
     if _LOADED:
         return
     from realtime_datawarehouse_spark.plans import (  # noqa: F401
+        cdc_pipelines,
         llm_ops,
         tpch_like,
         traffic,

@@ -1,0 +1,138 @@
+"""Source-layer unit tests against the reference's golden mini-records
+(FIXTURES.md §1/§2/§3) — the closest thing the reference has to test data
+(rt/app/dwd/log/DwdTrafficUserJumpDetail.java:51-60,
+rt/app/func/TableProcessFunction.java:78-81)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from realtime_datawarehouse_spark.sources import debezium, jdbc, literal, log_events, maxwell
+
+GOLDEN_LOG_LINES = [
+    '{"common":{"mid":"101"},"page":{"page_id":"home"},"ts":10000}',
+    '{"common":{"mid":"102"},"page":{"page_id":"home"},"ts":12000}',
+    '{"common":{"mid":"102"},"page":{"page_id":"good_list","last_page_id":"home"},"ts":55000}',
+    '{"common":{"mid":"102"},"page":{"page_id":"good_list","last_page_id":"detail"},"ts":15000}',
+    "this is not json",  # dirty route, must not crash the job
+]
+
+
+def test_log_parse_dirty_routing(spark):
+    raw = literal.from_json_lines(spark, GOLDEN_LOG_LINES)
+    clean, dirty = log_events.parse_with_dirty_routing(raw)
+    assert clean.count() == 4
+    d = dirty.collect()
+    assert len(d) == 1 and d[0].dirty_value == "this is not json"
+
+
+def test_log_split_branches(spark):
+    lines = GOLDEN_LOG_LINES[:4] + [
+        json.dumps(
+            {
+                "common": {"mid": "103"},
+                "err": {"error_code": "42"},
+                "page": {"page_id": "home"},
+                "displays": [
+                    {"item": "1", "order": "1"},
+                    {"item": "2", "order": "2"},
+                ],
+                "ts": 99000,
+            }
+        ),
+        json.dumps({"common": {"mid": "104"}, "start": {"entry": "icon"}, "ts": 5000}),
+    ]
+    clean, _ = log_events.parse_with_dirty_routing(
+        literal.from_json_lines(spark, lines)
+    )
+    b = log_events.split_log(clean)
+    assert b["page"].count() == 5  # 4 golden + the err event's page
+    assert b["err"].count() == 1
+    assert b["start"].count() == 1
+    assert b["display"].count() == 2  # exploded
+    assert b["action"].count() == 0
+    # err event fans out to BOTH err and page (multi-output semantics)
+    mids = {r.common.mid for r in b["page"].collect()}
+    assert "103" in mids
+
+
+MAXWELL_LINES = [
+    # bootstrap markers → dropped by P3 (DimApp.java:133-135)
+    '{"database":"gmall","table":"cart_info","type":"bootstrap-start","ts":"1","data":{}}',
+    '{"database":"gmall","table":"cart_info","type":"bootstrap-complete","ts":"9","data":{}}',
+    # plain insert → delta = sku_num
+    '{"database":"gmall","table":"cart_info","type":"insert","ts":"2",'
+    '"data":{"id":"1","user_id":"u1","sku_id":"s1","sku_num":"3"}}',
+    # qty increase 2→5 → delta 3
+    '{"database":"gmall","table":"cart_info","type":"update","ts":"3",'
+    '"old":{"sku_num":"2"},"data":{"id":"2","user_id":"u1","sku_id":"s2","sku_num":"5"}}',
+    # qty decrease → filtered out
+    '{"database":"gmall","table":"cart_info","type":"update","ts":"4",'
+    '"old":{"sku_num":"9"},"data":{"id":"3","user_id":"u2","sku_id":"s3","sku_num":"1"}}',
+    # update of another column (old has no sku_num) → filtered out
+    '{"database":"gmall","table":"cart_info","type":"update","ts":"5",'
+    '"old":{"user_id":"u9"},"data":{"id":"4","user_id":"u3","sku_id":"s4","sku_num":"7"}}',
+]
+
+
+def test_maxwell_cart_add_delta(spark):
+    env = maxwell.parse_envelope(literal.from_json_lines(spark, MAXWELL_LINES))
+    out = maxwell.cart_add_delta(maxwell.etl_filter(env)).orderBy("id").collect()
+    assert [(r.id, r.sku_num_delta, r.change_type) for r in out] == [
+        ("1", 3, "insert"),
+        ("2", 3, "update"),
+    ]
+
+
+DEBEZIUM_LINES = [
+    # initial read
+    '{"op":"r","ts_ms":"1","after":{"source_table":"base_trademark",'
+    '"sink_table":"dim_base_trademark","sink_columns":"id,tm_name","sink_pk":"id"}}',
+    # update changes sink_columns
+    '{"op":"u","ts_ms":"2","after":{"source_table":"base_trademark",'
+    '"sink_table":"dim_base_trademark","sink_columns":"id,tm_name,logo_url","sink_pk":"id"}}',
+    # another table created then deleted
+    '{"op":"c","ts_ms":"3","after":{"source_table":"base_province",'
+    '"sink_table":"dim_base_province","sink_columns":"id,name","sink_pk":"id"}}',
+    '{"op":"d","ts_ms":"4","before":{"source_table":"base_province",'
+    '"sink_table":"dim_base_province","sink_columns":"id,name","sink_pk":"id"}}',
+]
+
+
+def test_debezium_latest_config(spark):
+    env = debezium.parse_envelope(literal.from_json_lines(spark, DEBEZIUM_LINES))
+    cfg = debezium.latest_config(env).collect()
+    assert len(cfg) == 1
+    assert cfg[0].source_table == "base_trademark"
+    assert cfg[0].sink_columns == "id,tm_name,logo_url"
+
+
+def test_lookup_dic_broadcast_join(spark):
+    """J3 shape over the in-memory base_dic twin (rt/util/MySqlUtil.java)."""
+    dic = jdbc.dic_from_rows(spark, [("2401", "user query"), ("1101", "alipay")])
+    facts = spark.createDataFrame(
+        [("o1", "2401"), ("o2", "1101"), ("o3", "2401")],
+        "order_id string, source_type string",
+    )
+    out = facts.join(
+        F.broadcast(dic), facts.source_type == dic.dic_code
+    ).select("order_id", "dic_name")
+    got = {(r.order_id, r.dic_name) for r in out.collect()}
+    assert got == {("o1", "user query"), ("o2", "alipay"), ("o3", "user query")}
+
+
+def test_kafka_latest_by_key(spark):
+    """K2 upsert-topic read contract: last value per key wins."""
+    from realtime_datawarehouse_spark.sources.kafka import latest_by_key
+
+    df = spark.createDataFrame(
+        [("k1", 1, "a"), ("k1", 3, "c"), ("k1", 2, "b"), ("k2", 1, "x")],
+        "id string, version long, payload string",
+    )
+    got = {
+        (r.id, r.payload)
+        for r in latest_by_key(df, "id", "version").collect()
+    }
+    assert got == {("k1", "c"), ("k2", "x")}
