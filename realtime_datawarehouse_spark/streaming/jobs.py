@@ -1,0 +1,163 @@
+"""Streaming operator forms.
+
+Watermark policy mirrors the reference (SURVEY.md §2.9): bounded
+out-of-orderness of 3 s (W2/W3) as the default, 0 s (W1 monotonic) where the
+source guarantees order; no allowedLateness anywhere (W6) — rows later than
+the watermark are dropped, exactly as Flink's default.
+
+State TTL (W7): the reference's 1-day ValueState TTL for daily-distinct
+operators maps to event-time state scoped by watermark (dropDuplicates
+includes the day in the key; old days' state is reclaimed once the watermark
+passes them).
+
+Scale notes: all operators are keyed by (user/day/window) — state is
+per-key-group in the state store, partitioned by the shuffle hash; nothing
+accumulates on the driver. applyInPandasWithState kernels are Arrow-batched
+and defined as closures (pickled by value — required for foreign-cwd
+drivers).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+DEFAULT_WATERMARK = "3 seconds"  # W2/W3 bounded out-of-orderness
+
+
+def parquet_stream(spark, path: str, schema: StructType, max_files: int = 1) -> DataFrame:
+    """File-based stream (one micro-batch per file with max_files=1) — the
+    test-rig stand-in for a Kafka topic; swap sources/kafka.read_stream in
+    production wiring."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def tumble_count_by_key(
+    ev: DataFrame,
+    ts_col: str = "ts",
+    key: str = "event_type",
+    width: str = "10 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """A1 streaming form: watermarked event-time tumble count by key
+    (DwsTrafficSourceKeywordPageViewWindow.java:61-69). Append output —
+    windows emit once closed by the watermark."""
+    return (
+        ev.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), width), F.col(key))
+        .agg(F.count("*").alias("keyword_count"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            key,
+            "keyword_count",
+        )
+    )
+
+
+def first_per_user_day(
+    ev: DataFrame, ts_col: str = "ts", key: str = "user_id",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """ST2/ST5 streaming form: emit each key's first event per day.
+
+    ``dropDuplicates`` on (key, day) with a watermark — state for a day is
+    reclaimed when the watermark passes it, the Spark rendering of the
+    reference's 1-day state TTL (DwdTrafficUniqueVisitorDetail.java:59-64).
+    NOTE: within a micro-batch, "first" is arrival order — byte-identical to
+    the reference's processing semantics, but only equal to the batch
+    oracle's min-timestamp row when the source is time-ordered (Kafka per
+    key, or file batches in order), which both the fixture and topic_db are.
+    """
+    return ev.withWatermark(ts_col, watermark).dropDuplicates(
+        [key, "visit_date"]
+    )
+
+
+def with_visit_date(ev: DataFrame, ts_col: str = "ts") -> DataFrame:
+    return ev.withColumn("visit_date", F.to_date(F.col(ts_col)))
+
+
+def keep_latest_kernel_factory(ts_field: str, payload_fields: list[str]):
+    """ST7 streaming form: per-key keep-newest with state
+    (DwsTradeSkuOrderWindow.java:113-155 — buffer one row, replace when a
+    newer version arrives, flush on timer). Here the flush is per
+    micro-batch: each batch emits the current newest row per key; downstream
+    PK-upsert (K2) collapses resends, exactly like the reference's
+    upsert-Kafka sink.
+
+    Returns (kernel, output_schema, state_schema) for applyInPandasWithState.
+    """
+    out_schema = StructType(
+        [StructField("key", StringType()), StructField(ts_field, TimestampType())]
+        + [StructField(f, StringType()) for f in payload_fields]
+    )
+    state_schema = StructType(
+        [StructField("ts_micros", LongType())]
+        + [StructField(f, StringType()) for f in payload_fields]
+    )
+
+    def kernel(key: Any, pdfs, state: GroupState):
+        best_ts = None
+        best_payload = None
+        if state.exists:
+            row = state.get
+            best_ts, best_payload = row[0], list(row[1:])
+        for pdf in pdfs:
+            for _, r in pdf.iterrows():
+                t = int(r[ts_field].value // 1000)  # pandas ns → micros
+                if best_ts is None or t >= best_ts:
+                    best_ts = t
+                    best_payload = [str(r[f]) for f in payload_fields]
+        state.update((best_ts, *best_payload))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                ts_field: [pd.Timestamp(best_ts * 1000)],
+                **{f: [v] for f, v in zip(payload_fields, best_payload)},
+            }
+        )
+
+    return kernel, out_schema, state_schema
+
+
+def keep_latest_stream(
+    ev: DataFrame, key: str, ts_col: str, payload_fields: list[str]
+) -> DataFrame:
+    kernel, out_schema, state_schema = keep_latest_kernel_factory(
+        ts_col, payload_fields
+    )
+    return ev.groupBy(key).applyInPandasWithState(
+        kernel,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain a stream with availableNow into an in-memory table; returns the
+    started query (caller awaits termination and reads spark.table(name))."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,106 @@
+"""End-to-end streaming pipelines — the reference's 15 job mains recomposed
+as source → operators → sink graphs (SURVEY.md §3).
+
+Each function takes an already-constructed raw stream (a (value: string)
+DataFrame from Kafka, socket, files, or MemoryStream) so the same wiring
+runs against any source; production wiring plugs sources/kafka.py in.
+
+The layered topology (SURVEY.md §3.4) maps one streaming query per
+reference job; intermediate topics become either Kafka topics (parity mode)
+or parquet/Delta-style directories (pipeline mode) — both at-least-once with
+PK-collapse on read (sources/kafka.latest_by_key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from realtime_datawarehouse_spark.sources import log_events, maxwell
+from realtime_datawarehouse_spark.streaming import jobs
+
+
+def dwd_cart_add(raw: DataFrame) -> DataFrame:
+    """DwdTradeCartAdd (rt/app/dwd/db/DwdTradeCartAdd.java): topic_db →
+    Maxwell parse → ETL filter → cart-add facts with quantity delta."""
+    env = maxwell.parse_envelope(raw)
+    return maxwell.cart_add_delta(maxwell.etl_filter(env))
+
+
+def dws_cart_add_uu_window(
+    raw: DataFrame, watermark: str = jobs.DEFAULT_WATERMARK
+) -> DataFrame:
+    """DwsTradeCartAddUuWindow (rt/app/dws/DwsTradeCartAddUuWindow.java:76-139):
+    topic_db → cart facts → first event per user per day → 10 s tumble count.
+
+    Event time arrives as the Maxwell epoch-seconds string ``ts``
+    (W4 seconds→timestamp fixup, …:66)."""
+    env = maxwell.parse_envelope(raw)
+    kept = maxwell.etl_filter(env).withColumn(
+        "event_time", F.timestamp_seconds(F.col("ts").cast("long"))
+    )
+    facts = kept.select(
+        F.col("data").getItem("user_id").alias("user_id"),
+        F.col("event_time"),
+    ).where(F.col("user_id").isNotNull())
+    firsts = (
+        facts.withColumn("visit_date", F.to_date("event_time"))
+        .withWatermark("event_time", watermark)
+        .dropDuplicates(["user_id", "visit_date"])
+    )
+    return (
+        firsts.groupBy(F.window("event_time", "10 seconds"))
+        .agg(F.count("*").alias("cart_add_uu_ct"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "cart_add_uu_ct",
+        )
+    )
+
+
+def dwd_log_split(raw: DataFrame) -> dict[str, DataFrame]:
+    """DwdTrafficBaseLogSplit (rt/app/dwd/log/DwdTrafficBaseLogSplit.java):
+    topic_log → tolerant parse → dirty side-output + 5-way demux.
+
+    Returns the six streams; callers attach one sink each (the reference
+    writes 5 Kafka topics + a dirty topic, K6)."""
+    clean, dirty = log_events.parse_with_dirty_routing(raw)
+    out = log_events.split_log(clean)
+    out["dirty"] = dirty
+    return out
+
+
+def dws_keyword_window(
+    raw: DataFrame, watermark: str = jobs.DEFAULT_WATERMARK
+) -> DataFrame:
+    """DwsTrafficSourceKeywordPageViewWindow (…:21-83): page stream →
+    search-entry filter → tokenize+explode (U1) → 10 s tumble count."""
+    clean, _ = log_events.parse_with_dirty_routing(raw)
+    searches = clean.where(
+        (F.col("page.last_page_id") == "search")
+        | (F.col("page.item_type") == "keyword")
+    ).select(
+        F.col("page.item").alias("fullword"),
+        F.timestamp_millis(F.col("ts")).alias("event_time"),
+    )
+    words = searches.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("fullword")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("keyword"),
+        "event_time",
+    )
+    return (
+        words.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "10 seconds"), "keyword")
+        .agg(F.count("*").alias("keyword_count"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "keyword",
+            "keyword_count",
+        )
+    )

@@ -1,0 +1,112 @@
+"""Batch-parity tests for the streaming operator forms.
+
+Contract (streaming/__init__.py): each streaming form, run with availableNow
+over file inputs split into several micro-batches, must agree with the batch
+operator — exactly for watermark-closed windows and keep-latest state;
+structurally (one row per key, key correctness) for arrival-order-dependent
+first-per-key ops.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from realtime_datawarehouse_spark.streaming import jobs
+from realtime_datawarehouse_spark.tables import table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """events split into 3 day-range files → 3 ordered micro-batches."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = table(spark, SF_DIR, "events")
+    for i, (lo, hi) in enumerate(
+        [("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", "2024-02-01")]
+    ):
+        (
+            ev.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .orderBy("ts")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+    return d
+
+
+def _drain(spark, stream, name, mode="append"):
+    q = jobs.run_to_memory(stream, name, mode)
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_tumble_count_parity(spark, events_stream_dir):
+    ev = table(spark, SF_DIR, "events")
+    stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+    got = _drain(
+        spark, jobs.tumble_count_by_key(stream), "t_tumble"
+    ).toPandas()
+
+    batch = (
+        ev.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("keyword_count"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "event_type",
+            "keyword_count",
+        )
+    ).toPandas()
+    # windows not yet closed by the final watermark (max_ts - 3s) may be
+    # withheld in append mode — compare on the emitted set, which must be a
+    # prefix-complete subset of the batch result
+    key = ["stt", "edt", "event_type"]
+    merged = got.merge(batch, on=key, suffixes=("_s", "_b"))
+    assert len(merged) == len(got), "streaming emitted a window batch lacks"
+    assert (merged.keyword_count_s == merged.keyword_count_b).all()
+    # everything except possibly the last open window must have emitted
+    assert len(got) >= len(batch) - 2
+
+
+def test_first_per_user_day_structure(spark, events_stream_dir):
+    ev = table(spark, SF_DIR, "events")
+    stream = jobs.with_visit_date(
+        jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+    )
+    got = _drain(
+        spark, jobs.first_per_user_day(stream), "t_uv"
+    ).toPandas()
+    batch_keys = (
+        jobs.with_visit_date(ev)
+        .select("user_id", "visit_date")
+        .distinct()
+        .toPandas()
+    )
+    assert len(got) == len(batch_keys)
+    assert not got.duplicated(["user_id", "visit_date"]).any()
+    # each emitted row's event really belongs to its claimed (user, day)
+    assert (got["ts"].dt.date == got["visit_date"]).all()
+
+
+def test_keep_latest_state_parity(spark, events_stream_dir):
+    ev = table(spark, SF_DIR, "events")
+    stream = jobs.parquet_stream(
+        spark, events_stream_dir, ev.schema
+    ).withColumn("user_key", F.col("user_id").cast("string"))
+    out = jobs.keep_latest_stream(
+        stream, "user_key", "ts", ["event_type", "event_id"]
+    )
+    got = _drain(spark, out, "t_latest", mode="update").toPandas()
+    # per key, the newest emission must equal the batch keep-latest row
+    final = got.sort_values("ts").groupby("key").last().reset_index()
+    batch = (
+        ev.withColumn("user_key", F.col("user_id").cast("string"))
+        .groupBy("user_key")
+        .agg(F.max_by("event_id", F.struct("ts", "event_id")).alias("event_id"))
+        .toPandas()
+    )
+    merged = final.merge(batch, left_on="key", right_on="user_key")
+    assert len(merged) == len(batch)
+    assert (merged.event_id_x.astype(int) == merged.event_id_y.astype(int)).all()
