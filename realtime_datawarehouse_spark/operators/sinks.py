@@ -1,0 +1,72 @@
+"""Sink-side operators (SURVEY.md §2.2): transient-column exclusion (K3),
+append sinks, and PK-upsert sinks (K2/K4's MERGE contract).
+
+- ``exclude_transient`` — the reference marks bean fields @TransientSink and
+  skips them reflectively when binding the ClickHouse insert
+  (rt/bean/TransientSink.java:13-16, rt/util/MyClickhouseUtil.java:37-41).
+  Spark-first: a plain ``drop`` — declared once per sink, optimized into the
+  plan (the dropped column is never even computed if nothing else needs it).
+- ``append_sink`` — K3's batched JDBC insert generalizes to any append
+  writer; batching is inherent to ``foreachBatch``/file commits, no 5-row
+  flush machinery (MyClickhouseUtil.java:56-59) required.
+- ``upsert_sink`` — K2 upsert-Kafka / K4 Phoenix upsert: last-write-wins by
+  PK. Without a transactional table format in this container, the batch
+  emulation reads current state, unions, collapses per PK, and rewrites —
+  semantically MERGE INTO; on Delta/Iceberg the body becomes a real MERGE
+  and the collapse stays identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_datawarehouse_spark.sources.kafka import latest_by_key
+
+
+def exclude_transient(df: DataFrame, transient_cols: list[str]) -> DataFrame:
+    """K3 @TransientSink: drop accumulator-only columns at the sink boundary."""
+    return df.drop(*transient_cols)
+
+
+def append_sink(
+    df: DataFrame, path: str, fmt: str = "parquet", transient_cols: list[str] | None = None
+) -> None:
+    out = exclude_transient(df, transient_cols or [])
+    out.write.format(fmt).mode("append").save(path)
+
+
+def upsert_sink(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    pk: str,
+    version_col: str,
+    transient_cols: list[str] | None = None,
+) -> None:
+    """MERGE-by-PK emulation over a parquet directory.
+
+    Newest ``version_col`` per ``pk`` wins across the existing state and the
+    incoming batch — the reference's upsert-Kafka/Phoenix contract
+    (SURVEY.md §7.4 #8). Scale note: a real deployment uses Delta/Iceberg
+    MERGE (partitioned on pk-bucket) instead of rewrite-all; the collapse
+    expression is identical.
+    """
+    incoming = exclude_transient(df, transient_cols or [])
+    if os.path.exists(path):
+        current = spark.read.parquet(path)
+        merged = latest_by_key(
+            current.unionByName(incoming), pk, version_col
+        )
+    else:
+        merged = latest_by_key(incoming, pk, version_col)
+    # materialize before overwrite (the plan reads the same path it rewrites)
+    rows = merged.collect()
+    spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(path)
+
+
+def console_sink(df: DataFrame, n: int = 20) -> None:
+    """K7 debug print sink (.print(\">>>\" ) analogs)."""
+    df.show(n, truncate=False)

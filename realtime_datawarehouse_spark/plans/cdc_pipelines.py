@@ -266,6 +266,87 @@ def k4_config_routed_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# P6 — order-lifecycle status-transition filter
+# (DwdTradeOrderCancelDetail.java:80-82; same shape in
+# DwdTradeRefundPaySuc.java:40-44,56-60,73-77). Envelope synthesis from
+# orders: every order inserts at status '1001'; %2==0 orders update to paid
+# '1002' (old carries prior status); %5==0 orders update to cancelled '1003';
+# %11==0 orders emit a NOISE update whose data still says '1003' but whose
+# old-map records only a total_amount change — the old-map presence check
+# must reject these (Maxwell's old = changed columns only).
+# --------------------------------------------------------------------------
+
+P6_ORACLE = """
+SELECT
+  CAST(o_orderkey AS VARCHAR) AS order_id,
+  CAST(o_custkey  AS VARCHAR) AS user_id,
+  CASE WHEN o_orderkey % 2 = 0 THEN '1002' ELSE '1001' END AS old_status,
+  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS cancel_time
+FROM orders
+WHERE o_orderkey % 5 = 0
+"""
+
+
+def _order_status_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    s = lambda c: c.cast("string")  # noqa: E731
+    ctime = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    data = lambda status: F.create_map(  # noqa: E731
+        F.lit("id"), s(F.col("o_orderkey")),
+        F.lit("user_id"), s(F.col("o_custkey")),
+        F.lit("order_status"), F.lit(status),
+        F.lit("operate_time"), ctime,
+    )
+    env = lambda typ, old, d: F.struct(  # noqa: E731
+        F.lit("gmall").alias("database"),
+        F.lit("order_info").alias("table"),
+        F.lit(typ).alias("type"),
+        s(F.col("o_orderkey")).alias("ts"),
+        old.alias("old"),
+        d.alias("data"),
+    )
+    no_old = F.lit(None).cast("map<string,string>")
+    prior = F.when(F.col("o_orderkey") % 2 == 0, "1002").otherwise("1001")
+    ins = o.select(env("insert", no_old, data("1001")).alias("e"))
+    paid = o.where(F.col("o_orderkey") % 2 == 0).select(
+        env(
+            "update",
+            F.create_map(F.lit("order_status"), F.lit("1001")),
+            data("1002"),
+        ).alias("e")
+    )
+    cancel = o.where(F.col("o_orderkey") % 5 == 0).select(
+        env(
+            "update",
+            F.create_map(F.lit("order_status"), prior),
+            data("1003"),
+        ).alias("e")
+    )
+    noise = o.where(F.col("o_orderkey") % 11 == 0).select(
+        env(
+            "update",
+            F.create_map(F.lit("total_amount"), s(F.col("o_totalprice"))),
+            data("1003"),
+        ).alias("e")
+    )
+    return (
+        ins.unionByName(paid).unionByName(cancel).unionByName(noise).select("e.*")
+    )
+
+
+@query("p6_status_change_filter", oracle=P6_ORACLE)
+def p6_status_change_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = maxwell.etl_filter(_order_status_envelopes(spark, sf_dir))
+    cancelled = maxwell.status_change_filter(env, "order_status", "1003")
+    return cancelled.select(
+        maxwell.data_col("id").alias("order_id"),
+        maxwell.data_col("user_id").alias("user_id"),
+        maxwell.old_col("order_status").alias("old_status"),
+        maxwell.data_col("operate_time").alias("cancel_time"),
+    )
+
+
+# --------------------------------------------------------------------------
 # ST6 — first-order-of-day flag, row passes through regardless
 # (DwsTradeSkuOrderWindow.java:191-214).
 # --------------------------------------------------------------------------

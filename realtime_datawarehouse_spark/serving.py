@@ -1,0 +1,59 @@
+"""ADS serving layer (SURVEY.md §2.12) — the two REST endpoints of
+gmall0321-publisher as plain functions over Spark SQL.
+
+Reference payload shapes (pub/controller/TradeStatController.java:28-79):
+    GET /gmv?date=yyyyMMdd      → {"status": 0, "data": <sum>}
+    GET /province?date=yyyyMMdd → {"status": 0, "data":
+        {"mapData": [{"name": ..., "value": ...}...], "valueName": "交易额"}}
+
+Backing SQL = pub/mapper/TradeStatMapper.java:16-21 (sum / group-by over the
+DWS store). Here the DWS store is the star schema itself; both endpoints are
+pushed down to Spark SQL — scan-pruned by the date filter — exactly as the
+reference pushes them into ClickHouse.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from realtime_datawarehouse_spark.tables import table
+
+VALUE_NAME = "交易额"  # "transaction amount", as the reference labels it
+
+
+def gmv(spark: SparkSession, sf_dir: str, date: str) -> dict[str, Any]:
+    """GET /gmv?date=yyyyMMdd (TradeStatController.java:28-37)."""
+    o = table(spark, sf_dir, "orders")
+    row = (
+        o.where(F.date_format("o_orderdate", "yyyyMMdd") == date)
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("gmv"))
+        .collect()[0]
+    )
+    return {"status": 0, "data": float(row.gmv or 0.0)}
+
+
+def province_stats(spark: SparkSession, sf_dir: str, date: str) -> dict[str, Any]:
+    """GET /province?date=yyyyMMdd (TradeStatController.java:58-79)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rows = (
+        o.where(F.date_format("o_orderdate", "yyyyMMdd") == date)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("amount"))
+        .collect()
+    )
+    return {
+        "status": 0,
+        "data": {
+            "mapData": [
+                {"name": r.n_name, "value": float(r.amount)} for r in rows
+            ],
+            "valueName": VALUE_NAME,
+        },
+    }

@@ -13,6 +13,9 @@ Operators:
   map-access projection.
 - ``cart_add_delta`` — P5/P6 (DwdTradeCartAdd.java:31-44): keep inserts and
   quantity-increase updates; delta = if(insert, sku_num, new − old).
+- ``status_change_filter`` — P6 (DwdTradeOrderCancelDetail.java:80-82, also
+  DwdTradeRefundPaySuc.java:40-44,56-60,73-77): keep updates where a status
+  column changed TO a target value, using the old-map as change detector.
 """
 
 from __future__ import annotations
@@ -92,4 +95,22 @@ def cart_add_delta(env: DataFrame) -> DataFrame:
         data_col("sku_id").alias("sku_id"),
         delta.alias("sku_num_delta"),
         F.col("type").alias("change_type"),
+    )
+
+
+def status_change_filter(
+    env: DataFrame, status_key: str, target: str
+) -> DataFrame:
+    """P6 status-transition filter (DwdTradeOrderCancelDetail.java:80-82).
+
+    Keeps rows where ``type='update' AND data[status_key]=target AND
+    old[status_key] IS NOT NULL`` — the old-map presence check is what
+    distinguishes a genuine status transition from an update that merely
+    carries the status unchanged (Maxwell's old holds only CHANGED columns).
+    Pushed into the scan as three conjunctive predicates; no shuffle.
+    """
+    return env.where(
+        (F.col("type") == "update")
+        & (data_col(status_key) == target)
+        & old_col(status_key).isNotNull()
     )
