@@ -35,16 +35,21 @@ def tokenize(col: Column | str) -> Column:
 def word_shingles(tokens: Column, n: int = 3) -> Column:
     """array<string> tokens → array<string> of n-word shingles joined by ' '.
 
-    Built with transform over an index sequence — no UDF. Empty array when
-    fewer than n tokens.
+    Built as ``arrays_zip`` of n shifted slices, then a field-concat
+    transform — no UDF, and crucially the ``tokens`` expression is evaluated
+    a CONSTANT number of times per row. The naive
+    ``transform(idx, i -> element_at(tokens, i+k))`` form re-evaluates
+    ``tokens`` once per element access, and Catalyst's projection collapse
+    inlines the tokenizer split into every such access when the shingle
+    array later feeds a Generate (explode) — measured 8× slower at bench.
+    Empty array when fewer than n tokens (zero-length slices zip to empty).
     """
-    size = F.size(tokens)
-    idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(-1)))
-    return F.when(size < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-        )
+    m = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(tokens, i + 1, m).alias(f"t{i}") for i in range(n)]
+    )
+    return F.transform(
+        zipped, lambda x: F.concat_ws(" ", *[x[f"t{i}"] for i in range(n)])
     )
 
 
