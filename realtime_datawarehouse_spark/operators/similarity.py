@@ -155,6 +155,147 @@ FROM b GROUP BY 1
 """
 
 
+NUM_PROBE = 2
+IVF_CENTROID_PRED_SQL = "vec_id % 61 = 1"  # deterministic coarse centroids
+
+
+def _ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic coarse-quantizer centroids: a fixed arithmetic subset of
+    the corpus (no iterative k-means — the partitioning shape, not cluster
+    quality, is what the operator contract needs; a trained codebook slots in
+    as a drop-in replacement for this DataFrame)."""
+    return emb.where(F.col("vec_id") % 61 == 1).select(
+        F.col("vec_id").alias("centroid_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+
+
+def ivf_assign(emb: DataFrame) -> DataFrame:
+    """IVF list assignment: each vector joins its nearest centroid.
+
+    Physical shape at scale: centroids are tiny and broadcast; the corpus is
+    scanned once, scored against every centroid (|corpus| × |centroids| fused
+    in codegen), and argmin'd with a per-vector window. The corpus would then
+    be WRITTEN partitioned/bucketed by ``centroid_id`` — that layout is what
+    makes probe-time scans touch only nprobe lists instead of 100 TB.
+    """
+    v = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    scored = v.join(F.broadcast(_ivf_centroids(emb))).select(
+        "vec_id",
+        "v",
+        "centroid_id",
+        cosine_similarity(F.col("v"), F.col("cv")).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5, nprobe: int = NUM_PROBE
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest inverted lists.
+
+    ``queries``: (query_id, query_vec). Both engines compute the identical
+    approximation (same centroid set, same probe order, same tie-breaks), so
+    the result is oracle-exact even though recall < 1 vs ``brute_topk``.
+    """
+    assigned = ivf_assign(emb)
+    q = queries.select(
+        "query_id", _as_double(F.col("query_vec")).alias("qv")
+    )
+    qprobe_scored = q.join(F.broadcast(_ivf_centroids(emb))).select(
+        "query_id",
+        "qv",
+        "centroid_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qprobe_scored.withColumn("prnk", F.row_number().over(wq))
+        .where(F.col("prnk") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    # probe side is |queries| × nprobe — broadcast it; the corpus stays put.
+    # On a centroid-partitioned layout this join IS the partition-pruned scan.
+    cand = assigned.join(
+        F.broadcast(probes), on="centroid_id"
+    ).where(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        pround(cosine_similarity(F.col("qv"), F.col("v")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+_COS_VC = (
+    "list_dot_product(v.v, c.cv) / (sqrt(list_dot_product(v.v, v.v))"
+    " * sqrt(list_dot_product(c.cv, c.cv)))"
+)
+_COS_QC = (
+    "list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv))"
+    " * sqrt(list_dot_product(c.cv, c.cv)))"
+)
+_COS_QA = (
+    "list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv))"
+    " * sqrt(list_dot_product(a.v, a.v)))"
+)
+
+
+def ivf_topk_oracle(
+    k: int = 5, nprobe: int = NUM_PROBE, query_pred: str = "vec_id < 8"
+) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE {IVF_CENTROID_PRED_SQL}
+), va AS (
+  SELECT vec_id, v, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+             ORDER BY {_COS_VC} DESC, centroid_id) AS rnk
+  FROM e v CROSS JOIN c
+), a AS (
+  SELECT vec_id, v, centroid_id FROM va WHERE rnk = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE {query_pred}
+), qp AS (
+  SELECT query_id, qv, centroid_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY {_COS_QC} DESC, centroid_id) AS prnk
+  FROM q CROSS JOIN c
+), p AS (
+  SELECT query_id, qv, centroid_id FROM qp WHERE prnk <= {nprobe}
+), s AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {pround_sql(_COS_QA, 4)} AS sim
+  FROM p JOIN a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+), r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= {k}
+"""
+
+
 def near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim ≥ threshold).
 

@@ -92,6 +92,21 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_topk(emb, queries, TOPK)
 
 
+@query(
+    "ann_ivf_topk",
+    oracle=similarity.ivf_topk_oracle(TOPK, similarity.NUM_PROBE, ANN_QUERY_PRED_SQL),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale-path ANN: nearest-centroid list assignment + nprobe probing
+    (same approximation computed by both engines, so oracle-exact)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return similarity.ivf_topk(emb, queries, TOPK)
+
+
 @query("ann_lsh_bucket_stats", oracle=similarity.lsh_bucket_stats_oracle())
 def ann_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_stats(_emb(spark, sf_dir))

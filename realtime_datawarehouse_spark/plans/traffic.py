@@ -551,3 +551,174 @@ def j8_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_ms") - F.col("p_ms")).alias("offset_ms"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# P8 — per-record field add/remove (TableProcessFunction.java:57-61 put
+# sink_table; DwdTrafficBaseLogSplit.java:168,213-214 remove err). Spark:
+# withColumn + drop — declarative column ops the optimizer folds into the
+# scan projection (the dropped column is never read: check ReadSchema).
+# --------------------------------------------------------------------------
+
+P8_ORACLE = """
+SELECT event_id, user_id, event_type, 'dwd_traffic_page_log' AS sink_table
+FROM events
+"""
+
+
+@query("p8_field_add_remove", oracle=P8_ORACLE)
+def p8_field_add_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("sink_table", F.lit("dwd_traffic_page_log"))
+        .drop("props", "value", "ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# P9 — bean mapping with literal/conditional metric flags
+# (DwsTrafficVcChArIsNewPageViewWindow.java:77-155: page log →
+# TrafficPageViewBean(uv=0, sv = last_page null ? 1 : 0, pv=1, dur, uj=0)).
+# sv uses the gap-defined session-entry predicate (see module docstring).
+# --------------------------------------------------------------------------
+
+P9_ORACLE = f"""
+WITH seq AS (
+  SELECT event_id, user_id, event_type, ts, value,
+         epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_gap
+  FROM events
+)
+SELECT event_id, user_id, event_type,
+       0 AS uv_ct,
+       CASE WHEN prev_gap IS NULL OR prev_gap > {ENTRY_GAP_MS} THEN 1 ELSE 0 END AS sv_ct,
+       1 AS pv_ct,
+       round(value, 2) AS dur_sum,
+       0 AS uj_ct
+FROM seq
+"""
+
+
+@query("p9_bean_mapping", oracle=P9_ORACLE)
+def p9_bean_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    prev_gap = ms - F.lag(ms).over(w)
+    entry = prev_gap.isNull() | (prev_gap > ENTRY_GAP_MS)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lit(0).alias("uv_ct"),
+        F.when(entry, 1).otherwise(0).alias("sv_ct"),
+        F.lit(1).alias("pv_ct"),
+        F.round("value", 2).alias("dur_sum"),
+        F.lit(0).alias("uj_ct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 — incremental accumulator count over a non-keyed window
+# (DwsTradeCartAddUuWindow.java:100-139: windowAll + AggregateFunction
+# counting daily-first cart events per 10 s tumble). Composition ST5 → A4:
+# the UU filter then an ungrouped window count — partial counts are
+# map-side-combined; only the tiny per-window merge is single-keyed.
+# --------------------------------------------------------------------------
+
+A4_ORACLE = """
+WITH firsts AS (
+  SELECT ts, row_number() OVER (
+      PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'click'
+)
+SELECT
+  strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+  count(*) AS cart_add_uu_ct
+FROM firsts WHERE rn = 1
+GROUP BY 1
+"""
+
+
+@query("a4_window_count_agg", oracle=A4_ORACLE)
+def a4_window_count_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    firsts = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        firsts.groupBy(F.window("ts", WINDOW))
+        .agg(F.count("*").alias("cart_add_uu_ct"))
+        .select(fmt_ts(F.col("window.start")).alias("stt"), "cart_add_uu_ct")
+    )
+
+
+# --------------------------------------------------------------------------
+# J9 — regular-join family incl. FULL OUTER (TestSqlJoin.java:58-82; inner /
+# left shapes are exercised by J1/J2). Sides are filtered to disjoint-ish
+# subsets so both null-extended directions appear in the result.
+# --------------------------------------------------------------------------
+
+J9_ORACLE = """
+SELECT
+  coalesce(c.c_custkey, o.o_custkey) AS custkey,
+  c.c_name                           AS c_name,
+  o.order_ct                         AS order_ct
+FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0) c
+FULL OUTER JOIN (
+  SELECT o_custkey, count(*) AS order_ct FROM orders
+  WHERE o_custkey % 2 = 0 GROUP BY 1
+) o ON c.c_custkey = o.o_custkey
+"""
+
+
+@query("j9_full_outer_join", oracle=J9_ORACLE)
+def j9_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_name")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 2 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("order_ct"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_name"),
+        F.col("order_ct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R2 — array unnest carrying parent fields
+# (DwdTrafficBaseLogSplit.java:182-210: each displays[i] element joined with
+# parent common/page/ts). posexplode keeps the element index (the
+# reference's display 'order'); parent columns ride along the Generate.
+# --------------------------------------------------------------------------
+
+R2_ORACLE = """
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+       p.pos                                AS display_order,
+       CAST(e.event_id AS VARCHAR) || '_' || CAST(p.pos AS VARCHAR) AS item
+FROM events e, (SELECT unnest([0, 1]) AS pos) p
+WHERE e.event_type = 'purchase'
+"""
+
+
+@query("r2_array_unnest", oracle=R2_ORACLE)
+def r2_array_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    displays = F.transform(
+        F.sequence(F.lit(0), F.lit(1)),
+        lambda i: F.concat_ws(
+            "_", F.col("event_id").cast("string"), i.cast("string")
+        ),
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        fmt_ts("ts").alias("event_time"),
+        F.posexplode(displays).alias("display_order", "item"),
+    )
