@@ -110,3 +110,183 @@ SELECT doc_id,
        CAST(strlen(text) % 24 + 1 AS INT)        AS fake_frames
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# Resize stage: decoded metadata → output geometry clamped to a target box,
+# aspect preserved by integer halving (the deterministic stand-in for a real
+# PIL/opencv resample, which would run in the same kernel position).
+# --------------------------------------------------------------------------
+
+# fixture dims are w ≤ 640, h ≤ 480; a 320-box means exactly ≤1 halving step,
+# which keeps the SQL oracle a single CASE (the kernel loop is general)
+TARGET_W = 320
+TARGET_H = 320
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("out_bytes", LongType()),
+    ]
+)
+
+
+def make_resize_stub(target_w: int = TARGET_W, target_h: int = TARGET_H):
+    """Fake resizer kernel: halve dimensions until they fit the target box
+    (what a real thumbnailer does geometrically), out_bytes = 3*w*h (RGB).
+    Nested function so cloudpickle ships it by value (foreign-cwd workers)."""
+
+    def resize_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            n = pdf["payload"].map(len).astype("int64")
+            w = (n % 640 + 1).astype("int64")
+            h = (n * 7 % 480 + 1).astype("int64")
+            while ((w > target_w) | (h > target_h)).any():
+                too_big = (w > target_w) | (h > target_h)
+                w = w.where(~too_big, (w + 1) // 2)
+                h = h.where(~too_big, (h + 1) // 2)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": w.astype("int32"),
+                    "out_height": h.astype("int32"),
+                    "out_bytes": 3 * w * h,
+                }
+            )
+
+    return resize_stub
+
+
+def resize_images(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    payloads = attach_payload(docs, text_col)
+    return payloads.mapInPandas(make_resize_stub(), schema=RESIZED_SCHEMA)
+
+
+# fixture dims: width ≤ 640 < 2*TARGET, height ≤ 480 < 2*TARGET → at most one
+# halving step, which the oracle expresses directly.
+RESIZE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         strlen(text) % 640 + 1     AS w,
+         strlen(text) * 7 % 480 + 1 AS h
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         CASE WHEN w > {TARGET_W} OR h > {TARGET_H} THEN (w + 1) // 2 ELSE w END AS w,
+         CASE WHEN w > {TARGET_W} OR h > {TARGET_H} THEN (h + 1) // 2 ELSE h END AS h
+  FROM d
+)
+SELECT doc_id, CAST(w AS INT) AS out_width, CAST(h AS INT) AS out_height,
+       CAST(3 * w * h AS BIGINT) AS out_bytes
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# Frame-sampling stage: one input row (a "video" payload) fans out to one row
+# per sampled frame — the mapInPandas batch-shape that matters at scale
+# (output cardinality decoupled from input; Arrow batches stream, nothing
+# accumulates per partition).
+# --------------------------------------------------------------------------
+
+FRAME_STRIDE = 5
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ms", LongType()),
+    ]
+)
+
+
+def make_frame_sample_stub(stride: int = FRAME_STRIDE, fps: int = 24):
+    """Fake frame sampler: frames = n%24+1, emit indices 0, stride, 2*stride…
+    with their timestamps; a real kernel would seek/decode those frames."""
+
+    def frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            n = pdf["payload"].map(len).astype("int64")
+            frames = (n % 24 + 1).to_numpy()
+            doc_ids = pdf["doc_id"].to_numpy()
+            reps = (frames + stride - 1) // stride
+            doc_col = _np.repeat(doc_ids, reps)
+            idx_col = _np.concatenate(
+                [_np.arange(0, f, stride) for f in frames]
+            ) if len(frames) else _np.array([], dtype="int64")
+            yield _pd.DataFrame(
+                {
+                    "doc_id": doc_col,
+                    "frame_idx": idx_col.astype("int32"),
+                    "frame_ms": (idx_col * 1000 // fps).astype("int64"),
+                }
+            )
+
+    return frame_sample
+
+
+def sample_frames(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    payloads = attach_payload(docs, text_col)
+    return payloads.mapInPandas(make_frame_sample_stub(), schema=FRAMES_SCHEMA)
+
+
+FRAME_SAMPLE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, strlen(text) % 24 + 1 AS frames FROM documents
+)
+SELECT doc_id,
+       CAST(g.i AS INT)               AS frame_idx,
+       CAST(g.i * 1000 // 24 AS BIGINT) AS frame_ms
+FROM d, LATERAL (SELECT unnest(range(0, frames, {FRAME_STRIDE})) AS i) g
+"""
+
+
+# --------------------------------------------------------------------------
+# Feature-extraction stage: payload → fixed-dim feature vector. The fake
+# derives dimensions arithmetically from byte length; a real kernel would run
+# a vision/audio model over the decoded tensor in the same position. Features
+# surface as scalar columns (f0..f7) so the result is hash-comparable; the
+# kernel-internal representation is a (batch, dim) ndarray — the real shape.
+# --------------------------------------------------------------------------
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = StructType(
+    [StructField("doc_id", LongType())]
+    + [StructField(f"f{d}", IntegerType()) for d in range(FEATURE_DIM)]
+)
+
+
+def make_feature_stub(dim: int = FEATURE_DIM):
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            n = pdf["payload"].map(len).to_numpy(dtype="int64")
+            # (batch, dim) feature matrix — vectorized, Arrow-batched
+            feats = (n[:, None] * (_np.arange(dim)[None, :] + 1)) % 97
+            out = {"doc_id": pdf["doc_id"]}
+            for d in range(dim):
+                out[f"f{d}"] = feats[:, d].astype("int32")
+            yield _pd.DataFrame(out)
+
+    return extract
+
+
+def extract_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    payloads = attach_payload(docs, text_col)
+    return payloads.mapInPandas(make_feature_stub(), schema=FEATURES_SCHEMA)
+
+
+FEATURES_ORACLE = "SELECT doc_id, " + ", ".join(
+    f"CAST(strlen(text) * {d + 1} % 97 AS INT) AS f{d}"
+    for d in range(FEATURE_DIM)
+) + " FROM documents"

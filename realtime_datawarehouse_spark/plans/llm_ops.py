@@ -123,3 +123,18 @@ def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("mm_decode_metadata", oracle=multimodal.DECODE_METADATA_ORACLE)
 def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_metadata(_docs(spark, sf_dir))
+
+
+@query("mm_resize_images", oracle=multimodal.RESIZE_ORACLE)
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.resize_images(_docs(spark, sf_dir))
+
+
+@query("mm_frame_sample", oracle=multimodal.FRAME_SAMPLE_ORACLE)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sample_frames(_docs(spark, sf_dir))
+
+
+@query("mm_feature_extract", oracle=multimodal.FEATURES_ORACLE)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.extract_features(_docs(spark, sf_dir))
