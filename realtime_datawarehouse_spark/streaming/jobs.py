@@ -151,6 +151,105 @@ def keep_latest_stream(
     )
 
 
+def bounce_kernel_factory(gap_ms: int):
+    """ST8 streaming form: CEP bounce/jump detection with timeout branch
+    (DwdTrafficUserJumpDetail.java:86-129).
+
+    Pattern per user: a session entry (gap from previous event > gap_ms) is a
+    bounce when the NEXT event is another entry (gap > gap_ms again) or never
+    arrives — the reference's match-branch ∪ timeout-side-output union, here
+    a single keyed state machine:
+
+    - state = (pending entry, last event ts);
+    - an event beyond the gap is an entry: it resolves a pending entry as a
+      BOUNCE and becomes the new pending;
+    - an event within the gap resolves the pending entry as NOT a bounce;
+    - an event-time timeout (watermark passes pending + gap) emits the
+      pending entry as a bounce — no follow-up can be on time anymore.
+
+    Returns (kernel, out_schema, state_schema) for applyInPandasWithState.
+    Batch-mode equivalent: plans/traffic.py st8_bounce_detection (lead/lag).
+    """
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("entry_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("pending_id", LongType()),   # -1 = none
+            StructField("pending_ms", LongType()),
+            StructField("last_ms", LongType()),
+        ]
+    )
+
+    def kernel(key: Any, pdfs, state: GroupState):
+        import pandas as _pd
+
+        def emit(ids, tss):
+            return _pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(ids),
+                    "event_id": ids,
+                    "entry_ts": [_pd.Timestamp(t * 1_000_000) for t in tss],
+                }
+            )
+
+        if state.hasTimedOut:
+            pid, pts, _last = state.get
+            state.remove()
+            if pid >= 0:
+                yield emit([pid], [pts])
+            return
+
+        pid, pts, last = (state.get if state.exists else (-1, -1, -1))
+        rows = _pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        out_ids: list[int] = []
+        out_ts: list[int] = []
+        for r in rows.itertuples():
+            ts_ms = int(r.ts.value // 1_000_000)
+            if last < 0 or ts_ms - last > gap_ms:
+                if pid >= 0:  # pending entry followed by another entry → bounce
+                    out_ids.append(pid)
+                    out_ts.append(pts)
+                pid, pts = int(r.event_id), ts_ms
+            elif pid >= 0:  # on-time follow-up → pending is not a bounce
+                pid, pts = -1, -1
+            last = ts_ms
+        state.update((pid, pts, last))
+        if pid >= 0:
+            # fire once no on-time follow-up can exist (event-time timer)
+            state.setTimeoutTimestamp(pts + gap_ms + 1)
+        if out_ids:
+            yield emit(out_ids, out_ts)
+
+    return kernel, out_schema, state_schema
+
+
+def bounce_detect_stream(
+    ev: DataFrame,
+    gap_ms: int,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    kernel, out_schema, state_schema = bounce_kernel_factory(gap_ms)
+    return (
+        ev.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            kernel,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drain a stream with availableNow into an in-memory table; returns the
     started query (caller awaits termination and reads spark.table(name))."""

@@ -110,3 +110,39 @@ def test_keep_latest_state_parity(spark, events_stream_dir):
     merged = final.merge(batch, left_on="key", right_on="user_key")
     assert len(merged) == len(batch)
     assert (merged.event_id_x.astype(int) == merged.event_id_y.astype(int)).all()
+
+
+def test_bounce_detection_streaming_parity(spark, events_stream_dir, tmp_path):
+    """ST8 streaming (state machine + event-time timeout) must equal the
+    batch lead/lag formulation once a heartbeat advances the watermark past
+    every pending entry's timeout."""
+    import shutil
+
+    from realtime_datawarehouse_spark.plans.traffic import (
+        ENTRY_GAP_MS,
+        st8_bounce_detection,
+    )
+
+    d = str(tmp_path / "bounce_in")
+    shutil.copytree(events_stream_dir, d)
+    ev = table(spark, SF_DIR, "events")
+    # heartbeat: one far-future event for a sentinel user advances the
+    # watermark so every real pending entry's timeout fires before the drain
+    # ends (the sentinel's own entry stays pending — excluded below)
+    hb = ev.groupBy().agg(F.max("ts").alias("mx")).select(
+        F.lit(9_999_999).alias("event_id"),
+        (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    ).select(*ev.columns)
+    hb.coalesce(1).write.mode("append").parquet(d)
+
+    stream = jobs.parquet_stream(spark, d, ev.schema)
+    out = jobs.bounce_detect_stream(stream, ENTRY_GAP_MS)
+    got = _drain(spark, out, "t_bounce", mode="append").toPandas()
+    got = got[got.user_id >= 0]
+
+    exp = st8_bounce_detection(spark, SF_DIR).toPandas()
+    assert sorted(got.event_id.astype(int)) == sorted(exp.event_id.astype(int))
