@@ -1,0 +1,74 @@
+"""Physical-plan quality gates (the 100 TB story, asserted).
+
+These tests never execute the queries — they check that Catalyst produced
+the plan shape we designed for: dims broadcast (never sort-merge-joined),
+filters pushed into the parquet scan, scans column-pruned, hot paths inside
+whole-stage codegen, and no row-at-a-time Python evaluation anywhere.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from realtime_datawarehouse_spark.plans import registry
+from tests.conftest import SF_DIR
+
+
+def _explain(spark, name: str, mode: str = "formatted") -> str:
+    df = registry.get_queries()[name](spark, SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+@pytest.mark.parametrize(
+    "name", ["j3_lookup_join_dic", "j7_dim_snowflake_enrich", "j5_five_table_mixed_join"]
+)
+def test_dim_joins_are_broadcast(spark, name):
+    plan = _explain(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, f"{name} fell back to sort-merge:\n{plan}"
+
+
+def test_fact_fact_join_shuffles_once(spark):
+    # J1 shuffles both sides on the join key; no broadcast of a fact table
+    plan = _explain(spark, "j1_order_detail_inner_join")
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_filters_reach_parquet_scan(spark):
+    plan = _explain(spark, "p3_etl_filter")
+    scan = plan[plan.index("PushedFilters"):]
+    assert "event_type" in scan[: scan.index("\n")] or "props" in scan[: scan.index("\n")], (
+        f"filter not pushed to scan:\n{plan}"
+    )
+
+
+def test_q1_scan_is_column_pruned(spark):
+    plan = _explain(spark, "tpch_q1_pricing_summary")
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema, (
+        f"scan reads unused columns: {read_schema}"
+    )
+
+
+def test_q1_stays_in_codegen(spark):
+    # AQE shows codegen stage markers '*(n)' only in the FINAL plan, so
+    # execute first (sf0.001 — trivial), then inspect the adaptive plan
+    df = registry.get_queries()["tpch_q1_pricing_summary"](spark, SF_DIR)
+    df.collect()  # finalize THIS Dataset's adaptive plan (a write would spawn its own)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "isFinalPlan=true" in plan and "*(" in plan, plan
+
+
+def test_no_row_python_udfs_anywhere(spark):
+    """Every registered query must stay JVM-side or Arrow-batched: a
+    BatchEvalPython node (row-at-a-time Python UDF) in any plan is a bug."""
+    for name in registry.get_queries():
+        plan = _explain(spark, name, mode="simple")
+        assert "BatchEvalPython" not in plan, f"row Python UDF in {name}"
+
+
+def test_mapinpandas_is_arrow_batched(spark):
+    plan = _explain(spark, "mm_decode_metadata", mode="simple")
+    assert "MapInPandas" in plan
