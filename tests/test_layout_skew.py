@@ -1,0 +1,83 @@
+"""Scale-path utilities: bucketed co-located joins (no exchange) and skew
+salting (exact results, spread partitions)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from realtime_datawarehouse_spark.operators import layout, skew
+from realtime_datawarehouse_spark.tables import table
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, df, mode="simple"):
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    layout.write_bucketed(
+        li, "b_lineitem", "l_orderkey", 8, path=str(tmp_path / "b_li")
+    )
+    layout.write_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "b_orders", "l_orderkey", 8, path=str(tmp_path / "b_o"),
+    )
+    bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+    # force the non-broadcast path so the exchange elision is what's tested
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(bo, "l_orderkey")
+        plan = _plan(spark, joined)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and it computes the same thing as the plain join
+        plain = table(spark, SF_DIR, "lineitem").join(
+            table(spark, SF_DIR, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_salted_count_distinct_exact(spark):
+    li = table(spark, SF_DIR, "lineitem")
+    got = (
+        skew.salted_count_distinct(li, "l_returnflag", "l_orderkey", n_salt=16)
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    exp = (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("distinct_ct"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [(r.l_returnflag, r.distinct_ct) for r in got] == [
+        (r.l_returnflag, r.distinct_ct) for r in exp
+    ]
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_replicated_salt_join_matches_plain(spark, how):
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    agg = (
+        table(spark, SF_DIR, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey")
+    )
+    got = skew.replicated_salt_join(li, agg, "l_orderkey", n_salt=4, how=how)
+    plain = li.join(agg, "l_orderkey", how)
+    assert got.count() == plain.count()
+    g = got.groupBy().agg(F.sum(F.col("l_quantity") * F.coalesce("o_custkey", F.lit(0))).alias("s")).collect()[0].s
+    p = plain.groupBy().agg(F.sum(F.col("l_quantity") * F.coalesce("o_custkey", F.lit(0))).alias("s")).collect()[0].s
+    assert abs(g - p) < 1e-6
