@@ -250,6 +250,37 @@ def bounce_detect_stream(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    on,
+    band: str = "90 days",
+    watermark: str = DEFAULT_WATERMARK,
+    how: str = "inner",
+) -> DataFrame:
+    """J1/J2 streaming form: watermarked stream-stream equi-join
+    (DwdTradeOrderPreProcess.java:125-131).
+
+    Both sides carry watermarks and the join adds a time-band constraint —
+    Spark's requirement for bounding join state, playing the role of the
+    reference's 15 min idle-state retention (SURVEY §2.9 W7): a row is
+    dropped from state once the other side's watermark passes its band.
+    For left-outer, null-extended rows emit only when the watermark proves
+    no match can arrive (hold-until-watermark instead of Flink's
+    emit-then-retract churn — SURVEY §7.4 #1; downstream PK-upsert makes
+    the two equivalent).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    time_band = (
+        (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {band}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {band}"))
+    )
+    return lw.join(rw, on & time_band, how)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drain a stream with availableNow into an in-memory table; returns the
     started query (caller awaits termination and reads spark.table(name))."""

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -50,6 +50,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema[col].dataType, LongType):
             # integer division — float division would lose precision at 1e18
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif isinstance(df.schema[col].dataType, TimestampNTZType):
+            # micros-precision columns arrive NTZ; normalize to TIMESTAMP so
+            # event-time ops (withWatermark requires LTZ) work uniformly —
+            # with the UTC session zone the wall-clock values are unchanged,
+            # exactly how DuckDB treats the same naive values
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -146,3 +146,36 @@ def test_bounce_detection_streaming_parity(spark, events_stream_dir, tmp_path):
 
     exp = st8_bounce_detection(spark, SF_DIR).toPandas()
     assert sorted(got.event_id.astype(int)) == sorted(exp.event_id.astype(int))
+
+
+def test_stream_stream_join_parity(spark, tmp_path):
+    """J1 streaming: watermarked stream-stream inner join must emit exactly
+    the rows of the batch join restricted by the same time band."""
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li_dir, o_dir = str(tmp_path / "li"), str(tmp_path / "o")
+    li.orderBy("l_shipdate").coalesce(2).write.parquet(li_dir)
+    o.orderBy("o_orderdate").coalesce(2).write.parquet(o_dir)
+
+    ls = jobs.parquet_stream(spark, li_dir, li.schema)
+    os_ = jobs.parquet_stream(spark, o_dir, o.schema)
+    out = jobs.stream_stream_join(
+        ls,
+        os_,
+        left_ts="l_shipdate",
+        right_ts="o_orderdate",
+        on=(F.col("l_orderkey") == F.col("o_orderkey")),
+        band="200 days",
+    )
+    got = _drain(spark, out, "t_ssj").count()
+
+    band = F.expr("INTERVAL 200 days")
+    exp = li.join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("o_orderdate") >= F.col("l_shipdate") - band)
+        & (F.col("o_orderdate") <= F.col("l_shipdate") + band),
+    ).count()
+    assert got == exp
