@@ -250,6 +250,87 @@ def bounce_detect_stream(
     )
 
 
+def visit_state_kernel_factory():
+    """ST1 + ST4 streaming form: per-user visit-date state machine.
+
+    One keyed state (first-seen day, last-seen day — two ints) drives both
+    operators' flags per event, in event order:
+
+    - ``is_new`` (ST1, DwdTrafficBaseLogSplit.java:102-145): 1 only while
+      the event's day equals the user's first-seen day — a claimed
+      new-visitor flag on a later day is repaired to 0;
+    - ``uu`` (ST4, DwsUserUserLoginWindow.java:84-129): 1 on the first
+      event of a user-day;
+    - ``back`` (ST4): 1 when that first-of-day event arrives ≥ 8 days after
+      the previous active day (the 7-day-returning rule).
+
+    State is 16 bytes/user; the reference's 1-day/TTL reclamation maps to a
+    GroupState timeout in deployments where user-space is unbounded (not
+    needed for correctness — is_new requires the first-seen day forever).
+    Returns (kernel, out_schema, state_schema).
+    """
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("dt", StringType()),
+            StructField("is_new", LongType()),
+            StructField("uu", LongType()),
+            StructField("back", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("first_day", LongType()),
+            StructField("last_day", LongType()),
+        ]
+    )
+
+    def kernel(key: Any, pdfs, state: GroupState):
+        import pandas as _pd
+
+        first_day, last_day = (state.get if state.exists else (-1, -1))
+        rows = _pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        days = (rows["ts"].astype("int64") // 86_400_000_000_000).to_numpy()
+        out = {
+            "user_id": rows["user_id"].to_numpy(),
+            "event_id": rows["event_id"].to_numpy(),
+            "dt": rows["ts"].dt.strftime("%Y-%m-%d").to_numpy(),
+            "is_new": [],
+            "uu": [],
+            "back": [],
+        }
+        for d in days:
+            d = int(d)
+            if first_day < 0:
+                first_day = d
+            out["is_new"].append(1 if d == first_day else 0)
+            if d != last_day:
+                out["uu"].append(1)
+                out["back"].append(
+                    1 if last_day >= 0 and d - last_day >= 8 else 0
+                )
+            else:
+                out["uu"].append(0)
+                out["back"].append(0)
+            last_day = d
+        state.update((first_day, last_day))
+        yield _pd.DataFrame(out)
+
+    return kernel, out_schema, state_schema
+
+
+def visit_state_stream(ev: DataFrame, key: str = "user_id") -> DataFrame:
+    kernel, out_schema, state_schema = visit_state_kernel_factory()
+    return ev.groupBy(key).applyInPandasWithState(
+        kernel,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

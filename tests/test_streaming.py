@@ -179,3 +179,30 @@ def test_stream_stream_join_parity(spark, tmp_path):
         & (F.col("o_orderdate") <= F.col("l_shipdate") + band),
     ).count()
     assert got == exp
+
+
+def test_visit_state_streaming_parity(spark, events_stream_dir):
+    """ST1+ST4 streaming kernel vs their batch window-function forms."""
+    from realtime_datawarehouse_spark.plans.traffic import (
+        st1_new_visitor_repair,
+        st4_login_uu_and_back,
+    )
+
+    ev = table(spark, SF_DIR, "events")
+    stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+    got = _drain(spark, jobs.visit_state_stream(stream), "t_visit").toPandas()
+
+    # ST1: per-event is_new must match the batch min-date repair
+    exp1 = st1_new_visitor_repair(spark, SF_DIR).toPandas()
+    m = got.merge(exp1, on="event_id", suffixes=("_s", "_b"))
+    assert len(m) == len(exp1)
+    assert (m.is_new_s == m.is_new_b).all()
+
+    # ST4: day-aggregated uu/back must match the batch lag formulation
+    agg = got.groupby("dt", as_index=False).agg(
+        uu_ct=("uu", "sum"), back_ct=("back", "sum")
+    )
+    exp4 = st4_login_uu_and_back(spark, SF_DIR).toPandas()
+    m4 = agg.merge(exp4, on="dt", suffixes=("_s", "_b"))
+    assert len(m4) == len(exp4)
+    assert (m4.uu_ct_s == m4.uu_ct_b).all() and (m4.back_ct_s == m4.back_ct_b).all()
