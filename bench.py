@@ -46,6 +46,7 @@ BENCH_QUERIES = (
     "dedup_ngram_jaccard",          # inverted-index similarity join
     "dedup_simhash",                # wide bit-vote aggregation
     "ann_brute_topk",               # vector fold scan + top-k window
+    "ann_ivf_topk",                 # IVF probe-pruned ANN (scale path)
     "text_quality_score",           # per-doc array expressions
     "mm_decode_metadata",           # Arrow-batched mapInPandas
 )

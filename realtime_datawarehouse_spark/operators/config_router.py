@@ -71,7 +71,7 @@ def upsert_state(routed: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    pk = F.col("data").getItem(F.col("sink_pk"))
+    pk = F.col("data")[F.col("sink_pk")]
     keyed = routed.withColumn("pk", pk)
     w = Window.partitionBy("sink_table", "pk").orderBy(F.col("ts").desc())
     return (
