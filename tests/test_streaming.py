@@ -206,3 +206,53 @@ def test_visit_state_streaming_parity(spark, events_stream_dir):
     m4 = agg.merge(exp4, on="dt", suffixes=("_s", "_b"))
     assert len(m4) == len(exp4)
     assert (m4.uu_ct_s == m4.uu_ct_b).all() and (m4.back_ct_s == m4.back_ct_b).all()
+
+
+def test_checkpoint_restart_recovers_exactly(spark, events_stream_dir, tmp_path):
+    """Kill a windowed-aggregation stream after its first micro-batch, then
+    restart from the same checkpoint: the union of emissions must equal an
+    uninterrupted run (no loss, no duplicates) — the Structured Streaming
+    rendering of the reference's (commented-out) exactly-once checkpointing
+    (rt/app/dim/DimApp.java:82-99)."""
+    ev = table(spark, SF_DIR, "events")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def start(once: bool = False):
+        stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+        agg = jobs.tumble_count_by_key(stream)
+        w = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+        )
+        if once:
+            w = w.trigger(availableNow=True)
+        else:
+            w = w.trigger(processingTime="50 milliseconds")
+        return w.start()
+
+    # phase 1: let at least one micro-batch commit, then hard-stop
+    q = start()
+    while q.lastProgress is None or q.lastProgress["batchId"] < 1:
+        q.awaitTermination(0.2)
+    q.stop()
+    q.awaitTermination()
+    phase1 = spark.read.parquet(out_dir).count()
+
+    # phase 2: restart from the SAME checkpoint and drain the remainder
+    q2 = start(once=True)
+    q2.awaitTermination()
+    got = spark.read.parquet(out_dir).toPandas()
+
+    # uninterrupted reference run (fresh sink, no checkpoint)
+    full_stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+    exp = _drain(spark, jobs.tumble_count_by_key(full_stream), "t_ckpt_full").toPandas()
+
+    key = ["stt", "edt", "event_type"]
+    assert phase1 < len(exp), "first phase should not have finished everything"
+    assert not got.duplicated(key).any(), "restart produced duplicate windows"
+    merged = got.merge(exp, on=key, suffixes=("_g", "_e"))
+    assert len(merged) == len(got) == len(exp)
+    assert (merged.keyword_count_g == merged.keyword_count_e).all()
