@@ -59,6 +59,52 @@ def dws_cart_add_uu_window(
     )
 
 
+def dws_sku_order_window(
+    order_detail: DataFrame,
+    order_info: DataFrame,
+    sku_dim: DataFrame,
+    band: str = "200 days",
+    window: str = "10 minutes",
+    watermark: str = jobs.DEFAULT_WATERMARK,
+) -> DataFrame:
+    """DwsTradeSkuOrderWindow (rt/app/dws/DwsTradeSkuOrderWindow.java), the
+    reference's most complex job, as one streaming graph:
+
+        order_detail ⋈ order_info         (J1: watermarked stream-stream join,
+                                           replaces Flink's keyed-state join)
+        → ⋈ broadcast(sku_dim)            (J7: static dim snapshot replaces
+                                           the async Phoenix+Redis machinery)
+        → window agg per (tumble, brand)  (A5/A6: money sum + order count)
+
+    ``order_detail``: (order_id, sku_id, amount, detail_ts);
+    ``order_info``:   (oi_order_id, user_id, order_ts);
+    ``sku_dim``:      static (sku_id, brand).
+    """
+    joined = jobs.stream_stream_join(
+        order_detail,
+        order_info,
+        left_ts="detail_ts",
+        right_ts="order_ts",
+        on=(F.col("order_id") == F.col("oi_order_id")),
+        band=band,
+        watermark=watermark,
+    )
+    enriched = joined.join(F.broadcast(sku_dim), on="sku_id")
+    return (
+        enriched.groupBy(F.window("detail_ts", window), F.col("brand"))
+        .agg(
+            F.count("*").alias("order_ct"),
+            F.sum("amount").alias("order_amount"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            "brand",
+            "order_ct",
+            F.round("order_amount", 2).alias("order_amount"),
+        )
+    )
+
+
 def dwd_log_split(raw: DataFrame) -> dict[str, DataFrame]:
     """DwdTrafficBaseLogSplit (rt/app/dwd/log/DwdTrafficBaseLogSplit.java):
     topic_log → tolerant parse → dirty side-output + 5-way demux.

@@ -101,3 +101,80 @@ def test_log_split_streaming_branches(spark, tmp_path):
     assert spark.table("t_split_page").count() == 3
     assert spark.table("t_split_dirty").count() == 1
     assert spark.table("t_split_err").count() == 0
+
+
+def test_sku_order_window_pipeline_parity(spark, tmp_path):
+    """Composed DWS trade job (stream-stream join → broadcast dim → window
+    agg) must match the identical batch composition for watermark-closed
+    windows."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.streaming import jobs, pipelines
+    from realtime_datawarehouse_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    li = table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("sku_id"),
+        F.col("l_extendedprice").alias("amount"),
+        F.col("l_shipdate").alias("detail_ts"),
+    )
+    oi = table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("oi_order_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("order_ts"),
+    )
+    dim = table(spark, SF_DIR, "part").select(
+        F.col("p_partkey").alias("sku_id"), F.col("p_brand").alias("brand")
+    )
+    li_dir, oi_dir = str(tmp_path / "li"), str(tmp_path / "oi")
+    li.orderBy("detail_ts").coalesce(2).write.parquet(li_dir)
+    oi.orderBy("order_ts").coalesce(2).write.parquet(oi_dir)
+
+    out = pipelines.dws_sku_order_window(
+        jobs.parquet_stream(spark, li_dir, li.schema),
+        jobs.parquet_stream(spark, oi_dir, oi.schema),
+        dim,
+    )
+    q = jobs.run_to_memory(out, "t_sku_win")
+    q.awaitTermination()
+    got = spark.table("t_sku_win").toPandas()
+
+    band = F.expr("INTERVAL 200 days")
+    batch = (
+        li.join(
+            oi,
+            (F.col("order_id") == F.col("oi_order_id"))
+            & (F.col("order_ts") >= F.col("detail_ts") - band)
+            & (F.col("order_ts") <= F.col("detail_ts") + band),
+        )
+        .join(F.broadcast(dim), on="sku_id")
+        .groupBy(F.window("detail_ts", "10 minutes"), "brand")
+        .agg(F.count("*").alias("order_ct"), F.sum("amount").alias("order_amount"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            "brand",
+            "order_ct",
+            F.round("order_amount", 2).alias("order_amount"),
+        )
+        .toPandas()
+    )
+    key = ["stt", "brand"]
+    merged = got.merge(batch, on=key, suffixes=("_s", "_b"))
+    # every emitted window must match the batch result exactly
+    assert len(merged) == len(got)
+    assert (merged.order_ct_s == merged.order_ct_b).all()
+    assert (abs(merged.order_amount_s - merged.order_amount_b) < 1e-6).all()
+    # completeness: after a stream-stream join with a time band, the window
+    # operator's effective watermark lags by the band (multi-stateful
+    # chaining) — every window older than max(ts) - band must have emitted
+    import pandas as pd
+
+    # the global watermark is the MIN across both source streams' max ts
+    wm = min(
+        pd.to_datetime(li.agg(F.max("detail_ts")).collect()[0][0]),
+        pd.to_datetime(oi.agg(F.max("order_ts")).collect()[0][0]),
+    )
+    cutoff = (wm - pd.Timedelta(days=201)).strftime("%Y-%m-%d %H:%M:%S")
+    closed = batch[batch.stt < cutoff]
+    assert len(got) >= len(closed), (len(got), len(closed), len(batch))
