@@ -16,6 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import os
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession, Window
+
+from realtime_datawarehouse_spark.operators import config_router
 from realtime_datawarehouse_spark.sources import log_events, maxwell
 from realtime_datawarehouse_spark.streaming import jobs
 
@@ -150,3 +156,59 @@ def dws_keyword_window(
             "keyword_count",
         )
     )
+
+
+def _merge_dim(spark: SparkSession, incoming: DataFrame, path: str) -> None:
+    """MERGE one micro-batch into a parquet dim table: newest (ts) row per pk
+    wins across stored state + batch; a newest delete removes the pk. On
+    Delta/Iceberg this body is a single MERGE INTO; the collapse expression
+    is identical (SURVEY.md §1.4 K4/K5 — the writer creates the table on
+    first use, the dynamic-DDL analog)."""
+    if os.path.exists(path):
+        merged = spark.read.parquet(path).unionByName(incoming)
+    else:
+        merged = incoming
+    w = Window.partitionBy("pk").orderBy(F.col("ts").desc())
+    final = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("type") != "delete"))
+        .drop("_rn")
+    )
+    rows = final.collect()  # materialize before overwriting the same path
+    if rows:
+        spark.createDataFrame(rows, final.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+
+def dim_router_stream(
+    env_stream: DataFrame,
+    config_provider: Callable[[SparkSession], DataFrame],
+    out_dir: str,
+):
+    """DimApp as a streaming query with per-micro-batch config hot-reload
+    (rt/app/dim/DimApp.java:146-171: the broadcast config stream means new
+    ``table_process`` rows take effect on in-flight data; here
+    ``config_provider`` is re-invoked every micro-batch — a JDBC re-read in
+    production — so config changes apply from the next batch on, same
+    operational semantics without a second stream).
+
+    Returns a started-query builder: caller does ``.start()`` after setting
+    trigger/checkpoint options.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        config = config_provider(spark)
+        routed = config_router.route(batch_df, config)
+        sinks = [r.sink_table for r in config.select("sink_table").distinct().collect()]
+        for sink in sinks:
+            rows = routed.where(F.col("sink_table") == sink).select(
+                F.col("data")[F.col("sink_pk")].alias("pk"),
+                "ts",
+                "type",
+                "data",
+            )
+            _merge_dim(spark, rows, os.path.join(out_dir, sink))
+
+    return env_stream.writeStream.foreachBatch(process_batch)

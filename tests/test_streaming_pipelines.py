@@ -178,3 +178,84 @@ def test_sku_order_window_pipeline_parity(spark, tmp_path):
     cutoff = (wm - pd.Timedelta(days=201)).strftime("%Y-%m-%d %H:%M:%S")
     closed = batch[batch.stt < cutoff]
     assert len(got) >= len(closed), (len(got), len(closed), len(batch))
+
+
+def test_dim_router_stream_hot_reload(spark, tmp_path):
+    """Config hot-reload: a dim registered between micro-batches starts
+    routing from the NEXT batch (earlier envelopes for it are not replayed),
+    and per-batch MERGE applies updates/deletes by newest ts."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.sources.debezium import config_from_rows
+    from realtime_datawarehouse_spark.sources.maxwell import MAXWELL_SCHEMA
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    def env_rows(rows):
+        return spark.createDataFrame(
+            [
+                ("gmall", tbl, typ, str(ts), None, data)
+                for tbl, typ, ts, data in rows
+            ],
+            MAXWELL_SCHEMA,
+        )
+
+    in_dir = str(tmp_path / "envs")
+    # batch 1: part p1 insert + supplier s1 insert (supplier NOT yet configured)
+    env_rows(
+        [
+            ("part", "insert", 1, {"p_partkey": "1", "p_brand": "B1"}),
+            ("supplier", "insert", 1, {"s_suppkey": "10", "s_name": "S-early"}),
+        ]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    # batch 2: part p1 update (newer ts), part p2 insert+delete, supplier s2
+    env_rows(
+        [
+            ("part", "update", 2, {"p_partkey": "1", "p_brand": "B1v2"}),
+            ("part", "insert", 2, {"p_partkey": "2", "p_brand": "B2"}),
+            ("part", "delete", 3, {"p_partkey": "2", "p_brand": "B2"}),
+            ("supplier", "insert", 2, {"s_suppkey": "20", "s_name": "S-late"}),
+        ]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    part_cfg = {
+        "source_table": "part", "sink_table": "dim_part",
+        "sink_columns": "p_partkey,p_brand", "sink_pk": "p_partkey",
+        "sink_extend": None,
+    }
+    sup_cfg = {
+        "source_table": "supplier", "sink_table": "dim_supplier",
+        "sink_columns": "s_suppkey,s_name", "sink_pk": "s_suppkey",
+        "sink_extend": None,
+    }
+    calls = {"n": 0}
+
+    def provider(s):
+        calls["n"] += 1
+        rows = [part_cfg] if calls["n"] == 1 else [part_cfg, sup_cfg]
+        return config_from_rows(s, rows)
+
+    out_dir = str(tmp_path / "dims")
+    stream = (
+        spark.readStream.schema(MAXWELL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        pipelines.dim_router_stream(stream, provider, out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    part_state = {
+        r.pk: r.data["p_brand"]
+        for r in spark.read.parquet(f"{out_dir}/dim_part").collect()
+    }
+    assert part_state == {"1": "B1v2"}  # update applied, p2 deleted
+    sup_state = {
+        r.pk: r.data["s_name"]
+        for r in spark.read.parquet(f"{out_dir}/dim_supplier").collect()
+    }
+    # hot reload: only the supplier row from the batch AFTER registration
+    assert sup_state == {"20": "S-late"}
