@@ -33,19 +33,30 @@ def _stop_in(tok: Column) -> Column:
     return tok.isin(*STOPWORDS)
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks —
+# the GPT-2-style segmentation boundary (without the merges table), in a
+# regex subset portable between Java (Spark) and RE2 (DuckDB)
+BPE_ISH_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, token_ct, char_ct) via whitespace tokenization."""
+    """(doc_id, token_ct, bpe_ish_ct, char_ct): whitespace token count, the
+    BPE-ish pre-token count (the better LLM-cost proxy — punctuation and
+    digit runs count as their own tokens), and character length."""
     toks = tokenize(text_col)
+    bpe = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_RE), 0)
     return docs.select(
         "doc_id",
         F.size(toks).alias("token_ct"),
+        F.size(bpe).alias("bpe_ish_ct"),
         F.length(F.col(text_col)).alias("char_ct"),
     )
 
 
-TOKEN_STATS_ORACLE = """
+TOKEN_STATS_ORACLE = f"""
 SELECT doc_id,
        len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token_ct,
+       len(regexp_extract_all(lower(text), '{BPE_ISH_RE}')) AS bpe_ish_ct,
        length(text) AS char_ct
 FROM documents
 """
