@@ -256,3 +256,30 @@ def test_checkpoint_restart_recovers_exactly(spark, events_stream_dir, tmp_path)
     merged = got.merge(exp, on=key, suffixes=("_g", "_e"))
     assert len(merged) == len(got) == len(exp)
     assert (merged.keyword_count_g == merged.keyword_count_e).all()
+
+
+def test_st3_two_state_uv_streaming_parity(spark, events_stream_dir):
+    """ST3 streaming: the per-page-type daily UV is two page-filtered
+    instances of the first-per-user-day kernel; their day-counts must match
+    the batch two-state formulation."""
+    from realtime_datawarehouse_spark.plans.traffic import st3_page_uv_two_states
+
+    ev = table(spark, SF_DIR, "events")
+    got = {}
+    for page, alias in [("view", "home_uv_ct"), ("purchase", "good_detail_uv_ct")]:
+        stream = jobs.with_visit_date(
+            jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+        ).where(F.col("event_type") == page)
+        out = _drain(
+            spark, jobs.first_per_user_day(stream), f"t_st3_{page}"
+        ).toPandas()
+        got[alias] = (
+            out.assign(dt=out["visit_date"].astype(str))
+            .groupby("dt")["user_id"]
+            .nunique()
+        )
+    exp = st3_page_uv_two_states(spark, SF_DIR).toPandas().set_index("dt")
+    for alias in ("home_uv_ct", "good_detail_uv_ct"):
+        merged = exp[alias].to_frame().join(got[alias].rename("got"), how="left")
+        merged["got"] = merged["got"].fillna(0).astype(int)
+        assert (merged[alias] == merged["got"]).all(), alias
