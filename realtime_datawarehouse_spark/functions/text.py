@@ -53,6 +53,40 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
+def make_segmenter_udf():
+    """U1's pluggable "real" segmenter slot (the ik_analyze analog,
+    rt/app/func/KeywordUDTF.java:14-22): an Arrow-batched pandas UDF that
+    uses ``jieba`` (public Chinese segmenter) when importable and otherwise
+    falls back to the deterministic whitespace tokenizer, so the pipeline
+    shape (segment → explode → count) is identical either way. The builtin
+    ``tokenize`` above remains the default hot path — this UDF exists for
+    corpora where a linguistic segmenter is genuinely required.
+
+    Defined as a nested function so cloudpickle ships it by value to
+    foreign-cwd Python workers.
+    """
+    import pandas as pd  # noqa: F401 — worker-side import
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def segment(series):
+        try:
+            import jieba
+
+            def cut(s):
+                return [t for t in jieba.lcut(s or "") if t.strip()]
+
+        except ImportError:
+
+            def cut(s):
+                return [t for t in (s or "").lower().split() if t]
+
+        return series.map(cut)
+
+    return segment
+
+
 def stopword_count(tokens: Column) -> Column:
     return F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS)))
 

@@ -87,3 +87,24 @@ def test_province_endpoint_matches_oracle(spark, duck):
     assert set(got_map) == set(exp)
     for k, v in exp.items():
         assert abs(got_map[k] - float(v)) < 1e-6
+
+
+def test_segmenter_udf_slot(spark):
+    """U1 pluggable segmenter: Arrow-batched UDF whose fallback agrees with
+    the builtin tokenizer, so swapping in a real segmenter changes only the
+    token boundaries, never the pipeline shape."""
+    from realtime_datawarehouse_spark.functions.text import (
+        make_segmenter_udf,
+        tokenize,
+    )
+    from realtime_datawarehouse_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents").limit(50)
+    seg = make_segmenter_udf()
+    a = docs.select("doc_id", F.explode(seg("text")).alias("tok"))
+    b = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    plan = a._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
