@@ -138,3 +138,98 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("mm_feature_extract", oracle=multimodal.FEATURES_ORACLE)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Composed corpus-curation pipeline — the canonical training-data flow
+# (quality filter → exact dedup → near-dup removal) as ONE oracle-checked
+# query. Drop rules are deterministic and non-iterative:
+#   quality:   keep flag from textops.quality_score
+#   exact_dup: doc is not the min doc_id of its content hash
+#   near_dup:  an LSH candidate pair (a, doc) exists with a < doc where a
+#              survived the earlier stages (greedy keep-smallest, one pass)
+# Scale shape: three independent doc-granular signals, each a single scan +
+# bounded shuffle, joined at the end — no stage feeds another's scan.
+# --------------------------------------------------------------------------
+
+CURATION_ORACLE = f"""
+WITH q AS (
+  WITH t AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents
+  ), m AS (
+    SELECT doc_id, len(toks) AS token_ct,
+           len(list_filter(toks, x -> x IN ({textops._STOP_SQL}))) AS stopword_ct
+    FROM t
+  )
+  SELECT doc_id,
+         CASE WHEN token_ct >= 20
+                   AND {textops._RATIO} <= 0.5
+              THEN 1 ELSE 0 END AS keep
+  FROM m
+), ex AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+              THEN 1 ELSE 0 END AS exact_keeper
+  FROM documents
+), pairs AS (
+  {dedup.lsh_candidate_pairs_oracle()}
+), s12 AS (
+  SELECT q.doc_id, q.keep, ex.exact_keeper,
+         (q.keep = 1 AND ex.exact_keeper = 1) AS survived12
+  FROM q JOIN ex USING (doc_id)
+), near AS (
+  SELECT DISTINCT p.doc_b AS doc_id
+  FROM pairs p
+  JOIN s12 a ON a.doc_id = p.doc_a AND a.survived12
+  JOIN s12 b ON b.doc_id = p.doc_b AND b.survived12
+)
+SELECT s.doc_id,
+       CASE WHEN s.keep = 0             THEN 'quality'
+            WHEN s.exact_keeper = 0     THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL   THEN 'near_dup'
+            ELSE 'kept' END AS status
+FROM s12 s LEFT JOIN near n USING (doc_id)
+"""
+
+
+@query("pipeline_corpus_curation", oracle=CURATION_ORACLE)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    q = textops.quality_score(docs).select("doc_id", "keep")
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    from pyspark.sql import Window
+
+    ex = hashed.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("h")),
+            1,
+        )
+        .otherwise(0)
+        .alias("exact_keeper"),
+    )
+    s12 = q.join(ex, "doc_id").withColumn(
+        "survived12", (F.col("keep") == 1) & (F.col("exact_keeper") == 1)
+    )
+    pairs = dedup.lsh_candidate_pairs(docs)
+    surv = s12.where("survived12").select("doc_id")
+    near = (
+        pairs.join(
+            surv.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        )
+        .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select("doc_b")
+        .distinct()
+        .withColumnRenamed("doc_b", "doc_id")
+        .withColumn("is_near", F.lit(1))
+    )
+    return s12.join(near, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("keep") == 0, "quality")
+        .when(F.col("exact_keeper") == 0, "exact_dup")
+        .when(F.col("is_near").isNotNull(), "near_dup")
+        .otherwise("kept")
+        .alias("status"),
+    )

@@ -58,8 +58,17 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable subset of our defaults to a session we did
     not build (the driver hands us one in ``__spark_entry__``)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-    except Exception:
-        pass  # non-settable in some deployments; AQE default-on in Spark 4
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    for k, v in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.shuffle.partitions", cpus),
+        ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in some deployments; defaults are sane
     return spark
