@@ -122,16 +122,24 @@ GROUP BY 1
 """
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via shingle inverted index.
 
     inverted index (shingle-hash → sorted member list) → per-shingle pair
     combinations → per-pair intersection count → |A∩B| / (|A|+|B|-|A∩B|).
     One scan of the corpus; the only shuffle keys are the int64 shingle hash
-    and then the (doc_a, doc_b) pair. Hot shingles are the skew risk — their
-    member lists go quadratic; at real scale drop shingles with document
-    frequency above a cap (they carry no dedup signal) — for the oracle-
-    checked fixture the distribution is benign, so no cap is applied.
+    and then the (doc_a, doc_b) pair.
+
+    ``max_doc_freq`` is the skew cap for hot shingles — member lists go
+    quadratic in pair generation, and a shingle appearing in thousands of
+    documents carries no dedup signal. Capped runs UNDERCOUNT ``inter`` for
+    pairs sharing dropped shingles (jaccard becomes a lower bound); the
+    default exact run (cap=None) is the oracle-checked entry, the capped
+    form is the 100 TB configuration (tested against a capped oracle).
     """
     e = doc_shingle_hashes(docs)
     inv = e.groupBy("h").agg(
@@ -139,6 +147,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
             F.collect_list(F.struct(F.col("doc_id"), F.col("n")))
         ).alias("members")
     )
+    if max_doc_freq is not None:
+        inv = inv.where(F.size("members") <= max_doc_freq)
     pair = inv.select(
         F.explode(_pairs_from_sorted_members(F.col("members"))).alias("p")
     )
@@ -158,18 +168,31 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 
-def ngram_jaccard_oracle(threshold: float = 0.8) -> str:
+def ngram_jaccard_oracle(
+    threshold: float = 0.8, max_doc_freq: int | None = None
+) -> str:
     # joins on the same 60-bit shingle hash as the Spark plan so any hash
     # collision affects both engines identically
+    df_filter = (
+        f"""
+, df AS (
+  SELECT h FROM eh GROUP BY h HAVING count(*) <= {max_doc_freq}
+), eh2 AS (
+  SELECT eh.* FROM eh JOIN df USING (h)
+)"""
+        if max_doc_freq is not None
+        else ", eh2 AS (SELECT * FROM eh)"
+    )
     return (
         SHINGLE_CTE
         + f"""
 , eh AS (
   SELECT doc_id, {hash64_sql('s')} AS h, n FROM e
-), pairs AS (
+){df_filter}
+, pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
          any_value(a.n) AS na, any_value(b.n) AS nb
-  FROM eh a JOIN eh b ON a.h = b.h AND a.doc_id < b.doc_id
+  FROM eh2 a JOIN eh2 b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

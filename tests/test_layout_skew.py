@@ -81,3 +81,18 @@ def test_replicated_salt_join_matches_plain(spark, how):
     g = got.groupBy().agg(F.sum(F.col("l_quantity") * F.coalesce("o_custkey", F.lit(0))).alias("s")).collect()[0].s
     p = plain.groupBy().agg(F.sum(F.col("l_quantity") * F.coalesce("o_custkey", F.lit(0))).alias("s")).collect()[0].s
     assert abs(g - p) < 1e-6
+
+
+def test_jaccard_hot_shingle_cap_matches_capped_oracle(spark, duck):
+    """The max_doc_freq skew cap must compute the same (lower-bound) result
+    as its capped SQL oracle — and strictly fewer/equal pairs than exact."""
+    from realtime_datawarehouse_spark.operators import dedup
+    from tests.conftest import assert_matches_oracle
+
+    docs = table(spark, SF_DIR, "documents")
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=10)
+    assert_matches_oracle(
+        capped, duck, dedup.ngram_jaccard_oracle(0.8, max_doc_freq=10)
+    )
+    exact_ct = dedup.ngram_jaccard_pairs(docs, 0.8).count()
+    assert capped.count() <= exact_ct
