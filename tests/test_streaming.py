@@ -283,3 +283,70 @@ def test_st3_two_state_uv_streaming_parity(spark, events_stream_dir):
         merged = exp[alias].to_frame().join(got[alias].rename("got"), how="left")
         merged["got"] = merged["got"].fillna(0).astype(int)
         assert (merged[alias] == merged["got"]).all(), alias
+
+
+def test_stream_stream_left_outer_holds_until_watermark(spark, tmp_path):
+    """J2 streaming: left-outer join emits matches immediately and
+    null-extends unmatched left rows only once the watermark proves no match
+    can arrive (Spark's hold-until-watermark vs Flink's emit+retract —
+    SURVEY §7.4 #1). With a far-future heartbeat on both sides, the final
+    output must equal the batch left join within the band."""
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    # drop half the orders so many lineitems have NO match
+    o = (
+        table(spark, SF_DIR, "orders")
+        .where(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_orderdate")
+    )
+    mx_li = li.agg(F.max("l_shipdate")).collect()[0][0]
+    mx_o = o.agg(F.max("o_orderdate")).collect()[0][0]
+    li_dir, o_dir = str(tmp_path / "li"), str(tmp_path / "o")
+    li.orderBy("l_shipdate").coalesce(1).write.parquet(li_dir)
+    o.orderBy("o_orderdate").coalesce(1).write.parquet(o_dir)
+    # heartbeats (sentinel keys) advance both watermarks BEYOND the join
+    # band so every unmatched left row can null-extend before the drain ends
+    import datetime
+
+    # two heartbeat batches per side: the first advances the watermark, the
+    # second triggers the state-flush micro-batch for everything it closed
+    for extra_days in (90, 91):
+        hb_ts = max(mx_li, mx_o) + datetime.timedelta(days=extra_days)
+        spark.createDataFrame(
+            [(-1, -1, hb_ts)], li.schema
+        ).coalesce(1).write.mode("append").parquet(li_dir)
+        spark.createDataFrame(
+            [(-2, hb_ts)], o.schema
+        ).coalesce(1).write.mode("append").parquet(o_dir)
+
+    out = jobs.stream_stream_join(
+        jobs.parquet_stream(spark, li_dir, li.schema),
+        jobs.parquet_stream(spark, o_dir, o.schema),
+        left_ts="l_shipdate",
+        right_ts="o_orderdate",
+        on=(F.col("l_orderkey") == F.col("o_orderkey")),
+        band="30 days",
+        how="left_outer",
+    )
+    got = (
+        _drain(spark, out, "t_ssj_left")
+        .where(F.col("l_orderkey") >= 0)  # sentinels are negative
+        .toPandas()
+    )
+
+    band = F.expr("INTERVAL 30 days")
+    exp = (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("o_orderdate") >= F.col("l_shipdate") - band)
+            & (F.col("o_orderdate") <= F.col("l_shipdate") + band),
+            "left",
+        )
+        .toPandas()
+    )
+    assert len(got) == len(exp)
+    got_nulls = int(got.o_orderkey.isna().sum())
+    exp_nulls = int(exp.o_orderkey.isna().sum())
+    assert got_nulls == exp_nulls and got_nulls > 0
