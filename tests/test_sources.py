@@ -136,3 +136,50 @@ def test_kafka_latest_by_key(spark):
         for r in latest_by_key(df, "id", "version").collect()
     }
     assert got == {("k1", "c"), ("k2", "x")}
+
+
+def test_socket_source_live(spark):
+    """S6 socket source (rt-test/TestIntervalJoin.java:23,46 analog): a live
+    in-process TCP server feeds lines; the stream must deliver them all."""
+    import socket
+    import threading
+    import time
+
+    from realtime_datawarehouse_spark.sources.literal import socket_stream
+
+    lines = [f"evt-{i}" for i in range(20)]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            time.sleep(2)  # keep open until the stream has polled
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = socket_stream(spark, "127.0.0.1", port)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_socket")
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if spark.table("t_socket").count() >= len(lines):
+                break
+            q.awaitTermination(0.3)
+        got = {r.value for r in spark.table("t_socket").collect()}
+        assert got == set(lines)
+    finally:
+        q.stop()
+        q.awaitTermination()
+        srv.close()
