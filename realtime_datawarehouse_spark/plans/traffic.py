@@ -722,3 +722,56 @@ def r2_array_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts("ts").alias("event_time"),
         F.posexplode(displays).alias("display_order", "item"),
     )
+
+
+# --------------------------------------------------------------------------
+# EXT — session windows (beyond the reference: §2.8 notes it uses none, but
+# gap-based sessionization is a staple of traffic/training-data pipelines).
+# Spark-first: F.session_window (native, state-store-backed in streaming);
+# oracle = classic gap-and-islands (lag → boundary flag → running sum).
+# Session end follows Spark's semantics: last event + gap.
+# --------------------------------------------------------------------------
+
+EXT_SESSION_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {ENTRY_GAP_MS}
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM seq
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS event_ct,
+       {dsum_sql('value')} AS value_sum
+FROM sess
+GROUP BY user_id, sess_id
+"""
+
+
+@query("ext_session_window", oracle=EXT_SESSION_ORACLE)
+def ext_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", "10 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("event_ct"),
+            dsum(F.col("value")).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            fmt_ts(F.col("sw.start")).alias("session_start"),
+            fmt_ts(F.col("sw.end")).alias("session_end"),
+            "event_ct",
+            "value_sum",
+        )
+    )
