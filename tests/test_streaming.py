@@ -350,3 +350,37 @@ def test_stream_stream_left_outer_holds_until_watermark(spark, tmp_path):
     got_nulls = int(got.o_orderkey.isna().sum())
     exp_nulls = int(exp.o_orderkey.isna().sum())
     assert got_nulls == exp_nulls and got_nulls > 0
+
+
+def test_session_window_streaming_parity(spark, events_stream_dir):
+    """Session windows in streaming (watermarked, append mode) must agree
+    with the batch session_window aggregation on watermark-closed sessions."""
+    ev = table(spark, SF_DIR, "events")
+    stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+    out = (
+        stream.withWatermark("ts", "3 seconds")
+        .groupBy(F.session_window("ts", "10 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("event_ct"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "event_ct",
+        )
+    )
+    got = _drain(spark, out, "t_sess").toPandas()
+    batch = (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("event_ct"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "event_ct",
+        )
+        .toPandas()
+    )
+    key = ["user_id", "session_start"]
+    merged = got.merge(batch, on=key, suffixes=("_s", "_b"))
+    assert len(merged) == len(got)  # nothing emitted that batch lacks
+    assert (merged.event_ct_s == merged.event_ct_b).all()
+    # all but the watermark-open tail must have emitted
+    assert len(got) >= len(batch) - 50
