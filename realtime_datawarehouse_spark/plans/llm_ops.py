@@ -233,3 +233,14 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
         .alias("status"),
     )
+
+
+@query(
+    "embed_near_dup_lsh",
+    oracle=similarity.near_dup_pairs_lsh_oracle(NEAR_DUP_COSINE),
+)
+def embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked near-dup (the scale path for embed_near_dup_pairs):
+    within-bucket candidate generation, exact scoring, same approximation in
+    both engines."""
+    return similarity.near_dup_pairs_lsh(_emb(spark, sf_dir), NEAR_DUP_COSINE)
