@@ -338,3 +338,77 @@ WITH toks AS (
 )
 SELECT doc_id, {fp} AS simhash FROM sig
 """
+
+
+def minhash_jaccard_estimate(docs: DataFrame) -> DataFrame:
+    """Estimated Jaccard for each LSH candidate pair: the fraction of equal
+    MinHash components — the unbiased estimator that makes signatures a
+    sufficient statistic (the full shingle sets are never revisited; at
+    scale only the O(docs)-sized signature table joins, not the corpus)."""
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(docs)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_PERM)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_PERM)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_PERM)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            pround(matches / F.lit(float(NUM_PERM)), 4).alias("est_jaccard"),
+        )
+    )
+
+
+def minhash_jaccard_estimate_oracle() -> str:
+    params = permutation_params(NUM_PERM)
+    min_exprs = ",\n         ".join(
+        f"min({minhash_perm_sql('h', a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sig"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_PERM)
+    )
+    return (
+        SHINGLE_CTE
+        + f"""
+, h AS (
+  SELECT doc_id, {hash64_sql('s')} AS h FROM e
+), sig AS (
+  SELECT doc_id,
+         {min_exprs}
+  FROM h GROUP BY doc_id
+), bands AS (
+  {bands_sql}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       {pround_sql(f'({matches}) * 1.0 / {NUM_PERM}', 4)} AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+"""
+    )

@@ -244,3 +244,11 @@ def embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-bucket candidate generation, exact scoring, same approximation in
     both engines."""
     return similarity.near_dup_pairs_lsh(_emb(spark, sf_dir), NEAR_DUP_COSINE)
+
+
+@query(
+    "dedup_minhash_estimate",
+    oracle=dedup.minhash_jaccard_estimate_oracle(),
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_jaccard_estimate(_docs(spark, sf_dir))
