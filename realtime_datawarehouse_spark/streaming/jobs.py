@@ -340,6 +340,8 @@ def stream_stream_join(
     band: str = "90 days",
     watermark: str = DEFAULT_WATERMARK,
     how: str = "inner",
+    watermark_left: bool = True,
+    watermark_right: bool = True,
 ) -> DataFrame:
     """J1/J2 streaming form: watermarked stream-stream equi-join
     (DwdTradeOrderPreProcess.java:125-131).
@@ -352,9 +354,14 @@ def stream_stream_join(
     no match can arrive (hold-until-watermark instead of Flink's
     emit-then-retract churn — SURVEY §7.4 #1; downstream PK-upsert makes
     the two equivalent).
+
+    When chaining (the output of one stream-stream join feeding another —
+    multi-stateful pipelines, Spark 4's allowMultiple), pass
+    ``watermark_left=False`` for the already-watermarked side: redefining a
+    watermark on a derived stream is disallowed.
     """
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    lw = left.withWatermark(left_ts, watermark) if watermark_left else left
+    rw = right.withWatermark(right_ts, watermark) if watermark_right else right
     time_band = (
         (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {band}"))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {band}"))

@@ -384,3 +384,70 @@ def test_session_window_streaming_parity(spark, events_stream_dir):
     assert (merged.event_ct_s == merged.event_ct_b).all()
     # all but the watermark-open tail must have emitted
     assert len(got) >= len(batch) - 50
+
+
+def test_chained_stream_stream_joins_three_way(spark, tmp_path):
+    """DwdTradeRefundPaySuc shape (J6 + multi-stateful chaining): two
+    chained watermarked stream-stream joins — lineitem ⋈ orders ⋈ part-dim
+    stream — must match the equivalent batch 3-way join within the bands."""
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderdate")
+    # third stream: per-(order, part) "refund" events derived from returns
+    r = (
+        table(spark, SF_DIR, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("r_orderkey"),
+            F.col("l_partkey").alias("r_partkey"),
+            F.col("l_shipdate").alias("r_ts"),
+        )
+    )
+    dirs = {}
+    for name, df, ts in [("li", li, "l_shipdate"), ("o", o, "o_orderdate"), ("r", r, "r_ts")]:
+        d = str(tmp_path / name)
+        df.orderBy(ts).coalesce(2).write.parquet(d)
+        dirs[name] = (d, df.schema)
+
+    s_li = jobs.parquet_stream(spark, *dirs["li"])
+    s_o = jobs.parquet_stream(spark, *dirs["o"])
+    s_r = jobs.parquet_stream(spark, *dirs["r"])
+    j1 = jobs.stream_stream_join(
+        s_li, s_o,
+        left_ts="l_shipdate", right_ts="o_orderdate",
+        on=(F.col("l_orderkey") == F.col("o_orderkey")), band="200 days",
+    )
+    # project away the consumed event-time column: a chained stateful op
+    # needs exactly ONE event-time column in its input
+    j1 = j1.drop("o_orderdate")
+    j2 = jobs.stream_stream_join(
+        j1, s_r,
+        left_ts="l_shipdate", right_ts="r_ts",
+        on=(
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_partkey") == F.col("r_partkey"))
+        ),
+        band="30 days",
+        watermark_left=False,  # j1 already carries its watermark
+    )
+    got = _drain(spark, j2, "t_3way").count()
+
+    b200, b30 = F.expr("INTERVAL 200 days"), F.expr("INTERVAL 30 days")
+    exp = (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("o_orderdate").between(
+                F.col("l_shipdate") - b200, F.col("l_shipdate") + b200)),
+        )
+        .join(
+            r,
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_partkey") == F.col("r_partkey"))
+            & (F.col("r_ts").between(
+                F.col("l_shipdate") - b30, F.col("l_shipdate") + b30)),
+        )
+        .count()
+    )
+    assert got == exp
