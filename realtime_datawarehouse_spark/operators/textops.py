@@ -212,3 +212,81 @@ WITH t AS (
 )
 SELECT keyword, count(*) AS keyword_count FROM t GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Corpus mixing: deterministic hash-based sampling + integer upsampling.
+# The data-mixture stage of a training pipeline: per-stratum (language)
+# keep-rates and repeat factors. Hash-based sampling (not rand()) so every
+# engine/run selects the identical subset — reproducible mixtures at 100 TB
+# and an exact SQL oracle.
+# --------------------------------------------------------------------------
+
+SAMPLE_MOD = 10_000
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff hash(key) % MOD < rate(stratum) * MOD.
+
+    Deterministic in the key — adding/removing other rows never flips a
+    decision (stable under re-partitioning and incremental reruns).
+    """
+    bucket = F.pmod(hash64(F.col(key_col).cast("string")), F.lit(SAMPLE_MOD))
+    rate = None
+    for stratum, r in rates.items():
+        thr = int(r * SAMPLE_MOD)
+        cond = F.col(stratum_col) == stratum
+        rate = F.when(cond, thr) if rate is None else rate.when(cond, thr)
+    rate = rate.otherwise(int(default_rate * SAMPLE_MOD))
+    return docs.where(bucket < rate)
+
+
+def stratified_sample_oracle(
+    rates: dict[str, float], default_rate: float = 0.0
+) -> str:
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {int(r * SAMPLE_MOD)}" for s, r in rates.items()
+    )
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {hash64_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_MOD}
+      < (CASE {cases} ELSE {int(default_rate * SAMPLE_MOD)} END)
+"""
+
+
+def upsample_repeat(
+    docs: DataFrame,
+    repeats: dict[str, int],
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Integer upsampling: emit each row ``repeats[stratum]`` times with an
+    ``epoch`` index (0..k-1) — the standard multi-epoch data-mixture trick,
+    as a single explode (no unions, one scan)."""
+    k = None
+    for stratum, r in repeats.items():
+        cond = F.col(stratum_col) == stratum
+        k = F.when(cond, r) if k is None else k.when(cond, r)
+    k = k.otherwise(1)
+    return docs.select(
+        "doc_id",
+        F.col(stratum_col),
+        F.explode(F.sequence(F.lit(0), k - 1)).alias("epoch"),
+    )
+
+
+def upsample_repeat_oracle(repeats: dict[str, int]) -> str:
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {r}" for s, r in repeats.items()
+    )
+    return f"""
+SELECT doc_id, lang, CAST(g.e AS INT) AS epoch
+FROM documents,
+     LATERAL (SELECT unnest(range(0, CASE {cases} ELSE 1 END)) AS e) g
+"""

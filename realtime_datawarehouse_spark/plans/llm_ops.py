@@ -252,3 +252,30 @@ def embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_jaccard_estimate(_docs(spark, sf_dir))
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "es": 0.1}
+UPSAMPLE_REPEATS = {"de": 3, "es": 2}
+
+
+@query(
+    "mix_stratified_sample",
+    oracle=textops.stratified_sample_oracle(SAMPLE_RATES),
+)
+def mix_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling (per-language keep
+    rates) — reproducible data-mixture selection, stable under repartition
+    and incremental reruns."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return textops.stratified_sample(docs, SAMPLE_RATES)
+
+
+@query(
+    "mix_upsample_repeat",
+    oracle=textops.upsample_repeat_oracle(UPSAMPLE_REPEATS),
+)
+def mix_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer upsampling by stratum (epoch-indexed row repetition) — the
+    multi-epoch mixture trick as one explode, one scan."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return textops.upsample_repeat(docs, UPSAMPLE_REPEATS)
