@@ -279,3 +279,49 @@ def mix_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-epoch mixture trick as one explode, one scan."""
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
     return textops.upsample_repeat(docs, UPSAMPLE_REPEATS)
+
+
+CONTEXT_LEN = 2048
+
+
+@query(
+    "mix_pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token_ct
+  FROM documents
+), c AS (
+  SELECT doc_id, token_ct,
+         sum(token_ct) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - token_ct AS start_off
+  FROM t
+)
+SELECT doc_id, token_ct,
+       CAST(start_off // {CONTEXT_LEN} AS BIGINT)  AS bin_id,
+       CAST(start_off % {CONTEXT_LEN} AS BIGINT)   AS bin_offset
+FROM c
+""",
+)
+def mix_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: docs (in stable doc_id order) are laid
+    end-to-end and cut into fixed context windows; bin = starting offset div
+    CONTEXT_LEN. The running sum is a single global-ordered window — at
+    100 TB use per-shard packing (partitionBy(shard) windows) so the prefix
+    sum never serializes; the per-shard formulation is identical."""
+    from pyspark.sql import Window
+
+    from realtime_datawarehouse_spark.functions.text import token_count
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select("doc_id", token_count("text").alias("token_ct"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.withColumn(
+        "start_off", F.sum("token_ct").over(w) - F.col("token_ct")
+    )
+    return c.select(
+        "doc_id",
+        "token_ct",
+        (F.col("start_off") / CONTEXT_LEN).cast("bigint").alias("bin_id"),
+        F.pmod(F.col("start_off"), F.lit(CONTEXT_LEN)).cast("bigint").alias("bin_offset"),
+    )
