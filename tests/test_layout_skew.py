@@ -96,3 +96,49 @@ def test_jaccard_hot_shingle_cap_matches_capped_oracle(spark, duck):
     )
     exact_ct = dedup.ngram_jaccard_pairs(docs, 0.8).count()
     assert capped.count() <= exact_ct
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join (the engine's default skew path, session.py) must split
+    an oversized hot-key partition at runtime: the final adaptive plan marks
+    the sort-merge join 'skew=true' once thresholds are crossed."""
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # two caveats this test documents: (a) partition coalescing can
+        # absorb the skew before the skew rule sees it at toy sizes, and
+        # (b) a downstream op requiring hash distribution vetoes splitting
+        # unless forceOptimizeSkewedJoin pays the extra shuffle — so the
+        # asserted shape is a bare join with coalescing off
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(500_000).select(
+            F.lit(7).alias("k"), (F.col("id") * 77).alias("payload")
+        )
+        big = hot.unionByName(
+            spark.range(10_000).select(
+                (F.col("id") % 50).alias("k"), F.col("id").alias("payload")
+            )
+        )
+        uniform = spark.range(50).select(
+            F.col("id").alias("k"), F.col("id").alias("u")
+        )
+        # collect() finalizes THIS Dataset's adaptive plan (count()/writes
+        # spawn their own executions); one match per key keeps it small
+        df = big.join(uniform, "k")
+        assert len(df.collect()) == 510_000
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+        plan = df._jdf.queryExecution().explainString(jmode)
+        assert "skew=true" in plan and "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
