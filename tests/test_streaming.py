@@ -214,48 +214,103 @@ def test_checkpoint_restart_recovers_exactly(spark, events_stream_dir, tmp_path)
     uninterrupted run (no loss, no duplicates) — the Structured Streaming
     rendering of the reference's (commented-out) exactly-once checkpointing
     (rt/app/dim/DimApp.java:82-99)."""
+    import os
+
     ev = table(spark, SF_DIR, "events")
     ckpt = str(tmp_path / "ckpt")
     out_dir = str(tmp_path / "out")
+    in_dir = str(tmp_path / "in")
+    src_dir = str(tmp_path / "src")
+    # four ordered files; a restarted query only re-derives its watermark
+    # from a DATA batch, so each phase gets two files (the second flushes
+    # windows the first closed)
+    ranges = [
+        ("2024-01-01", "2024-01-11"),
+        ("2024-01-11", "2024-01-21"),
+        ("2024-01-21", "2024-01-27"),
+        ("2024-01-27", "2024-02-01"),
+    ]
+    # one directory per range, then indexed file names — the part-file names
+    # Spark generates are random UUIDs, so a name-sort would pick an
+    # arbitrary subset for phase 1
+    import glob
+    import shutil
 
-    def start(once: bool = False):
-        stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
-        agg = jobs.tumble_count_by_key(stream)
-        w = (
-            agg.writeStream.format("parquet")
+    os.makedirs(src_dir)
+    for i, (lo, hi) in enumerate(ranges):
+        part_dir = str(tmp_path / f"part{i}")
+        (
+            ev.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .orderBy("ts")
+            .coalesce(1)
+            .write.parquet(part_dir)
+        )
+        shutil.copy(
+            glob.glob(os.path.join(part_dir, "*.parquet"))[0],
+            os.path.join(src_dir, f"{i:02d}.parquet"),
+        )
+    os.makedirs(in_dir)
+    src_files = sorted(f for f in os.listdir(src_dir) if f.endswith(".parquet"))
+    assert len(src_files) == 4
+
+    def start():
+        stream = jobs.parquet_stream(spark, in_dir, ev.schema)
+        return (
+            jobs.tumble_count_by_key(stream)
+            .writeStream.format("parquet")
             .outputMode("append")
             .option("path", out_dir)
             .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        if once:
-            w = w.trigger(availableNow=True)
-        else:
-            w = w.trigger(processingTime="50 milliseconds")
-        return w.start()
 
-    # phase 1: let at least one micro-batch commit, then hard-stop
+    # phase 1: first two files; drain and shut down cleanly
+    for f in src_files[:2]:
+        shutil.copy(os.path.join(src_dir, f), in_dir)
     q = start()
-    while q.lastProgress is None or q.lastProgress["batchId"] < 1:
-        q.awaitTermination(0.2)
-    q.stop()
     q.awaitTermination()
     phase1 = spark.read.parquet(out_dir).count()
 
-    # phase 2: restart from the SAME checkpoint and drain the remainder
-    q2 = start(once=True)
+    # phase 2: the remaining files arrive; restart from the SAME checkpoint
+    for f in src_files[2:]:
+        shutil.copy(os.path.join(src_dir, f), in_dir)
+    q2 = start()
     q2.awaitTermination()
     got = spark.read.parquet(out_dir).toPandas()
 
-    # uninterrupted reference run (fresh sink, no checkpoint)
-    full_stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
-    exp = _drain(spark, jobs.tumble_count_by_key(full_stream), "t_ckpt_full").toPandas()
+    # batch reference for correctness + the completeness bound: phase 2's
+    # last DATA batch (file 4) runs with watermark = max ts of files 1-3
+    # minus the 3 s delay, so every window ending at or before that bound
+    # MUST have been emitted. (Whether optional no-data micro-batches also
+    # flushed later windows is timing-dependent — not asserted.)
+    exp = (
+        ev.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("keyword_count"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "event_type",
+            "keyword_count",
+        )
+        .toPandas()
+    )
+    bound = (
+        ev.where(F.col("ts") < ranges[2][1])
+        .agg(F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .collect()[0][0]
+    )
 
     key = ["stt", "edt", "event_type"]
-    assert phase1 < len(exp), "first phase should not have finished everything"
+    assert phase1 < len(got), "phase 2 must have added windows"
     assert not got.duplicated(key).any(), "restart produced duplicate windows"
     merged = got.merge(exp, on=key, suffixes=("_g", "_e"))
-    assert len(merged) == len(got) == len(exp)
+    assert len(merged) == len(got), "restart emitted a window batch lacks"
     assert (merged.keyword_count_g == merged.keyword_count_e).all()
+    closed = exp[exp.edt <= bound]
+    have = set(map(tuple, got[key].values))
+    missing = [t for t in map(tuple, closed[key].values) if t not in have]
+    assert not missing, f"windows lost across restart: {missing[:5]}"
 
 
 def test_st3_two_state_uv_streaming_parity(spark, events_stream_dir):
