@@ -43,3 +43,41 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction for a parquet directory: rewrite into
+    ``ceil(total_bytes / target_file_bytes)`` files.
+
+    The maintenance half of streaming ingestion — micro-batches produce one
+    file per batch per partition, and scan/open overhead grows linearly in
+    file count until compaction folds them back into scan-sized files. On
+    Delta/Iceberg this is OPTIMIZE / rewrite_data_files; the parquet
+    emulation stages the rewrite in a sibling directory and swaps, so a
+    crash never leaves the table truncated. Returns the new file count.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".compact-staging"
+    df.repartition(n).write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + ".compact-old"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )

@@ -142,3 +142,33 @@ def test_aqe_splits_skewed_join_partitions(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_compact_folds_small_files(spark, tmp_path):
+    """Compaction must reduce file count to the size-derived target while
+    preserving every row (staged rewrite + swap, never in-place)."""
+    import os
+
+    from realtime_datawarehouse_spark.operators.layout import compact
+
+    path = str(tmp_path / "many_small")
+    li = table(spark, SF_DIR, "lineitem")
+    for i in range(6):  # 6 appends × partitions = many small files
+        li.where(F.col("l_linenumber") == i + 1).coalesce(2).write.mode(
+            "append"
+        ).parquet(path)
+    before_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    before_rows = spark.read.parquet(path).count()
+    checksum = spark.read.parquet(path).agg(
+        F.sum("l_orderkey"), F.sum("l_partkey")
+    ).collect()[0]
+
+    after_files = compact(spark, path, target_file_bytes=4 * 1024 * 1024)
+    assert after_files < before_files
+    assert spark.read.parquet(path).count() == before_rows
+    assert (
+        spark.read.parquet(path)
+        .agg(F.sum("l_orderkey"), F.sum("l_partkey"))
+        .collect()[0]
+        == checksum
+    )
