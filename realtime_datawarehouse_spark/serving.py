@@ -24,6 +24,24 @@ from realtime_datawarehouse_spark.tables import table
 VALUE_NAME = "交易额"  # "transaction amount", as the reference labels it
 
 
+def register_query_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Expose every registered operator query as a temp view, plus the raw
+    tables — the Spark SQL surface of the engine: a user who ran Flink SQL
+    against the reference's dynamic tables runs ``spark.sql`` against these
+    (views are lazy plans; Catalyst fuses view references into consumers,
+    so cross-view joins optimize as one query).
+    """
+    from realtime_datawarehouse_spark.plans import registry
+    from realtime_datawarehouse_spark.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    names = []
+    for name, fn in registry.get_queries().items():
+        fn(spark, sf_dir).createOrReplaceTempView(name)
+        names.append(name)
+    return names
+
+
 def gmv(spark: SparkSession, sf_dir: str, date: str) -> dict[str, Any]:
     """GET /gmv?date=yyyyMMdd (TradeStatController.java:28-37)."""
     o = table(spark, sf_dir, "orders")

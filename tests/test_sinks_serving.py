@@ -108,3 +108,22 @@ def test_segmenter_udf_slot(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_sql_view_surface(spark):
+    """Every operator output is addressable from plain spark.sql, and
+    cross-view composition optimizes as one fused query."""
+    from realtime_datawarehouse_spark.serving import register_query_views
+
+    names = register_query_views(spark, SF_DIR)
+    assert len(names) >= 60
+    row = spark.sql(
+        """
+        SELECT q.l_returnflag, q.sum_qty, d.dup_ct
+        FROM tpch_q1_pricing_summary q
+        CROSS JOIN (SELECT count(*) AS dup_ct FROM dedup_exact) d
+        ORDER BY q.l_returnflag, q.l_linestatus
+        LIMIT 1
+        """
+    ).collect()[0]
+    assert row.sum_qty > 0 and row.dup_ct > 0
