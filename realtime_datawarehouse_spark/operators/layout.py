@@ -45,6 +45,36 @@ def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
+def zorder_key(cols: list, bits: int = 16):
+    """Z-order (Morton) clustering key: interleave the low ``bits`` bits of
+    each integer column — sorting by it gives multi-column locality, so
+    row-group min/max stats stay tight on EVERY clustered column and a
+    filter on any of them prunes row groups (the open-source answer to
+    Delta OPTIMIZE ZORDER BY; verified by footer stats in tests).
+
+    Pure bit-arithmetic expressions — codegen'd, no UDF. Columns must be
+    non-negative ints (rank/bucketize first otherwise).
+    """
+    from pyspark.sql import Column, functions as F
+
+    n = len(cols)
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    key: Column = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, c in enumerate(cs):
+            bit = F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, b * n + i)
+    return key
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], bits: int = 16
+) -> None:
+    """Sort by the Morton key (range-partitioned sort → contiguous key
+    ranges per output file/row-group) and write."""
+    df.orderBy(zorder_key(cols, bits)).write.mode("overwrite").parquet(path)
+
+
 def compact(
     spark: SparkSession,
     path: str,

@@ -172,3 +172,67 @@ def test_compact_folds_small_files(spark, tmp_path):
         .collect()[0]
         == checksum
     )
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    import random
+
+    from realtime_datawarehouse_spark.operators.layout import zorder_key
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(0, 1 << 16), rng.randrange(0, 1 << 16)) for _ in range(200)]
+
+    def morton(x, y, bits=16):
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.k
+        for r in df.select("x", "y", zorder_key(["x", "y"]).alias("k")).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == morton(x, y)
+
+
+def test_zorder_write_tightens_rowgroup_stats(spark, duck, tmp_path):
+    """Sorting by the Morton key must shrink per-row-group min/max ranges on
+    BOTH clustered columns vs an unsorted write — the property parquet data
+    skipping feeds on (measured from real footer stats via DuckDB)."""
+    from realtime_datawarehouse_spark.operators.layout import zorder_key
+
+    from tests.conftest import SF_DIR_MID
+
+    # both columns need cardinality >> rows-per-group, else the range
+    # saturates no matter the layout
+    li = table(spark, SF_DIR_MID, "lineitem").select("l_partkey", "l_orderkey")
+    plain, zord = str(tmp_path / "plain"), str(tmp_path / "zord")
+    # small parquet blocks on BOTH writes → many row groups → meaningful stats
+    blk = {"parquet.block.size": str(64 * 1024)}
+    li.orderBy(F.md5(F.concat_ws("_", "l_partkey", "l_orderkey"))).coalesce(
+        1
+    ).write.options(**blk).parquet(plain)
+    # normalize both columns to a common 10-bit domain first — with raw
+    # values the wider column's high bits dominate the interleave and the
+    # narrow column gains nothing (the bucketize-first rule in zorder_key)
+    mx = li.agg(F.max("l_partkey"), F.max("l_orderkey")).collect()[0]
+    zk = zorder_key(
+        [
+            (F.col("l_partkey") * 1023 / mx[0]).cast("long"),
+            (F.col("l_orderkey") * 1023 / mx[1]).cast("long"),
+        ],
+        bits=10,
+    )
+    li.orderBy(zk).coalesce(1).write.options(**blk).parquet(zord)
+
+    def avg_range(path, col):
+        return duck.execute(
+            f"""SELECT avg(CAST(stats_max AS BIGINT) - CAST(stats_min AS BIGINT))
+                FROM parquet_metadata('{path}/*.parquet')
+                WHERE path_in_schema = '{col}'"""
+        ).fetchone()[0]
+
+    for col in ("l_partkey", "l_orderkey"):
+        assert avg_range(zord, col) < avg_range(plain, col) * 0.7, col
