@@ -33,6 +33,8 @@ from realtime_datawarehouse_spark.session import build_session  # noqa: E402
 # Headline set: one per operator family that dominates cost at scale.
 BENCH_QUERIES = (
     "tpch_q1_pricing_summary",      # scan-heavy multi-metric aggregation
+    "tpch_q3_shipping_priority",    # selective 3-table join + grouped revenue
+    "tpch_q5_local_supplier_volume",  # 6-table snowflake join
     "j1_order_detail_inner_join",   # fact-fact shuffle join
     "j5_five_table_mixed_join",     # multi-way broadcast + shuffle join
     "j7_dim_snowflake_enrich",      # broadcast dim chain

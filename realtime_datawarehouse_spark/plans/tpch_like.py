@@ -126,3 +126,119 @@ def ads_province_order_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("order_ct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q3 — shipping-priority: selective fact⋈fact⋈dim join + revenue top-k.
+# The join-heavy bench head. Scale shape: customer filter prunes before the
+# broadcast; orders⋈lineitem shuffles once on orderkey; the agg keyspace is
+# bounded by qualifying orders. (shippriority → o_orderpriority on the
+# fixture schema.)
+# --------------------------------------------------------------------------
+
+Q3_DATE = "1997-06-30 00:00:00"
+Q3_SEGMENT = "BUILDING"
+
+Q3_ORACLE = f"""
+SELECT
+  l.l_orderkey                                         AS order_id,
+  {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+  strftime(o.o_orderdate, '%Y-%m-%d')                  AS order_dt,
+  o.o_orderpriority                                    AS order_priority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l.l_shipdate  > TIMESTAMP '{Q3_DATE}'
+GROUP BY 1, 3, 4
+"""
+
+
+@query("tpch_q3_shipping_priority", oracle=Q3_ORACLE)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_dt"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — local-supplier volume: the 6-table snowflake join. Scale shape: the
+# region→nation chain broadcasts; customer and supplier broadcast; only
+# orders⋈lineitem shuffles, and the customer-nation = supplier-nation
+# equality is a residual filter on the joined row.
+# --------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_LO = "1996-01-01 00:00:00"
+Q5_HI = "1997-01-01 00:00:00"
+
+Q5_ORACLE = f"""
+SELECT
+  n.n_name                                             AS nation,
+  {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{Q5_HI}'
+GROUP BY 1
+"""
+
+
+@query("tpch_q5_local_supplier_volume", oracle=Q5_ORACLE)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == Q5_REGION)
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q5_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_HI).cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
