@@ -506,3 +506,26 @@ def test_chained_stream_stream_joins_three_way(spark, tmp_path):
         .count()
     )
     assert got == exp
+
+
+def test_drop_duplicates_within_watermark_dedups_redelivery(spark, tmp_path):
+    """K1/S1 at-least-once story: a redelivered batch (same event_ids) must
+    collapse to one row per key via dropDuplicatesWithinWatermark — the
+    source-side dedup that makes the at-least-once Kafka sink effectively
+    exactly-once for keyed facts."""
+    import os
+
+    ev = table(spark, SF_DIR, "events")
+    first = ev.where(F.col("ts") < "2024-01-05").orderBy("ts").coalesce(1)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    first.write.mode("append").parquet(d)   # original delivery
+    first.write.mode("append").parquet(d)   # redelivery (duplicate batch)
+
+    stream = jobs.parquet_stream(spark, d, ev.schema)
+    deduped = stream.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    got = _drain(spark, deduped, "t_dedup_wm").toPandas()
+    assert len(got) == first.count()
+    assert not got.duplicated(["event_id"]).any()
