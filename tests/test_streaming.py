@@ -529,3 +529,35 @@ def test_drop_duplicates_within_watermark_dedups_redelivery(spark, tmp_path):
     got = _drain(spark, deduped, "t_dedup_wm").toPandas()
     assert len(got) == first.count()
     assert not got.duplicated(["event_id"]).any()
+
+
+def test_union_takes_min_watermark(spark, tmp_path):
+    """W5 (watermark after union of streams): Spark tracks each input's
+    watermark and the union advances at the MINIMUM — windows beyond the
+    slower stream's watermark must be withheld even if the faster stream
+    has moved far past them."""
+    ev = table(spark, SF_DIR, "events")
+    fast = ev.where(F.col("ts") < "2024-01-20")          # up to Jan 20
+    slow = ev.where(
+        (F.col("ts") >= "2024-01-20") & (F.col("ts") < "2024-01-25")
+    ).withColumn("ts", F.col("ts") - F.expr("INTERVAL 15 DAYS"))  # lags at ~Jan 10
+    d_fast, d_slow = str(tmp_path / "fast"), str(tmp_path / "slow")
+    fast.coalesce(1).write.parquet(d_fast)
+    slow.coalesce(1).write.parquet(d_slow)
+
+    sf = jobs.parquet_stream(spark, d_fast, ev.schema).withWatermark("ts", "3 seconds")
+    ss = jobs.parquet_stream(spark, d_slow, ev.schema).withWatermark("ts", "3 seconds")
+    out = (
+        sf.unionByName(ss)
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count("*").alias("ct"))
+        .select(F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"), "ct")
+    )
+    got = _drain(spark, out, "t_union_wm").toPandas()
+    slow_max = slow.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+    ).collect()[0][0]
+    # nothing past the SLOW stream's watermark may have been emitted
+    assert (got.edt <= slow_max).all(), got.edt.max()
+    # and plenty of earlier windows did emit
+    assert len(got) > 100
