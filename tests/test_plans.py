@@ -72,3 +72,19 @@ def test_no_row_python_udfs_anywhere(spark):
 def test_mapinpandas_is_arrow_batched(spark):
     plan = _explain(spark, "mm_decode_metadata", mode="simple")
     assert "MapInPandas" in plan
+
+
+def test_q3_filters_pushed_and_dim_broadcast(spark):
+    plan = _explain(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    # both date filters must reach their parquet scans
+    assert plan.count("PushedFilters: [IsNotNull") >= 2
+    assert "GreaterThan(l_shipdate" in plan and "LessThan(o_orderdate" in plan
+
+
+def test_q5_snowflake_all_dims_broadcast(spark):
+    plan = _explain(spark, "tpch_q5_local_supplier_volume")
+    # region→nation→supplier chain + customer: every dim side broadcast;
+    # the only shuffle joins the two fact tables
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
