@@ -87,13 +87,17 @@ def compact(
     file per batch per partition, and scan/open overhead grows linearly in
     file count until compaction folds them back into scan-sized files. On
     Delta/Iceberg this is OPTIMIZE / rewrite_data_files; the parquet
-    emulation stages the rewrite in a sibling directory and swaps, so a
-    crash never leaves the table truncated. Returns the new file count.
+    emulation stages the rewrite in a sibling directory and swaps. The data
+    is never lost at any crash point: the original directory is renamed to
+    ``<path>.compact-old`` and kept until the staged copy is in place;
+    ``recover_compact`` (run automatically at the start of every compact)
+    finishes or rolls back an interrupted swap. Returns the new file count.
     """
     import math
     import os
     import shutil
 
+    recover_compact(path)
     total = sum(
         os.path.getsize(os.path.join(root, f))
         for root, _, fs in os.walk(path)
@@ -106,8 +110,34 @@ def compact(
     df.repartition(n).write.mode("overwrite").parquet(staging)
     old = path.rstrip("/") + ".compact-old"
     os.rename(path, old)
-    os.rename(staging, path)
+    os.rename(staging, path)  # recover_compact redoes this if we die here
     shutil.rmtree(old)
     return sum(
         1 for f in os.listdir(path) if f.endswith(".parquet")
     )
+
+
+def recover_compact(path: str) -> None:
+    """Finish or roll back a ``compact`` interrupted between its two renames.
+
+    Invariant: ``.compact-old`` is deleted only after ``path`` exists again,
+    so exactly one complete copy of the table survives any crash. If ``path``
+    is missing, prefer the fully-written staging copy (the rewrite finished
+    before the crash — promote it), else restore the old copy; stale staging
+    directories are discarded once ``path`` is live.
+    """
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + ".compact-staging"
+    old = path.rstrip("/") + ".compact-old"
+    if not os.path.exists(path):
+        if os.path.exists(staging) and os.path.exists(
+            os.path.join(staging, "_SUCCESS")
+        ):
+            os.rename(staging, path)
+        elif os.path.exists(old):
+            os.rename(old, path)
+    if os.path.exists(path):
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)

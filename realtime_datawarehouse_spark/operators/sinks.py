@@ -10,20 +10,18 @@ append sinks, and PK-upsert sinks (K2/K4's MERGE contract).
   writer; batching is inherent to ``foreachBatch``/file commits, no 5-row
   flush machinery (MyClickhouseUtil.java:56-59) required.
 - ``upsert_sink`` — K2 upsert-Kafka / K4 Phoenix upsert: last-write-wins by
-  PK. Without a transactional table format in this container, the batch
-  emulation reads current state, unions, collapses per PK, and rewrites —
-  semantically MERGE INTO; on Delta/Iceberg the body becomes a real MERGE
-  and the collapse stays identical.
+  PK over a versioned parquet table (operators/table_store.py): executors
+  write the merged snapshot as the next version directory and the commit is
+  an atomic pointer flip — nothing materializes on the driver, so state
+  size is bounded by the cluster, not driver memory. On Delta/Iceberg the
+  body becomes a real MERGE and the collapse stays identical.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from realtime_datawarehouse_spark.sources.kafka import latest_by_key
+from realtime_datawarehouse_spark.operators import table_store
 
 
 def exclude_transient(df: DataFrame, transient_cols: list[str]) -> DataFrame:
@@ -46,25 +44,17 @@ def upsert_sink(
     version_col: str,
     transient_cols: list[str] | None = None,
 ) -> None:
-    """MERGE-by-PK emulation over a parquet directory.
+    """MERGE-by-PK over a versioned parquet table (table_store.merge_upsert).
 
     Newest ``version_col`` per ``pk`` wins across the existing state and the
     incoming batch — the reference's upsert-Kafka/Phoenix contract
-    (SURVEY.md §7.4 #8). Scale note: a real deployment uses Delta/Iceberg
-    MERGE (partitioned on pk-bucket) instead of rewrite-all; the collapse
-    expression is identical.
+    (SURVEY.md §7.4 #8). The merged plan reads the current version directory
+    and executors write the next one; the commit is an atomic pointer flip,
+    so there is no read-what-you-overwrite hazard and no driver-side
+    materialization. Read the table back with ``table_store.read_state``.
     """
     incoming = exclude_transient(df, transient_cols or [])
-    if os.path.exists(path):
-        current = spark.read.parquet(path)
-        merged = latest_by_key(
-            current.unionByName(incoming), pk, version_col
-        )
-    else:
-        merged = latest_by_key(incoming, pk, version_col)
-    # materialize before overwrite (the plan reads the same path it rewrites)
-    rows = merged.collect()
-    spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(path)
+    table_store.merge_upsert(spark, incoming, path, pk, version_col)
 
 
 def console_sink(df: DataFrame, n: int = 20) -> None:

@@ -19,9 +19,9 @@ from pyspark.sql import functions as F
 import os
 from collections.abc import Callable
 
-from pyspark.sql import SparkSession, Window
+from pyspark.sql import SparkSession
 
-from realtime_datawarehouse_spark.operators import config_router
+from realtime_datawarehouse_spark.operators import config_router, table_store
 from realtime_datawarehouse_spark.sources import log_events, maxwell
 from realtime_datawarehouse_spark.streaming import jobs
 
@@ -159,26 +159,23 @@ def dws_keyword_window(
 
 
 def _merge_dim(spark: SparkSession, incoming: DataFrame, path: str) -> None:
-    """MERGE one micro-batch into a parquet dim table: newest (ts) row per pk
-    wins across stored state + batch; a newest delete removes the pk. On
+    """MERGE one micro-batch into a versioned dim table: newest (ts) row per
+    pk wins across stored state + batch; a newest delete removes the pk.
+    Executors write the merged snapshot as the next version directory and
+    the commit is an atomic pointer flip (operators/table_store.py) — no
+    driver-side materialization, and a batch whose deletes empty the table
+    commits a real empty version (stale rows never survive). On
     Delta/Iceberg this body is a single MERGE INTO; the collapse expression
     is identical (SURVEY.md §1.4 K4/K5 — the writer creates the table on
     first use, the dynamic-DDL analog)."""
-    if os.path.exists(path):
-        merged = spark.read.parquet(path).unionByName(incoming)
-    else:
-        merged = incoming
-    w = Window.partitionBy("pk").orderBy(F.col("ts").desc())
-    final = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") == 1) & (F.col("type") != "delete"))
-        .drop("_rn")
+    table_store.merge_upsert(
+        spark,
+        incoming,
+        path,
+        pk="pk",
+        version_col="ts",
+        delete_when=F.col("type") == "delete",
     )
-    rows = final.collect()  # materialize before overwriting the same path
-    if rows:
-        spark.createDataFrame(rows, final.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(path)
 
 
 def dim_router_stream(

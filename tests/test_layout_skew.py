@@ -236,3 +236,33 @@ def test_zorder_write_tightens_rowgroup_stats(spark, duck, tmp_path):
 
     for col in ("l_partkey", "l_orderkey"):
         assert avg_range(zord, col) < avg_range(plain, col) * 0.7, col
+
+
+def test_compact_recovery_at_every_crash_point(spark, tmp_path):
+    """ADVICE r01 #4: a crash between compact's two renames must never lose
+    the table — recover_compact restores exactly one complete copy from
+    whichever of (old, fully-staged) survives."""
+    import os
+    import shutil
+
+    from realtime_datawarehouse_spark.operators.layout import recover_compact
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i,) for i in range(10)], "id int")
+    df.coalesce(1).write.parquet(path)
+
+    # crash point A: path renamed away, staging fully written → promote staging
+    staging, old = path + ".compact-staging", path + ".compact-old"
+    shutil.copytree(path, staging)
+    os.rename(path, old)
+    recover_compact(path)
+    assert spark.read.parquet(path).count() == 10
+    assert not os.path.exists(old) and not os.path.exists(staging)
+
+    # crash point B: path renamed away, staging incomplete → roll back old
+    shutil.copytree(path, staging)
+    os.remove(os.path.join(staging, "_SUCCESS"))
+    os.rename(path, old)
+    recover_compact(path)
+    assert spark.read.parquet(path).count() == 10
+    assert not os.path.exists(old) and not os.path.exists(staging)

@@ -248,14 +248,16 @@ def test_dim_router_stream_hot_reload(spark, tmp_path):
     )
     q.awaitTermination()
 
+    from realtime_datawarehouse_spark.operators import table_store
+
     part_state = {
         r.pk: r.data["p_brand"]
-        for r in spark.read.parquet(f"{out_dir}/dim_part").collect()
+        for r in table_store.read_state(spark, f"{out_dir}/dim_part").collect()
     }
     assert part_state == {"1": "B1v2"}  # update applied, p2 deleted
     sup_state = {
         r.pk: r.data["s_name"]
-        for r in spark.read.parquet(f"{out_dir}/dim_supplier").collect()
+        for r in table_store.read_state(spark, f"{out_dir}/dim_supplier").collect()
     }
     # hot reload: only the supplier row from the batch AFTER registration
     assert sup_state == {"20": "S-late"}
