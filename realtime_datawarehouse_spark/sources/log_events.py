@@ -112,19 +112,22 @@ def split_log(clean: DataFrame) -> dict[str, DataFrame]:
 
     One parsed event can emit to several outputs (err + start, or err +
     page + N displays + M actions) — exactly the side-output routing at
-    DwdTrafficBaseLogSplit.java:148-237, as 5 filtered projections.
+    DwdTrafficBaseLogSplit.java:160-220: ``err`` is emitted for every event
+    carrying an err field (start events included — the reference removes err
+    and keeps routing), ``start`` for every event carrying start, and the
+    page/display/action family is the reference's else-branch: every
+    NON-start event, gated on nothing else.
     """
     err = clean.where(_has("err")).select("common", "err", "ts")
-    start = clean.where(~_has("err") & _has("start")).select(
-        "common", "start", "ts"
-    )
-    page = clean.where(_has("page")).select("common", "page", "ts")
+    start = clean.where(_has("start")).select("common", "start", "ts")
+    main = clean.where(~_has("start"))
+    page = main.select("common", "page", "ts")
     display = (
-        clean.where(_has("page") & _has("displays"))
+        main.where(_has("displays"))
         .select("common", "page", "ts", F.explode("displays").alias("display"))
     )
     action = (
-        clean.where(_has("page") & _has("actions"))
+        main.where(_has("actions"))
         .select("common", "page", "ts", F.explode("actions").alias("action"))
     )
     return {

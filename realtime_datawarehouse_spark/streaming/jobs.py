@@ -35,6 +35,13 @@ from pyspark.sql.types import (
 
 DEFAULT_WATERMARK = "3 seconds"  # W2/W3 bounded out-of-orderness
 
+# Day-scoped dedup state (ST2/ST5): the reference's 1-day ValueState TTL.
+# Must be ≥ 24h so any two same-day events (≤ 24h apart) are inside the
+# dedup guarantee of dropDuplicatesWithinWatermark; the 2h slack absorbs
+# bounded out-of-orderness. State is evicted once the watermark passes
+# event_time + this delay — the leak-free rendering of the TTL.
+DAY_TTL_WATERMARK = "26 hours"
+
 
 def parquet_stream(spark, path: str, schema: StructType, max_files: int = 1) -> DataFrame:
     """File-based stream (one micro-batch per file with max_files=1) — the
@@ -72,19 +79,24 @@ def tumble_count_by_key(
 
 def first_per_user_day(
     ev: DataFrame, ts_col: str = "ts", key: str = "user_id",
-    watermark: str = DEFAULT_WATERMARK,
+    watermark: str = DAY_TTL_WATERMARK,
 ) -> DataFrame:
     """ST2/ST5 streaming form: emit each key's first event per day.
 
-    ``dropDuplicates`` on (key, day) with a watermark — state for a day is
-    reclaimed when the watermark passes it, the Spark rendering of the
-    reference's 1-day state TTL (DwdTrafficUniqueVisitorDetail.java:59-64).
+    ``dropDuplicatesWithinWatermark`` on (key, day): any two same-day events
+    are ≤ 24h apart, so a ≥ 24h watermark delay makes the dedup exact, and —
+    unlike plain ``dropDuplicates`` on a derived date column, whose state is
+    NEVER evicted because the subset lacks the event-time column — state for
+    a (key, day) pair is reclaimed once the watermark passes its event time
+    + delay. This is the real rendering of the reference's 1-day state TTL
+    (DwdTrafficUniqueVisitorDetail.java:59-64): bounded state at any scale.
     NOTE: within a micro-batch, "first" is arrival order — byte-identical to
     the reference's processing semantics, but only equal to the batch
     oracle's min-timestamp row when the source is time-ordered (Kafka per
-    key, or file batches in order), which both the fixture and topic_db are.
+    key, or file batches in order), which both the fixture and topic_db are
+    (pinned by test_first_per_user_day_disorder_contract).
     """
-    return ev.withWatermark(ts_col, watermark).dropDuplicates(
+    return ev.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [key, "visit_date"]
     )
 
@@ -119,11 +131,16 @@ def keep_latest_kernel_factory(ts_field: str, payload_fields: list[str]):
             row = state.get
             best_ts, best_payload = row[0], list(row[1:])
         for pdf in pdfs:
-            for _, r in pdf.iterrows():
-                t = int(r[ts_field].value // 1000)  # pandas ns → micros
-                if best_ts is None or t >= best_ts:
-                    best_ts = t
-                    best_payload = [str(r[f]) for f in payload_fields]
+            if not len(pdf):
+                continue
+            # vectorized per-batch reduction: only the max-ts row matters
+            # (ties broken like the sequential >= scan: last occurrence wins)
+            ts_micros = pdf[ts_field].astype("int64") // 1000  # ns → micros
+            t = int(ts_micros.max())
+            best = pdf.loc[ts_micros[ts_micros == t].index[-1]]
+            if best_ts is None or t >= best_ts:
+                best_ts = t
+                best_payload = [str(best[f]) for f in payload_fields]
         state.update((best_ts, *best_payload))
         yield pd.DataFrame(
             {

@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import SparkSession
 
+from realtime_datawarehouse_spark.functions.compare import pround
 from realtime_datawarehouse_spark.operators import config_router, table_store
 from realtime_datawarehouse_spark.sources import log_events, maxwell
 from realtime_datawarehouse_spark.streaming import jobs
@@ -34,13 +35,17 @@ def dwd_cart_add(raw: DataFrame) -> DataFrame:
 
 
 def dws_cart_add_uu_window(
-    raw: DataFrame, watermark: str = jobs.DEFAULT_WATERMARK
+    raw: DataFrame, watermark: str = jobs.DAY_TTL_WATERMARK
 ) -> DataFrame:
     """DwsTradeCartAddUuWindow (rt/app/dws/DwsTradeCartAddUuWindow.java:76-139):
     topic_db → cart facts → first event per user per day → 10 s tumble count.
 
     Event time arrives as the Maxwell epoch-seconds string ``ts``
-    (W4 seconds→timestamp fixup, …:66)."""
+    (W4 seconds→timestamp fixup, …:66). The watermark defaults to the
+    day-TTL delay: the daily dedup needs ≥ 24h of state retention to be
+    exact AND leak-free (see jobs.first_per_user_day), and Spark ties dedup
+    eviction and window emission to the one per-stream watermark — so
+    windows emit once the day closes, the batch-daily reading of the job."""
     env = maxwell.parse_envelope(raw)
     kept = maxwell.etl_filter(env).withColumn(
         "event_time", F.timestamp_seconds(F.col("ts").cast("long"))
@@ -49,10 +54,11 @@ def dws_cart_add_uu_window(
         F.col("data").getItem("user_id").alias("user_id"),
         F.col("event_time"),
     ).where(F.col("user_id").isNotNull())
-    firsts = (
-        facts.withColumn("visit_date", F.to_date("event_time"))
-        .withWatermark("event_time", watermark)
-        .dropDuplicates(["user_id", "visit_date"])
+    firsts = jobs.first_per_user_day(
+        facts.withColumn("visit_date", F.to_date("event_time")),
+        ts_col="event_time",
+        key="user_id",
+        watermark=watermark,
     )
     return (
         firsts.groupBy(F.window("event_time", "10 seconds"))
@@ -106,7 +112,7 @@ def dws_sku_order_window(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
             "brand",
             "order_ct",
-            F.round("order_amount", 2).alias("order_amount"),
+            pround(F.col("order_amount")).alias("order_amount"),
         )
     )
 
@@ -131,7 +137,7 @@ def dws_keyword_window(
     clean, _ = log_events.parse_with_dirty_routing(raw)
     searches = clean.where(
         (F.col("page.last_page_id") == "search")
-        | (F.col("page.item_type") == "keyword")
+        & (F.col("page.item_type") == "keyword")
     ).select(
         F.col("page.item").alias("fullword"),
         F.timestamp_millis(F.col("ts")).alias("event_time"),

@@ -183,3 +183,32 @@ def test_socket_source_live(spark):
         q.stop()
         q.awaitTermination()
         srv.close()
+
+
+def test_log_split_start_with_err_routes_to_both(spark):
+    """ADVICE r01 #2 / DwdTrafficBaseLogSplit.java:164-176: the reference
+    emits err whenever the field is present, then STILL emits start for a
+    start event (err is removed, not fatal); page/display/action are the
+    else-branch of start only."""
+    lines = [
+        json.dumps(
+            {
+                "common": {"mid": "201"},
+                "err": {"error_code": "7"},
+                "start": {"entry": "icon"},
+                "ts": 1000,
+            }
+        ),
+        json.dumps({"common": {"mid": "202"}, "start": {"entry": "n"}, "ts": 2000}),
+        json.dumps(
+            {"common": {"mid": "203"}, "page": {"page_id": "home"}, "ts": 3000}
+        ),
+    ]
+    clean, _ = log_events.parse_with_dirty_routing(
+        literal.from_json_lines(spark, lines)
+    )
+    b = log_events.split_log(clean)
+    assert {r.common.mid for r in b["err"].collect()} == {"201"}
+    assert {r.common.mid for r in b["start"].collect()} == {"201", "202"}
+    # start events never reach the page family
+    assert {r.common.mid for r in b["page"].collect()} == {"203"}

@@ -561,3 +561,62 @@ def test_union_takes_min_watermark(spark, tmp_path):
     assert (got.edt <= slow_max).all(), got.edt.max()
     # and plenty of earlier windows did emit
     assert len(got) > 100
+
+
+def test_first_per_user_day_disorder_contract(spark, tmp_path):
+    """VERDICT r01 #7: pins the documented arrival-order contract — within a
+    micro-batch the FIRST-ARRIVED row per (user, day) is kept, which equals
+    the min-ts row only for time-ordered sources. A disordered batch must
+    still emit exactly one row per (user, day), and it is the first arrival."""
+    import datetime as dt
+
+    d = str(tmp_path / "disorder")
+    rows = [  # u1 day1 arrives 10:00 BEFORE 09:00 — intra-batch disorder
+        (1, 100, dt.datetime(2024, 1, 1, 10, 0, 0)),
+        (1, 101, dt.datetime(2024, 1, 1, 9, 0, 0)),
+        (2, 102, dt.datetime(2024, 1, 1, 11, 0, 0)),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp"
+    ).coalesce(1).write.parquet(d)
+    stream = jobs.with_visit_date(
+        jobs.parquet_stream(
+            spark, d, spark.read.parquet(d).schema
+        )
+    )
+    got = _drain(spark, jobs.first_per_user_day(stream), "t_disorder").toPandas()
+    assert len(got) == 2 and not got.duplicated(["user_id", "visit_date"]).any()
+    # arrival order wins: u1's emitted row is event 100 (10:00), not min-ts 101
+    assert int(got.loc[got.user_id == 1, "event_id"].iloc[0]) == 100
+
+
+def test_first_per_user_day_state_is_evicted(spark, tmp_path):
+    """ADVICE r01 #3: dropDuplicates on a derived date column never evicts
+    state; the dropDuplicatesWithinWatermark form must — day-1 entries leave
+    the state store once the watermark (day-5 - 26h) passes them."""
+    import datetime as dt
+
+    d = str(tmp_path / "evict")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    day1, day5 = dt.datetime(2024, 1, 1, 12, 0), dt.datetime(2024, 1, 5, 12, 0)
+    write_batch([(u, u, day1) for u in (1, 2, 3)])
+    write_batch([(10, 10, day5)])  # advances max event time
+    write_batch([(11, 11, day5)])  # watermark now day5-26h → day1 evictable
+    stream = jobs.with_visit_date(
+        jobs.parquet_stream(spark, d, spark.read.parquet(d).schema)
+    )
+    q = jobs.run_to_memory(jobs.first_per_user_day(stream), "t_evict")
+    q.awaitTermination()
+    assert spark.table("t_evict").count() == 5  # all 5 (user, day) pairs emit
+    state_rows = None
+    for p in reversed(q.recentProgress):
+        if p["stateOperators"]:
+            state_rows = p["stateOperators"][0]["numRowsTotal"]
+            break
+    # 3 day-1 entries evicted; only the 2 day-5 entries may remain
+    assert state_rows is not None and state_rows <= 2, state_rows

@@ -34,12 +34,13 @@ CART_LINES_B2 = [
     '{"database":"g","table":"cart_info","type":"insert","ts":"1704067211",'
     '"data":{"id":"3","user_id":"u3","sku_id":"s2","sku_num":"1"}}',
 ]
-# append-mode windows emit in the batch AFTER the watermark passes their end:
-# two next-day heartbeat batches advance the watermark, then flush
+# append-mode windows emit in the batch AFTER the watermark passes their end;
+# the cart pipeline's watermark is the 26h day-TTL delay (daily-dedup state
+# eviction), so heartbeats 3 days out advance the watermark past day 1
 CART_HEARTBEATS = [
-    ['{"database":"g","table":"cart_info","type":"insert","ts":"1704153600",'
+    ['{"database":"g","table":"cart_info","type":"insert","ts":"1704326400",'
      '"data":{"id":"90","user_id":"u9","sku_id":"s9","sku_num":"1"}}'],
-    ['{"database":"g","table":"cart_info","type":"insert","ts":"1704153601",'
+    ['{"database":"g","table":"cart_info","type":"insert","ts":"1704326401",'
      '"data":{"id":"91","user_id":"u9","sku_id":"s9","sku_num":"1"}}'],
 ]
 
