@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from realtime_datawarehouse_spark.functions.compare import dsum, dsum_sql
+from realtime_datawarehouse_spark.functions.compare import (
+    dsum,
+    dsum_sql,
+    pround,
+    pround_sql,
+)
 from realtime_datawarehouse_spark.plans.registry import query
 from realtime_datawarehouse_spark.tables import table
 
@@ -32,14 +37,14 @@ from realtime_datawarehouse_spark.tables import table
 # reproduces the decimal(16,2) money math at :43-44.
 # --------------------------------------------------------------------------
 
-J1_ORACLE = """
+J1_ORACLE = f"""
 SELECT
   l.l_orderkey                       AS order_id,
   l.l_linenumber                     AS detail_id,
   l.l_partkey                        AS sku_id,
   o.o_custkey                        AS user_id,
   strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS create_time,
-  round(l.l_quantity * l.l_extendedprice, 2)   AS split_original_amount
+  {pround_sql('l.l_quantity * l.l_extendedprice')} AS split_original_amount
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 """
@@ -55,7 +60,7 @@ def j1_order_detail_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("sku_id"),
         F.col("o_custkey").alias("user_id"),
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("create_time"),
-        F.round(F.col("l_quantity") * F.col("l_extendedprice"), 2).alias(
+        pround(F.col("l_quantity") * F.col("l_extendedprice")).alias(
             "split_original_amount"
         ),
     )
@@ -199,7 +204,7 @@ SELECT
   p.p_brand                                     AS activity_id,
   s.s_name                                      AS coupon_id,
   n.n_name                                      AS source_type_name,
-  round(CAST(CAST(l.l_quantity * l.l_extendedprice AS DECIMAL(16,2)) AS DOUBLE), 2) AS split_original_amount
+  CAST(CAST(l.l_quantity * l.l_extendedprice AS DECIMAL(16,2)) AS DOUBLE) AS split_original_amount
 FROM lineitem l
 JOIN orders o    ON l.l_orderkey = o.o_orderkey
 JOIN customer c  ON o.o_custkey = c.c_custkey
@@ -230,12 +235,10 @@ def j5_five_table_mixed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_brand").alias("activity_id"),
             F.col("s_name").alias("coupon_id"),
             F.col("n_name").alias("source_type_name"),
-            F.round(
-                (F.col("l_quantity") * F.col("l_extendedprice")).cast(
-                    "decimal(16,2)"
-                ),
-                2,
-            )
+            # decimal(16,2) IS the rounding (reference's money type at
+            # DwdTradeOrderPreProcess.java:43-44); no double re-round needed
+            (F.col("l_quantity") * F.col("l_extendedprice"))
+            .cast("decimal(16,2)")
             .cast("double")
             .alias("split_original_amount"),
         )

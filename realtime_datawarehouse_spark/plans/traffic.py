@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from realtime_datawarehouse_spark.functions.compare import dsum, dsum_sql
+from realtime_datawarehouse_spark.functions.compare import (
+    dsum,
+    dsum_sql,
+    pround,
+    pround_sql,
+)
 from realtime_datawarehouse_spark.functions.timeutil import fmt_date, fmt_ts
 from realtime_datawarehouse_spark.plans.registry import query
 from realtime_datawarehouse_spark.tables import table
@@ -429,11 +434,11 @@ def st5_cart_add_uu(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row_number() over key ordered by ts desc = 1.
 # --------------------------------------------------------------------------
 
-ST7_ORACLE = """
+ST7_ORACLE = f"""
 SELECT user_id, event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time,
        event_type,
-       round(value, 2) AS value
+       {pround_sql('value')} AS value
 FROM (
   SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
@@ -455,7 +460,7 @@ def st7_keep_latest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             fmt_ts("ts").alias("event_time"),
             "event_type",
-            F.round("value", 2).alias("value"),
+            pround(F.col("value")).alias("value"),
         )
     )
 
@@ -592,7 +597,7 @@ SELECT event_id, user_id, event_type,
        0 AS uv_ct,
        CASE WHEN prev_gap IS NULL OR prev_gap > {ENTRY_GAP_MS} THEN 1 ELSE 0 END AS sv_ct,
        1 AS pv_ct,
-       round(value, 2) AS dur_sum,
+       {pround_sql('value')} AS dur_sum,
        0 AS uj_ct
 FROM seq
 """
@@ -612,7 +617,7 @@ def p9_bean_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("uv_ct"),
         F.when(entry, 1).otherwise(0).alias("sv_ct"),
         F.lit(1).alias("pv_ct"),
-        F.round("value", 2).alias("dur_sum"),
+        pround(F.col("value")).alias("dur_sum"),
         F.lit(0).alias("uj_ct"),
     )
 

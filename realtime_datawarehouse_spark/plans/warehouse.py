@@ -140,7 +140,8 @@ def ads_gmv(spark: SparkSession, out_dir: str, dt: str) -> float:
     daily = spark.read.parquet(_path(out_dir, "dws", "trade_daily"))
     daily.createOrReplaceTempView("dws_trade_daily")
     row = spark.sql(
-        f"SELECT sum(order_amount) AS gmv FROM dws_trade_daily WHERE dt = '{dt}'"
+        "SELECT sum(order_amount) AS gmv FROM dws_trade_daily WHERE dt = :dt",
+        args={"dt": dt},
     ).collect()[0]
     return float(row.gmv or 0.0)
 

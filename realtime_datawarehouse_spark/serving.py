@@ -19,6 +19,7 @@ from typing import Any
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from realtime_datawarehouse_spark.functions.compare import dsum
 from realtime_datawarehouse_spark.tables import table
 
 VALUE_NAME = "交易额"  # "transaction amount", as the reference labels it
@@ -47,7 +48,7 @@ def gmv(spark: SparkSession, sf_dir: str, date: str) -> dict[str, Any]:
     o = table(spark, sf_dir, "orders")
     row = (
         o.where(F.date_format("o_orderdate", "yyyyMMdd") == date)
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("gmv"))
+        .agg(dsum(F.col("o_totalprice")).alias("gmv"))
         .collect()[0]
     )
     return {"status": 0, "data": float(row.gmv or 0.0)}
@@ -63,7 +64,7 @@ def province_stats(spark: SparkSession, sf_dir: str, date: str) -> dict[str, Any
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("amount"))
+        .agg(dsum(F.col("o_totalprice")).alias("amount"))
         .collect()
     )
     return {

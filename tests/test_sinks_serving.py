@@ -124,10 +124,12 @@ def _some_date(spark) -> str:
 
 
 def test_gmv_endpoint_matches_oracle(spark, duck):
+    from realtime_datawarehouse_spark.functions.compare import dsum_sql
+
     date = _some_date(spark)
     got = serving.gmv(spark, SF_DIR, date)
     exp = duck.execute(
-        "SELECT round(sum(o_totalprice), 2) FROM orders "
+        f"SELECT {dsum_sql('o_totalprice')} FROM orders "
         f"WHERE strftime(o_orderdate, '%Y%m%d') = '{date}'"
     ).fetchone()[0]
     assert got["status"] == 0
@@ -135,12 +137,14 @@ def test_gmv_endpoint_matches_oracle(spark, duck):
 
 
 def test_province_endpoint_matches_oracle(spark, duck):
+    from realtime_datawarehouse_spark.functions.compare import dsum_sql
+
     date = _some_date(spark)
     got = serving.province_stats(spark, SF_DIR, date)
     exp = {
         name: val
         for name, val in duck.execute(
-            "SELECT n.n_name, round(sum(o.o_totalprice), 2) "
+            f"SELECT n.n_name, {dsum_sql('o.o_totalprice')} "
             "FROM orders o "
             "JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey "
