@@ -1,0 +1,80 @@
+"""ADS layer as an actual HTTP service (SURVEY.md §2.12) — the reference's
+gmall-publisher Spring controller (pub/controller/TradeStatController.java:
+28-79) re-expressed as a stdlib ``http.server`` in front of Spark SQL.
+
+Endpoints (same routes, params, and payload shapes as the reference):
+
+    GET /gmv?date=yyyyMMdd      → {"status": 0, "data": <sum>}
+    GET /province?date=yyyyMMdd → {"status": 0, "data":
+        {"mapData": [{"name": ..., "value": ...}, ...], "valueName": "交易额"}}
+
+Like the reference, an absent/zero ``date`` defaults to today
+(DateFormatUtil.now()). Unknown routes return 404; handler errors return
+{"status": 1, "msg": ...} with HTTP 500.
+
+Scale note: the service holds ONE shared SparkSession; each request is a
+pushed-down aggregate (date-pruned scan → broadcast dims → tiny group-by),
+exactly how the reference pushes into ClickHouse. Serving-layer concurrency
+comes from Spark's scheduler (FAIR pools in production), not from this
+thread-per-request frontend.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from datetime import date as _date
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+
+from realtime_datawarehouse_spark import serving
+
+
+def _today() -> str:
+    return _date.today().strftime("%Y%m%d")
+
+
+def make_server(
+    spark: SparkSession, sf_dir: str, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; port=0 picks a free port."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self) -> None:  # noqa: N802 — http.server API
+            url = urlparse(self.path)
+            q = parse_qs(url.query)
+            date = q.get("date", ["0"])[0]
+            if date in ("", "0"):  # reference: defaultValue=0 → now()
+                date = _today()
+            try:
+                if url.path == "/gmv":
+                    self._reply(200, serving.gmv(spark, sf_dir, date))
+                elif url.path == "/province":
+                    self._reply(200, serving.province_stats(spark, sf_dir, date))
+                else:
+                    self._reply(404, {"status": 1, "msg": "no such route"})
+            except Exception as e:  # keep the service up on bad requests
+                self._reply(500, {"status": 1, "msg": str(e)})
+
+        def log_message(self, *args) -> None:  # quiet test output
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def start_background(server: ThreadingHTTPServer) -> threading.Thread:
+    """Serve on a daemon thread; returns the thread. Stop with
+    ``server.shutdown()``."""
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return t
