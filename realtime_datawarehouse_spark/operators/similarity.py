@@ -185,8 +185,86 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def ivf_assign(emb: DataFrame) -> DataFrame:
+def train_centroids(
+    emb: DataFrame, k: int = 16, iters: int = 4
+) -> DataFrame:
+    """Trained IVF codebook: Lloyd's k-means over the corpus, distributed.
+
+    Per iteration: (1) assignment — centroids broadcast, per-vector argmax
+    cosine (|corpus| × k scored in codegen, corpus never shuffles);
+    (2) update — the new centroid j is the per-position mean of its members,
+    computed as DIM independent ``avg(v[i])`` aggregates (map-side combined,
+    one tiny k-row shuffle; no explode of |corpus| × DIM rows). Only the
+    k × DIM centroid matrix ever reaches the driver — the legitimate
+    collect, same as any broadcast-dim pattern.
+
+    Seeding is the deterministic arithmetic subset (the static quantizer's
+    centroids, capped at k); swap in k-means‖ oversampling for sharper
+    seeds at 100 TB — the iteration body is unchanged. Empty clusters keep
+    their previous centroid. Returns (centroid_id, cv, cn) — a drop-in for
+    ``ivf_topk(..., centroids=...)``.
+    """
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    seeds = [
+        row.cv
+        for row in _ivf_centroids(emb).orderBy("centroid_id").limit(k).collect()
+    ]
+    centroids: list[list[float]] = [list(c) for c in seeds]
+    for _ in range(iters):
+        lits = [
+            F.struct(
+                F.lit(j).alias("centroid_id"),
+                F.array(*[F.lit(x) for x in c]).alias("cv"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+        cdf = v.sparkSession.range(1).select(
+            F.explode(F.array(*lits)).alias("c")
+        ).select("c.centroid_id", "c.cv").select(
+            "centroid_id", "cv", l2_norm(F.col("cv")).alias("cn")
+        )
+        scored = v.select(
+            "vec_id", "v", l2_norm(F.col("v")).alias("vn")
+        ).join(F.broadcast(cdf)).select(
+            "vec_id",
+            "v",
+            "centroid_id",
+            _cos(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")).alias("csim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("csim").desc(), F.col("centroid_id")
+        )
+        assigned = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .select("centroid_id", "v")
+        )
+        dim = len(centroids[0])
+        means = assigned.groupBy("centroid_id").agg(
+            *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)]
+        ).collect()
+        for row in means:
+            centroids[row.centroid_id] = [row[f"m{i}"] for i in range(dim)]
+    out = [
+        F.struct(
+            F.lit(j).alias("centroid_id"),
+            F.array(*[F.lit(x) for x in c]).alias("cv"),
+        )
+        for j, c in enumerate(centroids)
+    ]
+    return (
+        emb.sparkSession.range(1)
+        .select(F.explode(F.array(*out)).alias("c"))
+        .select("c.centroid_id", "c.cv")
+        .select("centroid_id", "cv", l2_norm(F.col("cv")).alias("cn"))
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
     """IVF list assignment: each vector joins its nearest centroid.
+
+    ``centroids``: (centroid_id, cv, cn) — defaults to the deterministic
+    arithmetic subset; pass ``train_centroids(...)`` for a trained codebook.
 
     Physical shape at scale: centroids are tiny and broadcast; the corpus is
     scanned once, scored against every centroid (|corpus| × |centroids| fused
@@ -194,10 +272,12 @@ def ivf_assign(emb: DataFrame) -> DataFrame:
     be WRITTEN partitioned/bucketed by ``centroid_id`` — that layout is what
     makes probe-time scans touch only nprobe lists instead of 100 TB.
     """
+    if centroids is None:
+        centroids = _ivf_centroids(emb)
     v = emb.select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     ).select("vec_id", "v", l2_norm(F.col("v")).alias("vn"))
-    scored = v.join(F.broadcast(_ivf_centroids(emb))).select(
+    scored = v.join(F.broadcast(centroids)).select(
         "vec_id",
         "v",
         "vn",
@@ -215,19 +295,28 @@ def ivf_assign(emb: DataFrame) -> DataFrame:
 
 
 def ivf_topk(
-    emb: DataFrame, queries: DataFrame, k: int = 5, nprobe: int = NUM_PROBE
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = NUM_PROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest inverted lists.
 
-    ``queries``: (query_id, query_vec). Both engines compute the identical
-    approximation (same centroid set, same probe order, same tie-breaks), so
-    the result is oracle-exact even though recall < 1 vs ``brute_topk``.
+    ``queries``: (query_id, query_vec). With the default deterministic
+    centroids both engines compute the identical approximation (same
+    centroid set, same probe order, same tie-breaks), so the result is
+    oracle-exact even though recall < 1 vs ``brute_topk``. Pass
+    ``centroids=train_centroids(emb)`` for the trained-codebook variant
+    (better-balanced lists; verified by recall floor, not a SQL oracle).
     """
-    assigned = ivf_assign(emb)
+    if centroids is None:
+        centroids = _ivf_centroids(emb)
+    assigned = ivf_assign(emb, centroids)
     q = queries.select(
         "query_id", _as_double(F.col("query_vec")).alias("qv")
     ).select("query_id", "qv", l2_norm(F.col("qv")).alias("qn"))
-    qprobe_scored = q.join(F.broadcast(_ivf_centroids(emb))).select(
+    qprobe_scored = q.join(F.broadcast(centroids)).select(
         "query_id",
         "qv",
         "qn",

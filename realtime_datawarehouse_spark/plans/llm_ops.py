@@ -107,6 +107,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, TOPK)
 
 
+@query("ann_ivf_trained_topk")  # iterative k-means — no SQL oracle;
+# correctness = recall@k floor vs ann_brute_topk (tests/test_correctness.py)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED codebook (Lloyd's k-means, distributed): the
+    production form of ann_ivf_topk — better-balanced inverted lists than
+    the deterministic subset quantizer, same probe-time plan."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    centroids = similarity.train_centroids(emb, k=16, iters=2)
+    return similarity.ivf_topk(emb, queries, TOPK, centroids=centroids)
+
+
 @query("ann_lsh_bucket_stats", oracle=similarity.lsh_bucket_stats_oracle())
 def ann_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_stats(_emb(spark, sf_dir))
