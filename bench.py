@@ -82,6 +82,18 @@ def main() -> None:
         "cold_queries": cold,
         "sf": float(sf),
     }
+    # regression guardrail: flag any warm query >2x its committed floor
+    floor_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOOR.json"
+    )
+    if os.path.exists(floor_path) and float(sf) == 0.1:
+        with open(floor_path, encoding="utf-8") as f:
+            floor = json.load(f)["queries"]
+        out["floor_regressions"] = {
+            n: round(warm[n] / floor[n], 2)
+            for n in warm
+            if n in floor and warm[n] > 2.0 * floor[n]
+        }
     print(json.dumps(out))
 
 

@@ -212,3 +212,17 @@ def test_log_split_start_with_err_routes_to_both(spark):
     assert {r.common.mid for r in b["start"].collect()} == {"201", "202"}
     # start events never reach the page family
     assert {r.common.mid for r in b["page"].collect()} == {"203"}
+
+
+def test_kafka_builder_raises_clear_error_without_classpath(spark):
+    """S1 driver-image constraint (documented in COVERAGE.md): this container
+    carries no spark-sql-kafka package, so the builder must fail fast with
+    an actionable message instead of an opaque ClassNotFoundException at
+    stream start. When the image gains the classpath, this test flips to the
+    live-broker path."""
+    from realtime_datawarehouse_spark.sources import kafka
+
+    if kafka._kafka_available(spark):
+        pytest.skip("kafka classpath present — exercise the live path instead")
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka.read_stream(spark, "topic_db")
