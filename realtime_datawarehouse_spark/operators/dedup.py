@@ -58,6 +58,15 @@ WITH docs AS (
 
 def doc_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """documents → (doc_id, shingle, n_shingles), distinct shingles per doc."""
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # Shingling is the CPU amplifier of every dedup pipeline (~Ntokens×
+    # rows out, md5 per shingle); a narrow scan (few unsplittable files)
+    # would run it near-serially, so rebalance first (no-op when the scan
+    # is already wide). Measured at bench sf0.1: ngram 2.4 s → 1.1 s.
+    docs = rebalance_narrow_scan(docs)
     # No size()>0 pre-filter: explode drops empty arrays for free, and a
     # filter on the array column would be predicate-pushed BELOW this
     # projection, re-inlining the whole shingle expression into a second

@@ -45,6 +45,27 @@ def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
+def rebalance_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin-redistribute a scan that has fewer partitions than the
+    session's parallelism, so CPU-amplifying operators downstream (shingle
+    explode + hashing, vector folds, Arrow decode kernels) run at full
+    width.
+
+    This is the unsplittable-input failure mode: a parquet file is
+    parallelized at ROW-GROUP granularity, so a few single-row-group files
+    (or gzip blobs) feed any downstream pipeline at parallelism ≈ file
+    count no matter how many cores the cluster has. The one-time shuffle
+    moves only the raw scan rows — orders of magnitude less data than what
+    the downstream explode/codec produces from them. When the scan already
+    has ≥ min_parts partitions (the healthy 100 TB layout), this is a
+    no-op: no shuffle is added.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def zorder_key(cols: list, bits: int = 16):
     """Z-order (Morton) clustering key: interleave the low ``bits`` bits of
     each integer column — sorting by it gives multi-column locality, so

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from realtime_datawarehouse_spark.operators import dedup, multimodal, similarity, textops
+from realtime_datawarehouse_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textops,
+)
 from realtime_datawarehouse_spark.plans.registry import query
 from realtime_datawarehouse_spark.tables import table
 
@@ -153,6 +158,14 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("mm_feature_extract", oracle=multimodal.FEATURES_ORACLE)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(_docs(spark, sf_dir))
+
+
+@query("mm_audio_decode", oracle=multimodal.AUDIO_DECODE_ORACLE)
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round trip: stdlib wave encodes deterministic PCM into RIFF
+    bytes, the decode kernel parses the actual container back — the one
+    modality this container can run without a stubbed codec."""
+    return multimodal.audio_decode(_docs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
