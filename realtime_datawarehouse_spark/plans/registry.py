@@ -47,6 +47,11 @@ DRIVER_PRIORITY: list[str] = [
     "p7_config_driven_pruning",
     "r2_array_unnest",
     "ext_session_window",
+    # new in round 2 — never driver-recorded yet
+    "tpch_q4_order_priority",
+    "j11_anti_join_never_ordered",
+    "mm_audio_decode",
+    "ann_ivf_trained_topk",
 ]
 
 _LOADED = False

@@ -242,3 +242,70 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("revenue")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# J10/J11 — semi-join and anti-join, completing the regular-join family
+# (TestSqlJoin.java covers inner/left/right/full; EXISTS / NOT EXISTS are
+# the remaining relational join shapes a reference user would write in
+# Flink SQL). Spark: left_semi / left_anti joins — both deduplicate the
+# probe side build-free and never widen rows, the shapes Catalyst picks
+# for (NOT) EXISTS subqueries.
+# --------------------------------------------------------------------------
+
+Q4_CUTOFF_LO = "1994-07-01 00:00:00"
+Q4_CUTOFF_HI = "1994-10-01 00:00:00"
+
+Q4_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_CUTOFF_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{Q4_CUTOFF_HI}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4_order_priority", oracle=Q4_ORACLE)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left_semi): date-pruned orders semi-joined to
+    flagged lineitems (the fixture's reduced lineitem carries returnflag, not
+    commit/receipt dates — the join SHAPE is the point). The semi-join
+    shuffles only the join key from the right side and emits each order at
+    most once — no post-join distinct needed."""
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q4_CUTOFF_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_CUTOFF_HI).cast("timestamp"))
+    )
+    late = table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+J11_ORACLE = """
+SELECT c.c_custkey AS custkey, c.c_name AS c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+)
+"""
+
+
+@query("j11_anti_join_never_ordered", oracle=J11_ORACLE)
+def j11_anti_join_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left_anti: customers with no orders. The anti-join keeps
+    rows with NO match — the dirty-data / orphan-detection shape (a
+    dimension row whose facts never arrived)."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.custkey == o.o_custkey, "left_anti")

@@ -88,3 +88,14 @@ def test_q5_snowflake_all_dims_broadcast(spark):
     # the only shuffle joins the two fact tables
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_semi_and_anti_joins_use_semi_anti_physical(spark):
+    """J10/J11: EXISTS/NOT-EXISTS shapes must compile to real LeftSemi /
+    LeftAnti joins (probe side never widens, right side deduplicates in the
+    join itself) — not an inner join + distinct."""
+    plan = _explain(spark, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan, plan
+    assert "Distinct" not in plan
+    plan = _explain(spark, "j11_anti_join_never_ordered")
+    assert "LeftAnti" in plan, plan
