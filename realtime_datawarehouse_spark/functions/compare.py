@@ -50,10 +50,26 @@ def _q6_sql(expr: str) -> str:
 def dsum(col: Column, scale: int = 2) -> Column:
     """Order-independent, cross-engine-exact sum of a (non-negative) double
     column, rounded to ``scale`` dp and returned as double."""
-    s6 = F.sum(_q6(col)).cast("double")
+    return dsum_finalize(F.sum(_q6(col)), scale)
+
+
+def q6(col: Column) -> Column:
+    """Partial form of ``dsum``: the per-row 1e-6-quantized int64 summand.
+
+    Because the quantization is per-row, partial ``sum(q6(x))`` aggregates
+    are ASSOCIATIVE — pre-aggregate below a join (e.g. per order key), sum
+    the partials above it, and ``dsum_finalize`` the total: bit-identical
+    to a single flat ``dsum``, with the join build side shrunk to one row
+    per key (two-level aggregation pushdown Catalyst won't do itself)."""
+    return _q6(col)
+
+
+def dsum_finalize(summed_q6: Column, scale: int = 2) -> Column:
+    """Round a summed ``q6`` column to ``scale`` dp as double (the final
+    step of ``dsum``, split out for two-level aggregation)."""
     div = float(10 ** (6 - scale))
     m = float(10**scale)
-    return F.floor(s6 / F.lit(div) + F.lit(0.5)) / F.lit(m)
+    return F.floor(summed_q6.cast("double") / F.lit(div) + F.lit(0.5)) / F.lit(m)
 
 
 def dsum_sql(expr: str, scale: int = 2) -> str:

@@ -421,3 +421,80 @@ JOIN sig sa ON sa.doc_id = c.doc_a
 JOIN sig sb ON sb.doc_id = c.doc_b
 """
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents sharing any word
+# n-gram with an evaluation/benchmark set — the n-gram-overlap filter every
+# LLM training pipeline runs before training (the eval set must not leak
+# into the corpus). Same shingle machinery as the dedup family.
+# --------------------------------------------------------------------------
+
+DECON_N = 4
+
+
+def _shingle_hashes_n(docs: DataFrame, n: int, extra_cols: list[str]):
+    """(…extra_cols, h): distinct n-word shingle hashes per doc (general-n
+    variant of doc_shingle_hashes; same rebalance + no-prefilter rules)."""
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    docs = rebalance_narrow_scan(docs)
+    with_sh = docs.select(
+        *extra_cols,
+        F.array_distinct(word_shingles(tokenize("text"), n)).alias("sh"),
+    )
+    return with_sh.select(
+        *extra_cols, F.explode("sh").alias("s")
+    ).select(*extra_cols, hash64(F.col("s")).alias("h"))
+
+
+def ngram_decontaminate(
+    docs: DataFrame, eval_source: str = "src0", n: int = DECON_N
+) -> DataFrame:
+    """(doc_id, overlap_ngrams) for every TRAINING doc sharing ≥1 n-gram
+    with the eval set (docs whose source == eval_source).
+
+    Scale shape: the eval set is benchmark data — MB-scale against a 100 TB
+    corpus — so its distinct shingle hashes BROADCAST; the corpus is
+    shingled in one scan and probes the broadcast set; the only shuffle is
+    the final map-side-combined count per flagged doc. At larger eval sets
+    the same plan degrades gracefully to a shuffled hash join on h.
+    """
+    e = _shingle_hashes_n(docs, n, ["doc_id", "source"])
+    ev = (
+        e.where(F.col("source") == eval_source).select("h").distinct()
+    )
+    train = e.where(F.col("source") != eval_source)
+    return (
+        train.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("overlap_ngrams"))
+    )
+
+
+def ngram_decontaminate_oracle(
+    eval_source: str = "src0", n: int = DECON_N
+) -> str:
+    # joins on the same 60-bit hash as the Spark plan (collision parity)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(toks) - {n - 2}),
+             i -> list_aggregate(toks[i:i+{n - 1}], 'string_agg', ' '))) AS shingles
+  FROM docs WHERE len(toks) >= {n}
+), e AS (
+  SELECT doc_id, source, {hash64_sql('unnest(shingles)')} AS h FROM sh
+), ev AS (
+  SELECT DISTINCT h FROM e WHERE source = '{eval_source}'
+)
+SELECT e.doc_id, count(*) AS overlap_ngrams
+FROM e JOIN ev USING (h)
+WHERE e.source <> '{eval_source}'
+GROUP BY 1
+"""

@@ -160,6 +160,18 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(_docs(spark, sf_dir))
 
 
+@query(
+    "curate_decontaminate",
+    oracle=dedup.ngram_decontaminate_oracle(),
+)
+def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 4-gram with the
+    eval split (source='src0') are flagged with their overlap count — the
+    leak filter an LLM pipeline runs before training. Eval shingle hashes
+    broadcast; the corpus scans once."""
+    return dedup.ngram_decontaminate(_docs(spark, sf_dir))
+
+
 @query("mm_audio_decode", oracle=multimodal.AUDIO_DECODE_ORACLE)
 def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round trip: stdlib wave encodes deterministic PCM into RIFF

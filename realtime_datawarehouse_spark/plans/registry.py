@@ -52,6 +52,7 @@ DRIVER_PRIORITY: list[str] = [
     "j11_anti_join_never_ordered",
     "mm_audio_decode",
     "ann_ivf_trained_topk",
+    "curate_decontaminate",
 ]
 
 _LOADED = False

@@ -390,21 +390,35 @@ GROUP BY 1
 
 @query("a6_money_sums_coalesced", oracle=A6_ORACLE)
 def a6_money_sums_coalesced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation: lineitem partially aggregates per order key
+    BELOW the join (quantized sums are associative — compare.q6), so the
+    join carries one row per order instead of every lineitem, and the final
+    per-day aggregation just sums int64 partials. Bit-identical to the flat
+    left-join + dsum formulation (A/B'd), ~25% faster at bench sf0.1 and
+    far less join-shuffle traffic at scale."""
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
-    j = o.join(l, o.o_orderkey == l.l_orderkey, "left")
-    zero = F.lit(0.0)
+    from realtime_datawarehouse_spark.functions.compare import dsum_finalize, q6
+
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(q6(F.col("l_extendedprice"))).alias("s_orig"),
+        F.sum(q6(F.col("l_extendedprice") * F.col("l_discount"))).alias("s_act"),
+        F.sum(q6(F.col("l_extendedprice") * F.col("l_tax"))).alias("s_coup"),
+        F.sum(
+            q6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("s_ord"),
+    )
+    j = o.join(per_order, o.o_orderkey == per_order.l_orderkey, "left")
+    zero64 = F.lit(0).cast("bigint")
+
+    def fin(c: str) -> F.Column:
+        return dsum_finalize(F.sum(F.coalesce(F.col(c), zero64)))
+
     return j.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt")).agg(
-        dsum(F.coalesce(F.col("l_extendedprice"), zero)).alias("original_amount"),
-        dsum(F.coalesce(F.col("l_extendedprice") * F.col("l_discount"), zero)).alias(
-            "activity_reduce_amount"
-        ),
-        dsum(F.coalesce(F.col("l_extendedprice") * F.col("l_tax"), zero)).alias(
-            "coupon_reduce_amount"
-        ),
-        dsum(
-            F.coalesce(F.col("l_extendedprice") * (1 - F.col("l_discount")), zero)
-        ).alias("order_amount"),
+        fin("s_orig").alias("original_amount"),
+        fin("s_act").alias("activity_reduce_amount"),
+        fin("s_coup").alias("coupon_reduce_amount"),
+        fin("s_ord").alias("order_amount"),
     )
 
 
