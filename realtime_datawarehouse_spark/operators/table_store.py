@@ -55,12 +55,34 @@ def current_version(path: str) -> str | None:
     return name or None
 
 
-def read_state(spark: SparkSession, path: str) -> DataFrame | None:
-    """The committed table as a DataFrame (None before the first commit)."""
-    version = current_version(path)
+def read_state(
+    spark: SparkSession, path: str, version: str | None = None
+) -> DataFrame | None:
+    """The committed table as a DataFrame (None before the first commit).
+
+    ``version`` time-travels to a specific retained snapshot (the GC keeps
+    the current version plus its immediate predecessor — the bounded
+    analog of Delta's VERSION AS OF; raise the retention for deeper
+    history by keeping more versions in ``commit``'s GC set)."""
+    version = version or current_version(path)
     if version is None:
         return None
-    return spark.read.parquet(os.path.join(path, version))
+    vdir = os.path.join(path, version)
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"version {version!r} not retained at {path} "
+            f"(available: {list_versions(path)})"
+        )
+    return spark.read.parquet(vdir)
+
+
+def list_versions(path: str) -> list[str]:
+    """Retained snapshot names, oldest first."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        d for d in os.listdir(path) if d.startswith("v-") and d[2:].isdigit()
+    )
 
 
 def _next_version_name(path: str) -> str:

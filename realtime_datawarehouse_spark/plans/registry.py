@@ -53,6 +53,7 @@ DRIVER_PRIORITY: list[str] = [
     "mm_audio_decode",
     "ann_ivf_trained_topk",
     "curate_decontaminate",
+    "tpch_q10_top_returners",
 ]
 
 _LOADED = False

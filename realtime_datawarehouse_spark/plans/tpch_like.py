@@ -309,3 +309,55 @@ def j11_anti_join_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = table(spark, sf_dir, "orders").select("o_custkey")
     return c.join(o, c.custkey == o.o_custkey, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Q10-style top-N: revenue-ranked customers in a date window. The shape that
+# matters is GLOBAL top-k over an aggregate — Spark plans orderBy+limit as
+# TakeOrderedAndProject: each partition keeps its local top-k and only
+# k×partitions rows reach the driver-side merge, never the full sort
+# (plan-asserted). Ties broken by custkey so both engines rank identically.
+# --------------------------------------------------------------------------
+
+Q10_CUTOFF_LO = "1993-10-01 00:00:00"
+Q10_CUTOFF_HI = "1994-01-01 00:00:00"
+Q10_TOPN = 20
+
+Q10_ORACLE = f"""
+SELECT c.c_custkey AS custkey, c.c_name AS c_name,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '{Q10_CUTOFF_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{Q10_CUTOFF_HI}'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2
+ORDER BY revenue DESC, custkey
+LIMIT {Q10_TOPN}
+"""
+
+
+@query("tpch_q10_top_returners", oracle=Q10_ORACLE)
+def tpch_q10_top_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q10_CUTOFF_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_CUTOFF_HI).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.custkey)
+        .groupBy("custkey", "c_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), "custkey").limit(Q10_TOPN)

@@ -25,8 +25,13 @@ DEFAULT_BOOTSTRAP = "localhost:9092"
 
 
 def _kafka_available(spark: SparkSession) -> bool:
+    # NB: plain `spark._jvm.org...KafkaSourceProvider` attribute access does
+    # NOT raise for a missing class — py4j hands back a lazy JavaPackage —
+    # so probe the classloader explicitly.
     try:
-        spark._jvm.org.apache.spark.sql.kafka010.KafkaSourceProvider  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
         return True
     except Exception:
         return False

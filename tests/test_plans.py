@@ -99,3 +99,11 @@ def test_semi_and_anti_joins_use_semi_anti_physical(spark):
     assert "Distinct" not in plan
     plan = _explain(spark, "j11_anti_join_never_ordered")
     assert "LeftAnti" in plan, plan
+
+
+def test_top_n_is_take_ordered_not_global_sort(spark):
+    """Q10: global top-k must plan as TakeOrderedAndProject (per-partition
+    local top-k, k×partitions merge) — a full global Sort would shuffle
+    every group at 100 TB."""
+    plan = _explain(spark, "tpch_q10_top_returners")
+    assert "TakeOrderedAndProject" in plan, plan

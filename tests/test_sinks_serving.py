@@ -198,3 +198,28 @@ def test_sql_view_surface(spark):
         """
     ).collect()[0]
     assert row.sum_qty > 0 and row.dup_ct > 0
+
+
+def test_table_store_time_travel(spark, tmp_path):
+    """The previous snapshot stays readable after a commit (bounded
+    VERSION AS OF analog); unretained versions raise with the available
+    list."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "tt")
+    v1 = table_store.commit(
+        spark.createDataFrame([(1, "a")], "id int, v string"), path
+    )
+    v2 = table_store.commit(
+        spark.createDataFrame([(2, "b")], "id int, v string"), path
+    )
+    assert table_store.list_versions(path) == [v1, v2]
+    old = {r.id for r in table_store.read_state(spark, path, version=v1).collect()}
+    new = {r.id for r in table_store.read_state(spark, path).collect()}
+    assert (old, new) == ({1}, {2})
+    v3 = table_store.commit(
+        spark.createDataFrame([(3, "c")], "id int, v string"), path
+    )
+    assert table_store.list_versions(path) == [v2, v3]  # v1 GC'd
+    with _pytest.raises(FileNotFoundError, match="not retained"):
+        table_store.read_state(spark, path, version=v1)

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from realtime_datawarehouse_spark.sources import debezium, jdbc, literal, log_events, maxwell

@@ -110,6 +110,7 @@ def test_sku_order_window_pipeline_parity(spark, tmp_path):
     windows."""
     from pyspark.sql import functions as F
 
+    from realtime_datawarehouse_spark.functions.compare import pround
     from realtime_datawarehouse_spark.streaming import jobs, pipelines
     from realtime_datawarehouse_spark.tables import table
     from tests.conftest import SF_DIR
@@ -156,7 +157,7 @@ def test_sku_order_window_pipeline_parity(spark, tmp_path):
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
             "brand",
             "order_ct",
-            F.round("order_amount", 2).alias("order_amount"),
+            pround(F.col("order_amount")).alias("order_amount"),
         )
         .toPandas()
     )
@@ -262,3 +263,72 @@ def test_dim_router_stream_hot_reload(spark, tmp_path):
     }
     # hot reload: only the supplier row from the batch AFTER registration
     assert sup_state == {"20": "S-late"}
+
+
+def test_dim_router_restart_resumes_merge_state(spark, tmp_path):
+    """Kill/restart the dim-router stream between micro-batches: the
+    checkpoint must resume at the next unprocessed file, re-MERGE nothing
+    (no duplicate application), and the versioned store must carry the
+    final collapsed state."""
+    from realtime_datawarehouse_spark.operators import table_store
+    from realtime_datawarehouse_spark.sources.debezium import config_from_rows
+    from realtime_datawarehouse_spark.sources.maxwell import MAXWELL_SCHEMA
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    def env_rows(rows):
+        return spark.createDataFrame(
+            [("gmall", t, typ, str(ts), None, d) for t, typ, ts, d in rows],
+            MAXWELL_SCHEMA,
+        )
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "envs"), str(tmp_path / "dims"), str(tmp_path / "ckpt")
+    )
+    cfg = [{
+        "source_table": "part", "sink_table": "dim_part",
+        "sink_columns": "p_partkey,p_brand", "sink_pk": "p_partkey",
+        "sink_extend": None,
+    }]
+
+    def provider(s):
+        return config_from_rows(s, cfg)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(MAXWELL_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            pipelines.dim_router_stream(stream, provider, out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: two inserts, then the stream stops (availableNow drains)
+    env_rows(
+        [("part", "insert", 1, {"p_partkey": "1", "p_brand": "B1"}),
+         ("part", "insert", 1, {"p_partkey": "2", "p_brand": "B2"})]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    v_after_1 = table_store.current_version(f"{out_dir}/dim_part")
+
+    # phase 2: a newer update for pk 1 + a delete for pk 2, then restart
+    env_rows(
+        [("part", "update", 2, {"p_partkey": "1", "p_brand": "B1v2"}),
+         ("part", "delete", 2, {"p_partkey": "2", "p_brand": "B2"})]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+
+    state = {
+        r.pk: r.data["p_brand"]
+        for r in table_store.read_state(spark, f"{out_dir}/dim_part").collect()
+    }
+    assert state == {"1": "B1v2"}
+    # restart processed only the NEW file: exactly one more commit
+    v_after_2 = table_store.current_version(f"{out_dir}/dim_part")
+    assert v_after_1 != v_after_2
+    n1, n2 = int(v_after_1[2:]), int(v_after_2[2:])
+    assert n2 == n1 + 1, (v_after_1, v_after_2)
