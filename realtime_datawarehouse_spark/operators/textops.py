@@ -62,6 +62,16 @@ FROM documents
 """
 
 
+def quality_keep(text_col: str = "text") -> Column:
+    """The composite keep/drop flag as a bare column expression (narrow,
+    stream-safe — usable inside a streaming select without a self-join)."""
+    toks = tokenize(text_col)
+    token_ct = F.size(toks)
+    stop_ct = F.size(F.filter(toks, _stop_in))
+    stop_ratio = pround(stop_ct.cast("double") / token_ct, 4)
+    return F.when((token_ct >= 20) & (stop_ratio <= 0.5), 1).otherwise(0)
+
+
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality signals: token count, stopword ratio, mean token
     length, and a composite keep/drop flag — the standard cheap pre-filter
@@ -80,9 +90,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         stop_ct.alias("stopword_ct"),
         stop_ratio.alias("stopword_ratio"),
         avg_len.alias("avg_token_len"),
-        F.when((token_ct >= 20) & (stop_ratio <= 0.5), 1)
-        .otherwise(0)
-        .alias("keep"),
+        quality_keep(text_col).alias("keep"),
     )
 
 

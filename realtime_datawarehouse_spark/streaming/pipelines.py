@@ -215,3 +215,54 @@ def dim_router_stream(
             _merge_dim(spark, rows, os.path.join(out_dir, sink))
 
     return env_stream.writeStream.foreachBatch(process_batch)
+
+
+def streaming_corpus_ingest(
+    raw: DataFrame, dedup_watermark: str = "26 hours"
+) -> DataFrame:
+    """Streaming corpus curation: the LLM-pipeline quality → exact-dedup
+    flow as a continuous ingestion job (the streaming composition of
+    ``plans/llm_ops.pipeline_corpus_curation``).
+
+    ``raw``: (value: string) JSON lines {"doc_id", "text", "event_time"}.
+    Stages: tolerant parse (dirty lines dropped like K6's side output) →
+    quality keep-filter (operators/textops thresholds) → exact dedup on the
+    content hash via ``dropDuplicatesWithinWatermark`` — the first arrival
+    of each distinct text wins, duplicate state is evicted once the
+    watermark passes (a crawler re-fetching the same page days later is a
+    NEW document by design; persistent-history dedup belongs to the batch
+    compaction pass, exactly like the reference's DWD/DWS split).
+
+    Scale: every stage is per-row narrow except the dedup (one shuffle on
+    content hash, state = one row per distinct text within the watermark
+    horizon).
+    """
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from realtime_datawarehouse_spark.operators import textops
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("event_time", TimestampType()),
+        ]
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value"), schema).alias("d")
+    ).select("d.*")
+    clean = parsed.where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    kept = clean.where(textops.quality_keep("text") == 1).select(
+        "doc_id", "text", "event_time", F.md5("text").alias("content_hash")
+    )
+    return kept.withWatermark(
+        "event_time", dedup_watermark
+    ).dropDuplicatesWithinWatermark(["content_hash"])

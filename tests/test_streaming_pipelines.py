@@ -332,3 +332,48 @@ def test_dim_router_restart_resumes_merge_state(spark, tmp_path):
     assert v_after_1 != v_after_2
     n1, n2 = int(v_after_1[2:]), int(v_after_2[2:])
     assert n2 == n1 + 1, (v_after_1, v_after_2)
+
+
+def test_streaming_corpus_ingest_parity(spark, tmp_path):
+    """Streaming corpus curation (parse → quality filter → exact dedup
+    within watermark) must keep exactly the batch-computed set: quality
+    keepers, first arrival per distinct text."""
+    import json as _json
+
+    from realtime_datawarehouse_spark.operators import textops
+    from realtime_datawarehouse_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    docs = table(spark, SF_DIR, "documents").limit(200).collect()
+    base = "2024-01-01 00:00:%02d"
+
+    def line(doc_id, text, i):
+        return _json.dumps(
+            {"doc_id": doc_id, "text": text, "event_time": base % (i % 60)}
+        )
+
+    # batch 1: first 100 docs; batch 2: docs 100-200 PLUS exact duplicates
+    # of the first 5 texts under new doc_ids (must be dropped), plus a
+    # corrupt line (must route away silently)
+    b1 = [line(r.doc_id, r.text, i) for i, r in enumerate(docs[:100])]
+    b2 = [line(r.doc_id, r.text, i) for i, r in enumerate(docs[100:])]
+    b2 += [line(90000 + i, docs[i].text, i) for i in range(5)]
+    b2 += ["NOT JSON"]
+    raw = _stream_of_lines(spark, tmp_path, [b1, b2])
+
+    q = jobs.run_to_memory(
+        pipelines.streaming_corpus_ingest(raw), "t_ingest", "append"
+    )
+    q.awaitTermination()
+    got = spark.table("t_ingest").toPandas()
+
+    exp_keep = {
+        r.doc_id
+        for r in spark.createDataFrame(docs)
+        .where(textops.quality_keep("text") == 1)
+        .select("doc_id")
+        .collect()
+    }
+    assert set(got.doc_id) == exp_keep  # originals kept, resends dropped
+    assert not got.duplicated("content_hash").any()
+    assert (got.doc_id < 90000).all()
