@@ -126,19 +126,30 @@ def merge_upsert(
     pk: str,
     version_col: str,
     delete_when=None,
+    evolve_schema: bool = False,
 ) -> str:
     """MERGE ``incoming`` into the table at ``path``: newest ``version_col``
     per ``pk`` wins across stored state and the batch; if the winning row
     satisfies ``delete_when`` (a Column predicate) the PK is removed.
+
+    ``evolve_schema=True`` is the dynamic-DDL analog (K5: the reference
+    issues ALTER/CREATE when a new config row arrives — DimApp.java): a
+    batch carrying columns the stored table lacks (or vice versa) merges by
+    name with missing columns null-filled, and the NEW snapshot is written
+    with the widened schema — schema evolution as part of the same atomic
+    commit, like Delta's mergeSchema.
 
     The merged plan reads the CURRENT version directory and writes the NEXT
     one, so no barrier materialization is needed — the classic
     read-what-you-overwrite hazard does not exist here.
     """
     current = read_state(spark, path)
-    union = (
-        current.unionByName(incoming) if current is not None else incoming
-    )
+    if current is None:
+        union = incoming
+    elif evolve_schema:
+        union = current.unionByName(incoming, allowMissingColumns=True)
+    else:
+        union = current.unionByName(incoming)
     merged = latest_by_key(union, pk, version_col)
     if delete_when is not None:
         merged = merged.where(~delete_when)

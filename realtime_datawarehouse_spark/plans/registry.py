@@ -54,6 +54,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_ivf_trained_topk",
     "curate_decontaminate",
     "tpch_q10_top_returners",
+    "tpch_q18_large_orders",
 ]
 
 _LOADED = False

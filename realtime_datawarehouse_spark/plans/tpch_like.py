@@ -361,3 +361,52 @@ def tpch_q10_top_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rev.orderBy(F.desc("revenue"), "custkey").limit(Q10_TOPN)
+
+
+# --------------------------------------------------------------------------
+# Q18-style: orders whose total quantity exceeds a threshold (IN-subquery
+# over a HAVING-filtered aggregate → semi-join against aggregated keys).
+# Completes the subquery-shape family next to Q4's EXISTS.
+# --------------------------------------------------------------------------
+
+Q18_MIN_QTY = 150
+
+Q18_ORACLE = f"""
+SELECT o.o_orderkey AS order_id,
+       o.o_custkey  AS user_id,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_dt,
+       {dsum_sql('l.l_quantity')} AS total_qty
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > {Q18_MIN_QTY}
+)
+GROUP BY 1, 2, 3
+"""
+
+
+@query("tpch_q18_large_orders", oracle=Q18_ORACLE)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery over a HAVING aggregate: the qualifying key set is an
+    aggregation output, semi-joined back to the fact join. Scale shape:
+    the key set aggregates map-side first; the semi-join carries only
+    orderkeys; the big join reuses the same orderkey partitioning."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > Q18_MIN_QTY)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        o.join(big, o.o_orderkey == big.big_orderkey, "left_semi")
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .groupBy(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("user_id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_dt"),
+        )
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+    )

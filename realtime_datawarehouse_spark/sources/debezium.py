@@ -79,3 +79,41 @@ def config_from_rows(
         ],
         TABLE_PROCESS_SCHEMA,
     )
+
+
+def snapshot_envelopes(config_rows: DataFrame) -> DataFrame:
+    """Render a table snapshot as op='r' Debezium envelopes — what Flink-CDC
+    emits for every existing row before switching to the binlog
+    (rt/app/dim/DimApp.java:147-158, StartupOptions.initial)."""
+    return config_rows.select(
+        F.lit(None).cast(TABLE_PROCESS_SCHEMA).alias("before"),
+        F.struct(*[F.col(c) for c in TABLE_PROCESS_SCHEMA.fieldNames()]).alias(
+            "after"
+        ),
+        F.lit("r").alias("op"),
+        F.lit("0").alias("ts_ms"),
+    )
+
+
+def prime_snapshot_then_tail(
+    spark: SparkSession, in_dir: str, config_rows: DataFrame
+) -> DataFrame:
+    """Initial-snapshot + tail semantics over ONE streaming query: the
+    snapshot is written as the first file of the stream directory (op='r'
+    envelopes, ts_ms=0), so micro-batch 0 replays the snapshot and every
+    later file is the binlog tail — exactly Flink-CDC's
+    ``StartupOptions.initial`` contract. Downstream ``latest_config``
+    collapse makes snapshot-vs-binlog indistinguishable (newest ts wins;
+    deletes remove), so consumers need no mode switch.
+
+    Returns the primed envelope stream (one file per micro-batch). Appending
+    later files to ``in_dir`` is the binlog tail.
+    """
+    snapshot_envelopes(config_rows).coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+    return (
+        spark.readStream.schema(DEBEZIUM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )

@@ -173,7 +173,9 @@ def _merge_dim(spark: SparkSession, incoming: DataFrame, path: str) -> None:
     commits a real empty version (stale rows never survive). On
     Delta/Iceberg this body is a single MERGE INTO; the collapse expression
     is identical (SURVEY.md §1.4 K4/K5 — the writer creates the table on
-    first use, the dynamic-DDL analog)."""
+    first use, and ``table_store.merge_upsert(evolve_schema=True)`` widens
+    the stored schema in the same atomic commit when a batch carries new
+    columns: the full dynamic-DDL analog)."""
     table_store.merge_upsert(
         spark,
         incoming,

@@ -223,3 +223,35 @@ def test_table_store_time_travel(spark, tmp_path):
     assert table_store.list_versions(path) == [v2, v3]  # v1 GC'd
     with _pytest.raises(FileNotFoundError, match="not retained"):
         table_store.read_state(spark, path, version=v1)
+
+
+def test_merge_upsert_schema_evolution(spark, tmp_path):
+    """K5 dynamic-DDL analog: a batch carrying a NEW column evolves the
+    stored schema inside the same atomic commit — old rows null-fill, and
+    the widened schema is what subsequent readers see."""
+    path = str(tmp_path / "evolving")
+    b1 = spark.createDataFrame(
+        [("1", 1, "x")], "pk string, ts long, val string"
+    )
+    table_store.merge_upsert(spark, b1, path, pk="pk", version_col="ts")
+    b2 = spark.createDataFrame(
+        [("2", 2, "y", "extra")],
+        "pk string, ts long, val string, new_col string",
+    )
+    table_store.merge_upsert(
+        spark, b2, path, pk="pk", version_col="ts", evolve_schema=True
+    )
+    got = {
+        r.pk: (r.val, r.new_col)
+        for r in table_store.read_state(spark, path).collect()
+    }
+    assert got == {"1": ("x", None), "2": ("y", "extra")}
+    # without the flag, a mismatched batch fails loudly (no silent drop)
+    b3 = spark.createDataFrame(
+        [("3", 3, "z", "e", 1.0)],
+        "pk string, ts long, val string, new_col string, another double",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        table_store.merge_upsert(spark, b3, path, pk="pk", version_col="ts")

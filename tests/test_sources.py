@@ -228,3 +228,45 @@ def test_kafka_builder_raises_clear_error_without_classpath(spark):
         pytest.skip("kafka classpath present — exercise the live path instead")
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         kafka.read_stream(spark, "topic_db")
+
+
+def test_cdc_snapshot_then_tail(spark, tmp_path):
+    """S4: Flink-CDC StartupOptions.initial semantics — batch 0 replays the
+    snapshot as op='r' envelopes, later files are the binlog tail; the
+    latest_config collapse over the drained stream yields the consistent
+    final table (update applied, delete removed, snapshot row kept)."""
+    in_dir = str(tmp_path / "cdc")
+    snap = debezium.config_from_rows(
+        spark,
+        [
+            {"source_table": "part", "sink_table": "dim_part",
+             "sink_columns": "p_partkey,p_brand", "sink_pk": "p_partkey",
+             "sink_extend": None},
+            {"source_table": "supplier", "sink_table": "dim_supplier",
+             "sink_columns": "s_suppkey,s_name", "sink_pk": "s_suppkey",
+             "sink_extend": None},
+        ],
+    )
+    stream = debezium.prime_snapshot_then_tail(spark, in_dir, snap)
+
+    # binlog tail: update part's sink_columns; delete supplier
+    def env(before, after, op, ts):
+        cols = ["source_table", "sink_table", "sink_columns", "sink_pk", "sink_extend"]
+        mk = lambda d: None if d is None else tuple(d.get(c) for c in cols)  # noqa: E731
+        return (mk(before), mk(after), op, str(ts))
+
+    part_v2 = {"source_table": "part", "sink_table": "dim_part",
+               "sink_columns": "p_partkey,p_brand,p_type", "sink_pk": "p_partkey"}
+    sup_v1 = {"source_table": "supplier", "sink_table": "dim_supplier"}
+    spark.createDataFrame(
+        [env(None, part_v2, "u", 5), env(sup_v1, None, "d", 6)],
+        debezium.DEBEZIUM_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    from realtime_datawarehouse_spark.streaming import jobs
+
+    q = jobs.run_to_memory(stream, "t_cdc", "append")
+    q.awaitTermination()
+    final = debezium.latest_config(spark.table("t_cdc"))
+    got = {r.source_table: r.sink_columns for r in final.collect()}
+    assert got == {"part": "p_partkey,p_brand,p_type"}
