@@ -55,6 +55,12 @@ DRIVER_PRIORITY: list[str] = [
     "curate_decontaminate",
     "tpch_q10_top_returners",
     "tpch_q18_large_orders",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q12_priority_class",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
 ]
 
 _LOADED = False

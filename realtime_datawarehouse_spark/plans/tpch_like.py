@@ -253,8 +253,10 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 # for (NOT) EXISTS subqueries.
 # --------------------------------------------------------------------------
 
-Q4_CUTOFF_LO = "1994-07-01 00:00:00"
-Q4_CUTOFF_HI = "1994-10-01 00:00:00"
+# Fixture orderdates span 1995-01-01..2001-08-01; the classic 1994 window
+# would select nothing (caught in round 2: both sides agreed on 0 rows).
+Q4_CUTOFF_LO = "1996-07-01 00:00:00"
+Q4_CUTOFF_HI = "1996-10-01 00:00:00"
 
 Q4_ORACLE = f"""
 SELECT o_orderpriority, count(*) AS order_count
@@ -319,8 +321,8 @@ def j11_anti_join_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (plan-asserted). Ties broken by custkey so both engines rank identically.
 # --------------------------------------------------------------------------
 
-Q10_CUTOFF_LO = "1993-10-01 00:00:00"
-Q10_CUTOFF_HI = "1994-01-01 00:00:00"
+Q10_CUTOFF_LO = "1996-10-01 00:00:00"
+Q10_CUTOFF_HI = "1997-01-01 00:00:00"
 Q10_TOPN = 20
 
 Q10_ORACLE = f"""
@@ -409,4 +411,308 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_dt"),
         )
         .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-2 widening: the remaining classic subquery/join shapes, adapted to
+# the reduced fixture schema (no partsupp/shipmode columns — the SHAPE of
+# each plan is the point; supplier-part incidence comes from lineitem).
+# --------------------------------------------------------------------------
+
+Q2_BRAND = "Brand#11"
+
+Q2_ORACLE = f"""
+SELECT p.p_partkey AS partkey, p.p_name AS p_name,
+       s.s_suppkey AS suppkey, s.s_name AS s_name, s.s_acctbal AS s_acctbal
+FROM part p
+JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+  ON p.p_partkey = ps.l_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+WHERE p.p_brand = '{Q2_BRAND}'
+  AND s.s_acctbal = (
+    SELECT min(s2.s_acctbal)
+    FROM supplier s2
+    JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps2
+      ON s2.s_suppkey = ps2.l_suppkey
+    WHERE ps2.l_partkey = p.p_partkey
+  )
+"""
+
+
+@query("tpch_q2_min_cost_supplier", oracle=Q2_ORACLE)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape — correlated scalar-min subquery, decorrelated the way
+    Catalyst/engines do it: compute min(s_acctbal) per part via groupBy and
+    join back on (partkey, acctbal=min). Supplier-part incidence is the
+    DISTINCT (l_partkey, l_suppkey) projection of lineitem (the fixture has
+    no partsupp). Scale shape: incidence distinct is one shuffle on the
+    pair; part filter broadcasts; supplier broadcasts; the min-agg and the
+    join-back REUSE the same l_partkey partitioning (no extra exchange).
+    Ties on min acctbal keep all winners — identical in both engines."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_brand") == Q2_BRAND)
+    s = table(spark, sf_dir, "supplier")
+    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    ps = (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), pairs.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+    mins = ps.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        ps.join(
+            mins,
+            (ps.p_partkey == mins.mk) & (ps.s_acctbal == mins.min_bal),
+        )
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            "p_name",
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            "s_acctbal",
+        )
+    )
+
+
+Q12_LO = "1997-01-01 00:00:00"
+Q12_HI = "1998-01-01 00:00:00"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+Q12_ORACLE = f"""
+SELECT l.l_linestatus AS linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q12_LO}'
+  AND l.l_shipdate <  TIMESTAMP '{Q12_HI}'
+GROUP BY 1
+"""
+
+
+@query("tpch_q12_priority_class", oracle=Q12_ORACLE)
+def tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape — conditional CASE-sums over a fact join (the reference's
+    multi-flag window reduce in SQL form). The shipdate range filter is
+    pushed to the lineitem scan; the date-pruned fact side drives one
+    shuffled join; counts are exact integers (no float discipline needed)."""
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q12_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q12_HI).cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q14_LO = "1997-09-01 00:00:00"
+Q14_HI = "1997-10-01 00:00:00"
+
+# Ratio of two quantized-int64 sums: both engines divide the SAME two
+# integers, then apply the same portable rounding — bit-identical.
+_Q14_REV = "l.l_extendedprice * (1 - l.l_discount)"
+_Q14_Q6 = f"CAST(floor(({_Q14_REV}) * 1000000 + 0.5) AS BIGINT)"
+
+Q14_ORACLE = f"""
+SELECT floor(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_Q14_Q6}
+                                   ELSE 0 END) AS DOUBLE)
+             / CAST(sum({_Q14_Q6}) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q14_LO}'
+  AND l.l_shipdate <  TIMESTAMP '{Q14_HI}'
+"""
+
+
+@query("tpch_q14_promo_revenue", oracle=Q14_ORACLE)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape — conditional-ratio aggregate over a dim join: one
+    date-pruned fact scan, part broadcast, two map-side-combinable integer
+    sums, one final division (order-free cross-engine: see compare.py)."""
+    from realtime_datawarehouse_spark.functions.compare import pround, q6
+
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q14_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_HI).cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev6 = q6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    agg = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev6).otherwise(0)).alias("pq"),
+            F.sum(rev6).alias("tq"),
+        )
+    )
+    ratio = F.lit(100.0) * F.col("pq").cast("double") / F.col("tq").cast("double")
+    return agg.select(pround(ratio, 6).alias("promo_revenue_pct"))
+
+
+Q16_EXCL_BRAND = "Brand#45"
+Q16_EXCL_TYPE = "PROMO"
+Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 23)
+Q16_MIN_BAL = 1000.0
+
+Q16_ORACLE = f"""
+SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS psize,
+       count(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
+  AND p.p_type <> '{Q16_EXCL_TYPE}'
+  AND p.p_size IN {Q16_SIZES}
+  AND ps.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < {Q16_MIN_BAL}
+  )
+GROUP BY 1, 2, 3
+"""
+
+
+@query("tpch_q16_supplier_cnt", oracle=Q16_ORACLE)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape — NOT IN (anti-join; suppkey is non-null so NOT IN ≡
+    left_anti) + count(DISTINCT) over a filtered dim join. The excluded
+    supplier set broadcasts; distinct-count shuffles once on the group key
+    with partial distinct below."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != Q16_EXCL_BRAND)
+        & (F.col("p_type") != Q16_EXCL_TYPE)
+        & F.col("p_size").isin(*Q16_SIZES)
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < Q16_MIN_BAL)
+        .select("s_suppkey")
+    )
+    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("psize"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q19_ARMS = (
+    ("Brand#12", 1, 15, 1, 11),
+    ("Brand#23", 1, 25, 10, 20),
+    ("Brand#34", 1, 35, 20, 30),
+)
+
+Q19_ORACLE = f"""
+SELECT {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       count(*) AS matched_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {' OR '.join(
+    f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+    f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in Q19_ARMS
+)}
+"""
+
+
+@query("tpch_q19_disjunctive_revenue", oracle=Q19_ORACLE)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape — disjunction of brand/size/quantity conjunctions across a
+    join. The part-only disjuncts (brand OR'd sizes) are implied by the OR
+    and get pushed to the broadcast side scan; the mixed predicate applies
+    post-join. One scan each side, no shuffle but the final 1-row agg."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    arm = None
+    for b, slo, shi, qlo, qhi in Q19_ARMS:
+        this = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        arm = this if arm is None else (arm | this)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(arm)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("matched_lines"),
+        )
+    )
+
+
+# Every fixture customer has at least one order, so classic "never ordered"
+# is vacuous — dormancy here is "no order since the cutoff", keeping the
+# anti-join + scalar-subquery shape with a nonzero answer.
+Q22_CUTOFF = "1999-01-01 00:00:00"
+
+Q22_ORACLE = f"""
+SELECT n.n_name AS nation,
+       count(*) AS numcust,
+       {dsum_sql('c.c_acctbal')} AS totacctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal > (
+    SELECT {davg_sql('c2.c_acctbal', 4)}
+    FROM customer c2 WHERE c2.c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF}'
+  )
+GROUP BY 1
+"""
+
+
+@query("tpch_q22_dormant_customers", oracle=Q22_ORACLE)
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape — scalar-avg subquery threshold + NOT EXISTS anti-join
+    (by nation; the fixture has no phone column). The 1-row threshold
+    broadcasts as a cross join (no collect — stays a distributed plan);
+    the anti-join shuffles customer against the DISTINCT o_custkey
+    projection. Threshold uses the order-free davg so both engines compare
+    against the identical double; summed acctbals are positive (above a
+    positive mean), so dsum applies."""
+    from realtime_datawarehouse_spark.functions.compare import davg
+
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit(Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    thr = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(davg(F.col("c_acctbal"), 4).alias("thr"))
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("thr"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
     )
