@@ -53,21 +53,89 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
-def make_segmenter_udf():
-    """U1's pluggable "real" segmenter slot (the ik_analyze analog,
-    rt/app/func/KeywordUDTF.java:14-22): an Arrow-batched pandas UDF that
-    uses ``jieba`` (public Chinese segmenter) when importable and otherwise
-    falls back to the deterministic whitespace tokenizer, so the pipeline
-    shape (segment → explode → count) is identical either way. The builtin
-    ``tokenize`` above remains the default hot path — this UDF exists for
-    corpora where a linguistic segmenter is genuinely required.
+# ---------------------------------------------------------------------------
+# U1 "real" segmenter: dictionary forward-maximum-matching (FMM).
+#
+# The reference's ik_analyze (rt/util/KeywordUtil.java:17-31) is IK's "smart"
+# mode — a dictionary max-match segmenter at heart. FMM is the public
+# textbook form of the same family: scan left→right, at each position take
+# the LONGEST dictionary word starting there, else emit the single CJK
+# character. Latin/digit runs are kept whole (lowercased), punctuation and
+# whitespace are dropped — matching IK's treatment of mixed-script text.
+#
+# The default dictionary below is a tiny demonstration lexicon (common
+# Mandarin e-commerce/search words — the reference's domain); production
+# deployments pass their own ``dictionary=`` (one word per entry). The
+# algorithm, not the lexicon, is the capability.
+# ---------------------------------------------------------------------------
 
-    Defined as a nested function so cloudpickle ships it by value to
-    foreign-cwd Python workers.
+DEFAULT_CJK_DICT: tuple[str, ...] = (
+    "北京", "上海", "天安门", "苹果", "手机", "小米", "华为", "电视",
+    "洗衣机", "口红", "图书", "电脑", "平板", "键盘", "鼠标", "耳机",
+    "充电器", "数据线", "购物", "搜索", "关键词", "商品", "订单", "用户",
+    "支付", "退款", "优惠券", "秒杀", "直播", "评论", "收藏", "加购",
+    "机器学习", "数据仓库", "实时", "流计算",
+)
+
+
+def fmm_segment(text: str, words: frozenset, max_len: int) -> list:
+    """Pure-Python forward-maximum-matching over one string. Separated from
+    the UDF so unit tests can hit the algorithm directly."""
+    out = []
+    s = text or ""
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch.isascii():
+            if ch.isalnum():
+                j = i + 1
+                while j < n and s[j].isascii() and s[j].isalnum():
+                    j += 1
+                out.append(s[i:j].lower())
+                i = j
+            else:  # ASCII punctuation
+                i += 1
+            continue
+        # non-ASCII (CJK etc.): longest dictionary match, else single char
+        matched = False
+        for L in range(min(max_len, n - i), 1, -1):
+            if s[i : i + L] in words:
+                out.append(s[i : i + L])
+                i += L
+                matched = True
+                break
+        if not matched:
+            if ch.isalnum():  # single CJK char; drop non-ASCII punctuation
+                out.append(ch)
+            i += 1
+    return out
+
+
+def make_segmenter_udf(dictionary=None):
+    """U1's pluggable "real" segmenter (the ik_analyze analog,
+    rt/app/func/KeywordUDTF.java:14-22): an Arrow-batched pandas UDF running
+    dictionary forward-maximum-matching (see ``fmm_segment``). ``jieba`` is
+    used instead when importable (not in this container); the FMM path is a
+    real segmenter either way — CJK text segments by longest dictionary
+    match, and pure-ASCII corpora tokenize identically to the builtin
+    ``tokenize``, so swapping segmenters never changes the pipeline shape
+    (segment → explode → count). The builtin ``tokenize`` remains the
+    default hot path: UDFs are the slow path, reserved for corpora where a
+    linguistic segmenter is genuinely required.
+
+    Defined as a nested function so cloudpickle ships it (and the captured
+    dictionary) by value to foreign-cwd Python workers.
     """
     import pandas as pd  # noqa: F401 — worker-side import
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, StringType
+
+    words = frozenset(dictionary if dictionary is not None else DEFAULT_CJK_DICT)
+    max_len = max((len(w) for w in words), default=1)
+    fmm = fmm_segment
 
     @pandas_udf(ArrayType(StringType()))
     def segment(series):
@@ -80,7 +148,7 @@ def make_segmenter_udf():
         except ImportError:
 
             def cut(s):
-                return [t for t in (s or "").lower().split() if t]
+                return fmm(s, words, max_len)
 
         return series.map(cut)
 
