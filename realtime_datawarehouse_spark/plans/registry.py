@@ -61,6 +61,9 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q16_supplier_cnt",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_dormant_customers",
+    "hh_top_parts_per_brand",
+    "sk_hll_daily_uv",
+    "sk_quantile_order_value",
 ]
 
 _LOADED = False
@@ -94,6 +97,7 @@ def load() -> None:
     from realtime_datawarehouse_spark.plans import (  # noqa: F401
         cdc_pipelines,
         llm_ops,
+        sketch_agg,
         tpch_like,
         traffic,
         trade,

