@@ -298,3 +298,114 @@ SELECT doc_id, lang, CAST(g.e AS INT) AS epoch
 FROM documents,
      LATERAL (SELECT unnest(range(0, CASE {cases} ELSE 1 END)) AS e) g
 """
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (the Gopher-rules family: "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Rae et al. 2021, §A1.1
+# — repetitious documents are low-quality training data) and PII redaction.
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition metrics: duplicate-word fraction
+    (1 - distinct/total tokens) and top-bigram coverage (share of all
+    bigrams taken by the single most frequent one).
+
+    Scale shape: the duplicate fraction is a pure per-row expression (no
+    shuffle). The bigram mode needs a count per (doc, bigram): one explode
+    feeding a two-level aggregation — partials combine map-side, the
+    shuffle carries one row per DISTINCT (doc, bigram), then a per-doc max.
+    Nothing is ever collected per-doc into driver memory.
+    """
+    from realtime_datawarehouse_spark.functions.text import word_shingles
+
+    toks = tokenize(text_col)
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("token_ct"),
+        F.size(F.array_distinct(toks)).alias("uniq_ct"),
+        word_shingles(toks, 2).alias("bigrams"),
+    )
+    per_big = (
+        base.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("big_ct"))
+    )
+    dup_frac = pround(
+        (F.col("token_ct") - F.col("uniq_ct")).cast("double")
+        / F.col("token_ct"),
+        4,
+    )
+    top_frac = pround(
+        F.coalesce(
+            F.col("top_cnt").cast("double") / F.col("big_ct"), F.lit(0.0)
+        ),
+        4,
+    )
+    return (
+        base.join(per_big, "doc_id", "left")
+        .select(
+            "doc_id",
+            "token_ct",
+            dup_frac.alias("dup_word_frac"),
+            top_frac.alias("top_bigram_frac"),
+        )
+    )
+
+
+REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS token_ct, len(list_distinct(toks)) AS uniq_ct,
+         -- DuckDB slices are INCLUSIVE: [:-1] keeps the last element, which
+         -- would make list_zip null-pad an extra phantom bigram
+         list_transform(list_zip(toks[:len(toks) - 1], toks[2:]),
+                        x -> x[1] || ' ' || x[2]) AS bigrams
+  FROM t
+), e AS (
+  SELECT doc_id, unnest(bigrams) AS bg FROM m
+), c AS (
+  SELECT doc_id, bg, count(*) AS cnt FROM e GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS big_ct FROM c GROUP BY 1
+)
+SELECT m.doc_id AS doc_id, m.token_ct AS token_ct,
+       {pround_sql('(m.token_ct - m.uniq_ct) * 1.0 / m.token_ct', 4)}
+         AS dup_word_frac,
+       {pround_sql('coalesce(top.top_cnt * 1.0 / top.big_ct, 0.0)', 4)}
+         AS top_bigram_frac
+FROM m LEFT JOIN top ON top.doc_id = m.doc_id
+"""
+
+
+# Regex subset shared by Java (Spark) and RE2 (DuckDB): no \\d, no
+# lookaround, explicit character classes only.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Replace emails and phone numbers with <EMAIL>/<PHONE> placeholders
+    and count what was removed — the standard pre-training PII scrub pass.
+    Pure per-row builtin expressions (regexp_replace / regexp_extract_all):
+    no shuffle, stays in whole-stage codegen, streams unchanged."""
+    c = F.col(text_col)
+    emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+    no_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    phones = F.size(
+        F.regexp_extract_all(no_email, F.lit(PHONE_RE), F.lit(0))
+    )
+    return docs.select(
+        "doc_id",
+        emails.alias("email_ct"),
+        phones.alias("phone_ct"),
+        F.regexp_replace(no_email, PHONE_RE, "<PHONE>").alias(out_col),
+    )

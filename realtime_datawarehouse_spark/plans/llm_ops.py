@@ -365,3 +365,62 @@ def mix_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("start_off") / CONTEXT_LEN).cast("bigint").alias("bin_id"),
         F.pmod(F.col("start_off"), F.lit(CONTEXT_LEN)).cast("bigint").alias("bin_offset"),
     )
+
+
+@query("text_repetition_signals", oracle=textops.REPETITION_ORACLE)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (dup-word fraction, top-bigram
+    coverage) — the repetition leg of the quality-rules family."""
+    return textops.repetition_signals(_docs(spark, sf_dir))
+
+
+# The fixture corpus carries no PII by construction, so the scrub query
+# grafts a deterministic email + phone onto every document first — the
+# redaction (and its counters) is then genuinely exercised and the oracle
+# must agree on every replacement.
+PII_ORACLE = (
+    """
+WITH t AS (
+  SELECT doc_id,
+         'contact u' || CAST(doc_id AS VARCHAR) || '@mail.example ' || text
+           || ' call +1 555 01'
+           || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '"""
+    + textops.EMAIL_RE
+    + """')) AS email_ct,
+         regexp_replace(text, '"""
+    + textops.EMAIL_RE
+    + """', '<EMAIL>', 'g') AS no_email
+  FROM t
+)
+SELECT doc_id, email_ct,
+       len(regexp_extract_all(no_email, '"""
+    + textops.PHONE_RE
+    + """')) AS phone_ct,
+       regexp_replace(no_email, '"""
+    + textops.PHONE_RE
+    + """', '<PHONE>', 'g') AS redacted
+FROM r
+"""
+)
+
+
+@query("text_pii_redact", oracle=PII_ORACLE)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: emails/phones → placeholders + counts.
+    Pure per-row regexp expressions — no shuffle, streamable as-is."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example "),
+            F.col("text"),
+            F.lit(" call +1 555 01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    return textops.pii_redact(docs)

@@ -64,6 +64,8 @@ DRIVER_PRIORITY: list[str] = [
     "hh_top_parts_per_brand",
     "sk_hll_daily_uv",
     "sk_quantile_order_value",
+    "text_repetition_signals",
+    "text_pii_redact",
 ]
 
 _LOADED = False
