@@ -442,31 +442,37 @@ WHERE p.p_brand = '{Q2_BRAND}'
 
 @query("tpch_q2_min_cost_supplier", oracle=Q2_ORACLE)
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q2 shape — correlated scalar-min subquery, decorrelated the way
-    Catalyst/engines do it: compute min(s_acctbal) per part via groupBy and
-    join back on (partkey, acctbal=min). Supplier-part incidence is the
-    DISTINCT (l_partkey, l_suppkey) projection of lineitem (the fixture has
-    no partsupp). Scale shape: incidence distinct is one shuffle on the
-    pair; part filter broadcasts; supplier broadcasts; the min-agg and the
-    join-back REUSE the same l_partkey partitioning (no extra exchange).
-    Ties on min acctbal keep all winners — identical in both engines."""
+    """Q2 shape — correlated scalar-min subquery, decorrelated as a
+    per-part window min (one pass; see inline note). Supplier-part
+    incidence is the DISTINCT (l_partkey, l_suppkey) projection of
+    lineitem (the fixture has no partsupp), semi-joined down to the brand
+    BEFORE the dedup shuffle. Part filter and supplier broadcast. Ties on
+    min acctbal keep all winners — identical in both engines."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").where(F.col("p_brand") == Q2_BRAND)
     s = table(spark, sf_dir, "supplier")
-    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    # broadcast-semi BEFORE the distinct: the pair-dedup shuffle then
+    # carries only the selected brand's lineitems (~1/|brands| of rows)
+    pairs = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     ps = (
         pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
         .join(F.broadcast(s), pairs.l_suppkey == s.s_suppkey)
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
     )
-    mins = ps.groupBy(F.col("p_partkey").alias("mk")).agg(
-        F.min("s_acctbal").alias("min_bal")
-    )
+    # per-part min as a WINDOW agg, not groupBy+join-back: the naive
+    # decorrelation re-executes the whole ps subtree for the mins side and
+    # join-backs on a float key via sort-merge (observed); the window runs
+    # the pipeline ONCE with a single hash exchange on p_partkey.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_partkey")
     return (
-        ps.join(
-            mins,
-            (ps.p_partkey == mins.mk) & (ps.s_acctbal == mins.min_bal),
-        )
+        ps.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("min_bal"))
         .select(
             F.col("p_partkey").alias("partkey"),
             "p_name",
@@ -598,10 +604,16 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s_acctbal") < Q16_MIN_BAL)
         .select("s_suppkey")
     )
-    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    # both reducing joins run BEFORE the pair-dedup shuffle: the distinct
+    # only sees qualifying-part, qualified-supplier lineitems
+    pairs = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     return (
-        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("p_type").alias("type"),

@@ -159,3 +159,35 @@ def test_sketch_accuracy_bounds(spark):
             idx = min(int(np.ceil(q * len(vals))) - 1, len(vals) - 1)
             lo, hi = max(0, idx - 1), min(len(vals) - 1, idx + 1)
             assert vals[lo] <= g <= vals[hi], (prio, q, g, vals[idx])
+
+
+def test_round2_tpch_shapes_plan_gates(spark):
+    """Physical-plan gates for the round-2 shape family: reducing joins
+    stay broadcast (never sort-merge), EXISTS/NOT-IN compile to real
+    semi/anti joins, and the pair-dedup aggregates run AFTER the reducing
+    broadcast joins (the distinct's exchange must not carry the full
+    lineitem projection)."""
+    plan = _explain(spark, "tpch_q2_min_cost_supplier")
+    assert "LeftSemi" in plan and "SortMergeJoin" not in plan, plan
+
+    plan = _explain(spark, "tpch_q16_supplier_cnt")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    plan = _explain(spark, "tpch_q18_large_orders")
+    assert "LeftSemi" in plan, plan
+
+    plan = _explain(spark, "tpch_q22_dormant_customers")
+    assert "LeftAnti" in plan, plan
+
+    # date filters reach the parquet scan on the fact side
+    for name in ("tpch_q12_priority_class", "tpch_q14_promo_revenue"):
+        plan = _explain(spark, name)
+        assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or (
+            "GreaterThanOrEqual(l_shipdate" in plan
+        ), (name, plan)
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
+
+    # Q19's part-side disjuncts (brand ∈ {...}) imply a pushable filter
+    plan = _explain(spark, "tpch_q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan, plan
