@@ -1,0 +1,74 @@
+"""Temporal join operators — as-of enrichment (the batch/time-series twin of
+the reference's lookup/temporal dim join, SURVEY.md §2.5 J3: "join the dim
+version valid AT the fact row's time").
+
+Spark has no native ASOF JOIN. The scalable formulation used here is the
+union-merge: tag both inputs, union them, and run one windowed
+last-non-null carry-forward per key ordered by time — a single hash
+exchange on the key plus a per-partition sort, i.e. exactly the cost of a
+sort-merge join. This beats the naive range-join (every left row × every
+earlier right row, then argmax) which is quadratic per key, and it never
+collects anything driver-side.
+
+At 100 TB: the window is per-key and streams in sort order (no full-key
+buffering — ``last(ignorenulls)`` over an UNBOUNDED PRECEDING..CURRENT frame
+is an O(1) running value); skewed keys are exactly as problematic as in any
+keyed shuffle and AQE skew handling applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_left: str,
+    key_right: str,
+    ts_left: str,
+    ts_right: str,
+    payload: list[str],
+) -> DataFrame:
+    """For each ``left`` row, attach ``payload`` columns of the latest
+    ``right`` row with the same key and ``right.ts <= left.ts`` (inclusive
+    — a right row AT the left timestamp matches). Left rows with no prior
+    right row keep NULL payloads (left-outer as-of).
+
+    ``right`` must be unique per (key, ts) — pre-collapse ties first, or
+    which row wins is undefined (same contract as DuckDB's ASOF JOIN).
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(key_left).alias("_k"),
+        F.col(ts_left).alias("_t"),
+        F.lit(0).alias("_is_r"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        *[F.col(c) for c in lcols],
+    )
+    tagged_right = right.select(
+        F.col(key_right).alias("_k"),
+        F.col(ts_right).alias("_t"),
+        F.lit(1).alias("_is_r"),
+        *[F.col(c) for c in payload],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    # at equal _t the right row must sort FIRST so an equal-time left row
+    # sees it (inclusive as-of)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_left.unionByName(tagged_right).select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in payload
+        ],
+    )
+    return carried.where(F.col("_is_r") == 0).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"_asof_{c}").alias(c) for c in payload],
+    )

@@ -66,6 +66,8 @@ DRIVER_PRIORITY: list[str] = [
     "sk_quantile_order_value",
     "text_repetition_signals",
     "text_pii_redact",
+    "ext_asof_join",
+    "ext_hop_window",
 ]
 
 _LOADED = False

@@ -780,3 +780,118 @@ def ext_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ext: as-of join — each event enriched with the user's latest order at or
+# before the event time (operators/temporal.py). Orders are pre-collapsed
+# to one row per (custkey, orderdate) with a deterministic winner so the
+# as-of tie contract holds in both engines (DuckDB ASOF is the oracle).
+# --------------------------------------------------------------------------
+
+EXT_ASOF_ORACLE = """
+WITH oc AS (
+  SELECT o_custkey, o_orderdate,
+         max(o_orderkey)                 AS order_id,
+         max_by(o_totalprice, o_orderkey) AS order_amount
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id AS event_id,
+       e.user_id  AS user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       oc.order_id AS order_id,
+       strftime(oc.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_dt,
+       oc.order_amount AS order_amount
+FROM events e
+ASOF LEFT JOIN oc ON e.user_id = oc.o_custkey AND e.ts >= oc.o_orderdate
+"""
+
+
+@query("ext_asof_join", oracle=EXT_ASOF_ORACLE)
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment via the union-merge window (one keyed exchange +
+    sort; see operators/temporal.py for the scale argument)."""
+    from realtime_datawarehouse_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    oc = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("order_id"),
+            F.max_by("o_totalprice", "o_orderkey").alias("order_amount"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            "order_id",
+            fmt_ts("o_orderdate").alias("order_dt"),
+            "order_amount",
+        )
+    )
+    joined = asof_join(
+        ev,
+        oc,
+        key_left="user_id",
+        key_right="o_custkey",
+        ts_left="ts",
+        ts_right="o_orderdate",
+        payload=["order_id", "order_dt", "order_amount"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        fmt_ts("ts").alias("event_ts"),
+        "order_id",
+        "order_dt",
+        "order_amount",
+    )
+
+
+# --------------------------------------------------------------------------
+# ext: hopping (sliding) event-time window — beyond the reference's tumble
+# set (SURVEY.md §2.8 notes the reference uses NO sliding windows; this is
+# the natural extension a DWS layer grows next). Window 10 min, slide 5 min
+# ⇒ every event lands in exactly 2 windows.
+# --------------------------------------------------------------------------
+
+HOP_WIN_S = 600
+HOP_SLIDE_S = 300
+
+EXT_HOP_ORACLE = f"""
+WITH x AS (
+  SELECT event_type, value,
+         ts - (epoch_us(ts) % {HOP_SLIDE_S * 1_000_000})
+                * INTERVAL 1 MICROSECOND
+            - k * INTERVAL {HOP_SLIDE_S} SECOND AS wstart
+  FROM events, (SELECT unnest([0, 1]) AS k)
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS event_ct,
+       {dsum_sql('value')} AS value_sum
+FROM x
+GROUP BY 1, 2
+"""
+
+
+@query("ext_hop_window", oracle=EXT_HOP_ORACLE)
+def ext_hop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window multi-metric agg: ``F.window(ts, 10min, 5min)``
+    expands each row into win/slide assignments and the aggregation is an
+    ordinary map-side-combinable groupBy — the same shape the streaming
+    leg gets for free via ``readStream`` + identical expressions."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", f"{HOP_WIN_S} seconds", f"{HOP_SLIDE_S} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("event_ct"), dsum(F.col("value")).alias("value_sum"))
+        .select(
+            fmt_ts(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "event_ct",
+            "value_sum",
+        )
+    )

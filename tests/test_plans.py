@@ -191,3 +191,38 @@ def test_round2_tpch_shapes_plan_gates(spark):
     # Q19's part-side disjuncts (brand ∈ {...}) imply a pushable filter
     plan = _explain(spark, "tpch_q19_disjunctive_revenue")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_join_edges(spark):
+    """asof_join contract: inclusive at equal timestamps, NULL payloads
+    before the first right row, latest-prior wins, single window exchange
+    (no join node at all in the plan)."""
+    from realtime_datawarehouse_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 5, "e1"), ("u1", 10, "e2"), ("u1", 1, "e0"), ("u2", 7, "e3")],
+        "k string, t long, ev string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 5, "r5"), ("u1", 8, "r8"), ("u3", 1, "rX")],
+        "k string, t long, val string",
+    )
+    got = {
+        r.ev: r.val
+        for r in asof_join(
+            left, right, "k", "k", "t", "t", payload=["val"]
+        ).collect()
+    }
+    assert got == {"e0": None, "e1": "r5", "e2": "r8", "e3": None}
+
+    plan = (
+        asof_join(left, right, "k", "k", "t", "t", payload=["val"])
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
