@@ -396,3 +396,53 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hop_multi_metric(
+    ev: DataFrame,
+    ts_col: str = "ts",
+    key: str = "event_type",
+    width: str = "600 seconds",
+    slide: str = "300 seconds",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming form of ``ext_hop_window``: hopping event-time window,
+    count + order-free quantized sum. Each row lands in width/slide
+    windows; state is one aggregate row per (window, key), evicted when
+    the watermark passes window end — identical expressions to the batch
+    plan, so parity is exact for closed windows."""
+    from realtime_datawarehouse_spark.functions.compare import dsum
+
+    return (
+        ev.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), width, slide), F.col(key))
+        .agg(F.count("*").alias("event_ct"), dsum(F.col("value")).alias("value_sum"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            key,
+            "event_ct",
+            "value_sum",
+        )
+    )
+
+
+def approx_uv_daily(
+    ev: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming HLL++ daily UV (the sketch form of ST2): per-day state is
+    one constant-size HLL register set, not a user-id set — the state-store
+    footprint no longer grows with cardinality. HLL merge is register-max,
+    so micro-batch arrival order cannot change the result: streaming output
+    equals the batch ``sk_hll_daily_uv`` exactly, not just approximately."""
+    return (
+        ev.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 day"))
+        .agg(F.approx_count_distinct(key, 0.02).alias("approx_distinct"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd").alias("dt"),
+            "approx_distinct",
+        )
+    )

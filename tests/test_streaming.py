@@ -620,3 +620,57 @@ def test_first_per_user_day_state_is_evicted(spark, tmp_path):
             break
     # 3 day-1 entries evicted; only the 2 day-5 entries may remain
     assert state_rows is not None and state_rows <= 2, state_rows
+
+
+def test_hop_window_streaming_parity(spark, events_stream_dir):
+    """ext_hop_window's streaming twin: closed hopping windows agree
+    exactly with the batch plan (same expressions, same quantized sum)."""
+    ev = table(spark, SF_DIR, "events")
+    stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+    got = _drain(spark, jobs.hop_multi_metric(stream), "t_hop").toPandas()
+
+    from realtime_datawarehouse_spark.functions.compare import dsum
+
+    batch = (
+        ev.groupBy(F.window("ts", "600 seconds", "300 seconds"), "event_type")
+        .agg(F.count("*").alias("event_ct"), dsum(F.col("value")).alias("value_sum"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "event_ct",
+            "value_sum",
+        )
+    ).toPandas()
+    key = ["window_start", "event_type"]
+    merged = got.merge(batch, on=key, suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    assert (merged.event_ct_s == merged.event_ct_b).all()
+    assert (abs(merged.value_sum_s - merged.value_sum_b) < 1e-9).all()
+    # at most the final slide's 2 open windows may be withheld
+    assert len(got) >= len(batch) - 4
+
+
+def test_approx_uv_streaming_equals_batch_sketch(spark, events_stream_dir):
+    """HLL streaming state merges to the SAME estimate as the batch sketch
+    (register-max merge is order-independent) — per closed day."""
+    ev = table(spark, SF_DIR, "events")
+    stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+    got = {
+        r.dt: r.approx_distinct
+        for r in _drain(spark, jobs.approx_uv_daily(stream), "t_hll").collect()
+    }
+    batch = {
+        r.dt: r.approx_distinct
+        for r in ev.groupBy(F.window("ts", "1 day"))
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_distinct"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd").alias("dt"),
+            "approx_distinct",
+        )
+        .collect()
+    }
+    assert got, "no closed days emitted"
+    for dt, v in got.items():
+        assert batch[dt] == v, (dt, v, batch[dt])
