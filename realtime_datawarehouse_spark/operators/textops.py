@@ -409,3 +409,88 @@ def pii_redact(
         phones.alias("phone_ct"),
         F.regexp_replace(no_email, PHONE_RE, "<PHONE>").alias(out_col),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring — the cheap statistical quality signal
+# (CCNet-style: docs whose tokens are improbable under a corpus LM are
+# flagged; Wenzek et al. 2019 use a 5-gram KenLM, the unigram form is the
+# distributed-friendly first rung).
+# ---------------------------------------------------------------------------
+
+LM_VOCAB_SIZE = 20  # top-V corpus vocabulary; out-of-vocab smooths to count 1
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = LM_VOCAB_SIZE,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus unigram
+    LM, restricted to a broadcast top-``vocab_size`` vocabulary (OOV tokens
+    smooth to count 1).
+
+    Scale shape: one explode feeds BOTH the vocabulary count (map-side
+    combined, shuffle = distinct tokens) and the scoring join; the vocab
+    and the grand-total are tiny aggregates broadcast to the scorers — the
+    corpus rows never shuffle for the join. The per-token ``-ln p`` terms
+    are 1e-6-quantized before summing (the dsum discipline, compare.py) so
+    the mean is order-free and cross-engine exact.
+    """
+    toks = docs.select("doc_id", F.explode(tokenize(text_col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    vocab = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(vocab_size)
+    term = F.floor(
+        -F.log(F.col("cnt").cast("double") / F.col("total"))
+        * F.lit(1_000_000)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(1)))
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", term.alias("t6"), (F.col("cnt") == 1).alias("oov"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("t6").alias("s6"),
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("oov"), 1).otherwise(0)).alias("oov_ct"),
+    )
+    avg6 = F.col("s6").cast("double") / (
+        F.col("n").cast("double") * F.lit(1_000_000.0)
+    )
+    return agg.select(
+        "doc_id",
+        (F.floor(avg6 * F.lit(10_000) + F.lit(0.5)) / F.lit(10_000.0)).alias(
+            "avg_neg_logp"
+        ),
+        "oov_ct",
+    )
+
+
+UNIGRAM_LOGPROB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
+), total AS (
+  SELECT sum(cnt) AS total FROM counts
+), vocab AS (
+  SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok ASC LIMIT {LM_VOCAB_SIZE}
+), scored AS (
+  SELECT t.doc_id,
+         CAST(floor(-ln(coalesce(v.cnt, 1) * 1.0 / total.total) * 1000000
+                    + 0.5) AS BIGINT) AS t6,
+         (coalesce(v.cnt, 1) = 1) AS oov
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN total
+)
+SELECT doc_id,
+       floor(CAST(sum(t6) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)
+             * 10000 + 0.5) / 10000.0 AS avg_neg_logp,
+       sum(CASE WHEN oov THEN 1 ELSE 0 END) AS oov_ct
+FROM scored
+GROUP BY 1
+"""

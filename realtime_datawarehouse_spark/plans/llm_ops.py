@@ -424,3 +424,75 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return textops.pii_redact(docs)
+
+
+PACK_SHARDS = 8
+PACK_BIN_STRIDE = 1_000_000
+
+
+@query(
+    "mix_pack_sequences_sharded",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         doc_id % {PACK_SHARDS} AS shard,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token_ct
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, token_ct,
+         sum(token_ct) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - token_ct AS start_off
+  FROM t
+)
+SELECT doc_id, shard, token_ct,
+       shard * {PACK_BIN_STRIDE} + CAST(start_off // {CONTEXT_LEN} AS BIGINT)
+         AS bin_id,
+       CAST(start_off % {CONTEXT_LEN} AS BIGINT) AS bin_offset
+FROM c
+""",
+)
+def mix_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of sequence packing (SCALE.md §7): the prefix sum
+    partitions by a deterministic shard of doc_id, so no window ever sees
+    a global order — each shard's running sum proceeds independently and
+    bin ids are made globally unique by striding with the shard id. This is
+    the variant the global `mix_pack_sequences` docstring promises; both
+    are registered so the trade-off is visible to users."""
+    from pyspark.sql import Window
+
+    from realtime_datawarehouse_spark.functions.text import token_count
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        token_count("text").alias("token_ct"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn(
+        "start_off", F.sum("token_ct").over(w) - F.col("token_ct")
+    )
+    return c.select(
+        "doc_id",
+        "shard",
+        "token_ct",
+        (
+            F.col("shard") * PACK_BIN_STRIDE
+            + (F.col("start_off") / CONTEXT_LEN).cast("bigint")
+        ).alias("bin_id"),
+        F.pmod(F.col("start_off"), F.lit(CONTEXT_LEN))
+        .cast("bigint")
+        .alias("bin_offset"),
+    )
+
+
+@query("text_unigram_logprob", oracle=textops.UNIGRAM_LOGPROB_ORACLE)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality signal: mean -ln p under the corpus
+    unigram LM with a broadcast top-V vocabulary (see operators/textops.py
+    for the scale shape)."""
+    return textops.unigram_logprob(_docs(spark, sf_dir))

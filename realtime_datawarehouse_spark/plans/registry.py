@@ -68,6 +68,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_pii_redact",
     "ext_asof_join",
     "ext_hop_window",
+    "mix_pack_sequences_sharded",
+    "text_unigram_logprob",
 ]
 
 _LOADED = False
