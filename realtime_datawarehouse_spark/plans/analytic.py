@@ -1,0 +1,127 @@
+"""OLAP analytic surface: ROLLUP grouping sets, pivot, and the SQL window
+function family (row_number / lag / lead / dense_rank / ntile).
+
+The reference uses none of these (SURVEY.md §2.8: no OVER/ranking windows
+anywhere) — they are the next ring of capability an ADS layer grows, and
+they complete the engine's coverage of the standard warehouse query
+surface. All three are pure Catalyst constructs with exact DuckDB oracles.
+
+Scale notes: ROLLUP expands each input row into |levels| grouping-set rows
+before the (map-side combinable) aggregation — same shuffle keyspace as the
+finest level plus the small super-aggregate keys. Pivot with an explicit
+value list is a single conditional aggregation (one shuffle, no second
+pass to discover values — always pass the list at 100 TB). Window functions
+shuffle once on the partition key; every function here is O(1) per row
+within the sorted frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtime_datawarehouse_spark.functions.compare import dsum, dsum_sql
+from realtime_datawarehouse_spark.plans.registry import query
+from realtime_datawarehouse_spark.tables import table
+
+ROLLUP_ORACLE = f"""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL')   AS status,
+       {dsum_sql('o_totalprice')}       AS gmv,
+       count(*)                         AS order_ct
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+@query("olap_rollup_gmv", oracle=ROLLUP_ORACLE)
+def olap_rollup_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP (priority, status): per-pair, per-priority, and
+    grand-total GMV in one aggregation pass. NULL grouping markers are
+    projected to 'ALL' (no fixture value collides) so both engines hash
+    the same strings."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            dsum(F.col("o_totalprice")).alias("gmv"),
+            F.count("*").alias("order_ct"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "gmv",
+            "order_ct",
+        )
+    )
+
+
+PIVOT_STATUSES = ("O", "F", "P")
+
+PIVOT_ORACLE = f"""
+SELECT o_orderpriority AS priority,
+       {', '.join(
+           f"sum(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END)"
+           f" AS status_{s.lower()}_ct"
+           for s in PIVOT_STATUSES
+       )}
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("olap_pivot_status", oracle=PIVOT_ORACLE)
+def olap_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per priority. The explicit value
+    list makes the pivot a single conditional aggregation — no discovery
+    pass over the data (mandatory at scale). Empty cells coalesce to 0 to
+    match the conditional-sum oracle."""
+    o = table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", list(PIVOT_STATUSES))
+        .count()
+    )
+    return pivoted.select(
+        "priority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s.lower()}_ct")
+            for s in PIVOT_STATUSES
+        ],
+    )
+
+
+WINFN_ORACLE = """
+SELECT event_id,
+       user_id,
+       row_number() OVER seq AS seq,
+       CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER seq AS BIGINT) AS gap_us,
+       lead(event_type) OVER seq AS next_type,
+       dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS type_rank,
+       ntile(4) OVER seq AS quartile
+FROM events
+WINDOW seq AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("olap_window_functions", oracle=WINFN_ORACLE)
+def olap_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OVER-clause family on the event stream: sequence numbers,
+    inter-event gaps (lag), next-event lookahead (lead), dense rank over a
+    tie-heavy key, and quartile bucketing — one hash exchange on user_id,
+    one sort, every function evaluated in the same window pass. Ordering is
+    made total by (ts, event_id) so each engine's result is unique."""
+    ev = table(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(seq).alias("seq"),
+        (us - F.lag(us).over(seq)).cast("bigint").alias("gap_us"),
+        F.lead("event_type").over(seq).alias("next_type"),
+        F.dense_rank()
+        .over(Window.partitionBy("user_id").orderBy("event_type"))
+        .alias("type_rank"),
+        F.ntile(4).over(seq).alias("quartile"),
+    )

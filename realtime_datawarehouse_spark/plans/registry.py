@@ -70,6 +70,14 @@ DRIVER_PRIORITY: list[str] = [
     "ext_hop_window",
     "mix_pack_sequences_sharded",
     "text_unigram_logprob",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "olap_rollup_gmv",
+    "olap_pivot_status",
+    "olap_window_functions",
 ]
 
 _LOADED = False
@@ -101,6 +109,7 @@ def load() -> None:
     if _LOADED:
         return
     from realtime_datawarehouse_spark.plans import (  # noqa: F401
+        analytic,
         cdc_pipelines,
         llm_ops,
         sketch_agg,

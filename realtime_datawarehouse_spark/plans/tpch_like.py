@@ -728,3 +728,220 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Remaining classic shapes expressible on the fixture schema: Q6 (pure
+# filtered scan-agg), Q7 (two-nation volume by year), Q13 (distribution of
+# counts — join then aggregate the aggregate), Q15 (argmax against a scalar
+# subquery over an aggregate), Q17 (correlated per-part average threshold).
+# --------------------------------------------------------------------------
+
+Q6_LO = "1997-01-01 00:00:00"
+Q6_HI = "1998-01-01 00:00:00"
+
+Q6_ORACLE = f"""
+SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+       count(*) AS matched
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_LO}' AND l_shipdate < TIMESTAMP '{Q6_HI}'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@query("tpch_q6_forecast_revenue", oracle=Q6_ORACLE)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 — the canonical predicate-pushdown probe: every filter reaches
+    the parquet scan, the agg is one map-side-combined row. The simplest
+    query that distinguishes a scan-bound engine from a shuffle-bound one."""
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q6_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q6_HI).cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").alias("matched"),
+    )
+
+
+Q7_N1 = "NATION_3"
+Q7_N2 = "NATION_7"
+
+Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS volume
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = '{Q7_N1}' AND n2.n_name = '{Q7_N2}')
+   OR (n1.n_name = '{Q7_N2}' AND n2.n_name = '{Q7_N1}')
+GROUP BY 1, 2, 3
+"""
+
+
+@query("tpch_q7_nation_volume", oracle=Q7_ORACLE)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 — cross-nation trade volume. Scale shape: all four dims
+    broadcast; lineitem⋈orders is the only real shuffle; the disjunctive
+    nation pair filter applies once both sides are attached (each side's
+    IN-list pushes to its dim scan)."""
+    pair = [Q7_N1, Q7_N2]
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = (
+        table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = (
+        table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    joined = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == Q7_N1) & (F.col("cust_nation") == Q7_N2))
+            | ((F.col("supp_nation") == Q7_N2) & (F.col("cust_nation") == Q7_N1))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '5-LOW'
+  GROUP BY 1
+)
+GROUP BY 1
+"""
+
+
+@query("tpch_q13_order_distribution", oracle=Q13_ORACLE)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 — aggregate OF an aggregate over a left join (customers with
+    zero qualifying orders must appear in the 0 bucket). First agg shuffles
+    on custkey, second on the tiny count keyspace."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q15_LO = "1997-01-01 00:00:00"
+Q15_HI = "1997-04-01 00:00:00"
+
+Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_LO}' AND l_shipdate < TIMESTAMP '{Q15_HI}'
+  GROUP BY 1
+)
+SELECT s.s_suppkey AS suppkey, s.s_name AS s_name, r.total_revenue AS total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+@query("tpch_q15_top_supplier", oracle=Q15_ORACLE)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 — argmax against a scalar subquery over an aggregate (the view
+    in the original). The 1-row max broadcasts back onto the aggregate —
+    the rev subtree is computed once and self-compared via the broadcast,
+    ties keep every argmax supplier (both engines)."""
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q15_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_HI).cast("timestamp"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"), "s_name", "total_revenue"
+        )
+    )
+
+
+Q17_BRAND = "Brand#23"
+
+Q17_ORACLE = f"""
+WITH avg_q AS (
+  SELECT l_partkey, {davg_sql('l_quantity', 4)} AS threshold
+  FROM lineitem GROUP BY 1
+)
+SELECT {dsum_sql('l.l_extendedprice')} AS total_price, count(*) AS line_ct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN avg_q a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = '{Q17_BRAND}'
+  AND l.l_quantity < 0.2 * a.threshold
+"""
+
+
+@query("tpch_q17_small_quantity", oracle=Q17_ORACLE)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 — correlated per-part average threshold, decorrelated to a
+    groupBy + join-back on partkey (both sides reuse the same partkey
+    partitioning; the brand filter broadcasts and prunes the probe side).
+    The threshold uses the order-free davg so both engines compare against
+    identical doubles."""
+    from realtime_datawarehouse_spark.functions.compare import davg
+
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(
+        F.col("p_brand") == Q17_BRAND
+    ).select("p_partkey")
+    avg_q = l.groupBy(F.col("l_partkey").alias("ak")).agg(
+        davg(F.col("l_quantity"), 4).alias("threshold")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_q, l.l_partkey == F.col("ak"))
+        .where(F.col("l_quantity") < 0.2 * F.col("threshold"))
+        .agg(
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+            F.count("*").alias("line_ct"),
+        )
+    )
