@@ -78,40 +78,49 @@ DEFAULT_CJK_DICT: tuple[str, ...] = (
 )
 
 
-def fmm_segment(text: str, words: frozenset, max_len: int) -> list:
-    """Pure-Python forward-maximum-matching over one string. Separated from
-    the UDF so unit tests can hit the algorithm directly."""
-    out = []
-    s = text or ""
-    i, n = 0, len(s)
-    while i < n:
-        ch = s[i]
-        if ch.isspace():
-            i += 1
-            continue
-        if ch.isascii():
-            if ch.isalnum():
-                j = i + 1
-                while j < n and s[j].isascii() and s[j].isalnum():
-                    j += 1
-                out.append(s[i:j].lower())
-                i = j
-            else:  # ASCII punctuation
+def _make_fmm():
+    # Factory so the returned function's __qualname__ is NOT importable:
+    # cloudpickle then serializes it BY VALUE into UDF closures, which is
+    # required for foreign-cwd drivers whose Python workers don't have this
+    # package on sys.path (see the repo verify-skill gotchas).
+    def fmm_segment(text: str, words: frozenset, max_len: int) -> list:
+        """Pure-Python forward-maximum-matching over one string."""
+        out = []
+        s = text or ""
+        i, n = 0, len(s)
+        while i < n:
+            ch = s[i]
+            if ch.isspace():
                 i += 1
-            continue
-        # non-ASCII (CJK etc.): longest dictionary match, else single char
-        matched = False
-        for L in range(min(max_len, n - i), 1, -1):
-            if s[i : i + L] in words:
-                out.append(s[i : i + L])
-                i += L
-                matched = True
-                break
-        if not matched:
-            if ch.isalnum():  # single CJK char; drop non-ASCII punctuation
-                out.append(ch)
-            i += 1
-    return out
+                continue
+            if ch.isascii():
+                if ch.isalnum():
+                    j = i + 1
+                    while j < n and s[j].isascii() and s[j].isalnum():
+                        j += 1
+                    out.append(s[i:j].lower())
+                    i = j
+                else:  # ASCII punctuation
+                    i += 1
+                continue
+            # non-ASCII (CJK etc.): longest dictionary match, else single char
+            matched = False
+            for L in range(min(max_len, n - i), 1, -1):
+                if s[i : i + L] in words:
+                    out.append(s[i : i + L])
+                    i += L
+                    matched = True
+                    break
+            if not matched:
+                if ch.isalnum():  # single CJK char; drop non-ASCII punct
+                    out.append(ch)
+                i += 1
+        return out
+
+    return fmm_segment
+
+
+fmm_segment = _make_fmm()
 
 
 def make_segmenter_udf(dictionary=None):
