@@ -51,6 +51,14 @@ BENCH_QUERIES = (
     "ann_ivf_topk",                 # IVF probe-pruned ANN (scale path)
     "text_quality_score",           # per-doc array expressions
     "mm_decode_metadata",           # Arrow-batched mapInPandas
+    # round-2 additions (floors recorded from their first r02 measurement)
+    "tpch_q2_min_cost_supplier",    # window-min decorrelation + pair dedup
+    "hh_top_parts_per_brand",       # two-level heavy hitters
+    "ext_asof_join",                # union-merge as-of window
+    "ext_hop_window",               # hopping multi-metric window
+    "olap_window_functions",        # OVER-family single-pass window
+    "text_unigram_logprob",         # corpus LM: explode + broadcast vocab
+    "text_repetition_signals",      # explode + two-level bigram mode
 )
 
 
