@@ -125,3 +125,62 @@ def olap_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("type_rank"),
         F.ntile(4).over(seq).alias("quartile"),
     )
+
+
+CUBE_ORACLE = f"""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL')   AS status,
+       {dsum_sql('o_totalprice')}       AS gmv,
+       count(*)                         AS order_ct
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+@query("olap_cube_gmv", oracle=CUBE_ORACLE)
+def olap_cube_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all 2^k grouping sets in one pass (adds the
+    per-status margin ROLLUP lacks). Same expansion mechanics and shuffle
+    profile as the rollup."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            dsum(F.col("o_totalprice")).alias("gmv"),
+            F.count("*").alias("order_ct"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "gmv",
+            "order_ct",
+        )
+    )
+
+
+MEDIAN_ORACLE = """
+SELECT o_orderpriority AS priority,
+       floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+             * 100 + 0.5) / 100.0 AS median_price,
+       floor(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+             * 100 + 0.5) / 100.0 AS p90_price
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("olap_exact_percentile", oracle=MEDIAN_ORACLE)
+def olap_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles (the sort-based counterpart of the GK
+    sketch in sk_quantile_order_value): both engines interpolate
+    lower + frac·(upper−lower) over the sorted group, rounded portably.
+    At 100 TB this is the one you DON'T run — it buffers each group — but
+    the contrast (exact per-group sort vs mergeable sketch) is the point
+    of registering both."""
+    o = table(spark, sf_dir, "orders")
+    med = F.percentile(F.col("o_totalprice"), F.lit(0.5))
+    p90 = F.percentile(F.col("o_totalprice"), F.lit(0.9))
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        (F.floor(med * 100 + F.lit(0.5)) / 100.0).alias("median_price"),
+        (F.floor(p90 * 100 + F.lit(0.5)) / 100.0).alias("p90_price"),
+    )

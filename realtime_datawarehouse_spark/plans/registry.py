@@ -78,6 +78,8 @@ DRIVER_PRIORITY: list[str] = [
     "olap_rollup_gmv",
     "olap_pivot_status",
     "olap_window_functions",
+    "olap_cube_gmv",
+    "olap_exact_percentile",
 ]
 
 _LOADED = False
