@@ -446,3 +446,18 @@ def approx_uv_daily(
             "approx_distinct",
         )
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, key_stream: str, key_dim: str
+) -> DataFrame:
+    """J3's streaming form — lookup/temporal join as a stream-STATIC
+    broadcast join (rt/app/dwd/db/DwdTradeOrderPreProcess.java lookup joins
+    a bounded dic table): the dim is a bounded DataFrame, broadcast to every
+    micro-batch; no state, no watermark, the stream side never shuffles.
+    The dim snapshot is re-resolvable per batch when backed by a refreshable
+    source (the table_store reader), giving the hot-reload behavior the
+    config router implements for dims."""
+    return stream.join(
+        F.broadcast(dim), F.col(key_stream) == F.col(key_dim), "left"
+    )

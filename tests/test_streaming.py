@@ -674,3 +674,32 @@ def test_approx_uv_streaming_equals_batch_sketch(spark, events_stream_dir):
     assert got, "no closed days emitted"
     for dt, v in got.items():
         assert batch[dt] == v, (dt, v, batch[dt])
+
+
+def test_stream_static_enrich_parity(spark, events_stream_dir):
+    """J3 streaming form: stream-static broadcast lookup join — every
+    micro-batch row enriched from the bounded dim, result equals the batch
+    join exactly (no state, no watermark involved)."""
+    ev = table(spark, SF_DIR, "events")
+    dim = (
+        table(spark, SF_DIR, "customer")
+        .select(F.col("c_custkey").alias("dim_key"), "c_mktsegment")
+    )
+    stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+    got = _drain(
+        spark,
+        jobs.stream_static_enrich(
+            stream.select("event_id", "user_id"), dim, "user_id", "dim_key"
+        ),
+        "t_enrich",
+    ).toPandas()
+    batch = (
+        ev.select("event_id", "user_id")
+        .join(dim, F.col("user_id") == F.col("dim_key"), "left")
+        .toPandas()
+    )
+    key = ["event_id"]
+    assert len(got) == len(batch)
+    m = got.sort_values(key).reset_index(drop=True).fillna("~")
+    b = batch.sort_values(key).reset_index(drop=True).fillna("~")
+    assert (m.c_mktsegment == b.c_mktsegment).all()
