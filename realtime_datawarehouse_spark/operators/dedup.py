@@ -498,3 +498,90 @@ FROM e JOIN ev USING (h)
 WHERE e.source <> '{eval_source}'
 GROUP BY 1
 """
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    node_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Label-propagation connected components over a candidate-pair graph:
+    (node, component_id = min node reachable, is_keeper). The final stage
+    of near-dup removal — LSH emits PAIRS, but dedup must drop one doc per
+    CLUSTER, and clusters are the transitive closure of the pairs.
+
+    Iterative min-label propagation: each round joins labels onto edges and
+    takes the per-node min of (own label ∪ neighbor labels); converges in
+    O(component diameter) rounds. Near-dup components are shallow (dup
+    clusters are cliques or near-cliques from banding), so the bound is
+    small in practice. Each round is one shuffle join + one groupBy-min —
+    map-side combinable; results are persisted so round N+1 reads
+    materialized labels, not the whole lineage. The driver sees only the
+    convergence COUNTER, never data. At extreme diameters switch to the
+    large-star/small-star formulation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — same per-round shape.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).persist()
+    edges.count()  # materialize once; reused every round
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(node_col),
+        F.col("label").alias("component_id"),
+        F.when(F.col("label") == F.col("node"), 1)
+        .otherwise(0)
+        .alias("is_keeper"),
+    )
+
+
+def connected_components_oracle() -> str:
+    """Recursive-CTE transitive closure over the SAME LSH pair set: label =
+    min reachable node. Quadratic in component size — fine as an oracle,
+    never the engine plan."""
+    return f"""
+WITH RECURSIVE lshp AS (
+{lsh_candidate_pairs_oracle()}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lshp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM lshp
+), reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS component_id,
+       CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS is_keeper
+FROM reach GROUP BY 1
+"""

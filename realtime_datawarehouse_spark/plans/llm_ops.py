@@ -496,3 +496,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram LM with a broadcast top-V vocabulary (see operators/textops.py
     for the scale shape)."""
     return textops.unigram_logprob(_docs(spark, sf_dir))
+
+
+@query("dedup_connected_components", oracle=dedup.connected_components_oracle())
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the MinHash-LSH candidate pairs: the cluster
+    (component) id per document and the keeper flag — the final drop-list
+    of the near-dup pipeline (see operators/dedup.py::connected_components
+    for the iteration shape)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.connected_components(docs, dedup.lsh_candidate_pairs(docs))

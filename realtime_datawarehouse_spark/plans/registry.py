@@ -80,6 +80,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_window_functions",
     "olap_cube_gmv",
     "olap_exact_percentile",
+    "dedup_connected_components",
 ]
 
 _LOADED = False

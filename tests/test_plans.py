@@ -226,3 +226,23 @@ def test_asof_join_edges(spark):
     )
     assert "Join" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_connected_components_transitivity(spark):
+    """A chain a-b, b-c plus an isolated node: one 3-component labeled by
+    its min, the isolate keeps itself — transitive closure, not just pair
+    grouping."""
+    from realtime_datawarehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (9,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (7, 8)], "doc_a long, doc_b long"
+    )  # 7-8 edge has no node rows: still labels itself consistently
+    got = {
+        r.doc_id: (r.component_id, r.is_keeper)
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got[1] == (1, 1) and got[2] == (1, 0) and got[3] == (1, 0)
+    assert got[9] == (9, 1)
