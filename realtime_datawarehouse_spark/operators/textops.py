@@ -497,7 +497,7 @@ WITH toks AS (
 SELECT doc_id,
        floor(CAST(sum(t6) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)
              * 10000 + 0.5) / 10000.0 AS avg_neg_logp,
-       sum(CASE WHEN oov THEN 1 ELSE 0 END) AS oov_ct
+       CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS oov_ct
 FROM scored
 GROUP BY 1
 """

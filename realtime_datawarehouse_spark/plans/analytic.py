@@ -61,8 +61,8 @@ PIVOT_STATUSES = ("O", "F", "P")
 PIVOT_ORACLE = f"""
 SELECT o_orderpriority AS priority,
        {', '.join(
-           f"sum(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END)"
-           f" AS status_{s.lower()}_ct"
+           f"CAST(sum(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END)"
+           f" AS BIGINT) AS status_{s.lower()}_ct"
            for s in PIVOT_STATUSES
        )}
 FROM orders
