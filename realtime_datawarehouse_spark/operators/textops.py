@@ -501,3 +501,228 @@ SELECT doc_id,
 FROM scored
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level paragraph dedup (CCNet/Dolma-style): drop every repeat of a
+# paragraph seen anywhere in the corpus, keep the FIRST occurrence
+# (ordered by doc, position), reassemble each document preserving order.
+
+PARA_CHUNK_TOKENS = 15
+
+
+def paragraph_dedup(
+    docs: DataFrame, text_col: str = "text", chunk_tokens: int = PARA_CHUNK_TOKENS
+) -> DataFrame:
+    """Exact paragraph-level dedup across the whole corpus.
+
+    Real corpora split on a paragraph separator (``\\n\\n``); the fixture
+    corpus is a single line, so the registered form uses a deterministic
+    ``chunk_tokens``-token chunking as the paragraph rule — the operator
+    shape (the expensive part) is identical either way.
+
+    Scale shape: one posexplode, then ONE shuffle keyed on the paragraph
+    (prefixed with its 60-bit hash so comparisons are cheap) carrying one
+    row per paragraph occurrence; ``row_number`` inside that partition
+    marks the global first occurrence. Reassembly is a per-document
+    groupBy (second shuffle) whose state is bounded by document size.
+    No driver-side state; at 100 TB both shuffles are hash-partitioned
+    and AQE-splittable (a pathological viral paragraph lands one key on
+    one reducer — cap its weight upstream with a doc-freq guard like
+    ngram_jaccard's if the corpus needs it).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n_paras = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    p = docs.select("doc_id", F.posexplode(paras).alias("para_ix", "para"))
+    w = (
+        Window.partitionBy(hash64(F.col("para")), "para")
+        .orderBy("doc_id", "para_ix")
+    )
+    kept = p.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_ix", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count("*").alias("kept_paras"),
+    )
+
+
+PARAGRAPH_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), ix AS (
+  SELECT doc_id, l,
+         unnest(range(0, CAST(ceil(len(l) / {PARA_CHUNK_TOKENS}.0) AS BIGINT)))
+           AS para_ix
+  FROM t
+), chunks AS (
+  SELECT doc_id, para_ix,
+         array_to_string(
+           l[(para_ix*{PARA_CHUNK_TOKENS}+1):((para_ix+1)*{PARA_CHUNK_TOKENS})],
+           ' ') AS para
+  FROM ix
+), ranked AS (
+  SELECT doc_id, para_ix, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, para_ix) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       string_agg(para, ' ' ORDER BY para_ix) AS text_dedup,
+       count(*) AS kept_paras
+FROM ranked WHERE rn = 1
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality model (fastText-style scorer).
+
+CLS_DIM = 512  # hashed feature buckets
+
+
+def quality_classifier(
+    docs: DataFrame, text_col: str = "text", dim: int = CLS_DIM
+) -> DataFrame:
+    """Score documents with a hashed bag-of-words linear model.
+
+    The weight table here is a deterministic pseudo-trained stand-in (a
+    fixed integer function of the bucket id, in milli-units) — the slot
+    where a real exported fastText/regression model's weights load from a
+    parquet file. What is under test is the SCORING plumbing at scale:
+
+    - weights live in a DataFrame broadcast to every executor (dim rows —
+      a few MB even at 2M buckets), so scoring is a map-side join;
+    - summands are integers (milli-weights), so the per-doc sum is
+      order-independent — bit-identical across engines and partitionings;
+    - the only shuffle is the per-doc aggregation of partial sums.
+
+    Returns (doc_id, margin_milli, mean_w, keep): the linear margin in
+    milli-units, its token-mean, and the sign threshold. A deployment
+    would map margin → probability with a sigmoid; kept out of the
+    contract on purpose (transcendental libm results differ across
+    engines in the last ulp).
+    """
+    spark = docs.sparkSession
+    weights = spark.range(dim).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % F.lit(2001) - F.lit(1000)).alias(
+            "w_milli"
+        ),
+    )
+    t = docs.select("doc_id", F.explode(tokenize(text_col)).alias("tok"))
+    scored = (
+        t.withColumn("bucket", F.pmod(hash64(F.col("tok")), F.lit(dim)))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("w_milli").alias("margin_milli"), F.count("*").alias("n"))
+    )
+    return scored.select(
+        "doc_id",
+        "margin_milli",
+        pround(
+            F.col("margin_milli").cast("double")
+            / (F.lit(1000.0) * F.col("n").cast("double")),
+            4,
+        ).alias("mean_w"),
+        F.when(F.col("margin_milli") >= 0, 1).otherwise(0).alias("keep"),
+    )
+
+
+QUALITY_CLASSIFIER_ORACLE = f"""
+WITH weights AS (
+  SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS w_milli
+  FROM generate_series(0, {CLS_DIM - 1}) g(i)
+), toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS tok
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         (({hash64_sql('tok')} % {CLS_DIM}) + {CLS_DIM}) % {CLS_DIM} AS bucket
+  FROM toks
+), agg AS (
+  SELECT doc_id, CAST(sum(w.w_milli) AS BIGINT) AS margin_milli,
+         count(*) AS n
+  FROM b JOIN weights w USING (bucket) GROUP BY 1
+)
+SELECT doc_id, margin_milli,
+       {pround_sql('margin_milli / (1000.0 * n)', 4)} AS mean_w,
+       CASE WHEN margin_milli >= 0 THEN 1 ELSE 0 END AS keep
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sampling: draw a deterministic pseudo-random sample per
+# source until each source's token budget is filled (data-mixing primitive:
+# "300B tokens of web, 50B of code, ...").
+
+MIX_TOKEN_BUDGET = 2000
+_KNUTH = 2654435761  # Knuth multiplicative hash constant
+
+
+def token_budget_sample(
+    docs: DataFrame, budget_tokens: int = MIX_TOKEN_BUDGET
+) -> DataFrame:
+    """Keep a per-source pseudo-random prefix of documents whose cumulative
+    token count stays within ``budget_tokens``.
+
+    The shuffle key is a Knuth multiplicative hash of doc_id — a
+    deterministic permutation, so the sample is reproducible and
+    engine-independent (unlike ``rand()``). One shuffle: the running sum
+    is a window over (source) ordered by that permutation. At 100 TB the
+    per-source ordering is the bottleneck only if one source dominates;
+    then pre-aggregate per (source, key-range) token subtotals to locate
+    the cut point and broadcast it — same contract, two cheap passes.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokenize("text"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        ((F.col("doc_id") * F.lit(_KNUTH)) % F.lit(1 << 32)).alias("skey"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= budget_tokens)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+TOKEN_BUDGET_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS n_tokens,
+         (doc_id * {_KNUTH}) % {1 << 32} AS skey
+  FROM documents
+), c AS (
+  SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+         CAST(sum(n_tokens) OVER (
+              PARTITION BY source ORDER BY skey, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM base
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {MIX_TOKEN_BUDGET}
+"""

@@ -506,3 +506,26 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the iteration shape)."""
     docs = _docs(spark, sf_dir)
     return dedup.connected_components(docs, dedup.lsh_candidate_pairs(docs))
+
+
+@query("text_paragraph_dedup", oracle=textops.PARAGRAPH_DEDUP_ORACLE)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (keep first occurrence, reassemble
+    documents in order) — the CCNet/Dolma paragraph-removal stage."""
+    return textops.paragraph_dedup(_docs(spark, sf_dir))
+
+
+@query("text_quality_classifier", oracle=textops.QUALITY_CLASSIFIER_ORACLE)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear model scoring with broadcast weights —
+    the model-based quality-filter stage (weights table is the slot for a
+    real exported model)."""
+    return textops.quality_classifier(_docs(spark, sf_dir))
+
+
+@query("mix_token_budget_sample", oracle=textops.TOKEN_BUDGET_ORACLE)
+def mix_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic sampling up to a token budget (cumulative
+    window over a Knuth-hash permutation) — mixture building by token
+    count, not document count."""
+    return textops.token_budget_sample(_docs(spark, sf_dir))

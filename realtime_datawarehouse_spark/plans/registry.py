@@ -81,6 +81,9 @@ DRIVER_PRIORITY: list[str] = [
     "olap_cube_gmv",
     "olap_exact_percentile",
     "dedup_connected_components",
+    "text_paragraph_dedup",
+    "text_quality_classifier",
+    "mix_token_budget_sample",
 ]
 
 _LOADED = False
