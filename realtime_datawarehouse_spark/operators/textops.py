@@ -614,6 +614,14 @@ def quality_classifier(
     contract on purpose (transcendental libm results differ across
     engines in the last ulp).
     """
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # md5-per-token is a CPU amplifier over a (typically) narrow scan —
+    # widen first (measured 0.75→0.55 s warm at bench sf0.1; the same
+    # A/B shows no win for paragraph_dedup, which stays unrebalanced)
+    docs = rebalance_narrow_scan(docs)
     spark = docs.sparkSession
     weights = spark.range(dim).select(
         F.col("id").alias("bucket"),
