@@ -555,14 +555,22 @@ def connected_components(
         labels = new
         if changed == 0:
             break
-    edges.unpersist()
-    return labels.select(
+    # Materialize the projection with a lineage cut, then release BOTH
+    # working caches (edges and the final labels generation). Without
+    # this the last persisted `new` leaks cached blocks across
+    # invocations; the localCheckpoint blocks are owned by the returned
+    # DataFrame and reclaimed by the ContextCleaner when it goes out of
+    # scope.
+    result = labels.select(
         F.col("node").alias(node_col),
         F.col("label").alias("component_id"),
         F.when(F.col("label") == F.col("node"), 1)
         .otherwise(0)
         .alias("is_keeper"),
-    )
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    edges.unpersist()
+    return result
 
 
 def connected_components_oracle() -> str:

@@ -38,20 +38,29 @@ def asof_join(
 
     ``right`` must be unique per (key, ts) — pre-collapse ties first, or
     which row wins is undefined (same contract as DuckDB's ASOF JOIN).
+
+    All payload columns travel as ONE struct carried by a single
+    ``last(ignorenulls)``: the struct is non-NULL for every right row even
+    when individual payload fields are NULL, so a left row always receives
+    the payload of exactly one right row — never a per-column mix where a
+    NULL field back-fills from an older right row.
     """
     lcols = left.columns
+    payload_t = F.struct(*[F.col(c) for c in payload])
     tagged_left = left.select(
         F.col(key_left).alias("_k"),
         F.col(ts_left).alias("_t"),
         F.lit(0).alias("_is_r"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None)
+        .cast(right.select(payload_t.alias("_p")).schema["_p"].dataType)
+        .alias("_p"),
         *[F.col(c) for c in lcols],
     )
     tagged_right = right.select(
         F.col(key_right).alias("_k"),
         F.col(ts_right).alias("_t"),
         F.lit(1).alias("_is_r"),
-        *[F.col(c) for c in payload],
+        payload_t.alias("_p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
     )
     # at equal _t the right row must sort FIRST so an equal-time left row
@@ -63,12 +72,9 @@ def asof_join(
     )
     carried = tagged_left.unionByName(tagged_right).select(
         "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in payload
-        ],
+        F.last("_p", ignorenulls=True).over(w).alias("_asof_p"),
     )
     return carried.where(F.col("_is_r") == 0).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"_asof_{c}").alias(c) for c in payload],
+        *[F.col(f"_asof_p.{c}").alias(c) for c in payload],
     )

@@ -442,7 +442,19 @@ def unigram_logprob(
     and the grand-total are tiny aggregates broadcast to the scorers — the
     corpus rows never shuffle for the join. The per-token ``-ln p`` terms
     are 1e-6-quantized before summing (the dsum discipline, compare.py) so
-    the mean is order-free and cross-engine exact.
+    the mean is order-free.
+
+    Cross-engine caveat: the quantization happens AFTER a transcendental,
+    so it assumes JVM and DuckDB libm agree on ``ln`` to within the
+    distance of the nearest ``x.5`` bucket boundary (~1e-9 absolute here;
+    libm implementations agree to ~1 ulp, orders of magnitude tighter,
+    but it is agreement-in-practice, not bit-identity by construction —
+    unlike every non-transcendental oracle in this repo). A production
+    deployment that needs hard reproducibility should materialize the
+    per-token terms once from a single engine into the broadcast vocab
+    table; the static-SQL oracle contract here cannot inject
+    data-dependent literals, so the libm-agreement assumption is accepted
+    and documented instead.
     """
     toks = docs.select("doc_id", F.explode(tokenize(text_col)).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
@@ -678,7 +690,6 @@ FROM agg
 # "300B tokens of web, 50B of code, ...").
 
 MIX_TOKEN_BUDGET = 2000
-_KNUTH = 2654435761  # Knuth multiplicative hash constant
 
 
 def token_budget_sample(
@@ -687,13 +698,16 @@ def token_budget_sample(
     """Keep a per-source pseudo-random prefix of documents whose cumulative
     token count stays within ``budget_tokens``.
 
-    The shuffle key is a Knuth multiplicative hash of doc_id — a
-    deterministic permutation, so the sample is reproducible and
-    engine-independent (unlike ``rand()``). One shuffle: the running sum
-    is a window over (source) ordered by that permutation. At 100 TB the
-    per-source ordering is the bottleneck only if one source dominates;
-    then pre-aggregate per (source, key-range) token subtotals to locate
-    the cut point and broadcast it — same contract, two cheap passes.
+    The shuffle key is :func:`hash64` of doc_id — a deterministic
+    permutation, so the sample is reproducible and engine-independent
+    (unlike ``rand()``), and unlike a raw ``doc_id * KNUTH`` product it
+    cannot overflow int64 (Spark wraps silently, DuckDB promotes — the
+    two engines would diverge precisely at 100 TB-scale id ranges).
+    One shuffle: the running sum is a window over (source) ordered by
+    that permutation. At 100 TB the per-source ordering is the
+    bottleneck only if one source dominates; then pre-aggregate per
+    (source, key-range) token subtotals to locate the cut point and
+    broadcast it — same contract, two cheap passes.
     """
     from pyspark.sql import Window
 
@@ -702,7 +716,7 @@ def token_budget_sample(
         "doc_id",
         "source",
         n_tok.alias("n_tokens"),
-        ((F.col("doc_id") * F.lit(_KNUTH)) % F.lit(1 << 32)).alias("skey"),
+        hash64(F.col("doc_id").cast("string")).alias("skey"),
     )
     w = (
         Window.partitionBy("source")
@@ -721,7 +735,7 @@ WITH base AS (
   SELECT doc_id, source,
          len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
            AS n_tokens,
-         (doc_id * {_KNUTH}) % {1 << 32} AS skey
+         {hash64_sql('CAST(doc_id AS VARCHAR)')} AS skey
   FROM documents
 ), c AS (
   SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,

@@ -39,11 +39,19 @@ def sk_quantile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p90/p99 order value per priority via mergeable GK summaries —
     the sketch form of a sort-based exact percentile."""
     o = table(spark, sf_dir, "orders")
-    return sketches.approx_quantiles_by_key(
+    qs = sketches.approx_quantiles_by_key(
         o.select(F.col("o_orderpriority").alias("priority"), "o_totalprice"),
         "priority",
         "o_totalprice",
         [0.5, 0.9, 0.99],
+    )
+    # Project the sketch array to scalar columns: the driver's result
+    # canonicalizer sorts by every column and cannot hash an array cell.
+    return qs.select(
+        "priority",
+        F.col("quantiles")[0].alias("p50"),
+        F.col("quantiles")[1].alias("p90"),
+        F.col("quantiles")[2].alias("p99"),
     )
 
 

@@ -141,7 +141,7 @@ def test_sketch_accuracy_bounds(spark):
     # GK quantiles vs exact per priority (fixture groups are small enough
     # that accuracy=10k makes GK exact — assert equality to the true ranks)
     got = {
-        r.priority: r.quantiles
+        r.priority: [r.p50, r.p90, r.p99]
         for r in registry.QUERIES["sk_quantile_order_value"](
             spark, SF_DIR
         ).collect()
@@ -226,6 +226,22 @@ def test_asof_join_edges(spark):
     )
     assert "Join" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+    # NULL payload fields must come from the MATCHED right row — a NULL in
+    # the latest right row must not back-fill from an older right row
+    # (payload travels as one struct, not per-column last(ignorenulls))
+    right2 = spark.createDataFrame(
+        [("u1", 2, "old", "A"), ("u1", 8, None, "B")],
+        "k string, t long, val string, tag string",
+    )
+    got2 = {
+        r.ev: (r.val, r.tag)
+        for r in asof_join(
+            left, right2, "k", "k", "t", "t", payload=["val", "tag"]
+        ).collect()
+    }
+    assert got2["e2"] == (None, "B"), got2  # t=10 matches t=8 row wholesale
+    assert got2["e1"] == ("old", "A"), got2  # t=5 matches t=2 row
 
 
 def test_connected_components_transitivity(spark):
