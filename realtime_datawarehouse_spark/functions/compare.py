@@ -47,6 +47,11 @@ def _q6_sql(expr: str) -> str:
     return f"CAST(floor(({expr}) * {_Q} + 0.5) AS BIGINT)"
 
 
+def q6_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`q6` (the partial/summand form of dsum)."""
+    return _q6_sql(expr)
+
+
 def dsum(col: Column, scale: int = 2) -> Column:
     """Order-independent, cross-engine-exact sum of a (non-negative) double
     column, rounded to ``scale`` dp and returned as double."""

@@ -24,7 +24,12 @@ from realtime_datawarehouse_spark.functions.compare import (
     davg,
     davg_sql,
     dsum,
+    dsum_finalize,
     dsum_sql,
+    pround,
+    pround_sql,
+    q6,
+    q6_sql,
 )
 from realtime_datawarehouse_spark.plans.registry import query
 from realtime_datawarehouse_spark.tables import table
@@ -944,4 +949,343 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice")).alias("total_price"),
             F.count("*").alias("line_ct"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-3 widening: the last classic shapes — Q8/Q9/Q11/Q20/Q21 — adapted to
+# the reduced fixture schema (no partsupp, no commit/receipt dates; lineitem
+# provides supplier-part incidence, l_returnflag='R' plays the "late" flag).
+# --------------------------------------------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_2"
+Q8_TYPE = "PROMO"
+Q8_LO = "1996-01-01 00:00:00"
+Q8_HI = "1998-01-01 00:00:00"
+
+# per-row 1e-6-quantized int64 volume summand (the q6/dsum discipline —
+# both engines sum exact integers, then run one identical double division)
+_Q6_VOL = q6_sql("l.l_extendedprice * (1 - l.l_discount)")
+
+Q8_ORACLE = f"""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       {pround_sql(
+           f"CAST(sum(CASE WHEN n1.n_name = '{Q8_NATION}' THEN {_Q6_VOL}"
+           f" ELSE 0 END) AS DOUBLE) / CAST(sum({_Q6_VOL}) AS DOUBLE)", 6)}
+         AS mkt_share
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n2.n_regionkey
+WHERE r.r_name = '{Q8_REGION}' AND p.p_type = '{Q8_TYPE}'
+  AND o.o_orderdate >= TIMESTAMP '{Q8_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{Q8_HI}'
+GROUP BY 1
+"""
+
+
+@query("tpch_q8_market_share", oracle=Q8_ORACLE)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape — national market share: ratio of two conditional sums per
+    order year. Scale shape: part/supplier/customer/nation/region all
+    broadcast (the part filter prunes the probe before its broadcast join);
+    lineitem joins orders on the one real shuffle; the share division runs
+    over exact q6 int64 partials so both engines divide identical numbers.
+    Reference semantics: the ADS ratio-style indicators over grouped sums
+    (pub/mapper/TradeStatMapper.java:16-21 generalized)."""
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    l = table(spark, sf_dir, "lineitem")
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_type") == Q8_TYPE)
+        .select("p_partkey")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q8_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q8_HI).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), "n_regionkey"
+    )
+    r = (
+        table(spark, sf_dir, "region")
+        .where(F.col("r_name") == Q8_REGION)
+        .select("r_regionkey")
+    )
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == Q8_NATION, q6(vol)).otherwise(0)
+    ).cast("double")
+    den = F.sum(q6(vol)).cast("double")
+    return joined.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(pround(num / den, 6).alias("mkt_share"))
+
+
+Q9_PART_LIKE = "widget"
+Q9_COST_FRAC = 0.1  # p_retailprice * qty * frac stands in for ps_supplycost
+
+Q9_ORACLE = f"""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       floor(CAST(sum({_Q6_VOL})
+                  - sum({q6_sql(f'p.p_retailprice * l.l_quantity * {Q9_COST_FRAC}')})
+             AS DOUBLE) / 10000.0 + 0.5) / 100.0 AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%{Q9_PART_LIKE}%'
+GROUP BY 1, 2
+"""
+
+
+@query("tpch_q9_product_profit", oracle=Q9_ORACLE)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape — product-type profit by (supplier nation, order year).
+    The fixture has no partsupp, so supply cost is modeled as
+    ``p_retailprice * quantity * {frac}`` — preserving the
+    revenue-minus-cost expression over a 5-way join. Profit sums the two
+    q6 int64 partials separately (each summand non-negative) and
+    finalizes their difference — order-free and engine-exact even though
+    per-row profit may be negative. Only lineitem⋈orders shuffles; the
+    name LIKE filter prunes part before broadcast."""
+    l = table(spark, sf_dir, "lineitem")
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").contains(Q9_PART_LIKE))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cost = F.col("p_retailprice") * F.col("l_quantity") * F.lit(Q9_COST_FRAC)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            dsum_finalize(F.sum(q6(vol)) - F.sum(q6(cost))).alias("profit")
+        )
+    )
+
+
+Q11_NATION = "NATION_5"
+Q11_FRAC = 0.001
+
+Q11_ORACLE = f"""
+WITH pv AS (
+  SELECT l.l_partkey AS partkey, sum({_Q6_VOL}) AS s6
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = '{Q11_NATION}'
+  GROUP BY 1
+)
+SELECT partkey,
+       floor(CAST(s6 AS DOUBLE) / 10000.0 + 0.5) / 100.0 AS part_value
+FROM pv
+WHERE CAST(s6 AS DOUBLE) > (SELECT CAST(sum(s6) AS DOUBLE) FROM pv) * {Q11_FRAC}
+"""
+
+
+@query("tpch_q11_important_stock", oracle=Q11_ORACLE)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape — grouped value vs a global-fraction threshold (HAVING
+    against a scalar subquery over the SAME aggregate). The fixture has no
+    partsupp, so part value = lineitem volume from the nation's suppliers.
+    Scale shape: the per-part aggregate is computed once; the grand total
+    re-aggregates the tiny per-part table and broadcasts one row back —
+    the fact table is scanned and shuffled exactly once. The threshold
+    compares doubles derived from identical int64 q6 sums in both
+    engines."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        table(spark, sf_dir, "nation")
+        .where(F.col("n_name") == Q11_NATION)
+        .select("n_nationkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pv = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(q6(vol)).alias("s6"))
+    )
+    total = pv.agg(F.sum("s6").alias("t6"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(
+            F.col("s6").cast("double")
+            > F.col("t6").cast("double") * F.lit(Q11_FRAC)
+        )
+        .select("partkey", dsum_finalize(F.col("s6")).alias("part_value"))
+    )
+
+
+Q20_PART_PREFIX = "small"
+Q20_NATION = "NATION_1"
+Q20_LO = "1997-01-01 00:00:00"
+Q20_HI = "1998-01-01 00:00:00"
+Q20_MIN_QTY = 40.0
+
+Q20_ORACLE = f"""
+SELECT s.s_suppkey AS suppkey, s.s_name AS s_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = '{Q20_NATION}'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_PART_PREFIX}%'
+      )
+      AND l.l_shipdate >= TIMESTAMP '{Q20_LO}'
+      AND l.l_shipdate <  TIMESTAMP '{Q20_HI}'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING sum(l.l_quantity) > {Q20_MIN_QTY}
+  )
+"""
+
+
+@query("tpch_q20_part_promotion", oracle=Q20_ORACLE)
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape — double-nested IN subqueries compiled to a semi-join
+    chain: part-name prefix → qualifying (supplier, part) shipment
+    volumes → suppliers of a nation. The fixture has no partsupp
+    availqty, so the inner threshold is an absolute shipped-quantity
+    floor (the original compares to 0.5×shipped; same plan shape).
+    Scale shape: the part filter broadcasts into a semi-join that prunes
+    lineitem BEFORE its (suppkey, partkey) aggregation shuffle; the
+    qualifying-supplier set broadcasts into the final semi-join — the
+    supplier table never shuffles."""
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith(Q20_PART_PREFIX))
+        .select("p_partkey")
+    )
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q20_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q20_HI).cast("timestamp"))
+    )
+    qual_supp = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > Q20_MIN_QTY)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = (
+        table(spark, sf_dir, "nation")
+        .where(F.col("n_name") == Q20_NATION)
+        .select("n_nationkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(
+            F.broadcast(qual_supp),
+            s.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select(F.col("s_suppkey").alias("suppkey"), F.col("s_name"))
+    )
+
+
+Q21_NATION = "NATION_2"
+
+Q21_ORACLE = f"""
+SELECT s.s_name AS s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders o   ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n.n_name = '{Q21_NATION}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY 1
+"""
+
+
+@query("tpch_q21_waiting_supplier", oracle=Q21_ORACLE)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape — suppliers solely responsible for a "late" line on a
+    multi-supplier order (l_returnflag='R' plays the late flag; the
+    fixture has no receipt/commit dates).
+
+    Spark-first decorrelation: the EXISTS / NOT-EXISTS pair over lineitem
+    self-joins is one per-order aggregate — n_supp = distinct suppliers on
+    the order, n_late_supp = distinct suppliers with a late line. A late
+    line qualifies iff n_supp >= 2 (someone else was on the order) and
+    n_late_supp = 1 (nobody else was late — the late supplier set is
+    exactly {{l1.suppkey}}). One orderkey aggregation + one orderkey join
+    replaces two correlated self-joins; both shuffles share the orderkey
+    partitioning. The oracle keeps the literal EXISTS form — same rows."""
+    l = table(spark, sf_dir, "lineitem")
+    per_order = l.groupBy(F.col("l_orderkey").alias("agg_ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = (
+        table(spark, sf_dir, "nation")
+        .where(F.col("n_name") == Q21_NATION)
+        .select("n_nationkey")
+    )
+    l1 = l.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey, "left_semi")
+        .join(per_order, l1.l_orderkey == F.col("agg_ok"))
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
     )

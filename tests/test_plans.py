@@ -262,3 +262,31 @@ def test_connected_components_transitivity(spark):
     }
     assert got[1] == (1, 1) and got[2] == (1, 0) and got[3] == (1, 0)
     assert got[9] == (9, 1)
+
+
+def test_round3_tpch_shapes_plan_gates(spark):
+    """Round-3 family: Q8/Q9 broadcast every dim (one fact-fact shuffle
+    pair max), Q20 compiles to a pure semi-join chain, Q21's EXISTS /
+    NOT-EXISTS decorrelation runs ONE per-order aggregate — no correlated
+    self-join re-scan of lineitem beyond the two planned reads."""
+    for name in ("tpch_q8_market_share", "tpch_q9_product_profit"):
+        plan = _explain(spark, name)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        # only the lineitem⋈orders join may shuffle
+        assert plan.count("Exchange hashpartitioning") <= 3, (name, plan)
+
+    plan = _explain(spark, "tpch_q11_important_stock")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+    plan = _explain(spark, "tpch_q20_part_promotion")
+    assert "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    # decorrelated: lineitem appears as the l1 filter scan + the per-order
+    # aggregate scan — 5 scans total (l1, agg, orders, supplier, nation),
+    # not the 6+ a correlated EXISTS/NOT-EXISTS pair would plan
+    simple = _explain(spark, "tpch_q21_waiting_supplier", mode="simple")
+    assert simple.count("FileScan parquet") <= 5, simple
+    assert "LeftSemi" in simple, simple
