@@ -593,3 +593,111 @@ SELECT src AS doc_id, min(dst) AS component_id,
        CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS is_keeper
 FROM reach GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination — the constant-memory scale path of
+# ngram_decontaminate. At 100 TB the eval shingle set may be too large to
+# broadcast as exact hashes (multi-benchmark suites run to billions of
+# n-grams); a Bloom bit-array of m bits with k=2 hash functions is a
+# fixed-size broadcast with a bounded, deterministic false-positive rate
+# (~(s/m)^2 for s set bits). Both hash functions derive from the portable
+# md5-based hash64, so the flagged set — INCLUDING the false positives —
+# is identical in any engine: the approximation itself is oracle-checkable.
+# --------------------------------------------------------------------------
+
+BLOOM_M = 1 << 16  # bits in the filter
+_BLOOM_SALT = "#b2"  # second hash = hash64(shingle || salt)
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    eval_source: str = "src0",
+    n: int = DECON_N,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """(doc_id, bloom_hits): training docs with ≥1 Bloom-positive n-gram
+    against the eval split's filter, with the count of positive shingles.
+
+    Physical shape: the bit set (distinct positions, ≤ 2×|eval shingles|,
+    hard-capped at ``m`` rows) broadcasts into TWO semi-joins — a shingle
+    is positive only if BOTH its bit positions are set, exactly a k=2
+    Bloom membership test. The corpus scans once; the only shuffle is the
+    final per-doc count. In a pure-Spark deployment the positions table
+    becomes an actual bitmap in a broadcast variable probed from a pandas
+    UDF; the semi-join form keeps the hot path in codegen and its
+    semantics engine-portable.
+    """
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    docs = rebalance_narrow_scan(docs)
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(word_shingles(tokenize("text"), n))
+        ).alias("s"),
+    )
+    pos = sh.select(
+        "doc_id",
+        "source",
+        F.pmod(hash64(F.col("s")), F.lit(m)).alias("p1"),
+        F.pmod(
+            hash64(F.concat(F.col("s"), F.lit(_BLOOM_SALT))), F.lit(m)
+        ).alias("p2"),
+    )
+    bits = (
+        pos.where(F.col("source") == eval_source)
+        .select(F.explode(F.array("p1", "p2")).alias("bit"))
+        .distinct()
+    )
+    train = pos.where(F.col("source") != eval_source)
+    return (
+        train.join(
+            F.broadcast(bits.select(F.col("bit").alias("p1"))),
+            "p1",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(bits.select(F.col("bit").alias("p2"))),
+            "p2",
+            "left_semi",
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("bloom_hits"))
+    )
+
+
+def bloom_decontaminate_oracle(
+    eval_source: str = "src0", n: int = DECON_N, m: int = BLOOM_M
+) -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(toks) - {n - 2}),
+             i -> list_aggregate(toks[i:i+{n - 1}], 'string_agg', ' '))) AS shingles
+  FROM docs WHERE len(toks) >= {n}
+), s AS (
+  SELECT doc_id, source, unnest(shingles) AS s FROM sh
+), pos AS (
+  SELECT doc_id, source,
+         {hash64_sql('s')} % {m} AS p1,
+         {hash64_sql("s || '" + _BLOOM_SALT + "'")} % {m} AS p2
+  FROM s
+), bits AS (
+  SELECT DISTINCT bit
+  FROM (SELECT unnest([p1, p2]) AS bit FROM pos WHERE source = '{eval_source}')
+)
+SELECT doc_id, count(*) AS bloom_hits
+FROM pos
+WHERE source <> '{eval_source}'
+  AND p1 IN (SELECT bit FROM bits)
+  AND p2 IN (SELECT bit FROM bits)
+GROUP BY 1
+"""

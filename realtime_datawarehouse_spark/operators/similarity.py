@@ -510,3 +510,100 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {pround_sql(_COS_AB, 4)} >= {threshold}
 """
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication, per Abbas et al.
+# 2023 ("SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication"): cluster the corpus embeddings, compare pairs only
+# WITHIN a cluster, and drop all but one document from every group of
+# semantic near-duplicates. The clustering bounds the pairwise work: with
+# k clusters the cost is Σ|cluster|² instead of |corpus|² — the SemDeDup
+# design point is k ≈ 100k at web scale so cluster populations stay
+# small; cluster-id becomes the shuffle/layout key, the same partition-
+# pruning story as the IVF index (ivf_assign above is reused verbatim).
+# --------------------------------------------------------------------------
+
+SEMDEDUP_COSINE = 0.4
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_COSINE,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, cluster_id, is_dup): is_dup=1 iff a same-cluster vector
+    with a SMALLER id is cosine-similar above ``threshold`` (greedy
+    keep-smallest — one deterministic pass, the same drop rule as the
+    curation pipeline's near-dup stage).
+
+    Scale shape: assignment is a broadcast argmax (corpus never shuffles);
+    the pair join shuffles each cluster's members to one place — on a
+    cluster-partitioned layout it's a co-located self-join. Pair scoring
+    reuses the per-row norms computed below the join.
+    """
+    assigned = ivf_assign(emb, centroids)  # (vec_id, v, vn, centroid_id)
+    a = assigned.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("vn").alias("an"),
+    )
+    b = assigned.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("vn").alias("bn"),
+    )
+    dup_ids = (
+        a.join(b, "cid")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            pround(
+                _cos(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")), 4
+            )
+            >= threshold
+        )
+        .select(F.col("b_id").alias("dup_id"))
+        .distinct()
+    )
+    # dup_ids ≤ |corpus| but is in practice the (small) duplicate set;
+    # broadcast it so the flag join never reshuffles the corpus
+    return assigned.join(
+        F.broadcast(dup_ids), assigned.vec_id == dup_ids.dup_id, "left"
+    ).select(
+        "vec_id",
+        F.col("centroid_id").alias("cluster_id"),
+        F.when(F.col("dup_id").isNotNull(), 1).otherwise(0).alias("is_dup"),
+    )
+
+
+_COS_AB_SEM = (
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+    " * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+def semdedup_oracle(threshold: float = SEMDEDUP_COSINE) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE {IVF_CENTROID_PRED_SQL}
+), va AS (
+  SELECT vec_id, v, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+             ORDER BY {_COS_VC} DESC, centroid_id) AS rnk
+  FROM e v CROSS JOIN c
+), a0 AS (
+  SELECT vec_id, v, centroid_id FROM va WHERE rnk = 1
+), dup AS (
+  SELECT DISTINCT b.vec_id AS dup_id
+  FROM a0 a JOIN a0 b ON a.centroid_id = b.centroid_id
+        AND a.vec_id < b.vec_id
+  WHERE {pround_sql(_COS_AB_SEM, 4)} >= {threshold}
+)
+SELECT a0.vec_id, a0.centroid_id AS cluster_id,
+       CASE WHEN dup.dup_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM a0 LEFT JOIN dup ON dup.dup_id = a0.vec_id
+"""

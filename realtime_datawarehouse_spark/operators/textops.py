@@ -748,3 +748,68 @@ WITH base AS (
 SELECT doc_id, source, n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= {MIX_TOKEN_BUDGET}
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics: the global most-frequent word n-grams — the
+# vocabulary/collocation profile a data pipeline builds before choosing
+# filters (and the exact form of the "frequent n-gram" spam signal).
+# ---------------------------------------------------------------------------
+
+NGRAM_TOPK_N = 2
+NGRAM_TOPK_K = 25
+
+
+def ngram_topk(
+    docs: DataFrame, n: int = NGRAM_TOPK_N, k: int = NGRAM_TOPK_K
+) -> DataFrame:
+    """(ngram, cnt, rank): the ``k`` most frequent word n-grams corpus-wide
+    (total occurrences, not document frequency), ties broken by the ngram
+    string so the result is unique in any engine.
+
+    Scale shape: the count is map-side combined (shuffle = distinct
+    n-grams, orders of magnitude under token count); the global top-k then
+    ranks the count table only. The rank window is single-partition over
+    the COUNT TABLE — at 100 TB swap the final step for the two-level
+    top-k (per-partition local top-k, merge k×partitions) or the sketch
+    layer's heavy hitters; the count stage is unchanged.
+    """
+    from pyspark.sql import Window
+
+    from realtime_datawarehouse_spark.functions.text import word_shingles
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    docs = rebalance_narrow_scan(docs)
+    grams = docs.select(
+        F.explode(word_shingles(tokenize("text"), n)).alias("ngram")
+    )
+    counts = grams.groupBy("ngram").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("ngram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("ngram", "cnt", "rank")
+    )
+
+
+def ngram_topk_oracle(n: int = NGRAM_TOPK_N, k: int = NGRAM_TOPK_K) -> str:
+    join_expr = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""
+WITH t AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(1, len(toks) - {n - 2}),
+                i -> {join_expr})) AS ngram
+  FROM t WHERE len(toks) >= {n}
+), c AS (
+  SELECT ngram, count(*) AS cnt FROM g GROUP BY 1
+), r AS (
+  SELECT ngram, cnt,
+         row_number() OVER (ORDER BY cnt DESC, ngram ASC) AS rank
+  FROM c
+)
+SELECT ngram, cnt, rank FROM r WHERE rank <= {k}
+"""

@@ -529,3 +529,32 @@ def mix_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over a Knuth-hash permutation) — mixture building by token
     count, not document count."""
     return textops.token_budget_sample(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Round-3 additions: semantic dedup, Bloom decontamination, corpus n-gram
+# heavy hitters.
+# --------------------------------------------------------------------------
+
+
+@query("dedup_semantic", oracle=similarity.semdedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster embeddings (IVF assignment), flag within-cluster
+    cosine near-duplicates, greedy keep-smallest — the embedding-space
+    member of the dedup family (exact/Jaccard/MinHash/SimHash/semantic)."""
+    return similarity.semdedup(_emb(spark, sf_dir))
+
+
+@query("curate_bloom_decontaminate", oracle=dedup.bloom_decontaminate_oracle())
+def curate_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination — constant-memory scale path
+    of curate_decontaminate; both hash functions are md5-portable so the
+    flagged set (false positives included) is engine-identical."""
+    return dedup.bloom_decontaminate(_docs(spark, sf_dir))
+
+
+@query("text_ngram_topk", oracle=textops.ngram_topk_oracle())
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide most-frequent word bigrams with deterministic ranking —
+    the collocation/spam-signal profile pass."""
+    return textops.ngram_topk(_docs(spark, sf_dir))

@@ -32,6 +32,9 @@ ORACLES: dict[str, str] = {}
 # the old array-column schema) and the operators whose implementation
 # changed this round, then everything else in registration order.
 DRIVER_PRIORITY: list[str] = [
+    "dedup_semantic",
+    "curate_bloom_decontaminate",
+    "text_ngram_topk",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",

@@ -290,3 +290,21 @@ def test_round3_tpch_shapes_plan_gates(spark):
     simple = _explain(spark, "tpch_q21_waiting_supplier", mode="simple")
     assert simple.count("FileScan parquet") <= 5, simple
     assert "LeftSemi" in simple, simple
+
+
+def test_round3_llm_ops_plan_gates(spark):
+    """SemDeDup's centroid assignment broadcasts (the corpus never
+    shuffles for assignment); the Bloom bit set probes as broadcast
+    semi-joins; ngram_topk's rank runs over the count table, never a
+    global sort of the gram stream."""
+    plan = _explain(spark, "dedup_semantic")
+    assert "BroadcastHashJoin" in plan, plan
+
+    plan = _explain(spark, "curate_bloom_decontaminate")
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    plan = _explain(spark, "text_ngram_topk", mode="simple")
+    # the window sort must sit above the HashAggregate (count table),
+    # not above the raw exploded grams
+    assert "HashAggregate" in plan and "Window" in plan, plan
