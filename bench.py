@@ -59,6 +59,12 @@ BENCH_QUERIES = (
     "olap_window_functions",        # OVER-family single-pass window
     "text_unigram_logprob",         # corpus LM: explode + broadcast vocab
     "text_repetition_signals",      # explode + two-level bigram mode
+    # round-3 additions (floors recorded from their first r03 measurement)
+    "tpch_q8_market_share",         # 7-table broadcast snowflake + ratio agg
+    "tpch_q21_waiting_supplier",    # decorrelated EXISTS/NOT-EXISTS pair
+    "dedup_semantic",               # IVF assign + within-cluster pair join
+    "curate_bloom_decontaminate",   # double broadcast semi-join membership
+    "text_ngram_topk",              # explode + combined count + global top-k
 )
 
 

@@ -53,6 +53,26 @@ def hash64_sql(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
+def hash64_pair(col: Column | str) -> tuple[Column, Column]:
+    """TWO independent portable 60-bit hashes from ONE md5 evaluation
+    (hex chars 1-15 and 16-30) — for k=2 Bloom filters and double
+    hashing, at half the digest cost of calling :func:`hash64` twice."""
+    c = F.col(col) if isinstance(col, str) else col
+    d = F.md5(c)
+    return (
+        F.conv(F.substring(d, 1, 15), 16, 10).cast("bigint"),
+        F.conv(F.substring(d, 16, 15), 16, 10).cast("bigint"),
+    )
+
+
+def hash64_pair_sql(expr: str) -> tuple[str, str]:
+    """DuckDB rendering of :func:`hash64_pair`."""
+    return (
+        f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)",
+        f"CAST('0x' || substr(md5({expr}), 16, 15) AS BIGINT)",
+    )
+
+
 def minhash_perm(h: Column, a: int, b: int) -> Column:
     """One universal-hash permutation of a base hash value (pure int64)."""
     h32 = h.bitwiseAND(F.lit(_H_MASK))

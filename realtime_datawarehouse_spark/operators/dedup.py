@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from realtime_datawarehouse_spark.functions.compare import pround, pround_sql
 from realtime_datawarehouse_spark.functions.hashing import (
     hash64,
+    hash64_pair,
+    hash64_pair_sql,
     hash64_sql,
     minhash_perm_sql,
     minhash_signature,
@@ -607,7 +609,8 @@ FROM reach GROUP BY 1
 # --------------------------------------------------------------------------
 
 BLOOM_M = 1 << 16  # bits in the filter
-_BLOOM_SALT = "#b2"  # second hash = hash64(shingle || salt)
+# k=2 hash functions come from ONE md5 evaluation (hash64_pair): hex chars
+# 1-15 and 16-30 of the digest — half the digest cost of hashing twice.
 
 
 def bloom_decontaminate(
@@ -640,13 +643,12 @@ def bloom_decontaminate(
             F.array_distinct(word_shingles(tokenize("text"), n))
         ).alias("s"),
     )
+    h1, h2 = hash64_pair(F.col("s"))
     pos = sh.select(
         "doc_id",
         "source",
-        F.pmod(hash64(F.col("s")), F.lit(m)).alias("p1"),
-        F.pmod(
-            hash64(F.concat(F.col("s"), F.lit(_BLOOM_SALT))), F.lit(m)
-        ).alias("p2"),
+        F.pmod(h1, F.lit(m)).alias("p1"),
+        F.pmod(h2, F.lit(m)).alias("p2"),
     )
     bits = (
         pos.where(F.col("source") == eval_source)
@@ -687,8 +689,8 @@ WITH docs AS (
   SELECT doc_id, source, unnest(shingles) AS s FROM sh
 ), pos AS (
   SELECT doc_id, source,
-         {hash64_sql('s')} % {m} AS p1,
-         {hash64_sql("s || '" + _BLOOM_SALT + "'")} % {m} AS p2
+         {hash64_pair_sql('s')[0]} % {m} AS p1,
+         {hash64_pair_sql('s')[1]} % {m} AS p2
   FROM s
 ), bits AS (
   SELECT DISTINCT bit

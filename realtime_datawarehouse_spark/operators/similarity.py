@@ -284,14 +284,17 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
         "centroid_id",
         _cos(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")).alias("csim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("centroid_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
-        .select("vec_id", "v", "vn", "centroid_id")
-    )
+    # argmax as a map-side-combinable max_by — a row_number window would
+    # shuffle AND sort the |corpus| × |centroids| scored rows; the agg
+    # reduces them to one row per vector before the exchange. The ordering
+    # struct (csim, -centroid_id) reproduces the (csim DESC, centroid_id
+    # ASC) tie-break exactly; centroid ids are unique so it is total.
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("v", "vn", "centroid_id"),
+            F.struct(F.col("csim"), (-F.col("centroid_id")).alias("nc")),
+        ).alias("m")
+    ).select("vec_id", "m.v", "m.vn", "m.centroid_id")
 
 
 def ivf_topk(

@@ -813,3 +813,145 @@ WITH t AS (
 )
 SELECT ngram, cnt, rank FROM r WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: fixed-size token windows with overlap — the
+# RAG-retrieval / pretraining-example segmentation pass.
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
+) -> DataFrame:
+    """(doc_id, chunk_start, chunk_text, n_tokens): token windows of
+    ``size`` tokens starting every ``size - overlap`` tokens (1-based
+    start offsets; the final window may be short). Pure builtin
+    sequence/slice expressions — per-row work, no shuffle at all, and the
+    output count is ~tokens/stride rows per doc. At 100 TB this runs as a
+    map-only stage writing straight to the chunk store."""
+    stride = size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than size")
+    toks = tokenize("text")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("chunk_start"),
+            F.array_join(F.slice(toks, s, size), " ").alias("chunk_text"),
+            F.size(F.slice(toks, s, size)).alias("n_tokens"),
+        ),
+    )
+    return (
+        docs.where(F.size(toks) >= 1)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_start", "c.chunk_text", "c.n_tokens")
+    )
+
+
+def chunk_documents_oracle(
+    size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
+) -> str:
+    stride = size - overlap
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 1) + 1, {stride})) AS chunk_start
+  FROM t WHERE len(toks) >= 1
+)
+SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+       list_aggregate(toks[chunk_start : chunk_start + {size - 1}],
+                      'string_agg', ' ') AS chunk_text,
+       len(toks[chunk_start : chunk_start + {size - 1}]) AS n_tokens
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document — the classic salient-term extraction pass
+# (retrieval indexing, topic labeling, keyword features).
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 3
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
+    """(doc_id, term, tf, doc_freq, score6, rank): top-``k`` terms per doc
+    by tf·idf, idf = ln(N/df). One explode feeds both the per-doc term
+    frequency and (after a distinct) the document frequency; df joins back
+    on the term — at 100 TB the df table is |vocabulary|, broadcastable
+    after a frequency floor, and the per-doc rank is a bounded window.
+
+    ``score6`` is the 1e-6-quantized tf·ln(N/df) — quantized AFTER a
+    transcendental, so ordering/parity assumes libm ``ln`` agreement
+    within the quantization grid (same documented caveat as
+    unigram_logprob; ties then break on the term string, so rank is
+    deterministic given that assumption)."""
+    from pyspark.sql import Window
+
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    docs = rebalance_narrow_scan(docs)
+    t = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = (
+        t.distinct().groupBy("term").agg(F.count("*").alias("doc_freq"))
+    )
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    score6 = F.floor(
+        F.col("tf").cast("double")
+        * F.log(
+            F.col("n_docs").cast("double") / F.col("doc_freq").cast("double")
+        )
+        * F.lit(1_000_000)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", "tf", "doc_freq", score6.alias("score6"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score6"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "doc_freq", "score6", "rank")
+    )
+
+
+def tfidf_top_terms_oracle(k: int = TFIDF_K) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS doc_freq
+  FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+         CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / doc_freq)
+                    * 1000000 + 0.5) AS BIGINT) AS score6
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), r AS (
+  SELECT doc_id, term, tf, doc_freq, score6,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score6 DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, score6, rank FROM r WHERE rank <= {k}
+"""

@@ -558,3 +558,17 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide most-frequent word bigrams with deterministic ranking —
     the collocation/spam-signal profile pass."""
     return textops.ngram_topk(_docs(spark, sf_dir))
+
+
+@query("text_chunk_documents", oracle=textops.chunk_documents_oracle())
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunking — the RAG / pretraining
+    example-segmentation pass; map-only, no shuffle."""
+    return textops.chunk_documents(_docs(spark, sf_dir))
+
+
+@query("text_tfidf_top_terms", oracle=textops.tfidf_top_terms_oracle())
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf terms (salient-term extraction); one
+    explode feeds tf and df, df broadcasts back, bounded per-doc rank."""
+    return textops.tfidf_top_terms(_docs(spark, sf_dir))

@@ -32,6 +32,8 @@ ORACLES: dict[str, str] = {}
 # the old array-column schema) and the operators whose implementation
 # changed this round, then everything else in registration order.
 DRIVER_PRIORITY: list[str] = [
+    "text_chunk_documents",
+    "text_tfidf_top_terms",
     "dedup_semantic",
     "curate_bloom_decontaminate",
     "text_ngram_topk",

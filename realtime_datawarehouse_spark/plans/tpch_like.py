@@ -1258,11 +1258,20 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces two correlated self-joins; both shuffles share the orderkey
     partitioning. The oracle keeps the literal EXISTS form — same rows."""
     l = table(spark, sf_dir, "lineitem")
-    per_order = l.groupBy(F.col("l_orderkey").alias("agg_ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    # two-level aggregate instead of two countDistincts: a pair of
+    # countDistinct aggs plans an Expand (doubles the shuffled rows);
+    # pre-aggregating to (orderkey, suppkey, any_late) first keeps one
+    # map-side-combinable shuffle and both counts become plain sums
+    per_pair = l.groupBy(
+        F.col("l_orderkey").alias("agg_ok"), "l_suppkey"
+    ).agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("late")
+    )
+    per_order = per_pair.groupBy("agg_ok").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("late").alias("n_late_supp"),
     )
     o = (
         table(spark, sf_dir, "orders")
