@@ -962,3 +962,83 @@ WITH t AS (
 )
 SELECT doc_id, term, tf, doc_freq, score6, rank FROM r WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture rebalancing — the multilingual/multi-source
+# sampling rule (share of source s ∝ n_s^alpha, alpha < 1 upweights small
+# sources; Conneau & Lample 2019). alpha is fixed at 0.5 because sqrt is
+# a single IEEE-exact operation in every engine, keeping the sampling
+# thresholds bit-identical cross-engine (a general pow() would reintroduce
+# the libm caveat).
+# ---------------------------------------------------------------------------
+
+MIX_TEMP_BUDGET = 200
+
+
+def temperature_sample(
+    docs: DataFrame,
+    budget_docs: int = MIX_TEMP_BUDGET,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a deterministic hash-sample of ~``budget_docs`` rows with
+    per-source shares ∝ sqrt(n_s): keep-rate r_s = budget·w_s/n_s (capped
+    at 1), w_s = sqrt6(n_s)/Σ sqrt6(n_s), where sqrt6 is the
+    1e-6-quantized sqrt — the quantization makes the share SUM an exact
+    int64 (order-free), so both engines derive identical thresholds.
+
+    Scale shape: per-source counts are one map-side-combined aggregation
+    (rows = |sources|); thresholds broadcast back; the keep decision is a
+    per-row hash compare. Rerun-stable: a doc's fate depends only on its
+    key and the source counts."""
+    counts = docs.groupBy(stratum_col).agg(F.count("*").alias("n"))
+    counts = counts.select(
+        stratum_col,
+        "n",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("sq6"),
+    )
+    tot = counts.agg(F.sum("sq6").alias("tot6"))
+    thr = F.least(
+        F.lit(SAMPLE_MOD).cast("bigint"),
+        F.floor(
+            F.lit(budget_docs).cast("double")
+            * F.col("sq6").cast("double")
+            / F.col("tot6").cast("double")
+            / F.col("n").cast("double")
+            * F.lit(SAMPLE_MOD)
+        ).cast("bigint"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        stratum_col, thr.alias("thr")
+    )
+    bucket = F.pmod(hash64(F.col(key_col).cast("string")), F.lit(SAMPLE_MOD))
+    return (
+        docs.join(F.broadcast(rates), stratum_col)
+        .where(bucket < F.col("thr"))
+        .select(key_col, stratum_col)
+    )
+
+
+def temperature_sample_oracle(budget_docs: int = MIX_TEMP_BUDGET) -> str:
+    return f"""
+WITH c AS (
+  SELECT source, count(*) AS n,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS sq6
+  FROM documents GROUP BY 1
+), t AS (
+  SELECT CAST(sum(sq6) AS BIGINT) AS tot6 FROM c
+), r AS (
+  SELECT source,
+         least({SAMPLE_MOD},
+               CAST(floor(CAST({budget_docs} AS DOUBLE)
+                    * CAST(sq6 AS DOUBLE) / CAST(tot6 AS DOUBLE)
+                    / CAST(n AS DOUBLE) * {SAMPLE_MOD}) AS BIGINT)) AS thr
+  FROM c CROSS JOIN t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE {hash64_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_MOD} < r.thr
+"""

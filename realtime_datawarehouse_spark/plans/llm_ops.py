@@ -572,3 +572,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 tf-idf terms (salient-term extraction); one
     explode feeds tf and df, df broadcasts back, bounded per-doc rank."""
     return textops.tfidf_top_terms(_docs(spark, sf_dir))
+
+
+@query("mix_temperature_sample", oracle=textops.temperature_sample_oracle())
+def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.5 temperature rebalancing across sources — deterministic
+    hash thresholds derived from quantized sqrt shares (engine-exact)."""
+    return textops.temperature_sample(_docs(spark, sf_dir))
