@@ -546,28 +546,30 @@ def semdedup(
     reuses the per-row norms computed below the join.
     """
     assigned = ivf_assign(emb, centroids)  # (vec_id, v, vn, centroid_id)
-    a = assigned.select(
-        F.col("centroid_id").alias("cid"),
-        F.col("vec_id").alias("a_id"),
-        F.col("v").alias("av"),
-        F.col("vn").alias("an"),
-    )
-    b = assigned.select(
-        F.col("centroid_id").alias("cid"),
-        F.col("vec_id").alias("b_id"),
-        F.col("v").alias("bv"),
-        F.col("vn").alias("bn"),
-    )
+    # alias-based self-join (NOT two renamed projections): both sides
+    # canonicalize to the identical subtree, so the assignment aggregate
+    # and its exchange are computed once and ReusedExchange feeds the
+    # second side — the pair stage re-executes nothing
+    a, b = assigned.alias("a"), assigned.alias("b")
     dup_ids = (
-        a.join(b, "cid")
-        .where(F.col("a_id") < F.col("b_id"))
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .where(
             pround(
-                _cos(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")), 4
+                _cos(
+                    F.col("a.v"),
+                    F.col("b.v"),
+                    F.col("a.vn"),
+                    F.col("b.vn"),
+                ),
+                4,
             )
             >= threshold
         )
-        .select(F.col("b_id").alias("dup_id"))
+        .select(F.col("b.vec_id").alias("dup_id"))
         .distinct()
     )
     # dup_ids ≤ |corpus| but is in practice the (small) duplicate set;
