@@ -461,3 +461,21 @@ def stream_static_enrich(
     return stream.join(
         F.broadcast(dim), F.col(key_stream) == F.col(key_dim), "left"
     )
+
+
+def dedup_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming exact corpus dedup: keep the FIRST-arriving document per
+    content hash — the continuous-ingestion form of
+    ``operators/dedup.py::exact_dedup`` (a training-data pipeline that
+    tails a crawl feed dedups this way rather than re-batching).
+
+    State = one (hash) row per distinct document seen; with no event-time
+    column on the corpus this is unbounded by design (the batch operator
+    is the compaction). When the feed carries an ingest timestamp, swap to
+    ``withWatermark + dropDuplicatesWithinWatermark([content_hash])`` for
+    TTL-bounded state — same output within the retention horizon.
+    Within a micro-batch "first" is arrival order (same contract as
+    first_per_user_day; pinned to min-doc_id by ordered sources)."""
+    return docs.withColumn(
+        "content_hash", F.md5(F.col(text_col))
+    ).dropDuplicates(["content_hash"])

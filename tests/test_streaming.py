@@ -703,3 +703,28 @@ def test_stream_static_enrich_parity(spark, events_stream_dir):
     m = got.sort_values(key).reset_index(drop=True).fillna("~")
     b = batch.sort_values(key).reset_index(drop=True).fillna("~")
     assert (m.c_mktsegment == b.c_mktsegment).all()
+
+
+def test_dedup_stream_parity(spark, tmp_path):
+    """Streaming exact dedup ≡ batch keeper mapping: the first-arriving
+    (== min doc_id under ordered file batches) document survives per
+    content hash, every later duplicate is dropped."""
+    docs = table(spark, SF_DIR, "documents")
+    d = str(tmp_path / "docs_stream")
+    # two ordered micro-batch files, doc_id ascending across them
+    n = docs.count()
+    lo = docs.orderBy("doc_id").limit(n // 2)
+    hi = docs.orderBy(F.desc("doc_id")).limit(n - n // 2)
+    lo.coalesce(1).write.mode("append").parquet(d)
+    hi.coalesce(1).write.mode("append").parquet(d)
+
+    stream = jobs.parquet_stream(spark, d, docs.schema)
+    got = _drain(spark, jobs.dedup_stream(stream), "t_dedup").toPandas()
+
+    keepers = (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .toPandas()
+    )
+    assert len(got) == len(keepers)
+    assert set(got.doc_id) == set(keepers.doc_id)
