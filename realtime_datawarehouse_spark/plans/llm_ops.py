@@ -579,3 +579,11 @@ def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """alpha=0.5 temperature rebalancing across sources — deterministic
     hash thresholds derived from quantized sqrt shares (engine-exact)."""
     return textops.temperature_sample(_docs(spark, sf_dir))
+
+
+@query("text_compression_ratio")  # DEFLATE has no SQL rendering — rows-only;
+# value parity pinned by tests/test_correctness.py::test_compression_ratio_oracle
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility quality signal (Gopher/Dolma) — deterministic
+    for a fixed level, Arrow-batched, map-only."""
+    return textops.compression_ratio(_docs(spark, sf_dir))

@@ -83,3 +83,28 @@ def test_audio_codec_is_real_roundtrip(spark):
     )
     with pytest.raises(Exception, match="RIFF"):
         bad.collect()
+
+
+def test_compression_ratio_oracle(spark):
+    """Rows-only query text_compression_ratio: every (raw, zlib, ratio6)
+    triple must equal direct zlib on the driver (integer round-half-up)."""
+    import zlib
+
+    from realtime_datawarehouse_spark.operators import textops
+    from realtime_datawarehouse_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents")
+    got = {
+        r.doc_id: (r.raw_bytes, r.zlib_bytes, r.ratio6)
+        for r in textops.compression_ratio(docs).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        raw = row.text.encode("utf-8")
+        comp = len(zlib.compress(raw, textops.COMPRESS_LEVEL))
+        r = len(raw)
+        ratio6 = (
+            comp * 1_000_000 // r + (1 if (comp * 1_000_000 % r) * 2 >= r else 0)
+            if r
+            else 1_000_000
+        )
+        assert got[row.doc_id] == (r, comp, ratio6), row.doc_id
