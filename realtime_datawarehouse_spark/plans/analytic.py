@@ -184,3 +184,119 @@ def olap_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(med * 100 + F.lit(0.5)) / 100.0).alias("median_price"),
         (F.floor(p90 * 100 + F.lit(0.5)) / 100.0).alias("p90_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-3: behavioral analytics over the event stream — funnel conversion
+# and retention cohorts, the two ADS queries every product warehouse ends
+# up serving next to GMV.
+# --------------------------------------------------------------------------
+
+FUNNEL_ORACLE = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= t1.t1
+  GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON t2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+  GROUP BY 1
+)
+SELECT count(*)                                         AS n_view,
+       CAST(count(t2.user_id) AS BIGINT)                AS n_click_after,
+       CAST(count(t3.user_id) AS BIGINT)                AS n_purchase_after
+FROM t1
+LEFT JOIN t2 ON t2.user_id = t1.user_id
+LEFT JOIN t3 ON t3.user_id = t1.user_id
+"""
+
+
+@query("olap_funnel_conversion", oracle=FUNNEL_ORACLE)
+def olap_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: each stage's time is the earliest
+    qualifying event AT OR AFTER the previous stage's time (chain-of-mins;
+    deterministic regardless of tie order since each stage is a min over
+    an explicit predicate).
+
+    Scale shape: three user-keyed aggregations and joins that all share
+    the user_id partitioning (co-partitioned at scale, ReusedExchange in
+    local mode); the final count is a single-row reduce. Per-user event
+    arrays never materialize — the chain works on (user, min-ts) rows."""
+    ev = table(spark, sf_dir, "events")
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .agg(
+            F.count("*").alias("n_view"),
+            F.count("t2").alias("n_click_after"),
+            F.count("t3").alias("n_purchase_after"),
+        )
+    )
+
+
+RETENTION_MAX_OFFSET = 7
+
+RETENTION_ORACLE = f"""
+WITH first_day AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+  FROM events GROUP BY 1
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d')                   AS cohort_dt,
+       CAST(datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+                                                            AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT)            AS active_users
+FROM events e
+JOIN first_day f ON f.user_id = e.user_id
+WHERE datediff('day', f.cohort_day, CAST(e.ts AS DATE))
+      BETWEEN 0 AND {RETENTION_MAX_OFFSET}
+GROUP BY 1, 2
+"""
+
+
+@query("olap_retention_cohorts", oracle=RETENTION_ORACLE)
+def olap_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-0 cohort (first event day per user) × day-offset retention
+    counts for offsets 0..7 — the classic retention triangle.
+
+    Scale shape: the cohort map is a user-keyed min aggregation joined
+    back on the same partitioning; the triangle is a distinct-count over
+    a (cohort, offset) keyspace of |days| × 8 — tiny. At 100 TB swap the
+    exact countDistinct for the HLL sketch layer per partition budget."""
+    ev = table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    offset = F.datediff(F.to_date("ts"), F.col("cohort_day"))
+    return (
+        ev.join(first_day, "user_id")
+        .where(offset.between(0, RETENTION_MAX_OFFSET))
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_dt"),
+            offset.cast("bigint").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

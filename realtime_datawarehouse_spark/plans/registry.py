@@ -32,6 +32,8 @@ ORACLES: dict[str, str] = {}
 # the old array-column schema) and the operators whose implementation
 # changed this round, then everything else in registration order.
 DRIVER_PRIORITY: list[str] = [
+    "olap_funnel_conversion",
+    "olap_retention_cohorts",
     "text_compression_ratio",
     "mix_temperature_sample",
     "text_chunk_documents",
