@@ -300,3 +300,99 @@ def olap_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# Table profiling — the ANALYZE/stats pass (null counts, exact NDV,
+# numeric ranges) every warehouse runs to feed its optimizer and data
+# quality monitors. One scan, one reduce: all per-column aggregates
+# compute in a single pass and the per-column rows are unpivoted from the
+# one-row result (no per-column re-scan — at 100 TB that is the entire
+# point; swap exact NDV for HLL per column when the budget demands).
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS: list[tuple[str, str]] = [
+    # (column, kind) — kind drives how min/max are surfaced numerically
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_min_max_sql(col: str, kind: str) -> tuple[str, str]:
+    if kind == "num":
+        return (
+            f"CAST(min({col}) AS DOUBLE)",
+            f"CAST(max({col}) AS DOUBLE)",
+        )
+    if kind == "ts":
+        return (
+            f"CAST(epoch(min({col})) AS DOUBLE)",
+            f"CAST(epoch(max({col})) AS DOUBLE)",
+        )
+    return "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+
+
+PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       CAST(count(*) - count({c}) AS BIGINT) AS null_ct,
+       CAST(count(DISTINCT {c}) AS BIGINT)   AS ndv,
+       {_profile_min_max_sql(c, k)[0]}       AS min_num,
+       {_profile_min_max_sql(c, k)[1]}       AS max_num
+FROM orders"""
+    for c, k in _PROFILE_COLS
+)
+
+
+@query("olap_table_profile", oracle=PROFILE_ORACLE)
+def olap_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of ``orders``: null count, exact NDV,
+    numeric min/max (timestamps as epoch seconds, strings NULL). The
+    oracle's UNION-ALL-per-column form is the semantic spec; the engine
+    computes every aggregate in ONE scan and unpivots the 1-row result."""
+    o = table(spark, sf_dir, "orders")
+
+    def mm(c: str, kind: str) -> tuple[F.Column, F.Column]:
+        if kind == "num":
+            return (
+                F.min(c).cast("double"),
+                F.max(c).cast("double"),
+            )
+        if kind == "ts":
+            return (
+                F.unix_timestamp(F.min(c)).cast("double"),
+                F.unix_timestamp(F.max(c)).cast("double"),
+            )
+        return (
+            F.lit(None).cast("double"),
+            F.lit(None).cast("double"),
+        )
+
+    aggs = []
+    for c, k in _PROFILE_COLS:
+        lo, hi = mm(c, k)
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            lo.alias(f"{c}__min"),
+            hi.alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__null").alias("null_ct"),
+                F.col(f"{c}__ndv").alias("ndv"),
+                F.col(f"{c}__min").alias("min_num"),
+                F.col(f"{c}__max").alias("max_num"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        "r.col_name", "r.null_ct", "r.ndv", "r.min_num", "r.max_num"
+    )
