@@ -587,3 +587,61 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compressibility quality signal (Gopher/Dolma) — deterministic
     for a fixed level, Arrow-batched, map-only."""
     return textops.compression_ratio(_docs(spark, sf_dir))
+
+
+HYBRID_KEYWORD = "the"
+HYBRID_K = 5
+
+HYBRID_ORACLE = f"""
+WITH filt AS (
+  SELECT doc_id FROM documents
+  WHERE len(list_filter(string_split(lower(text), ' '),
+            x -> x = '{HYBRID_KEYWORD}')) > 0
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4
+), cand AS (
+  SELECT e.vec_id AS neighbor_id, e.v FROM e JOIN filt ON filt.doc_id = e.vec_id
+), s AS (
+  SELECT q.query_id, c.neighbor_id,
+         {{pr}} AS sim
+  FROM q JOIN cand c ON c.neighbor_id <> q.query_id
+), r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= {HYBRID_K}
+""".replace(
+    "{pr}",
+    "floor(list_dot_product(q.qv, c.v) / (sqrt(list_dot_product(q.qv, q.qv))"
+    " * sqrt(list_dot_product(c.v, c.v))) * 10000 + 0.5) / 10000.0",
+)
+
+
+@query("ext_hybrid_retrieval", oracle=HYBRID_ORACLE)
+def ext_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: lexical pre-filter (keyword containment over
+    documents) then exact cosine top-k over the surviving embeddings
+    (doc_id ≡ vec_id in the fixture) — the filter-then-rerank composition
+    every RAG stack runs. Scale shape: the keyword filter is a map-only
+    scan whose surviving id set semi-joins the embedding corpus on its
+    own key (co-located on an id-partitioned layout); queries broadcast;
+    per-query top-k is a bounded window."""
+    from pyspark.sql import functions as _F
+
+    from realtime_datawarehouse_spark.functions.text import tokenize
+
+    docs = _docs(spark, sf_dir)
+    keep = docs.where(
+        _F.array_contains(tokenize("text"), HYBRID_KEYWORD)
+    ).select(_F.col("doc_id").alias("keep_id"))
+    emb = _emb(spark, sf_dir)
+    cand = emb.join(keep, emb.vec_id == _F.col("keep_id"), "left_semi")
+    queries = emb.where(_F.col("vec_id") < 4).select(
+        _F.col("vec_id").alias("query_id"),
+        _F.col("embedding").alias("query_vec"),
+    )
+    return similarity.brute_topk(cand, queries, HYBRID_K)
