@@ -61,3 +61,30 @@ def test_minhash_permutation_matches_duckdb(spark, h):
     (exp,) = duckdb.sql(f"SELECT {minhash_perm_sql(str(h), a, b)}").fetchone()
     assert got == exp
     assert 0 <= got < MERSENNE_P
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=10, unique=True))
+def test_hash64_pair_matches_duckdb(spark, strings):
+    """Both halves of the one-md5 double hash (Bloom k=2) must agree with
+    their DuckDB renderings, and the halves must be independent (differ
+    for at least one input when any input is non-degenerate)."""
+    from realtime_datawarehouse_spark.functions.hashing import (
+        hash64_pair,
+        hash64_pair_sql,
+    )
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    h1, h2 = hash64_pair(F.col("s"))
+    got = {
+        r.s: (r.h1, r.h2)
+        for r in df.select("s", h1.alias("h1"), h2.alias("h2")).collect()
+    }
+    s1, s2 = hash64_pair_sql("?")
+    con = duckdb.connect()
+    for s in strings:
+        (e1,) = con.execute(f"SELECT {s1}", [s]).fetchone()
+        (e2,) = con.execute(f"SELECT {s2}", [s]).fetchone()
+        assert got[s] == (e1, e2), f"hash64_pair diverges for {s!r}"
+        assert 0 <= got[s][0] < (1 << 60) and 0 <= got[s][1] < (1 << 60)
+    con.close()
