@@ -308,3 +308,54 @@ def test_round3_llm_ops_plan_gates(spark):
     # the window sort must sit above the HashAggregate (count table),
     # not above the raw exploded grams
     assert "HashAggregate" in plan and "Window" in plan, plan
+
+
+def test_round3_operator_edges(spark):
+    """Edge contracts for round-3 operators: chunking of empty/short docs,
+    temperature sampling with a single source (rate caps at 1), funnel
+    stages on users missing intermediate steps."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "", "s0"), (2, "one", "s0"), (3, "a b c d e", "s0")],
+        "doc_id long, text string, source string",
+    )
+    # empty text → no chunks; short text → one short chunk starting at 1
+    chunks = {
+        (r.doc_id, r.chunk_start): (r.chunk_text, r.n_tokens)
+        for r in textops.chunk_documents(docs, size=3, overlap=1).collect()
+    }
+    assert (1, 1) not in chunks
+    assert chunks[(2, 1)] == ("one", 1)
+    assert chunks[(3, 1)] == ("a b c", 3)
+    assert chunks[(3, 3)] == ("c d e", 3)
+    assert chunks[(3, 5)] == ("e", 1)
+
+    # single source: budget >= corpus → keep-rate caps at 1, all rows kept
+    kept = textops.temperature_sample(docs, budget_docs=10).count()
+    assert kept == 3
+
+    # funnel: click-before-view must not count as a conversion
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1, "click"),
+            (2, "2024-01-01 11:00:00", 1, "view"),
+            (3, "2024-01-01 09:00:00", 2, "view"),
+            (4, "2024-01-01 09:30:00", 2, "click"),
+            (5, "2024-01-01 09:45:00", 2, "purchase"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.mode("overwrite").parquet(d + "/events.parquet")
+        from realtime_datawarehouse_spark.plans.analytic import (
+            olap_funnel_conversion,
+        )
+
+        row = olap_funnel_conversion(spark, d).collect()[0]
+    # user 1: click precedes first view -> no conversion; user 2 full chain
+    assert (row.n_view, row.n_click_after, row.n_purchase_after) == (2, 1, 1)
