@@ -479,3 +479,71 @@ def dedup_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn(
         "content_hash", F.md5(F.col(text_col))
     ).dropDuplicates(["content_hash"])
+
+
+def funnel_state_kernel_factory():
+    """Streaming funnel (batch form: plans/analytic.py
+    olap_funnel_conversion): per-user (t1, t2, t3) stage-time state
+    advanced in event order — view sets t1, a click at/after t1 sets t2,
+    a purchase at/after t2 sets t3; each stage latches its FIRST
+    qualifying time (chain-of-mins semantics on an ordered stream).
+
+    Emits one row per input event with the user's stage AFTER the event
+    (update-style progress feed; the final per-user row of a drained
+    stream is the batch answer). State = three int64 epoch-micros per
+    user; unbounded user-space deployments add a GroupState timeout.
+    Returns (kernel, out_schema, state_schema).
+    """
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("stage", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("t1", LongType()),
+            StructField("t2", LongType()),
+            StructField("t3", LongType()),
+        ]
+    )
+
+    def kernel(key: Any, pdfs, state: GroupState):
+        import pandas as _pd
+
+        t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+        rows = _pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts = rows["ts"].astype("int64").to_numpy()  # epoch micros (ns//1k ok)
+        types = rows["event_type"].to_numpy()
+        stages = []
+        for t, typ in zip(ts, types):
+            t = int(t)
+            if typ == "view" and t1 < 0:
+                t1 = t
+            elif typ == "click" and t1 >= 0 and t2 < 0 and t >= t1:
+                t2 = t
+            elif typ == "purchase" and t2 >= 0 and t3 < 0 and t >= t2:
+                t3 = t
+            stages.append(3 if t3 >= 0 else 2 if t2 >= 0 else 1 if t1 >= 0 else 0)
+        state.update((t1, t2, t3))
+        yield _pd.DataFrame(
+            {
+                "user_id": rows["user_id"].to_numpy(),
+                "event_id": rows["event_id"].to_numpy(),
+                "stage": _pd.Series(stages, dtype="int64"),
+            }
+        )
+
+    return kernel, out_schema, state_schema
+
+
+def funnel_stream(ev: DataFrame, key: str = "user_id") -> DataFrame:
+    kernel, out_schema, state_schema = funnel_state_kernel_factory()
+    return ev.groupBy(key).applyInPandasWithState(
+        kernel,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

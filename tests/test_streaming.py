@@ -728,3 +728,50 @@ def test_dedup_stream_parity(spark, tmp_path):
     )
     assert len(got) == len(keepers)
     assert set(got.doc_id) == set(keepers.doc_id)
+
+
+def test_funnel_stream_parity(spark, events_stream_dir):
+    """Streaming funnel ≡ batch chain-of-mins: the last emitted stage per
+    user (drained ordered stream) must reproduce the batch funnel's
+    per-user conversion depth, including across micro-batch boundaries
+    (state carries t1/t2/t3 between files)."""
+    ev = table(spark, SF_DIR, "events")
+    stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+    got = _drain(spark, jobs.funnel_stream(stream), "t_funnel").toPandas()
+    # final stage per user = stage of the user's last event (max event order)
+    last = (
+        got.sort_values(["user_id", "event_id"])
+        .groupby("user_id")
+        .tail(1)
+        .set_index("user_id")["stage"]
+    )
+
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    batch = (
+        t1.join(t2, "user_id", "left").join(t3, "user_id", "left").toPandas()
+    )
+    expected = {
+        r.user_id: (3 if r.t3 == r.t3 and r.t3 is not None
+                    else 2 if r.t2 == r.t2 and r.t2 is not None else 1)
+        for r in batch.itertuples()
+    }
+    for uid, stage in expected.items():
+        assert last.get(uid, 0) == stage, (uid, stage, last.get(uid))
