@@ -65,6 +65,9 @@ BENCH_QUERIES = (
     "dedup_semantic",               # IVF assign + within-cluster pair join
     "curate_bloom_decontaminate",   # double broadcast semi-join membership
     "text_ngram_topk",              # explode + combined count + global top-k
+    "olap_funnel_conversion",       # chain-of-mins behavioral funnel
+    "olap_retention_cohorts",       # cohort x offset retention triangle
+    "ext_hybrid_retrieval",         # lexical filter + cosine top-k rerank
 )
 
 
