@@ -775,11 +775,12 @@ def ngram_topk(
     string so the result is unique in any engine.
 
     Scale shape: the count is map-side combined (shuffle = distinct
-    n-grams, orders of magnitude under token count); the global top-k then
-    ranks the count table only. The rank window is single-partition over
-    the COUNT TABLE — at 100 TB swap the final step for the two-level
-    top-k (per-partition local top-k, merge k×partitions) or the sketch
-    layer's heavy hitters; the count stage is unchanged.
+    n-grams, orders of magnitude under token count); the global top-k is
+    ``orderBy().limit(k)`` which Catalyst plans as TakeOrderedAndProject —
+    per-partition local top-k merged k×partitions at the driver — NOT a
+    single-partition sort of the count table (billions of distinct
+    n-grams at 100 TB). The rank column is then a window over the k
+    surviving rows only.
     """
     from pyspark.sql import Window
 
@@ -793,11 +794,10 @@ def ngram_topk(
         F.explode(word_shingles(tokenize("text"), n)).alias("ngram")
     )
     counts = grams.groupBy("ngram").agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("ngram"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("ngram", "cnt", "rank")
+    topk = counts.orderBy(F.desc("cnt"), F.asc("ngram")).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("ngram"))  # over k rows only
+    return topk.select(
+        "ngram", "cnt", F.row_number().over(w).alias("rank")
     )
 
 

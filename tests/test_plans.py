@@ -305,9 +305,10 @@ def test_round3_llm_ops_plan_gates(spark):
     assert "SortMergeJoin" not in plan, plan
 
     plan = _explain(spark, "text_ngram_topk", mode="simple")
-    # the window sort must sit above the HashAggregate (count table),
-    # not above the raw exploded grams
-    assert "HashAggregate" in plan and "Window" in plan, plan
+    # global top-k must be the distributed TakeOrderedAndProject over the
+    # count table — never a single-partition sort of all distinct n-grams
+    assert "HashAggregate" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_round3_operator_edges(spark):
