@@ -573,7 +573,10 @@ def semdedup(
         .distinct()
     )
     # dup_ids ≤ |corpus| but is in practice the (small) duplicate set;
-    # broadcast it so the flag join never reshuffles the corpus
+    # broadcast it so the flag join never reshuffles the corpus. Worst
+    # case (a near-all-duplicate corpus) the broadcast approaches corpus
+    # size — drop the hint there and let AQE pick a co-partitioned join
+    # on vec_id; the greedy keep-smallest semantics are unchanged.
     return assigned.join(
         F.broadcast(dup_ids), assigned.vec_id == dup_ids.dup_id, "left"
     ).select(

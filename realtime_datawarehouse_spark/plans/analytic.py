@@ -352,7 +352,12 @@ def olap_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass column profile of ``orders``: null count, exact NDV,
     numeric min/max (timestamps as epoch seconds, strings NULL). The
     oracle's UNION-ALL-per-column form is the semantic spec; the engine
-    computes every aggregate in ONE scan and unpivots the 1-row result."""
+    computes every aggregate in ONE scan and unpivots the 1-row result.
+
+    Cost note: N exact countDistincts in one agg plan an Expand (N+1 row
+    multiplication before the shuffle) — the price of exactness in one
+    pass. The 100 TB profile swaps them for approx_count_distinct (HLL,
+    no Expand, one buffer per column) and keeps everything else."""
     o = table(spark, sf_dir, "orders")
 
     def mm(c: str, kind: str) -> tuple[F.Column, F.Column]:
