@@ -401,3 +401,90 @@ def olap_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(rows).alias("r")).select(
         "r.col_name", "r.null_ct", "r.ndv", "r.min_num", "r.max_num"
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectation checks — declarative row constraints with
+# violation counts (the Great-Expectations/dbt-test pattern): range,
+# nullability, and referential integrity in one pass each.
+# --------------------------------------------------------------------------
+
+DQ_DATE_LO = "1990-01-01 00:00:00"
+DQ_DATE_HI = "2030-01-01 00:00:00"
+
+DQ_ORACLE = f"""
+SELECT 'nonpositive_totalprice' AS rule,
+       CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) AS violation_ct,
+       CAST(count(*) AS BIGINT) AS checked_ct
+FROM orders
+UNION ALL
+SELECT 'orderdate_out_of_range' AS rule,
+       CAST(count(*) FILTER (WHERE o_orderdate IS NULL
+             OR o_orderdate <  TIMESTAMP '{DQ_DATE_LO}'
+             OR o_orderdate >= TIMESTAMP '{DQ_DATE_HI}') AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orphan_custkey' AS rule,
+       CAST(count(*) AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+@query("olap_dq_checks", oracle=DQ_ORACLE)
+def olap_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over ``orders``: value range,
+    temporal sanity, and referential integrity (orphan FK via anti-join),
+    each reported as (rule, violation_ct, checked_ct).
+
+    Scale shape: the two predicate rules are conditional counts in ONE
+    scan (no per-rule re-scan); the FK rule is a left-anti join that
+    broadcasts the customer KEY projection — at 100 TB the same anti-join
+    runs co-partitioned on custkey. Rules short-circuit nothing: DQ wants
+    complete counts, not fail-fast."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    total = F.count("*")
+    pred_counts = o.agg(
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+        ).alias("nonpos"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate").isNull()
+                | (F.col("o_orderdate") < F.lit(DQ_DATE_LO).cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit(DQ_DATE_HI).cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("badrange"),
+        total.alias("n"),
+    )
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphan_ct"))
+        .crossJoin(F.broadcast(o.agg(total.alias("n2"))))
+    )
+    rules = pred_counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("nonpositive_totalprice").alias("rule"),
+                    F.col("nonpos").alias("violation_ct"),
+                    F.col("n").alias("checked_ct"),
+                ),
+                F.struct(
+                    F.lit("orderdate_out_of_range").alias("rule"),
+                    F.col("badrange").alias("violation_ct"),
+                    F.col("n").alias("checked_ct"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.rule", "r.violation_ct", "r.checked_ct")
+    fk = orphans.select(
+        F.lit("orphan_custkey").alias("rule"),
+        F.col("orphan_ct").alias("violation_ct"),
+        F.col("n2").alias("checked_ct"),
+    )
+    return rules.unionByName(fk)
