@@ -158,6 +158,14 @@ def ngram_jaccard_pairs(
             F.collect_list(F.struct(F.col("doc_id"), F.col("n")))
         ).alias("members")
     )
+    # hapax shingles (one member) generate zero pairs — drop them BEFORE
+    # the combination expression runs. Safe (members is the agg's output,
+    # nothing re-computes). On natural corpora hapax typically dominates
+    # the distinct-shingle set (>60%), making this the main pair-stage
+    # pruner; the synthetic bench corpus is only ~1% hapax (small
+    # vocabulary), so no bench delta — the win is a property of real
+    # text, not of this fixture.
+    inv = inv.where(F.size("members") >= 2)
     if max_doc_freq is not None:
         inv = inv.where(F.size("members") <= max_doc_freq)
     # flatten before the pair shuffle: 4 primitive columns beat nested
