@@ -88,3 +88,63 @@ def test_hash64_pair_matches_duckdb(spark, strings):
         assert got[s] == (e1, e2), f"hash64_pair diverges for {s!r}"
         assert 0 <= got[s][0] < (1 << 60) and 0 <= got[s][1] < (1 << 60)
     con.close()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(  # left rows: (key, ts)
+        st.tuples(st.sampled_from(["k1", "k2", "k3"]), st.integers(0, 50)),
+        min_size=1, max_size=12,
+    ),
+    st.lists(  # right rows: (key, ts, payload-or-None)
+        st.tuples(
+            st.sampled_from(["k1", "k2", "k4"]),
+            st.integers(0, 50),
+            st.one_of(st.none(), st.integers(0, 9)),
+        ),
+        min_size=0, max_size=12,
+    ),
+)
+def test_asof_join_matches_duckdb_asof(spark, left_rows, right_rows):
+    """asof_join ≡ DuckDB native ASOF LEFT JOIN (>= semantics) on random
+    inputs, including NULL payload fields — pins the struct-carry fix
+    (a NULL in the matched right row must surface, never back-fill)."""
+    import pandas as pd
+
+    from realtime_datawarehouse_spark.operators.temporal import asof_join
+
+    # dedupe right on (key, ts) — the operator's documented precondition
+    seen = {}
+    for k, t, p in right_rows:
+        seen[(k, t)] = p
+    right_rows = [(k, t, p) for (k, t), p in sorted(seen.items())]
+    left_rows = sorted(set(left_rows))
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        "k string, t long, lid long",
+    )
+    if right_rows:
+        right = spark.createDataFrame(right_rows, "k string, t long, p long")
+    else:
+        right = spark.createDataFrame([], "k string, t long, p long")
+    got = {
+        r.lid: r.p
+        for r in asof_join(
+            left, right, "k", "k", "t", "t", payload=["p"]
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        columns=["k", "t", "lid"],
+    ))
+    con.register("r", pd.DataFrame(right_rows, columns=["k", "t", "p"]))
+    exp_rows = con.execute(
+        "SELECT l.lid, r.p FROM l ASOF LEFT JOIN r"
+        " ON l.k = r.k AND l.t >= r.t"
+    ).fetchall()
+    exp = {lid: (None if p is None else int(p)) for lid, p in exp_rows}
+    con.close()
+    assert got == exp, (left_rows, right_rows)

@@ -360,3 +360,34 @@ def test_round3_operator_edges(spark):
         row = olap_funnel_conversion(spark, d).collect()[0]
     # user 1: click precedes first view -> no conversion; user 2 full chain
     assert (row.n_view, row.n_click_after, row.n_purchase_after) == (2, 1, 1)
+
+
+def test_sampling_is_partitioning_invariant(spark):
+    """Rerun-stability contract of the hash samplers: the kept set must
+    not change under arbitrary repartitioning or row order (the property
+    that makes incremental reruns and speculative retries safe)."""
+    from realtime_datawarehouse_spark.operators import textops
+    from realtime_datawarehouse_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    docs = table(spark, SF_DIR, "documents")
+    base = {
+        r.doc_id
+        for r in textops.temperature_sample(docs, budget_docs=120).collect()
+    }
+    shuffled = docs.repartition(7).sortWithinPartitions("source")
+    again = {
+        r.doc_id
+        for r in textops.temperature_sample(shuffled, budget_docs=120).collect()
+    }
+    assert base == again
+
+    b1 = {
+        (r.doc_id, r.cum_tokens)
+        for r in textops.token_budget_sample(docs).collect()
+    }
+    b2 = {
+        (r.doc_id, r.cum_tokens)
+        for r in textops.token_budget_sample(docs.repartition(5)).collect()
+    }
+    assert b1 == b2
