@@ -1103,3 +1103,45 @@ def compression_ratio(
     return docs.select("doc_id", text_col).mapInPandas(
         make_kernel(level), schema=COMPRESSION_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split — the canonical last step of corpus
+# prep. Hash-range assignment (not rand()): a document's split depends
+# only on its key, so splits are stable under reruns, re-partitioning,
+# and incremental corpus growth (a new doc never flips an old one).
+# ---------------------------------------------------------------------------
+
+SPLIT_BOUNDS = (9_800, 9_900)  # /10_000: 98% train, 1% val, 1% test
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    bounds: tuple[int, int] = SPLIT_BOUNDS,
+) -> DataFrame:
+    """(doc_id, source, split): hash-bucket split assignment — bucket =
+    hash64(key) % 10000; < bounds[0] → train, < bounds[1] → val, else
+    test. Pure per-row expression, no shuffle; the split survives any
+    re-run or re-layout of the corpus."""
+    lo, hi = bounds
+    bucket = F.pmod(hash64(F.col(key_col).cast("string")), F.lit(SAMPLE_MOD))
+    split = (
+        F.when(bucket < lo, "train").when(bucket < hi, "val").otherwise("test")
+    )
+    return docs.select(key_col, "source", split.alias("split"))
+
+
+def train_val_test_split_oracle(
+    bounds: tuple[int, int] = SPLIT_BOUNDS,
+) -> str:
+    lo, hi = bounds
+    return f"""
+SELECT doc_id, source,
+       CASE WHEN {hash64_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_MOD} < {lo}
+            THEN 'train'
+            WHEN {hash64_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_MOD} < {hi}
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""

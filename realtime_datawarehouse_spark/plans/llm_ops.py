@@ -645,3 +645,10 @@ def ext_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _F.col("embedding").alias("query_vec"),
     )
     return similarity.brute_topk(cand, queries, HYBRID_K)
+
+
+@query("mix_train_val_split", oracle=textops.train_val_test_split_oracle())
+def mix_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 hash-range split assignment — stable under
+    reruns and corpus growth; map-only."""
+    return textops.train_val_test_split(_docs(spark, sf_dir))
