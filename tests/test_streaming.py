@@ -775,3 +775,24 @@ def test_funnel_stream_parity(spark, events_stream_dir):
     }
     for uid, stage in expected.items():
         assert last.get(uid, 0) == stage, (uid, stage, last.get(uid))
+
+
+def test_split_assignment_stream_batch_parity(spark, tmp_path):
+    """train_val_test_split is a pure row expression — stream-safe with
+    NO state: streaming assignment must equal the batch assignment doc
+    for doc (the property that lets split tagging run at ingest)."""
+    docs = table(spark, SF_DIR, "documents")
+    d = str(tmp_path / "docs_split_stream")
+    docs.orderBy("doc_id").coalesce(2).write.mode("overwrite").parquet(d)
+
+    from realtime_datawarehouse_spark.operators import textops
+
+    stream = jobs.parquet_stream(spark, d, docs.schema)
+    got = _drain(
+        spark, textops.train_val_test_split(stream), "t_split"
+    ).toPandas()
+    batch = textops.train_val_test_split(docs).toPandas()
+    g = got.set_index("doc_id")["split"].to_dict()
+    b = batch.set_index("doc_id")["split"].to_dict()
+    assert g == b
+    assert set(b.values()) <= {"train", "val", "test"}
