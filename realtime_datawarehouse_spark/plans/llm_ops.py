@@ -652,3 +652,40 @@ def mix_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 98/1/1 hash-range split assignment — stable under
     reruns and corpus growth; map-only."""
     return textops.train_val_test_split(_docs(spark, sf_dir))
+
+
+LANG_CONFUSION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT lang,
+         len(list_filter(toks, x -> x IN ({textops._markers_sql('en')})))
+           AS score_en,
+         len(list_filter(toks, x -> x IN ({textops._markers_sql('de')})))
+           AS score_de,
+         len(list_filter(toks, x -> x IN ({textops._markers_sql('es')})))
+           AS score_es
+  FROM t
+)
+SELECT lang AS labeled_lang,
+       CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+            WHEN score_de >= score_es THEN 'de'
+            ELSE 'es' END AS predicted_lang,
+       count(*) AS doc_ct
+FROM s
+GROUP BY 1, 2
+"""
+
+
+@query("text_lang_confusion", oracle=LANG_CONFUSION_ORACLE)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix for the language-ID heuristic:
+    (labeled, predicted) → doc count — the aggregate every model-based
+    filter ships next to its per-doc scores. One scan, tiny keyspace
+    (|langs|²), map-side combined."""
+    scored = textops.lang_id(_docs(spark, sf_dir))
+    return scored.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").alias("doc_ct")
+    )
