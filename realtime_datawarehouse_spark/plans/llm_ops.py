@@ -689,3 +689,94 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("labeled_lang", "predicted_lang").agg(
         F.count("*").alias("doc_ct")
     )
+
+
+# --------------------------------------------------------------------------
+# Curation pipeline v2 — v1 (quality → exact → LSH near-dup) plus the
+# SemDeDup stage: among v1 survivors, drop embedding-space near-dups
+# (same IVF cluster, cosine ≥ τ, greedy keep-smallest). doc_id ≡ vec_id
+# on the fixture. Stage semantics are restricted to SURVIVORS on both
+# pair sides — an already-dropped document cannot claim-dup a survivor.
+# --------------------------------------------------------------------------
+
+CURATION_V2_ORACLE = f"""
+WITH v1 AS (
+{CURATION_ORACLE}
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e
+  WHERE {similarity.IVF_CENTROID_PRED_SQL}
+), va AS (
+  SELECT vec_id, v, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+             ORDER BY list_dot_product(v.v, c.cv)
+                      / (sqrt(list_dot_product(v.v, v.v))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      centroid_id) AS rnk
+  FROM e v CROSS JOIN c
+), a0 AS (
+  SELECT vec_id, v, centroid_id FROM va WHERE rnk = 1
+), survk AS (
+  SELECT doc_id FROM v1 WHERE status = 'kept'
+), sem AS (
+  SELECT DISTINCT b.vec_id AS doc_id
+  FROM a0 a
+  JOIN a0 b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN survk sa ON sa.doc_id = a.vec_id
+  JOIN survk sb ON sb.doc_id = b.vec_id
+  WHERE floor(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) * 10000 + 0.5) / 10000.0
+        >= {similarity.SEMDEDUP_COSINE}
+)
+SELECT v1.doc_id,
+       CASE WHEN v1.status <> 'kept'      THEN v1.status
+            WHEN sem.doc_id IS NOT NULL   THEN 'semantic_dup'
+            ELSE 'kept' END AS status
+FROM v1 LEFT JOIN sem USING (doc_id)
+"""
+
+
+@query("pipeline_corpus_curation_v2", oracle=CURATION_V2_ORACLE)
+def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v1 curation + SemDeDup stage over the survivors. Scale shape: the
+    embedding assignment is the same broadcast argmax as the ANN index;
+    survivor restriction is two semi-joins BEFORE pair scoring, so the
+    quadratic-within-cluster work runs on the curated corpus only."""
+    from realtime_datawarehouse_spark.functions.vector import dot, l2_norm
+
+    v1 = pipeline_corpus_curation(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    assigned = similarity.ivf_assign(emb)
+    surv = v1.where(F.col("status") == "kept").select(
+        F.col("doc_id").alias("sid")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.vn") * F.col("b.vn")
+    )
+    from realtime_datawarehouse_spark.functions.compare import pround
+
+    sem = (
+        a.join(surv, F.col("a.vec_id") == F.col("sid"), "left_semi")
+        .join(
+            b.join(
+                surv, F.col("b.vec_id") == F.col("sid"), "left_semi"
+            ),
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(pround(cos, 4) >= similarity.SEMDEDUP_COSINE)
+        .select(F.col("b.vec_id").alias("sem_id"))
+        .distinct()
+    )
+    return v1.join(
+        F.broadcast(sem), v1.doc_id == F.col("sem_id"), "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("status") != "kept", F.col("status"))
+        .when(F.col("sem_id").isNotNull(), "semantic_dup")
+        .otherwise("kept")
+        .alias("status"),
+    )

@@ -32,6 +32,7 @@ ORACLES: dict[str, str] = {}
 # the old array-column schema) and the operators whose implementation
 # changed this round, then everything else in registration order.
 DRIVER_PRIORITY: list[str] = [
+    "pipeline_corpus_curation_v2",
     "text_lang_confusion",
     "mix_train_val_split",
     "olap_dq_checks",
