@@ -780,3 +780,47 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
         .alias("status"),
     )
+
+
+TOKEN_SHARES_ORACLE = """
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+), s AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         CAST(count(*) AS BIGINT) AS docs
+  FROM t GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS total FROM s
+)
+SELECT source, tokens, docs,
+       floor(CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) * 1000000 + 0.5)
+         / 1000000.0 AS token_share
+FROM s CROSS JOIN tot
+"""
+
+
+@query("mix_source_token_shares", oracle=TOKEN_SHARES_ORACLE)
+def mix_source_token_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token totals and corpus share — the mixture report every
+    data pipeline publishes (and the input to temperature resampling).
+    One map-side-combined aggregation (|sources| rows) + a broadcast
+    1-row total; share divides exact int64 sums, rounded portably."""
+    from realtime_datawarehouse_spark.functions.compare import pround
+    from realtime_datawarehouse_spark.functions.text import token_count
+
+    docs = _docs(spark, sf_dir)
+    s = docs.select("source", token_count("text").alias("n")).groupBy(
+        "source"
+    ).agg(F.sum("n").alias("tokens"), F.count("*").alias("docs"))
+    tot = s.agg(F.sum("tokens").alias("total"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "docs",
+        pround(
+            F.col("tokens").cast("double") / F.col("total").cast("double"), 6
+        ).alias("token_share"),
+    )
