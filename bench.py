@@ -68,6 +68,7 @@ BENCH_QUERIES = (
     "olap_funnel_conversion",       # chain-of-mins behavioral funnel
     "olap_retention_cohorts",       # cohort x offset retention triangle
     "ext_hybrid_retrieval",         # lexical filter + cosine top-k rerank
+    "pipeline_corpus_curation_v2",  # composed curation incl. semantic dedup
 )
 
 
