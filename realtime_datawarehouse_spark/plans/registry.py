@@ -58,6 +58,12 @@ DRIVER_PRIORITY: list[str] = [
     "ext_asof_join",
     "dedup_connected_components",
     "text_unigram_logprob",
+    # implementation changed this round (hapax prune; max_by assignment;
+    # run-fold rewrite) — re-record early
+    "dedup_ngram_jaccard",
+    "ann_ivf_topk",
+    "ann_lsh_bucket_stats",
+    "text_repetition_signals",
 ]
 
 _LOADED = False
