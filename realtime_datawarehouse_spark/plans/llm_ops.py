@@ -824,3 +824,25 @@ def mix_source_token_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tokens").cast("double") / F.col("total").cast("double"), 6
         ).alias("token_share"),
     )
+
+
+CURATION_STATS_ORACLE = f"""
+WITH v2 AS (
+{CURATION_V2_ORACLE}
+)
+SELECT status, count(*) AS doc_ct
+FROM v2 GROUP BY 1
+"""
+
+
+@query("pipeline_curation_stats", oracle=CURATION_STATS_ORACLE)
+def pipeline_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-reason funnel of the v2 curation pipeline: doc counts per
+    status (kept / quality / exact_dup / near_dup / semantic_dup) — the
+    yield report every curation run publishes. Tiny keyspace aggregate
+    over the composed flow."""
+    return (
+        pipeline_corpus_curation_v2(spark, sf_dir)
+        .groupBy("status")
+        .agg(F.count("*").alias("doc_ct"))
+    )

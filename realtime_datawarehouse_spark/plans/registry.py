@@ -32,6 +32,7 @@ ORACLES: dict[str, str] = {}
 # the old array-column schema) and the operators whose implementation
 # changed this round, then everything else in registration order.
 DRIVER_PRIORITY: list[str] = [
+    "pipeline_curation_stats",
     "mix_source_token_shares",
     "pipeline_corpus_curation_v2",
     "text_lang_confusion",
