@@ -190,8 +190,10 @@ def train_centroids(
 ) -> DataFrame:
     """Trained IVF codebook: Lloyd's k-means over the corpus, distributed.
 
-    Per iteration: (1) assignment — centroids broadcast, per-vector argmax
-    cosine (|corpus| × k scored in codegen, corpus never shuffles);
+    Per iteration: (1) assignment — delegated to :func:`ivf_assign`
+    (centroids broadcast, |corpus| × k cosine scored in codegen, argmax as
+    a map-side-combinable ``max_by`` — the corpus never shuffles pre-agg
+    and no window sort touches the scored rows);
     (2) update — the new centroid j is the per-position mean of its members,
     computed as DIM independent ``avg(v[i])`` aggregates (map-side combined,
     one tiny k-row shuffle; no explode of |corpus| × DIM rows). Only the
@@ -204,7 +206,6 @@ def train_centroids(
     their previous centroid. Returns (centroid_id, cv, cn) — a drop-in for
     ``ivf_topk(..., centroids=...)``.
     """
-    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     seeds = [
         row.cv
         for row in _ivf_centroids(emb).orderBy("centroid_id").limit(k).collect()
@@ -218,27 +219,12 @@ def train_centroids(
             )
             for j, c in enumerate(centroids)
         ]
-        cdf = v.sparkSession.range(1).select(
+        cdf = emb.sparkSession.range(1).select(
             F.explode(F.array(*lits)).alias("c")
         ).select("c.centroid_id", "c.cv").select(
             "centroid_id", "cv", l2_norm(F.col("cv")).alias("cn")
         )
-        scored = v.select(
-            "vec_id", "v", l2_norm(F.col("v")).alias("vn")
-        ).join(F.broadcast(cdf)).select(
-            "vec_id",
-            "v",
-            "centroid_id",
-            _cos(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")).alias("csim"),
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("csim").desc(), F.col("centroid_id")
-        )
-        assigned = (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") == 1)
-            .select("centroid_id", "v")
-        )
+        assigned = ivf_assign(emb, cdf).select("centroid_id", "v")
         dim = len(centroids[0])
         means = assigned.groupBy("centroid_id").agg(
             *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)]

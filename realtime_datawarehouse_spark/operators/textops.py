@@ -334,7 +334,10 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.array_distinct(toks)).alias("uniq_ct"),
         word_shingles(toks, 2).alias("bigrams"),
     )
-    # max run length over the sorted array ≡ count of the modal bigram
+    # max run length over the sorted array ≡ count of the modal bigram.
+    # Invariant the "" sentinel relies on: tokenize() drops empty tokens, so
+    # no bigram can ever equal "" ("a b" is the minimum) — the seed cannot
+    # collide with a real element and start a run at 2.
     top_cnt = F.aggregate(
         F.array_sort(F.col("bigrams")),
         F.struct(

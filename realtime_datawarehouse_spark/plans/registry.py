@@ -110,6 +110,11 @@ def load() -> None:
 
 def get_queries() -> dict[str, QueryFn]:
     load()
+    # A typo in the hand-maintained rotation list would silently skip a
+    # query's driver re-record (_rotated drops unknown names) — fail loudly.
+    unknown = [n for n in DRIVER_PRIORITY if n not in QUERIES]
+    if unknown:
+        raise ValueError(f"DRIVER_PRIORITY names not in registry: {unknown}")
     return _rotated(QUERIES)
 
 

@@ -60,6 +60,12 @@ def test_ivf_trained_codebook_recall_floor(spark):
     }
     assert len(exact & got) / len(exact) >= 0.30
 
+    # VERDICT r03 #2: the training loop's assignment step reuses ivf_assign's
+    # map-combinable max_by argmax — no row_number window may sort the
+    # |corpus| × k scored rows
+    plan = similarity.ivf_assign(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "assignment must not use a window over scored rows"
+
 
 def test_audio_codec_is_real_roundtrip(spark):
     """mm_audio_decode must parse genuine RIFF/WAVE bytes: corrupt the

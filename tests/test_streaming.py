@@ -714,7 +714,10 @@ def test_dedup_stream_parity(spark, tmp_path):
     # two ordered micro-batch files, doc_id ascending across them
     n = docs.count()
     lo = docs.orderBy("doc_id").limit(n // 2)
-    hi = docs.orderBy(F.desc("doc_id")).limit(n - n // 2)
+    # the desc+limit selects the top half; re-sort ascending before writing
+    # so rows inside this file also arrive doc_id-ascending (the parity
+    # check pins the keeper to the global min doc_id per content hash)
+    hi = docs.orderBy(F.desc("doc_id")).limit(n - n // 2).sort("doc_id")
     lo.coalesce(1).write.mode("append").parquet(d)
     hi.coalesce(1).write.mode("append").parquet(d)
 
