@@ -161,6 +161,33 @@ def test_sketch_accuracy_bounds(spark):
             assert vals[lo] <= g <= vals[hi], (prio, q, g, vals[idx])
 
 
+def test_sketch_pinned_oracles(spark):
+    """VERDICT r03 #4: the sketch queries' driver oracles are pinned VALUES
+    literals at the driver's contract scale (sf0.01). Re-derive both from a
+    fresh Spark run at sf0.01 — if this fails, the engine's sketch output
+    moved and the pins in plans/sketch_agg.py must be regenerated (print
+    the new rows from this test's locals)."""
+    from realtime_datawarehouse_spark.plans import registry, sketch_agg
+
+    registry.load()
+    sf001 = "/root/testdata/sf0.01"
+    got_h = [
+        (r.dt, r.approx_distinct)
+        for r in registry.QUERIES["sk_hll_daily_uv"](spark, sf001)
+        .orderBy("dt")
+        .collect()
+    ]
+    assert got_h == sketch_agg.HLL_PINNED_SF001
+
+    got_q = [
+        (r.priority, r.p50, r.p90, r.p99)
+        for r in registry.QUERIES["sk_quantile_order_value"](spark, sf001)
+        .orderBy("priority")
+        .collect()
+    ]
+    assert got_q == sketch_agg.GK_PINNED_SF001
+
+
 def test_round2_tpch_shapes_plan_gates(spark):
     """Physical-plan gates for the round-2 shape family: reducing joins
     stay broadcast (never sort-merge), EXISTS/NOT-IN compile to real
