@@ -398,6 +398,20 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
 
 
+def run_to_memory_continuous(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+):
+    """Long-running memory-sink query (no availableNow): stays alive so a
+    chained upstream stage can keep feeding it; drain deterministically
+    with ``q.processAllAvailable()``."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
 def hop_multi_metric(
     ev: DataFrame,
     ts_col: str = "ts",

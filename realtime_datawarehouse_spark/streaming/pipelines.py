@@ -268,3 +268,141 @@ def streaming_corpus_ingest(
     return kept.withWatermark(
         "event_time", dedup_watermark
     ).dropDuplicatesWithinWatermark(["content_hash"])
+
+
+# --- SURVEY §3.4 left column as ONE running set of chained queries --------
+#
+# topic_log ─ DwdTrafficBaseLogSplit ─ dwd_traffic_page_log ─ UniqueVisitor
+# Detail ─ uv boundary ─ DwsTrafficVcChArIsNew-style channel window.
+#
+# Each arrow is a separate streaming query writing an append storage
+# boundary (parquet directory ≡ an append Kafka topic; the file-sink
+# metadata log gives downstream exactly-once listing). The UV boundary
+# carries one row per (mid, visit day) — the upsert-free append contract of
+# the reference's dwd_traffic_unique_visitor_detail topic.
+
+def _uv_boundary_schema():
+    from pyspark.sql.types import (
+        DateType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    return StructType(
+        [
+            StructField("mid", StringType()),
+            StructField("vc", StringType()),
+            StructField("ch", StringType()),
+            StructField("ar", StringType()),
+            StructField("is_new", StringType()),
+            StructField("event_time", TimestampType()),
+            StructField("visit_date", DateType()),
+        ]
+    )
+
+
+def dwd_unique_visitor_detail(page: DataFrame) -> DataFrame:
+    """DwdTrafficUniqueVisitorDetail (rt/app/dwd/log/…UniqueVisitorDetail
+    .java:30-70): session-entry pages only (last_page_id null), then the
+    first page view per (mid, day) survives.
+
+    Spark form: ``dropDuplicatesWithinWatermark`` on (mid, visit_date) with
+    a ≥24 h delay — exact daily dedup with state evicted one day after the
+    day closes (the reference's 1-day state TTL, W7). Emits in arrival
+    order within a day, which equals min-ts order for time-ordered sources
+    (jobs.first_per_user_day contract note).
+    """
+    entry = page.where(F.col("page.last_page_id").isNull())
+    uv = entry.select(
+        F.col("common.mid").alias("mid"),
+        F.col("common.vc").alias("vc"),
+        F.col("common.ch").alias("ch"),
+        F.col("common.ar").alias("ar"),
+        F.col("common.is_new").alias("is_new"),
+        F.timestamp_millis(F.col("ts")).alias("event_time"),
+        F.to_date(F.timestamp_millis(F.col("ts"))).alias("visit_date"),
+    )
+    return uv.withWatermark(
+        "event_time", jobs.DAY_TTL_WATERMARK
+    ).dropDuplicatesWithinWatermark(["mid", "visit_date"])
+
+
+def dws_traffic_channel_window(
+    uv: DataFrame,
+    window: str = "10 seconds",
+    watermark: str = jobs.DEFAULT_WATERMARK,
+) -> DataFrame:
+    """DwsTrafficVcChArIsNewPageViewWindow (rt/app/dws/…VcChArIsNew…java:
+    40-100) over the UV boundary: tumbling UV count per (vc, ch, ar,
+    is_new) dimension combination. Append output — a window row emits once
+    the watermark closes it."""
+    return (
+        uv.withWatermark("event_time", watermark)
+        .groupBy(
+            F.window("event_time", window), "vc", "ch", "ar", "is_new"
+        )
+        .agg(F.count("*").alias("uv_ct"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "vc",
+            "ch",
+            "ar",
+            "is_new",
+            "uv_ct",
+        )
+    )
+
+
+def traffic_stream_graph(
+    spark: SparkSession,
+    raw: DataFrame,
+    work_dir: str,
+    memory_table: str = "t_traffic_dws",
+) -> list:
+    """The §3.4 traffic dataflow as one running set of THREE chained
+    streaming queries over shared storage boundaries:
+
+      raw (topic_log) ── q1: dwd_log_split → page branch
+        → ``{work_dir}/dwd_traffic_page_log``   (append boundary)
+      boundary ── q2: dwd_unique_visitor_detail
+        → ``{work_dir}/dwd_traffic_uv``         (append boundary)
+      boundary ── q3: dws_traffic_channel_window → memory sink
+
+    Every boundary is replayable and keyed exactly like the reference's
+    intermediate Kafka topics; each query owns its checkpoint, so any stage
+    can crash/restart independently (the file-source metadata log resumes
+    where it stopped). Returns [q1, q2, q3]; drain with
+    ``q.processAllAvailable()`` in topological order.
+    """
+    page_dir = os.path.join(work_dir, "dwd_traffic_page_log")
+    uv_dir = os.path.join(work_dir, "dwd_traffic_uv")
+
+    split = dwd_log_split(raw)
+    q1 = (
+        split["page"]
+        .writeStream.format("parquet")
+        .option("path", page_dir)
+        .option("checkpointLocation", os.path.join(work_dir, "ck1"))
+        .outputMode("append")
+        .start()
+    )
+
+    page_schema = split["page"].schema
+    page = jobs.parquet_stream(spark, page_dir, page_schema)
+    q2 = (
+        dwd_unique_visitor_detail(page)
+        .writeStream.format("parquet")
+        .option("path", uv_dir)
+        .option("checkpointLocation", os.path.join(work_dir, "ck2"))
+        .outputMode("append")
+        .start()
+    )
+
+    uv = jobs.parquet_stream(spark, uv_dir, _uv_boundary_schema())
+    q3 = jobs.run_to_memory_continuous(
+        dws_traffic_channel_window(uv), memory_table
+    )
+    return [q1, q2, q3]
