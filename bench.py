@@ -69,6 +69,9 @@ BENCH_QUERIES = (
     "olap_retention_cohorts",       # cohort x offset retention triangle
     "ext_hybrid_retrieval",         # lexical filter + cosine top-k rerank
     "pipeline_corpus_curation_v2",  # composed curation incl. semantic dedup
+    # round-4 additions (floors recorded from their first r04 measurement)
+    "text_cdc_chunks",              # content-defined chunk fold (per-row)
+    "dedup_minhash_cdc",            # MinHash-LSH over CDC chunk sets
 )
 
 

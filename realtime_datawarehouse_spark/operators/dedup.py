@@ -245,7 +245,12 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     generation into array combinatorics instead of a self-join (which would
     re-execute everything 2×).
     """
-    sig = minhash_signatures(docs)
+    return _band_pairs(minhash_signatures(docs))
+
+
+def _band_pairs(sig: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{NUM_PERM-1}) signatures → distinct banded candidate
+    pairs (shared by the shingle and CDC-chunk MinHash variants)."""
     band_structs = []
     for b in range(BANDS):
         cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
@@ -302,6 +307,68 @@ JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
             AND a.doc_id < b.doc_id
 """
     )
+
+
+def cdc_minhash_pairs(docs: DataFrame) -> DataFrame:
+    """Document-level MinHash over CONTENT-DEFINED chunks: the chunk hashes
+    (operators/textops.cdc_chunks) replace word shingles as the set whose
+    Jaccard similarity MinHash estimates.
+
+    Why a CDC variant: fixed shingles shift under insertion — every shingle
+    downstream of an edit changes — while CDC boundaries re-synchronize a
+    few tokens after the edit, so two documents differing by one inserted
+    sentence still share most chunk hashes. The classic rsync/LBFS trick
+    applied to corpus near-dup detection.
+
+    Physical shape: identical to :func:`lsh_candidate_pairs` after the set
+    build — per-row chunk fold (shuffle-free), groupBy-min signatures
+    (map-side combined, shuffle O(docs)), literal-array band explode,
+    bucketed pair combinatorics. Nothing quadratic.
+    """
+    from realtime_datawarehouse_spark.operators.textops import cdc_chunks
+
+    ch = cdc_chunks(docs).select(
+        "doc_id", hash64(F.col("chunk_hash")).alias("h")
+    )
+    sig = ch.groupBy("doc_id").agg(*minhash_signature(F.col("h"), NUM_PERM))
+    return _band_pairs(sig)
+
+
+def cdc_minhash_pairs_oracle() -> str:
+    from realtime_datawarehouse_spark.operators.textops import (
+        cdc_chunks_oracle,
+    )
+
+    params = permutation_params(NUM_PERM)
+    min_exprs = ",\n         ".join(
+        f"min({minhash_perm_sql('h', a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sig"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH chunks AS (
+  {cdc_chunks_oracle()}
+), h AS (
+  SELECT doc_id, {hash64_sql('chunk_hash')} AS h FROM chunks
+), sig AS (
+  SELECT doc_id,
+         {min_exprs}
+  FROM h GROUP BY doc_id
+), bands AS (
+  {bands_sql}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+"""
 
 
 SIMHASH_BITS = 32

@@ -1148,3 +1148,215 @@ SELECT doc_id, source,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC): rolling content-derived boundaries, the
+# document-level variant of rsync/LBFS-style chunking (Muthitacharoen et al.
+# 2001). A token ends a chunk iff hash(token) % divisor == 0, so boundaries
+# re-synchronize after insertions/deletions — chunk hashes are shift-robust
+# dedup units, unlike fixed-size chunk_documents windows.
+# ---------------------------------------------------------------------------
+
+CDC_DIVISOR = 8  # expected chunk length ≈ divisor tokens
+
+
+def cdc_chunks(
+    docs: DataFrame, text_col: str = "text", divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_hash): content-defined chunks.
+
+    Scale shape: ENTIRELY per-row until the final explode — the chunk
+    build is one codegen'd ``aggregate`` fold over the token array (no
+    shuffle, no window); a per-token-row window formulation would shuffle
+    |tokens| rows per doc. md5 runs once per token (boundary flags are
+    precomputed by a ``transform``) plus once per emitted chunk.
+    """
+    toks = tokenize(text_col)
+    flagged = F.transform(
+        toks,
+        lambda t: F.struct(
+            t.alias("t"),
+            (F.pmod(hash64(t), F.lit(divisor)) == 0).alias("b"),
+        ),
+    )
+    # fold state: (chunks: array<string> completed, cur: string growing).
+    # The "" sentinel for cur is safe: tokenize() never emits empty tokens,
+    # so a chunk string is never "".
+    grown = lambda acc, x: F.when(  # noqa: E731
+        acc.cur == "", x.t
+    ).otherwise(F.concat_ws(" ", acc.cur, x.t))
+    chunks = F.aggregate(
+        flagged,
+        F.struct(
+            F.array().cast("array<string>").alias("chunks"),
+            F.lit("").alias("cur"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(
+                x.b, F.concat(acc.chunks, F.array(grown(acc, x)))
+            ).otherwise(acc.chunks).alias("chunks"),
+            F.when(x.b, F.lit("")).otherwise(grown(acc, x)).alias("cur"),
+        ),
+        lambda acc: F.when(
+            acc.cur != "", F.concat(acc.chunks, F.array(acc.cur))
+        ).otherwise(acc.chunks),
+    )
+    return (
+        docs.select("doc_id", chunks.alias("chunks"))
+        .select("doc_id", F.posexplode("chunks").alias("chunk_id", "chunk_text"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.size(F.split("chunk_text", " ")).alias("n_tokens"),
+            F.md5("chunk_text").alias("chunk_hash"),
+        )
+    )
+
+
+def cdc_chunks_oracle(divisor: int = CDC_DIVISOR) -> str:
+    """DuckDB rendering: boundary flags + prefix-sum window + ordered
+    string_agg — same chunking, window formulation (the oracle need not
+    share the Spark plan's shuffle-free shape, only its semantics)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), e AS (
+  SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+  FROM d
+), f AS (
+  SELECT doc_id, pos, token,
+         CASE WHEN {hash64_sql('token')} % {divisor} = 0 THEN 1 ELSE 0 END AS bf
+  FROM e
+), c AS (
+  SELECT doc_id, pos, token,
+         COALESCE(SUM(bf) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM f
+), g AS (
+  SELECT doc_id, chunk_id,
+         string_agg(token, ' ' ORDER BY pos) AS chunk_text,
+         count(*) AS n_tokens
+  FROM c GROUP BY doc_id, chunk_id
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(n_tokens AS INT) AS n_tokens, md5(chunk_text) AS chunk_hash
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup-aware epoch scheduler — the Dolma/DataComp multi-epoch mixture
+# pattern: each source repeats for a (possibly fractional) number of
+# epochs over the DEDUPLICATED corpus, and every epoch gets its own
+# deterministic document permutation (the loader sorts each epoch shard by
+# perm_key, so no two epochs present documents in the same order).
+# ---------------------------------------------------------------------------
+
+
+def epoch_schedule(
+    docs: DataFrame,
+    epochs: dict[str, float],
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """(doc_id, stratum, epoch, perm_key): multi-epoch schedule over the
+    exact-dedup survivors of ``docs``.
+
+    - Dedup-aware: only the min-key keeper per distinct text is scheduled
+      (one hash aggregation — the same pass a curation run does anyway).
+    - ``epochs[s] = 2.5`` → every keeper of s appears in epochs 0 and 1,
+      and a deterministic hash-selected half appears in epoch 2 (selection
+      hash is keyed on (doc, epoch) so successive fractional epochs draw
+      different subsets — the Dolma "partial epoch" rule).
+    - ``perm_key`` = hash64(doc '#' epoch): the per-epoch permutation. A
+      global sort would be the classic scale mistake; emitting the KEY
+      keeps the plan shuffle-free after the dedup — each downstream shard
+      sorts locally, exactly how a training loader consumes it.
+
+    Scale shape: dedup shuffle (O(docs)) + map-side explode of ≤⌈E⌉ epoch
+    rows per doc + per-row hash filter. No other exchange.
+    """
+    keep = (
+        docs.groupBy(F.md5(text_col).alias("content_hash"))
+        .agg(
+            F.min_by(
+                F.struct(F.col(key_col), F.col(stratum_col)), F.col(key_col)
+            ).alias("k")
+        )
+        .select(F.col("k")[key_col].alias(key_col), F.col("k")[stratum_col].alias(stratum_col))
+    )
+    n_ep = None
+    for stratum, e in epochs.items():
+        cond = F.col(stratum_col) == stratum
+        n_ep = F.when(cond, e) if n_ep is None else n_ep.when(cond, e)
+    n_ep = n_ep.otherwise(default_epochs)
+    exploded = keep.select(
+        key_col,
+        F.col(stratum_col).alias("stratum"),
+        n_ep.alias("n_ep"),
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(n_ep).cast("int") - 1)
+        ).alias("epoch"),
+    )
+    frac = F.col("n_ep") - F.floor(F.col("n_ep"))
+    sel = F.pmod(
+        hash64(
+            F.concat_ws(
+                ":", F.col(key_col).cast("string"), F.col("epoch").cast("string")
+            )
+        ),
+        F.lit(SAMPLE_MOD),
+    )
+    kept = exploded.where(
+        (F.col("epoch") < F.floor(F.col("n_ep")))
+        | (sel < F.floor(frac * SAMPLE_MOD))
+    )
+    return kept.select(
+        key_col,
+        "stratum",
+        "epoch",
+        hash64(
+            F.concat_ws(
+                "#", F.col(key_col).cast("string"), F.col("epoch").cast("string")
+            )
+        ).alias("perm_key"),
+    )
+
+
+def epoch_schedule_oracle(
+    epochs: dict[str, float], default_epochs: float = 1.0
+) -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN CAST({e!r} AS DOUBLE)"
+        for s, e in epochs.items()
+    )
+    h_sel = hash64_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)"
+    )
+    h_perm = hash64_sql(
+        "CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)"
+    )
+    return f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source
+  FROM documents GROUP BY md5(text)
+), ep AS (
+  SELECT doc_id, source AS stratum,
+         (CASE {cases} ELSE CAST({default_epochs!r} AS DOUBLE) END) AS n_ep
+  FROM keep
+), x AS (
+  SELECT doc_id, stratum, n_ep, CAST(g.e AS INT) AS epoch
+  FROM ep, LATERAL (
+    SELECT unnest(range(0, CAST(ceil(n_ep) AS BIGINT))) AS e) g
+)
+SELECT doc_id, stratum, epoch, {h_perm} AS perm_key
+FROM x
+WHERE epoch < floor(n_ep)
+   OR ({h_sel}) % {SAMPLE_MOD} < floor((n_ep - floor(n_ep)) * {SAMPLE_MOD})
+"""

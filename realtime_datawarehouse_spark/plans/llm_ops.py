@@ -846,3 +846,40 @@ def pipeline_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("doc_ct"))
     )
+
+
+# --- round-4 additions: CDC chunking + dedup-aware epoch scheduling -------
+
+EPOCH_SCHEDULE = {"src0": 3.0, "src1": 1.5, "src2": 2.25}
+
+
+@query("text_cdc_chunks", oracle=textops.cdc_chunks_oracle())
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: rolling content-derived boundaries
+    (hash(token) % divisor == 0 ends a chunk), so chunk hashes are
+    shift-robust dedup units — an insertion only perturbs chunks until the
+    next boundary re-synchronizes. One codegen'd per-row fold; no shuffle
+    before the explode."""
+    return textops.cdc_chunks(_docs(spark, sf_dir))
+
+
+@query("dedup_minhash_cdc", oracle=dedup.cdc_minhash_pairs_oracle())
+def dedup_minhash_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates over content-defined chunk sets
+    instead of word shingles — robust to insert/delete shifts (rsync/LBFS
+    boundary re-sync applied to corpus dedup). Same banded O(docs) shuffle
+    shape as dedup_minhash_lsh."""
+    return dedup.cdc_minhash_pairs(_docs(spark, sf_dir))
+
+
+@query(
+    "mix_epoch_schedule",
+    oracle=textops.epoch_schedule_oracle(EPOCH_SCHEDULE),
+)
+def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware multi-epoch scheduler (the Dolma/DataComp pattern):
+    exact-dedup keepers × per-source (possibly fractional) epoch counts,
+    each epoch with its own deterministic permutation key — no global
+    sort, no rand(); the whole schedule is reproducible from the corpus
+    alone."""
+    return textops.epoch_schedule(_docs(spark, sf_dir), EPOCH_SCHEDULE)

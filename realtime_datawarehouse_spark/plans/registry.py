@@ -26,45 +26,67 @@ ORACLES: dict[str, str] = {}
 
 # The external driver records correctness rows for only ~50 entries of
 # queries() per round, in emission order. Emission order therefore rotates
-# per round so every query accumulates a driver-recorded row. Round-3 head:
-# the queries with no driver row yet (new this round + the one skipped in
-# both r01 and r02), then sk_quantile_order_value (its r02 row errored on
-# the old array-column schema) and the operators whose implementation
-# changed this round, then everything else in registration order.
+# per round so every query accumulates a driver-recorded row. Round-4 head
+# (VERDICT r03 #1 — refresh the stale records): the 3 queries new this
+# round and the 3 whose implementation/oracle changed (sketch pins,
+# trained-IVF assignment), then the ENTIRE r01-recorded cohort (33 — their
+# only driver row predates two rounds of code evolution), then 11 of the
+# r02 cohort; the r02 remainder leads round 5.
 DRIVER_PRIORITY: list[str] = [
-    "pipeline_curation_stats",
-    "mix_source_token_shares",
-    "pipeline_corpus_curation_v2",
-    "text_lang_confusion",
-    "mix_train_val_split",
-    "olap_dq_checks",
-    "ext_hybrid_retrieval",
-    "olap_table_profile",
-    "olap_funnel_conversion",
-    "olap_retention_cohorts",
-    "text_compression_ratio",
-    "mix_temperature_sample",
-    "text_chunk_documents",
-    "text_tfidf_top_terms",
-    "dedup_semantic",
-    "curate_bloom_decontaminate",
-    "text_ngram_topk",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
-    "mix_token_budget_sample",
+    # new in r4
+    "text_cdc_chunks",
+    "dedup_minhash_cdc",
+    "mix_epoch_schedule",
+    # oracle/implementation changed in r4
+    "sk_hll_daily_uv",
     "sk_quantile_order_value",
-    "ext_asof_join",
-    "dedup_connected_components",
-    "text_unigram_logprob",
-    # implementation changed this round (hapax prune; max_by assignment;
-    # run-fold rewrite) — re-record early
-    "dedup_ngram_jaccard",
-    "ann_ivf_topk",
-    "ann_lsh_bucket_stats",
-    "text_repetition_signals",
+    "ann_ivf_trained_topk",
+    # r01-recorded cohort (oldest driver rows)
+    "embed_near_dup_pairs",
+    "mm_decode_metadata",
+    "mm_resize_images",
+    "mm_frame_sample",
+    "mm_feature_extract",
+    "pipeline_corpus_curation",
+    "embed_near_dup_lsh",
+    "dedup_minhash_estimate",
+    "mix_stratified_sample",
+    "mix_upsample_repeat",
+    "mix_pack_sequences",
+    "tpch_q1_pricing_summary",
+    "ads_gmv_daily",
+    "ads_province_order_amount",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "p3_etl_filter",
+    "p4_json_map_projection",
+    "r1_demux_side_outputs",
+    "r3_union_same_type",
+    "a1_tumble_count_by_key",
+    "a2_tumble_multi_metric",
+    "a3_global_tumble_window",
+    "st1_new_visitor_repair",
+    "st2_daily_unique_visitor",
+    "st3_page_uv_two_states",
+    "st4_login_uu_and_back",
+    "st5_cart_add_uu",
+    "st7_keep_latest_dedup",
+    "st8_bounce_detection",
+    "j8_interval_join",
+    "p8_field_add_remove",
+    "p9_bean_mapping",
+    # r02 cohort, first slice (remainder → round 5)
+    "j1_order_detail_inner_join",
+    "j2_left_outer_join_collapsed",
+    "j3_lookup_join_dic",
+    "j4_double_lookup_same_dim",
+    "j5_five_table_mixed_join",
+    "j6_composite_key_join",
+    "j7_dim_snowflake_enrich",
+    "j9_full_outer_join",
+    "a4_window_count_agg",
+    "a5_sku_order_count_distinct",
+    "a6_money_sums_coalesced",
 ]
 
 _LOADED = False

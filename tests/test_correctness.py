@@ -114,3 +114,71 @@ def test_compression_ratio_oracle(spark):
             else 1_000_000
         )
         assert got[row.doc_id] == (r, comp, ratio6), row.doc_id
+
+
+def test_cdc_chunks_shift_robustness(spark):
+    """The point of content-defined chunking: inserting one sentence near
+    the head must leave the chunk-hash set mostly intact (boundaries
+    re-synchronize), where fixed-size chunking would shift every window."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import textops
+
+    # long enough that ~25 chunks form: the head insertion perturbs only
+    # chunk 0, so Jaccard ≈ (n-1)/(n+1) ≈ 0.9 and the 4×4 banding fires
+    # with near-certainty (deterministic given the fixed hash family)
+    base = " ".join(f"tok{i}" for i in range(200))
+    edited = "inserted tokens here " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    ch = textops.cdc_chunks(docs).collect()
+    a = {r.chunk_hash for r in ch if r.doc_id == 1}
+    b = {r.chunk_hash for r in ch if r.doc_id == 2}
+    assert a and b
+    # everything after the first post-edit boundary must be shared
+    overlap = len(a & b) / len(a)
+    assert overlap >= 0.5, (overlap, len(a), len(b))
+    # and the pair is a MinHash-CDC candidate
+    from realtime_datawarehouse_spark.operators import dedup
+
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.cdc_minhash_pairs(docs).collect()}
+    assert (1, 2) in pairs
+
+    # plan shape: the chunk fold is per-row — no exchange before the explode
+    plan = textops.cdc_chunks(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_epoch_schedule_contract(spark):
+    """Dedup-aware epoch scheduler: keepers only, ceil(E) epochs, exact
+    full-epoch membership, deterministic fractional subset, per-epoch
+    permutation keys that actually differ between epochs."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import textops
+
+    rows = [(i, f"s{i % 2}", f"text {i}") for i in range(40)]
+    rows.append((100, "s0", "text 0"))  # duplicate text — must not schedule
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = textops.epoch_schedule(
+        docs, {"s0": 2.5, "s1": 1.0}
+    ).collect()
+    assert all(r.doc_id != 100 for r in out)  # dedup-aware
+    by_doc_epoch = {(r.doc_id, r.epoch) for r in out}
+    s0_docs = [i for i in range(40) if i % 2 == 0]
+    # full epochs 0 and 1 contain every s0 keeper
+    for e in (0, 1):
+        for d in s0_docs:
+            assert (d, e) in by_doc_epoch
+    # fractional epoch 2: a strict, non-empty, deterministic subset
+    e2 = {d for (d, e) in by_doc_epoch if e == 2}
+    assert e2 and e2 < set(s0_docs)
+    out2 = textops.epoch_schedule(docs, {"s0": 2.5, "s1": 1.0}).collect()
+    assert {(r.doc_id, r.epoch) for r in out2} == by_doc_epoch
+    # per-epoch permutation: same doc, different epoch → different key
+    keys = {}
+    for r in out:
+        keys.setdefault(r.doc_id, set()).add(r.perm_key)
+    multi = [d for d, e in keys.items() if (d, 1) in by_doc_epoch]
+    assert all(len(keys[d]) >= 2 for d in multi)
