@@ -226,6 +226,71 @@ WHERE {pround_sql('inter * 1.0 / (na + nb - inter)', 4)} >= {threshold}
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: C = |A∩B| / min(|A|, |B|).
+
+    Jaccard misses inclusion cases — a document pasted inside a 10× longer
+    one scores |A|/|B| ≈ 0.1 Jaccard but 1.0 containment. This is the
+    standard quote/boilerplate/partial-copy detector (Broder's containment,
+    the metric behind "doc A is substantially inside doc B"). Same inverted
+    index, pair combinatorics, and skew cap as ``ngram_jaccard_pairs`` —
+    only the final ratio differs, so every scale property carries over.
+    """
+    e = doc_shingle_hashes(docs)
+    inv = e.groupBy("h").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("n")))
+        ).alias("members")
+    )
+    inv = inv.where(F.size("members") >= 2)
+    if max_doc_freq is not None:
+        inv = inv.where(F.size("members") <= max_doc_freq)
+    pair = inv.select(
+        F.explode(_pairs_from_sorted_members(F.col("members"))).alias("p")
+    ).select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.n").alias("na"),
+        F.col("p.b.n").alias("nb"),
+    )
+    pairs = pair.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("inter"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    )
+    cont = F.col("inter") / F.least(F.col("na"), F.col("nb"))
+    return (
+        pairs.withColumn("containment", pround(cont, 4))
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+def ngram_containment_oracle(threshold: float = 0.8) -> str:
+    return (
+        SHINGLE_CTE
+        + f"""
+, eh AS (
+  SELECT doc_id, {hash64_sql('s')} AS h, n FROM e
+)
+, pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+         any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM eh a JOIN eh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       {pround_sql('inter * 1.0 / least(na, nb)', 4)} AS containment
+FROM pairs
+WHERE {pround_sql('inter * 1.0 / least(na, nb)', 4)} >= {threshold}
+"""
+    )
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh{NUM_PERM-1}) MinHash signature via groupBy-min."""
     h = doc_shingle_hashes(docs)

@@ -488,3 +488,177 @@ def olap_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("checked_ct"),
     )
     return rules.unionByName(fk)
+
+
+# --------------------------------------------------------------------------
+# Round-4: sessionization, behavioral transitions, and outlier flagging —
+# the remaining event-stream analytics a warehouse serves beside funnels
+# and retention.
+# --------------------------------------------------------------------------
+
+SESSION_GAP_S = 6 * 3600
+
+SESSIONIZE_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_S * 1_000_000} THEN 1
+              WHEN lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tagged AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_seq
+  FROM seq
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start,
+       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+         AS duration_s,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS session_value
+FROM tagged
+GROUP BY 1, 2
+"""
+
+
+@query("olap_sessionize", oracle=SESSIONIZE_ORACLE)
+def olap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than SESSION_GAP_S; session ids are the running count of
+    session-start markers (the standard lag + cumulative-sum construction).
+
+    Scale shape: ONE hash exchange on user_id serves the lag window, the
+    running sum, AND the final per-session aggregation (all three are
+    user_id-prefixed partitionings — Catalyst reuses the sort). No
+    per-user arrays are buffered; state per row is O(1). Duration is
+    computed in integer microseconds end-to-end, so both engines divide
+    exactly."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap_us = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_seq"),
+    )
+    return tagged.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        # integer floor-division on both sides: DuckDB's CAST(double AS
+        # BIGINT) rounds-half-even while Spark's truncates — // and div
+        # agree exactly on the integer microsecond domain
+        F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
+        .alias("duration_s"),
+        F.count("*").alias("n_events"),
+        dsum(F.col("value")).alias("session_value"),
+    )
+
+
+TRANSITIONS_ORACLE = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+), counted AS (
+  SELECT from_type, to_type, count(*) AS transition_ct
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, transition_ct,
+       CAST(transition_ct * 1000000 // sum(transition_ct) OVER (
+         PARTITION BY from_type
+       ) AS BIGINT) AS p_micro
+FROM counted
+"""
+
+
+@query("olap_event_transitions", oracle=TRANSITIONS_ORACLE)
+def olap_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each ordered per-user
+    event pair, count (from_type → to_type) and its per-source probability
+    (micro-units via integer floor-division — exact in both engines, no
+    float ratio to hash-diverge).
+
+    Scale shape: the lead window shuffles once on user_id; the count
+    aggregation is map-side combinable into a |types|² table; the
+    probability normalization is a window over that TINY table, not the
+    events. At 100 TB only the first exchange touches data-sized rows."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counted = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("transition_ct")
+    )
+    return counted.select(
+        "from_type",
+        "to_type",
+        "transition_ct",
+        F.expr("transition_ct * 1000000 div sum(transition_ct) over (partition by from_type)")
+        .alias("p_micro"),
+    )
+
+
+ANOMALY_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_c
+  FROM events
+  GROUP BY 1
+)
+SELECT e.event_type,
+       s.n AS total_ct,
+       sum(CASE WHEN CAST(floor(e.value * 100 + 0.5) AS BIGINT) * s.n
+                     > 2 * s.sum_c THEN 1 ELSE 0 END) AS outlier_ct,
+       CAST(sum(CASE WHEN CAST(floor(e.value * 100 + 0.5) AS BIGINT) * s.n
+                     > 2 * s.sum_c THEN 1 ELSE 0 END)
+         * 1000000 // s.n AS BIGINT) AS outlier_micro
+FROM events e JOIN stats s USING (event_type)
+GROUP BY 1, 2, s.n, s.sum_c
+"""
+
+
+@query("olap_anomaly_outliers", oracle=ANOMALY_ORACLE)
+def olap_anomaly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type outlier flagging: events whose value exceeds 2× the type's
+    mean. The comparison runs ENTIRELY in the integer domain
+    (cents·n > 2·Σcents avoids the float division that makes mean-based
+    predicates hash-diverge across engines — same discipline as dsum).
+
+    Scale shape: two map-side-combinable aggregations over one scan
+    lineage; the per-type stats table (|types| rows) broadcasts back. The
+    second pass re-reads the source rather than caching — at 100 TB a scan
+    is cheaper than materializing the event set, and the stats join is a
+    broadcast hash join with no shuffle of the fact side."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum(cents).alias("sum_c")
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    flag = F.when(cents * F.col("n") > 2 * F.col("sum_c"), 1).otherwise(0)
+    return (
+        joined.groupBy("event_type", F.col("n").alias("total_ct"))
+        .agg(F.sum(flag).alias("outlier_ct"))
+        .select(
+            "event_type",
+            "total_ct",
+            "outlier_ct",
+            F.expr("outlier_ct * 1000000 div total_ct").alias("outlier_micro"),
+        )
+    )

@@ -59,6 +59,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(_docs(spark, sf_dir))
 
 
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=dedup.ngram_containment_oracle(CONTAINMENT_THRESHOLD),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (|A∩B| / min(|A|,|B|)) — catches the
+    partial-copy/quote-inclusion dups Jaccard under-scores. See
+    operators/dedup.py::ngram_containment_pairs for the scale shape."""
+    return dedup.ngram_containment_pairs(
+        _docs(spark, sf_dir), CONTAINMENT_THRESHOLD
+    )
+
+
 @query("dedup_simhash", oracle=dedup.simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))

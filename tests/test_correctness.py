@@ -7,17 +7,24 @@ from __future__ import annotations
 import pytest
 
 from realtime_datawarehouse_spark.plans import registry
-from tests.conftest import SF_DIR, assert_matches_oracle
+from tests.conftest import SF_DIR, SF_DIR_MID, assert_matches_oracle
 
 registry.load()
 ALL = sorted(registry.QUERIES)
 WITH_ORACLE = [n for n in ALL if n in registry.ORACLES]
 WITHOUT_ORACLE = [n for n in ALL if n not in registry.ORACLES]
 
+# Sketch queries whose oracles are VALUES literals pinned at the driver's
+# contract scale (sf0.01, plans/sketch_agg.py) — the Spark side must run at
+# that scale locally too; the oracle reads no tables, so the duck fixture's
+# sf0.001 views are irrelevant for them.
+PINNED_AT_SF001 = {"sk_hll_daily_uv", "sk_quantile_order_value"}
+
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_query_matches_oracle(spark, duck, name):
-    df = registry.QUERIES[name](spark, SF_DIR)
+    sf_dir = SF_DIR_MID if name in PINNED_AT_SF001 else SF_DIR
+    df = registry.QUERIES[name](spark, sf_dir)
     assert_matches_oracle(df, duck, registry.ORACLES[name])
 
 
