@@ -72,6 +72,10 @@ BENCH_QUERIES = (
     # round-4 additions (floors recorded from their first r04 measurement)
     "text_cdc_chunks",              # content-defined chunk fold (per-row)
     "dedup_minhash_cdc",            # MinHash-LSH over CDC chunk sets
+    "dedup_semantic_lsh",           # adaptive-plane LSH semantic dedup
+    "pipeline_corpus_curation_v3",  # composed curation, near-linear form
+    "olap_sessionize",              # gap sessionization (lag + running sum)
+    "dedup_ngram_containment",      # asymmetric containment pairs
 )
 
 

@@ -40,12 +40,16 @@ def _cos(va, vb, na, nb) -> F.Column:
     return dot(va, vb) / (na * nb)
 
 
-def hyperplanes() -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes shared with the SQL oracle."""
+def hyperplanes(n_planes: int = NUM_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes shared with the SQL oracle.
+
+    One seeded stream: ``hyperplanes(16)[:8] == hyperplanes(8)``, so every
+    consumer (fixed-plane buckets, adaptive-plane semdedup) draws from the
+    same family and their oracles stay literal-for-literal identical."""
     rng = random.Random(_PLANE_SEED)
     return [
         [round(rng.uniform(-1.0, 1.0), 6) for _ in range(DIM)]
-        for _ in range(NUM_PLANES)
+        for _ in range(n_planes)
     ]
 
 
@@ -600,4 +604,142 @@ WITH e AS (
 SELECT a0.vec_id, a0.centroid_id AS cluster_id,
        CASE WHEN dup.dup_id IS NULL THEN 0 ELSE 1 END AS is_dup
 FROM a0 LEFT JOIN dup ON dup.dup_id = a0.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed semantic dedup — the near-linear scale path for semdedup.
+#
+# The k-means form above is Θ(n·k + n²/k) (assignment + within-cluster
+# pairs): minimized at k=√n it is inherently n^1.5 — measured 29× for 10×
+# rows (SCALE.md §12). Replacing the cluster key with a random-hyperplane
+# bucket whose PLANE COUNT ADAPTS to corpus size (planes ≈ log2(n/target))
+# makes assignment O(n·planes·DIM) (map-only, no per-centroid scoring) and
+# holds bucket populations at ~target, so the pair stage stays O(n·target):
+# near-linear end-to-end. Recall is the hyperplane-collision law
+# (1-θ/π)^planes per pair — tunable with multi-probe/multi-table exactly
+# like embed_near_dup_lsh; both engines compute the identical
+# approximation, so the result (unlike recall) is oracle-exact.
+# --------------------------------------------------------------------------
+
+SEM_LSH_TARGET_POP = 8
+SEM_LSH_MIN_PLANES = 4
+SEM_LSH_MAX_PLANES = 16
+
+
+def _sem_lsh_needed_planes_col(n: F.Column) -> F.Column:
+    """Smallest p with target·2^p ≥ n, clamped to [MIN, MAX] — computed with
+    INTEGER comparisons only (a float log2 could round differently across
+    engines at power-of-two boundaries)."""
+    needed = None
+    for p in range(SEM_LSH_MAX_PLANES):
+        t = F.when(n > F.lit(SEM_LSH_TARGET_POP * (1 << p)), 1).otherwise(0)
+        needed = t if needed is None else needed + t
+    return F.greatest(needed, F.lit(SEM_LSH_MIN_PLANES))
+
+
+def sem_lsh_assign(emb: DataFrame) -> DataFrame:
+    """(vec_id, v, vn, bucket_id): adaptive-plane LSH bucket assignment.
+
+    Plane count derives from a 1-row corpus count broadcast into the
+    bucket expression (declarative — no driver-side count action), so the
+    SAME plan stays near-linear from sf0.001 through 100 TB: buckets
+    multiply with the data while per-bucket work stays constant."""
+    v0 = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).select("vec_id", "v", l2_norm(F.col("v")).alias("vn"))
+    n1 = v0.agg(F.count("*").alias("n")).select(
+        _sem_lsh_needed_planes_col(F.col("n")).alias("needed")
+    )
+    withn = v0.crossJoin(F.broadcast(n1))
+    bucket = None
+    for p, plane in enumerate(hyperplanes(SEM_LSH_MAX_PLANES)):
+        lit_plane = F.array(*[F.lit(c) for c in plane])
+        d = F.aggregate(
+            F.zip_with(F.col("v"), lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        term = F.when(
+            (F.lit(p) < F.col("needed")) & (d >= 0), F.lit(1 << p)
+        ).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return withn.select("vec_id", "v", "vn", bucket.alias("bucket_id"))
+
+
+def semdedup_lsh(
+    emb: DataFrame, threshold: float = SEMDEDUP_COSINE
+) -> DataFrame:
+    """(vec_id, cluster_id, is_dup) with adaptive-plane LSH buckets as the
+    cluster key: is_dup=1 iff a same-bucket vector with a smaller id is
+    cosine-similar above ``threshold`` (same greedy keep-smallest rule as
+    :func:`semdedup`)."""
+    assigned = sem_lsh_assign(emb)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.bucket_id") == F.col("b.bucket_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            pround(
+                _cos(
+                    F.col("a.v"), F.col("b.v"), F.col("a.vn"), F.col("b.vn")
+                ),
+                4,
+            )
+            >= threshold
+        )
+        .select(F.col("b.vec_id").alias("dup_id"))
+        .distinct()
+    )
+    return assigned.join(
+        F.broadcast(dup_ids), assigned.vec_id == dup_ids.dup_id, "left"
+    ).select(
+        "vec_id",
+        F.col("bucket_id").alias("cluster_id"),
+        F.when(F.col("dup_id").isNotNull(), 1).otherwise(0).alias("is_dup"),
+    )
+
+
+def sem_lsh_bucket_ctes() -> str:
+    """SQL fragment: ``nn`` (adaptive plane count) + ``b`` (bucket
+    assignment) CTE bodies, assuming an ``e(vec_id, v)`` CTE is in scope.
+    Shared between the standalone oracle and composed pipeline oracles."""
+    planes = hyperplanes(SEM_LSH_MAX_PLANES)
+    needed_terms = " + ".join(
+        f"(CASE WHEN n > {SEM_LSH_TARGET_POP * (1 << p)} THEN 1 ELSE 0 END)"
+        for p in range(SEM_LSH_MAX_PLANES)
+    )
+    bucket_terms = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(c) for c in plane) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN {p} < needed AND list_dot_product(v, {arr}) >= 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""nn AS (
+  SELECT GREATEST({needed_terms}, {SEM_LSH_MIN_PLANES}) AS needed
+  FROM (SELECT count(*) AS n FROM e)
+), b AS (
+  SELECT vec_id, v, {bucket} AS bucket_id FROM e, nn
+)"""
+
+
+def semdedup_lsh_oracle(threshold: float = SEMDEDUP_COSINE) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), {sem_lsh_bucket_ctes()}, dup AS (
+  SELECT DISTINCT y.vec_id AS dup_id
+  FROM b a JOIN b y ON a.bucket_id = y.bucket_id AND a.vec_id < y.vec_id
+  WHERE {pround_sql(
+      "list_dot_product(a.v, y.v) / (sqrt(list_dot_product(a.v, a.v))"
+      " * sqrt(list_dot_product(y.v, y.v)))", 4)} >= {threshold}
+)
+SELECT b.vec_id, b.bucket_id AS cluster_id,
+       CASE WHEN dup.dup_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM b LEFT JOIN dup ON dup.dup_id = b.vec_id
 """

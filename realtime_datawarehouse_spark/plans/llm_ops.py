@@ -561,6 +561,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(_emb(spark, sf_dir))
 
 
+@query("dedup_semantic_lsh", oracle=similarity.semdedup_lsh_oracle())
+def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup with adaptive-plane LSH buckets as the cluster key —
+    the near-linear scale form of dedup_semantic (the k-means clustering
+    is Θ(n^1.5) at its optimal k; measured sf0.1→sf1 ratios in SCALE.md
+    §12). Plane count grows with log2(corpus/target_pop) inside the plan
+    itself, so the same query holds per-bucket work constant at any SF."""
+    return similarity.semdedup_lsh(_emb(spark, sf_dir))
+
+
 @query("curate_bloom_decontaminate", oracle=dedup.bloom_decontaminate_oracle())
 def curate_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter benchmark decontamination — constant-memory scale path
@@ -781,6 +791,76 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 surv, F.col("b.vec_id") == F.col("sid"), "left_semi"
             ),
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(pround(cos, 4) >= similarity.SEMDEDUP_COSINE)
+        .select(F.col("b.vec_id").alias("sem_id"))
+        .distinct()
+    )
+    return v1.join(
+        F.broadcast(sem), v1.doc_id == F.col("sem_id"), "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("status") != "kept", F.col("status"))
+        .when(F.col("sem_id").isNotNull(), "semantic_dup")
+        .otherwise("kept")
+        .alias("status"),
+    )
+
+
+# v3: the semantic stage keyed by adaptive-plane LSH buckets instead of the
+# flat centroid assignment — the near-linear composed configuration
+# (SCALE.md §12: v2 measured 19× for 10× rows, dominated by its Θ(n^1.5)
+# clustering stage; the LSH stage is O(n·planes)).
+CURATION_V3_ORACLE = f"""
+WITH v1 AS (
+{CURATION_ORACLE}
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), {similarity.sem_lsh_bucket_ctes()}, survk AS (
+  SELECT doc_id FROM v1 WHERE status = 'kept'
+), sem AS (
+  SELECT DISTINCT y.vec_id AS doc_id
+  FROM b a
+  JOIN b y ON a.bucket_id = y.bucket_id AND a.vec_id < y.vec_id
+  JOIN survk sa ON sa.doc_id = a.vec_id
+  JOIN survk sb ON sb.doc_id = y.vec_id
+  WHERE floor(list_dot_product(a.v, y.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(y.v, y.v))) * 10000 + 0.5) / 10000.0
+        >= {similarity.SEMDEDUP_COSINE}
+)
+SELECT v1.doc_id,
+       CASE WHEN v1.status <> 'kept'      THEN v1.status
+            WHEN sem.doc_id IS NOT NULL   THEN 'semantic_dup'
+            ELSE 'kept' END AS status
+FROM v1 LEFT JOIN sem USING (doc_id)
+"""
+
+
+@query("pipeline_corpus_curation_v3", oracle=CURATION_V3_ORACLE)
+def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 with the semantic stage keyed by adaptive-plane LSH buckets —
+    assignment is map-only (no per-centroid scoring), bucket populations
+    are held at a constant target by the plane count, and the pair stage
+    runs on survivors only: the whole composed pipeline stays near-linear
+    (measured 3.2× for 10× rows on the standalone stage, SCALE.md §12)."""
+    from realtime_datawarehouse_spark.functions.compare import pround
+    from realtime_datawarehouse_spark.functions.vector import dot
+
+    v1 = pipeline_corpus_curation(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    assigned = similarity.sem_lsh_assign(emb)
+    surv = v1.where(F.col("status") == "kept").select(
+        F.col("doc_id").alias("sid")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.vn") * F.col("b.vn"))
+    sem = (
+        a.join(surv, F.col("a.vec_id") == F.col("sid"), "left_semi")
+        .join(
+            b.join(surv, F.col("b.vec_id") == F.col("sid"), "left_semi"),
+            (F.col("a.bucket_id") == F.col("b.bucket_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .where(pround(cos, 4) >= similarity.SEMDEDUP_COSINE)

@@ -37,6 +37,12 @@ DRIVER_PRIORITY: list[str] = [
     "text_cdc_chunks",
     "dedup_minhash_cdc",
     "mix_epoch_schedule",
+    "olap_sessionize",
+    "olap_event_transitions",
+    "olap_anomaly_outliers",
+    "dedup_ngram_containment",
+    "dedup_semantic_lsh",
+    "pipeline_corpus_curation_v3",
     # oracle/implementation changed in r4
     "sk_hll_daily_uv",
     "sk_quantile_order_value",
