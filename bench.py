@@ -76,6 +76,8 @@ BENCH_QUERIES = (
     "pipeline_corpus_curation_v3",  # composed curation, near-linear form
     "olap_sessionize",              # gap sessionization (lag + running sum)
     "dedup_ngram_containment",      # asymmetric containment pairs
+    "ann_pq_topk",                  # product-quantization ADC scan
+    "ann_pq_rerank_topk",           # PQ shortlist + exact rerank
 )
 
 

@@ -743,3 +743,332 @@ SELECT b.vec_id, b.bucket_id AS cluster_id,
        CASE WHEN dup.dup_id IS NULL THEN 0 ELSE 1 END AS is_dup
 FROM b LEFT JOIN dup ON dup.dup_id = b.vec_id
 """
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-compression scale path (Jégou
+# et al. 2011, "Product Quantization for Nearest Neighbor Search"): split
+# each vector into M subvectors, quantize each against a K-codeword
+# sub-codebook, and answer queries with asymmetric distance computation
+# (ADC) — per query one M×K lookup table, per corpus row M table lookups
+# instead of DIM multiplies. At 100 TB the corpus resident set shrinks from
+# DIM floats to M bytes per vector (64× here), which is what makes
+# billion-vector search fit an executor fleet's memory.
+#
+# The sub-codebooks are a deterministic arithmetic subset of the corpus
+# (same pattern as the IVF coarse quantizer): no iterative training, so
+# encode + ADC have an exact DuckDB oracle — both engines build the same
+# codebook, compute the same IEEE distance doubles, and sum the same
+# integer-quantized LUT entries (order-independent by construction). A
+# k-means-trained codebook drops into the same plan shape (the training
+# loop is train_centroids run per subspace).
+# --------------------------------------------------------------------------
+
+# M=16/K=32 chosen by measured recall sweep (commit r4): ADC recall@5 =
+# 0.4/0.5 (sf0.001/sf0.01) vs 0.1-0.25 for M=8 variants; with the exact
+# rerank stage (ann_pq_rerank) 0.875/0.95. Codes are M bytes/vector.
+PQ_M = 16                     # subspaces
+PQ_SUB = DIM // PQ_M          # dims per subspace
+PQ_K = 32                     # codewords per sub-codebook
+PQ_RERANK = 50                # ADC shortlist size for the rerank stage
+PQ_CODE_PRED_SQL = "vec_id % 5 = 1"  # deterministic codebook sample
+
+
+def _pq_codebook(emb: DataFrame) -> list[list[float]]:
+    """The K codebook base vectors (smallest matching vec_ids), collected —
+    K × DIM floats, the broadcast-dim collect pattern (train_centroids)."""
+    rows = (
+        emb.where(F.col("vec_id") % 5 == 1)
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .collect()
+    )
+    return [list(r.v) for r in rows]
+
+
+def _pq_subs(emb: DataFrame) -> DataFrame:
+    """(code_id, sub_id, cw): the codebook split into per-subspace
+    codewords, as a DataFrame (tiny: M×K rows) for the LUT join."""
+    w = Window.orderBy("vec_id")
+    cb = (
+        emb.where(F.col("vec_id") % 5 == 1)
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("code_id"), "v"
+        )
+    )
+    return cb.select(
+        "code_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("sub_id", "cw"),
+    )
+
+
+def _dot_unrolled(a: F.Column, b: F.Column, n: int) -> F.Column:
+    # left-associated sum of element products: bit-identical to the fold
+    # (which seeds 0.0, and 0.0 + x == x exactly) and to list_dot_product,
+    # but 2.6× faster at PQ_SUB=4 (measured; the opposite holds at DIM=64,
+    # where the fold wins — SCALE.md §4)
+    t = None
+    for i in range(1, n + 1):
+        term = F.element_at(a, i) * F.element_at(b, i)
+        t = term if t is None else t + term
+    return t
+
+
+def _pq_l2(sv: F.Column, cw: F.Column) -> F.Column:
+    # ||s-c||² via three dot products — the same op sequence as the oracle's
+    # list_dot_product algebra, so the doubles match bit for bit
+    return (
+        _dot_unrolled(sv, sv, PQ_SUB)
+        - F.lit(2.0) * _dot_unrolled(sv, cw, PQ_SUB)
+    ) + _dot_unrolled(cw, cw, PQ_SUB)
+
+
+def pq_encode(emb: DataFrame) -> DataFrame:
+    """(vec_id, codes): PQ codes via one sub-vector explode + a broadcast
+    codebook join + a map-combinable ``min_by`` argmin per (vec, subspace).
+
+    Each sub-vector materializes ONCE in the exploded row before the K
+    distance evaluations — an all-literal single-projection encode was
+    measured 20× slower because Catalyst re-evaluates the slice and its
+    self-dot per codeword expression (the HOF-re-evaluation trap,
+    SCALE.md §4). Ties take the smallest code_id.
+
+    Encode is the INDEXING pass: at 100 TB it runs once, writes
+    (vec_id, codes) — M bytes of payload per vector — and every query
+    thereafter scans codes only; the n×M-row exchanges here amortize over
+    the index lifetime exactly like the IVF layout write."""
+    es = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("sub_id", "sv"),
+    )
+    scored = es.join(F.broadcast(_pq_subs(emb)), "sub_id").select(
+        "vec_id",
+        "sub_id",
+        "code_id",
+        _pq_l2(F.col("sv"), F.col("cw")).alias("d"),
+    )
+    enc = scored.groupBy("vec_id", "sub_id").agg(
+        F.min_by(
+            F.col("code_id"), F.struct(F.col("d"), F.col("code_id"))
+        ).alias("code_id")
+    )
+    return enc.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", "code_id"))),
+            lambda x: x["code_id"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """PQ/ADC approximate top-k: (query_id, neighbor_id, adc_micro, rnk).
+
+    Per query the M×K lookup table is built once (integer micro-units —
+    floor(d·1e6 + 0.5) — so the cross-subspace sum is order-independent
+    and exact in both engines); the corpus side is its codes projection
+    joined to the broadcast LUT: M element lookups + an integer sum per
+    row, then the standard per-query top-k window. Smaller adc = nearer.
+    """
+    codes = pq_encode(emb)
+    subs = _pq_subs(emb)
+    q = queries.select(
+        "query_id", _as_double(F.col("query_vec")).alias("qv")
+    ).select(
+        "query_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("qv"), m * PQ_SUB + 1, PQ_SUB)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("sub_id", "qsv"),
+    )
+    lut_rows = q.join(F.broadcast(subs), "sub_id").select(
+        "query_id",
+        "sub_id",
+        "code_id",
+        F.floor(_pq_l2(F.col("qsv"), F.col("cw")) * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("d_micro"),
+    )
+    per_sub = lut_rows.groupBy("query_id", "sub_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code_id", "d_micro"))),
+            lambda x: x["d_micro"],
+        ).alias("dists")
+    )
+    lut = per_sub.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", "dists"))),
+            lambda x: x["dists"],
+        ).alias("lut")
+    )
+    scored = codes.join(
+        F.broadcast(lut), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with(
+                F.col("lut"),
+                F.col("codes"),
+                lambda l, c: F.element_at(l, (c + F.lit(1)).cast("int")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("adc_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_micro", "rnk")
+    )
+
+
+def pq_topk_oracle(k: int = 5, query_pred: str = "vec_id < 8") -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cb AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS code_id, v
+  FROM (SELECT vec_id, v FROM e WHERE {PQ_CODE_PRED_SQL}
+        ORDER BY vec_id LIMIT {PQ_K})
+), m AS (
+  SELECT CAST(unnest(range({PQ_M})) AS BIGINT) AS sub_id
+), cbs AS (
+  SELECT code_id, sub_id,
+         v[(sub_id * {PQ_SUB} + 1):(sub_id * {PQ_SUB} + {PQ_SUB})] AS cw
+  FROM cb, m
+), es AS (
+  SELECT vec_id, sub_id,
+         v[(sub_id * {PQ_SUB} + 1):(sub_id * {PQ_SUB} + {PQ_SUB})] AS sv
+  FROM e, m
+), scored AS (
+  SELECT vec_id, sub_id, code_id,
+         (list_dot_product(sv, sv) - 2 * list_dot_product(sv, cw))
+           + list_dot_product(cw, cw) AS d
+  FROM es JOIN cbs USING (sub_id)
+), enc AS (
+  SELECT vec_id, sub_id, code_id FROM (
+    SELECT vec_id, sub_id, code_id,
+           row_number() OVER (PARTITION BY vec_id, sub_id
+                              ORDER BY d, code_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), lut AS (
+  SELECT q.vec_id AS query_id, q.sub_id, cbs.code_id,
+         CAST(floor(((list_dot_product(q.sv, q.sv)
+                      - 2 * list_dot_product(q.sv, cbs.cw))
+                     + list_dot_product(cbs.cw, cbs.cw)) * 1000000 + 0.5)
+              AS BIGINT) AS d_micro
+  FROM (SELECT * FROM es WHERE {query_pred}) q
+  JOIN cbs USING (sub_id)
+), adc AS (
+  SELECT l.query_id, enc.vec_id AS neighbor_id,
+         CAST(sum(l.d_micro) AS BIGINT) AS adc_micro
+  FROM enc
+  JOIN lut l ON l.sub_id = enc.sub_id AND l.code_id = enc.code_id
+  WHERE enc.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_micro, rnk FROM (
+  SELECT query_id, neighbor_id, adc_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_micro, neighbor_id) AS rnk
+  FROM adc
+) WHERE rnk <= {k}
+"""
+
+
+def pq_rerank_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5, shortlist: int = PQ_RERANK
+) -> DataFrame:
+    """ADC shortlist + exact rerank — the production PQ retrieval shape
+    (IVFADC with verification): the compressed scan proposes ``shortlist``
+    candidates per query, full vectors are fetched for those few hundred
+    rows only, and exact cosine reorders them. Measured recall@5 0.95 at
+    sf0.01 vs 0.5 for raw ADC. Both stages are deterministic, so the
+    composition keeps an exact SQL oracle.
+
+    Scale shape: the corpus is scanned in code space (M bytes/row); the
+    full-vector fetch is a broadcast semi-join of |queries|·shortlist ids
+    against the id-partitioned embedding store — the only full vectors
+    that move."""
+    short = pq_topk(emb, queries, shortlist)
+    cand = emb.select(
+        F.col("vec_id").alias("cid"),
+        _as_double(F.col("embedding")).alias("v"),
+    ).select("cid", "v", l2_norm(F.col("v")).alias("vn"))
+    q = queries.select(
+        F.col("query_id").alias("qid"),
+        _as_double(F.col("query_vec")).alias("qv"),
+    ).select("qid", "qv", l2_norm(F.col("qv")).alias("qn"))
+    scored = (
+        cand.join(F.broadcast(short), F.col("cid") == F.col("neighbor_id"))
+        .join(F.broadcast(q), F.col("query_id") == F.col("qid"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(
+                _cos(F.col("qv"), F.col("v"), F.col("qn"), F.col("vn")), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+def pq_rerank_topk_oracle(
+    k: int = 5, query_pred: str = "vec_id < 8", shortlist: int = PQ_RERANK
+) -> str:
+    inner = pq_topk_oracle(shortlist, query_pred).strip()
+    cos = (
+        "list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v))"
+        " * sqrt(list_dot_product(c.v, c.v)))"
+    )
+    return f"""
+WITH short AS (
+{inner}
+), ee AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), rescored AS (
+  SELECT s.query_id, s.neighbor_id, {pround_sql(cos, 4)} AS sim
+  FROM short s
+  JOIN ee c ON c.vec_id = s.neighbor_id
+  JOIN ee q ON q.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, sim, rnk FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM rescored
+) WHERE rnk <= {k}
+"""

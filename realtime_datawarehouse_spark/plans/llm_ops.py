@@ -149,6 +149,41 @@ def ann_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pq_topk",
+    oracle=similarity.pq_topk_oracle(TOPK, ANN_QUERY_PRED_SQL),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k: codes are a map-only projection
+    (M bytes/vector resident instead of DIM floats — the billion-vector
+    memory story), queries broadcast an M×K integer LUT, scoring is M
+    lookups + an int sum per row. Deterministic sub-codebooks → exact
+    DuckDB oracle; recall floor vs brute force pinned in pytest."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return similarity.pq_topk(emb, queries, TOPK)
+
+
+@query(
+    "ann_pq_rerank_topk",
+    oracle=similarity.pq_rerank_topk_oracle(TOPK, ANN_QUERY_PRED_SQL),
+)
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ retrieval with exact verification: ADC proposes a 50-candidate
+    shortlist from the compressed scan, full vectors are fetched for the
+    shortlist only, exact cosine reranks. Recall@5 ≈ 0.95 (sf0.01) at a
+    compressed-scan cost — the production ANN serving shape."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return similarity.pq_rerank_topk(emb, queries, TOPK)
+
+
+@query(
     "embed_near_dup_pairs",
     oracle=similarity.near_dup_pairs_oracle(NEAR_DUP_COSINE),
 )

@@ -43,6 +43,8 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_ngram_containment",
     "dedup_semantic_lsh",
     "pipeline_corpus_curation_v3",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
     # oracle/implementation changed in r4
     "sk_hll_daily_uv",
     "sk_quantile_order_value",

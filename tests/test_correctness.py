@@ -74,6 +74,38 @@ def test_ivf_trained_codebook_recall_floor(spark):
     assert "Window" not in plan, "assignment must not use a window over scored rows"
 
 
+def test_pq_recall_floors(spark):
+    """PQ/ADC approximation quality (oracle-exactness is covered by the
+    registered queries; this pins that the approximation is USEFUL):
+    raw ADC recall@5 ≥ 0.30 and shortlist-reranked recall@5 ≥ 0.70 vs
+    brute force (measured 0.40 and 0.875 at sf0.001, 0.5/0.95 at
+    sf0.01 — floors leave margin)."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import similarity
+    from realtime_datawarehouse_spark.tables import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_topk(emb, qs, 5).collect()
+    }
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_topk(emb, qs, 5).collect()
+    }
+    rr = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_rerank_topk(emb, qs, 5).collect()
+    }
+    assert len(exact & adc) / len(exact) >= 0.30
+    assert len(exact & rr) / len(exact) >= 0.70
+
+
 def test_audio_codec_is_real_roundtrip(spark):
     """mm_audio_decode must parse genuine RIFF/WAVE bytes: corrupt the
     payload and the decode kernel must fail — proof it reads the container,
