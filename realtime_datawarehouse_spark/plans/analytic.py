@@ -502,7 +502,7 @@ SESSIONIZE_ORACLE = f"""
 WITH seq AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                   > {SESSION_GAP_S * 1_000_000} THEN 1
+                   >= {SESSION_GAP_S * 1_000_000} THEN 1
               WHEN lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -540,9 +540,12 @@ def olap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
+    # >= so a gap of exactly SESSION_GAP_S starts a new session — the same
+    # half-open-window rule as Spark's builtin session_window (equivalence
+    # pinned by test_sessionize_matches_builtin_session_window)
     gap_us = us - F.lag(us).over(w)
     is_new = F.when(
-        gap_us.isNull() | (gap_us > SESSION_GAP_S * 1_000_000), 1
+        gap_us.isNull() | (gap_us >= SESSION_GAP_S * 1_000_000), 1
     ).otherwise(0)
     tagged = ev.select(
         "user_id",

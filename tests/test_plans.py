@@ -418,3 +418,54 @@ def test_sampling_is_partitioning_invariant(spark):
         for r in textops.token_budget_sample(docs.repartition(5)).collect()
     }
     assert b1 == b2
+
+
+def test_sessionize_matches_builtin_session_window(spark):
+    """olap_sessionize's lag+cumsum construction must produce the identical
+    session partition as Spark's builtin session_window (same half-open
+    gap rule: an event exactly GAP after its predecessor starts a new
+    session) — pins the operator to engine semantics, and transitively to
+    the streaming session-window job (test_session_window_streaming_parity)."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.plans import analytic
+    from realtime_datawarehouse_spark.tables import table
+
+    ours = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in analytic.olap_sessionize(spark, SF_DIR)
+        .select("user_id", "session_start", "n_events")
+        .collect()
+    }
+    ev = table(spark, SF_DIR, "events")
+    builtin = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in ev.groupBy(
+            F.session_window(
+                "ts", f"{analytic.SESSION_GAP_S} seconds"
+            ).alias("sw"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+        .collect()
+    }
+    assert ours == builtin
+
+
+def test_new_r4_plan_gates(spark):
+    """Plan shapes for the round-4 operators: sessionize reuses ONE
+    user_id exchange for lag + running-sum + final agg; transitions'
+    normalization window runs over the tiny count table; anomaly stats
+    join broadcasts (no shuffle of the fact side); PQ ADC scoring joins
+    the LUT as a broadcast."""
+    p = _explain(spark, "olap_sessionize", "simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    p = _explain(spark, "olap_anomaly_outliers")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    p = _explain(spark, "ann_pq_topk")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
