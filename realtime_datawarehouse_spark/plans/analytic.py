@@ -665,3 +665,103 @@ def olap_anomaly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("outlier_ct * 1000000 div total_ct").alias("outlier_micro"),
         )
     )
+
+
+TS_FILL_MIN_PRICE = 400_000.0
+
+TS_FILL_ORACLE = f"""
+WITH hv AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         count(*) AS order_ct,
+         {dsum_sql('o_totalprice')} AS gmv
+  FROM orders
+  WHERE o_totalprice > {TS_FILL_MIN_PRICE}
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT CAST(date_trunc('day', min(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('day', max(o_orderdate)) AS DATE) AS hi
+  FROM orders
+), spine AS (
+  SELECT p.priority, CAST(unnest(generate_series(b.lo, b.hi,
+                                                 INTERVAL 1 DAY)) AS DATE) AS d
+  FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders) p, bounds b
+)
+SELECT s.priority,
+       strftime(s.d, '%Y-%m-%d') AS d,
+       coalesce(hv.order_ct, 0) AS order_ct,
+       coalesce(hv.gmv, 0.0) AS gmv,
+       coalesce(last_value(hv.gmv IGNORE NULLS) OVER (
+         PARTITION BY s.priority ORDER BY s.d
+         ROWS UNBOUNDED PRECEDING
+       ), 0.0) AS locf_gmv
+FROM spine s LEFT JOIN hv ON hv.priority = s.priority AND hv.d = s.d
+"""
+
+
+@query("olap_timeseries_fill", oracle=TS_FILL_ORACLE)
+def olap_timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling over a sparse daily series (high-value
+    orders): every (priority, day) cell exists, additive metrics zero-fill,
+    and a last-observation-carried-forward column demonstrates state-style
+    fill — the standard dashboard/time-series densification.
+
+    Scale shape: the spine is |keys| × |days| rows built from a broadcast
+    1-row min/max aggregate and a tiny distinct — never from the fact
+    table; the daily aggregate shuffles once on (priority, day); the LOCF
+    window partitions by priority over the ALREADY-SMALL spine. At 100 TB
+    the fact scan dominates and everything downstream is dashboard-sized."""
+    o = table(spark, sf_dir, "orders")
+    hv = (
+        o.where(F.col("o_totalprice") > TS_FILL_MIN_PRICE)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("d"),
+        )
+        .agg(
+            F.count("*").alias("order_ct"),
+            dsum(F.col("o_totalprice")).alias("gmv"),
+        )
+    )
+    bounds = o.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    prios = o.select(
+        F.col("o_orderpriority").alias("priority")
+    ).distinct()
+    spine = (
+        prios.crossJoin(F.broadcast(bounds))
+        .select(
+            "priority",
+            F.explode(
+                F.sequence(
+                    F.col("lo"), F.col("hi"), F.expr("interval 1 day")
+                )
+            ).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = spine.join(
+        hv,
+        (spine.priority == hv.priority) & (spine.d == hv.d),
+        "left",
+    ).select(
+        spine.priority,
+        spine.d,
+        hv.order_ct,
+        hv.gmv,
+    )
+    return joined.select(
+        "priority",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.coalesce("order_ct", F.lit(0)).alias("order_ct"),
+        F.coalesce("gmv", F.lit(0.0)).alias("gmv"),
+        F.coalesce(
+            F.last("gmv", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("locf_gmv"),
+    )

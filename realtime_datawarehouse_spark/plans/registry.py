@@ -45,6 +45,7 @@ DRIVER_PRIORITY: list[str] = [
     "pipeline_corpus_curation_v3",
     "ann_pq_topk",
     "ann_pq_rerank_topk",
+    "olap_timeseries_fill",
     # oracle/implementation changed in r4
     "sk_hll_daily_uv",
     "sk_quantile_order_value",
