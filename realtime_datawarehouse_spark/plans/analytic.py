@@ -765,3 +765,94 @@ def olap_timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("gmv", ignorenulls=True).over(w), F.lit(0.0)
         ).alias("locf_gmv"),
     )
+
+
+GROUPING_SETS_ORACLE = f"""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL')   AS status,
+       {dsum_sql('o_totalprice')}       AS gmv,
+       count(*)                         AS order_ct
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+"""
+
+
+@query("olap_grouping_sets", oracle=GROUPING_SETS_ORACLE)
+def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((priority), (status)) — the two 1-D margins
+    WITHOUT the cross or grand-total rows rollup/cube would add: the
+    grouping family member where the analyst names exactly the summaries
+    wanted. Same Expand-then-aggregate mechanics (each row fans out to
+    |sets| copies; the aggregation stays map-side combinable)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"]],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            dsum(F.col("o_totalprice")).alias("gmv"),
+            F.count("*").alias("order_ct"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "gmv",
+            "order_ct",
+        )
+    )
+
+
+HIST_BUCKETS = 10
+
+HISTOGRAM_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+), bounds AS (
+  SELECT min(cents) AS lo, max(cents) AS hi FROM b
+), bucketed AS (
+  SELECT CAST(least((cents - lo) * {HIST_BUCKETS} // (hi - lo + 1),
+                    {HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+         cents
+  FROM b, bounds
+)
+SELECT bucket, count(*) AS ct,
+       CAST(min(cents) AS BIGINT) AS lo_cents,
+       CAST(max(cents) AS BIGINT) AS hi_cents
+FROM bucketed GROUP BY 1
+"""
+
+
+@query("olap_histogram", oracle=HISTOGRAM_ORACLE)
+def olap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width value histogram of order totals, computed ENTIRELY in
+    the integer domain: cents quantization + integer floor-division
+    bucketing means both engines place every row in the identical bucket
+    (a double-width division can flip boundary rows between engines).
+
+    Scale shape: one tiny min/max aggregate broadcasts back; bucketing is
+    a map expression; the final count shuffles |buckets| keys. This is
+    the profiling histogram every column-stats pass runs at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    b = o.select(cents.alias("cents"))
+    bounds = b.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    return (
+        b.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.expr(
+                    f"(cents - lo) * {HIST_BUCKETS} div (hi - lo + 1)"
+                ),
+                F.lit(HIST_BUCKETS - 1).cast("bigint"),
+            ).alias("bucket"),
+            "cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("ct"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )

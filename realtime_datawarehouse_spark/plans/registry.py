@@ -46,6 +46,8 @@ DRIVER_PRIORITY: list[str] = [
     "ann_pq_topk",
     "ann_pq_rerank_topk",
     "olap_timeseries_fill",
+    "olap_grouping_sets",
+    "olap_histogram",
     # oracle/implementation changed in r4
     "sk_hll_daily_uv",
     "sk_quantile_order_value",
