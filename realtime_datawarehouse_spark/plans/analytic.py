@@ -856,3 +856,81 @@ def olap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("hi_cents"),
         )
     )
+
+
+ABTEST_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS BIGINT) AS variant,
+         max(CASE WHEN event_type = 'purchase' AND value > 140.0
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events
+  GROUP BY 1
+), s AS (
+  SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_a,
+         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+         sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_b
+  FROM u
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+       floor(((CAST(conv_a AS DOUBLE) / n_a) - (CAST(conv_b AS DOUBLE) / n_b))
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)) * 10000 + 0.5) / 10000.0 AS z
+FROM s
+"""
+
+
+@query("olap_abtest_ztest", oracle=ABTEST_ORACLE)
+def olap_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment readout (variant =
+    user_id parity, conversion = any purchase event): the significance
+    aggregate every experimentation platform serves. Every input to the
+    float expression is an exact integer count and sqrt is IEEE-exact, so
+    with an identically-parenthesized expression tree both engines emit
+    the same z bit-for-bit (then portably rounded).
+
+    Scale shape: one user-keyed aggregation (map-side combinable max), one
+    4-counter reduce to a single row — the z arithmetic runs on scalars."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("bigint").alias("variant"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 140.0),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return s.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        (F.floor((p_a - p_b) / se * 10_000 + F.lit(0.5)) / 10_000.0).alias(
+            "z"
+        ),
+    )

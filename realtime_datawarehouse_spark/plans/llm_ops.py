@@ -549,6 +549,53 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.unigram_logprob(_docs(spark, sf_dir))
 
 
+PPL_BUCKETS_ORACLE = f"""
+WITH lp AS (
+{textops.UNIGRAM_LOGPROB_ORACLE}
+), th AS (
+  SELECT floor(percentile_cont(1.0/3) WITHIN GROUP (ORDER BY avg_neg_logp)
+               * 10000 + 0.5) / 10000.0 AS t1,
+         floor(percentile_cont(2.0/3) WITHIN GROUP (ORDER BY avg_neg_logp)
+               * 10000 + 0.5) / 10000.0 AS t2
+  FROM lp
+)
+SELECT lp.doc_id, lp.avg_neg_logp,
+       CASE WHEN lp.avg_neg_logp <= th.t1 THEN 'head'
+            WHEN lp.avg_neg_logp <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lp, th
+"""
+
+
+@query("text_perplexity_buckets", oracle=PPL_BUCKETS_ORACLE)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: tertile-bucket documents by LM
+    perplexity (head = most fluent third — the slice CCNet keeps).
+    Thresholds are the two exact tertile values (portably rounded, like
+    olap_exact_percentile) broadcast back as a 1-row join — NO global sort
+    or ntile over the corpus: the ranking the buckets imply is reduced to
+    two scalar comparisons per row, the shape that survives 100 TB."""
+    from realtime_datawarehouse_spark.functions.compare import pround
+
+    lp = textops.unigram_logprob(_docs(spark, sf_dir))
+    th = lp.agg(
+        pround(F.percentile(F.col("avg_neg_logp"), F.lit(1.0 / 3)), 4).alias(
+            "t1"
+        ),
+        pround(F.percentile(F.col("avg_neg_logp"), F.lit(2.0 / 3)), 4).alias(
+            "t2"
+        ),
+    )
+    return lp.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "avg_neg_logp",
+        F.when(F.col("avg_neg_logp") <= F.col("t1"), "head")
+        .when(F.col("avg_neg_logp") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
 @query("dedup_connected_components", oracle=dedup.connected_components_oracle())
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the MinHash-LSH candidate pairs: the cluster

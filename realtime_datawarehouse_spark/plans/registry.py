@@ -48,6 +48,8 @@ DRIVER_PRIORITY: list[str] = [
     "olap_timeseries_fill",
     "olap_grouping_sets",
     "olap_histogram",
+    "text_perplexity_buckets",
+    "olap_abtest_ztest",
     # oracle/implementation changed in r4
     "sk_hll_daily_uv",
     "sk_quantile_order_value",
