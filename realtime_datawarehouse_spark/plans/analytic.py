@@ -934,3 +934,97 @@ def olap_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z"
         ),
     )
+
+
+BASKET_MIN_PAIR_CT = 2
+
+BASKET_LIFT_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n AS (
+  SELECT count(DISTINCT ok) AS n_orders FROM b
+), item AS (
+  SELECT brand, count(*) AS ct FROM b GROUP BY 1
+), pair AS (
+  SELECT a.brand AS brand_a, b2.brand AS brand_b, count(*) AS pair_ct
+  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.brand < b2.brand
+  GROUP BY 1, 2
+)
+SELECT p.brand_a, p.brand_b, p.pair_ct,
+       floor(CAST(p.pair_ct AS DOUBLE) * n.n_orders
+             / (CAST(ia.ct AS DOUBLE) * ib.ct) * 10000 + 0.5) / 10000.0
+         AS lift
+FROM pair p
+JOIN item ia ON ia.brand = p.brand_a
+JOIN item ib ON ib.brand = p.brand_b
+CROSS JOIN n
+WHERE p.pair_ct >= {BASKET_MIN_PAIR_CT}
+"""
+
+
+@query("olap_basket_lift", oracle=BASKET_LIFT_ORACLE)
+def olap_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: co-occurrence lift per brand pair
+    (lift = P(a,b) / P(a)P(b), the Apriori/recommendation primitive).
+    All probabilities stay integer counts until ONE double expression,
+    portably rounded — no per-engine ratio drift.
+
+    Scale shape: baskets deduplicate on one (order, item) shuffle; pair
+    generation is within-basket combinatorics via the sorted-members
+    explode (no self-join re-computing the basket build — same pattern as
+    the dedup inverted index); pair counts and item counts are map-side
+    combinable; the lift join touches the |items|² count table only. The
+    support threshold is the Apriori prune — at 100 TB it drops the long
+    tail before the count table materializes."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    baskets = b.groupBy("ok").agg(
+        F.array_sort(F.collect_set("brand")).alias("items")
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pair = (
+        baskets.select(F.explode(pairs_arr).alias("pr"))
+        .groupBy(
+            F.col("pr.a").alias("brand_a"), F.col("pr.b").alias("brand_b")
+        )
+        .agg(F.count("*").alias("pair_ct"))
+        .where(F.col("pair_ct") >= BASKET_MIN_PAIR_CT)
+    )
+    item = b.groupBy("brand").agg(F.count("*").alias("ct"))
+    n = b.agg(F.countDistinct("ok").alias("n_orders"))
+    ia = item.select(
+        F.col("brand").alias("ia_brand"), F.col("ct").alias("ct_a")
+    )
+    ib = item.select(
+        F.col("brand").alias("ib_brand"), F.col("ct").alias("ct_b")
+    )
+    lift = (
+        F.col("pair_ct").cast("double")
+        * F.col("n_orders")
+        / (F.col("ct_a").cast("double") * F.col("ct_b"))
+    )
+    return (
+        pair.join(F.broadcast(ia), F.col("brand_a") == F.col("ia_brand"))
+        .join(F.broadcast(ib), F.col("brand_b") == F.col("ib_brand"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_ct",
+            (F.floor(lift * 10_000 + F.lit(0.5)) / 10_000.0).alias("lift"),
+        )
+    )

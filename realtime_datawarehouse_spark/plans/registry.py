@@ -50,6 +50,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_histogram",
     "text_perplexity_buckets",
     "olap_abtest_ztest",
+    "olap_basket_lift",
     # oracle/implementation changed in r4
     "sk_hll_daily_uv",
     "sk_quantile_order_value",
