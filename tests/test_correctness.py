@@ -221,3 +221,42 @@ def test_epoch_schedule_contract(spark):
         keys.setdefault(r.doc_id, set()).add(r.perm_key)
     multi = [d for d, e in keys.items() if (d, 1) in by_doc_epoch]
     assert all(len(keys[d]) >= 2 for d in multi)
+
+
+def test_containment_detects_inclusion_jaccard_misses(spark):
+    """The point of the containment metric: a short document pasted inside
+    a much longer one scores containment 1.0 but Jaccard ≈ |A|/|B| —
+    below any usual near-dup threshold."""
+    from realtime_datawarehouse_spark.operators import dedup
+
+    short = " ".join(f"tok{i}" for i in range(20))
+    long = short + " " + " ".join(f"pad{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup.ngram_containment_pairs(docs, 0.5).collect()
+    }
+    assert cont.get((1, 2)) == 1.0
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, 0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.1  # Jaccard under-scores the inclusion
+
+
+def test_cdc_chunks_sentinel_contract(spark):
+    """U+0001 stripping is part of the cdc_chunks contract: text carrying
+    the sentinel character chunks identically to the sanitized text."""
+    from realtime_datawarehouse_spark.operators import textops
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    hostile = base.replace("tok7", "tok\x017", 1)  # sentinel inside a token
+    docs = spark.createDataFrame(
+        [(1, base), (2, hostile)], "doc_id long, text string"
+    )
+    ch = textops.cdc_chunks(docs).collect()
+    a = sorted((r.chunk_id, r.chunk_hash) for r in ch if r.doc_id == 1)
+    b = sorted((r.chunk_id, r.chunk_hash) for r in ch if r.doc_id == 2)
+    assert a == b
