@@ -561,3 +561,115 @@ def funnel_stream(ev: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def semantic_dedup_kernel_factory(threshold: float, dim: int):
+    """Streaming SemDeDup kernel: per LSH bucket, flag an arriving vector
+    as a duplicate iff it is cosine-similar (portably-rounded, the batch
+    rule) to ANY earlier-arriving vector of the same bucket; every arrival
+    joins the bucket's state regardless of its own dup flag (batch parity:
+    a<b pairs are scored whether or not a is itself a dup).
+
+    State per bucket = the member vectors seen so far (ids + flattened
+    doubles) — bounded by the bucket population, which the plane count
+    holds at ~target at any corpus size (operators/similarity.py
+    semdedup_lsh notes). Returns (kernel, out_schema, state_schema)."""
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cluster_id", LongType()),
+            StructField("is_dup", LongType()),
+        ]
+    )
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("flat", ArrayType(DoubleType())),
+        ]
+    )
+
+    def kernel(key: Any, pdfs, state: GroupState):
+        import numpy as _np
+        import pandas as _pd
+
+        ids, flat = state.get if state.exists else ([], [])
+        ids = list(ids or [])
+        seen = (
+            _np.asarray(flat, dtype=_np.float64).reshape(-1, dim)
+            if flat
+            else _np.zeros((0, dim))
+        )
+        norms = _np.sqrt((seen * seen).sum(axis=1)) if len(seen) else _np.zeros(0)
+        rows = _pd.concat(list(pdfs)).sort_values("vec_id")
+        out_ids, out_dup = [], []
+        for vid, emb in zip(rows["vec_id"], rows["embedding"]):
+            v = _np.asarray(emb, dtype=_np.float64)
+            vn = float(_np.sqrt(v @ v))
+            dup = 0
+            if len(seen):
+                cos = (seen @ v) / (norms * vn)
+                # the batch comparison: floor(cos*1e4 + 0.5)/1e4 >= threshold
+                if (_np.floor(cos * 10_000 + 0.5) / 10_000 >= threshold).any():
+                    dup = 1
+            seen = _np.vstack([seen, v[None, :]])
+            norms = _np.append(norms, vn)
+            ids.append(int(vid))
+            out_ids.append(int(vid))
+            out_dup.append(dup)
+        state.update((ids, [float(x) for x in seen.reshape(-1)]))
+        yield _pd.DataFrame(
+            {
+                "vec_id": _pd.Series(out_ids, dtype="int64"),
+                "cluster_id": _pd.Series(
+                    [int(key[0])] * len(out_ids), dtype="int64"
+                ),
+                "is_dup": _pd.Series(out_dup, dtype="int64"),
+            }
+        )
+
+    return kernel, out_schema, state_schema
+
+
+def semantic_dedup_stream(
+    emb: DataFrame,
+    n_planes: int,
+    threshold: float | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Streaming semantic dedup: LSH bucket id (FIXED plane count — a
+    stream has no corpus count to adapt to; size ``n_planes`` for the
+    expected corpus, log2(n/target_pop)) computed as a map expression,
+    then a per-bucket stateful kernel. The continuous-ingestion form of
+    ``dedup_semantic_lsh``; parity with the batch operator is pinned in
+    tests when ``n_planes`` equals the batch's derived plane count."""
+    from realtime_datawarehouse_spark.operators import similarity
+
+    threshold = similarity.SEMDEDUP_COSINE if threshold is None else threshold
+    dim = similarity.DIM if dim is None else dim
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bucket = None
+    for p, plane in enumerate(similarity.hyperplanes(n_planes)):
+        lit_plane = F.array(*[F.lit(c) for c in plane])
+        d = F.aggregate(
+            F.zip_with(v, lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        term = F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    kernel, out_schema, state_schema = semantic_dedup_kernel_factory(
+        threshold, dim
+    )
+    return (
+        emb.withColumn("bucket_id", bucket.cast("long"))
+        .groupBy("bucket_id")
+        .applyInPandasWithState(
+            kernel,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

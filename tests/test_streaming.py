@@ -799,3 +799,47 @@ def test_split_assignment_stream_batch_parity(spark, tmp_path):
     b = batch.set_index("doc_id")["split"].to_dict()
     assert g == b
     assert set(b.values()) <= {"train", "val", "test"}
+
+
+def test_semantic_dedup_stream_parity(spark, tmp_path):
+    """Streaming SemDeDup ≡ batch dedup_semantic_lsh: with the stream's
+    fixed plane count set to the batch operator's derived count, draining
+    the vec_id-ordered stream must reproduce the batch (cluster_id,
+    is_dup) row for row — including pairs split across micro-batches
+    (bucket state carries members between files)."""
+    from realtime_datawarehouse_spark.operators import similarity
+
+    emb = table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    # the batch operator's adaptive plane count, derived the same way
+    planes = max(
+        similarity.SEM_LSH_MIN_PLANES,
+        sum(
+            1
+            for p in range(similarity.SEM_LSH_MAX_PLANES)
+            if n > similarity.SEM_LSH_TARGET_POP * (1 << p)
+        ),
+    )
+    d = str(tmp_path / "emb_stream")
+    half = emb.orderBy("vec_id").limit(n // 2)
+    rest = emb.orderBy(F.desc("vec_id")).limit(n - n // 2).sort("vec_id")
+    half.coalesce(1).write.mode("append").parquet(d)
+    rest.coalesce(1).write.mode("append").parquet(d)
+
+    stream = jobs.parquet_stream(spark, d, emb.schema)
+    got = (
+        _drain(spark, jobs.semantic_dedup_stream(stream, planes), "t_semdd")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    batch = (
+        similarity.semdedup_lsh(emb)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(batch) == n
+    assert (got.vec_id == batch.vec_id).all()
+    assert (got.cluster_id == batch.cluster_id).all()
+    assert (got.is_dup == batch.is_dup).all()
