@@ -1028,3 +1028,95 @@ def olap_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(lift * 10_000 + F.lit(0.5)) / 10_000.0).alias("lift"),
         )
     )
+
+
+RFM_ASOF = "1998-08-02 00:00:00"  # analysis date: just past the fixture range
+
+RFM_ORACLE = f"""
+WITH c AS (
+  SELECT o_custkey AS custkey,
+         CAST((epoch_us(TIMESTAMP '{RFM_ASOF}') - epoch_us(max(o_orderdate)))
+              // 86400000000 AS BIGINT) AS recency_days,
+         count(*) AS frequency,
+         {dsum_sql('o_totalprice')} AS monetary
+  FROM orders
+  GROUP BY 1
+), th AS (
+  SELECT floor(percentile_cont(1.0/3) WITHIN GROUP (ORDER BY recency_days)
+               * 100 + 0.5) / 100.0 AS r1,
+         floor(percentile_cont(2.0/3) WITHIN GROUP (ORDER BY recency_days)
+               * 100 + 0.5) / 100.0 AS r2,
+         floor(percentile_cont(1.0/3) WITHIN GROUP (ORDER BY frequency)
+               * 100 + 0.5) / 100.0 AS f1,
+         floor(percentile_cont(2.0/3) WITHIN GROUP (ORDER BY frequency)
+               * 100 + 0.5) / 100.0 AS f2,
+         floor(percentile_cont(1.0/3) WITHIN GROUP (ORDER BY monetary)
+               * 100 + 0.5) / 100.0 AS m1,
+         floor(percentile_cont(2.0/3) WITHIN GROUP (ORDER BY monetary)
+               * 100 + 0.5) / 100.0 AS m2
+  FROM c
+)
+SELECT c.custkey, c.recency_days, c.frequency, c.monetary,
+       CASE WHEN c.recency_days <= th.r1 THEN 3
+            WHEN c.recency_days <= th.r2 THEN 2 ELSE 1 END AS r_score,
+       CASE WHEN c.frequency <= th.f1 THEN 1
+            WHEN c.frequency <= th.f2 THEN 2 ELSE 3 END AS f_score,
+       CASE WHEN c.monetary <= th.m1 THEN 1
+            WHEN c.monetary <= th.m2 THEN 2 ELSE 3 END AS m_score
+FROM c, th
+"""
+
+
+@query("olap_rfm_segmentation", oracle=RFM_ORACLE)
+def olap_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency (integer days via
+    floor-division — exact both engines), frequency, monetary (dsum), each
+    scored 1–3 against broadcast tertile thresholds (recent = high score).
+
+    Scale shape: one customer-keyed aggregation over the fact scan; the
+    six thresholds are ONE tiny aggregate broadcast back (the same
+    no-global-sort discipline as text_perplexity_buckets — an ntile
+    formulation would single-partition-sort every customer row)."""
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.expr(
+            f"(unix_micros(TIMESTAMP '{RFM_ASOF}')"
+            " - unix_micros(max(o_orderdate))) div 86400000000"
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    def _t(col, q):
+        return (
+            F.floor(
+                F.percentile(F.col(col).cast("double"), F.lit(q)) * 100
+                + F.lit(0.5)
+            )
+            / 100.0
+        )
+    th = c.agg(
+        _t("recency_days", 1.0 / 3).alias("r1"),
+        _t("recency_days", 2.0 / 3).alias("r2"),
+        _t("frequency", 1.0 / 3).alias("f1"),
+        _t("frequency", 2.0 / 3).alias("f2"),
+        _t("monetary", 1.0 / 3).alias("m1"),
+        _t("monetary", 2.0 / 3).alias("m2"),
+    )
+    return c.crossJoin(F.broadcast(th)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.when(F.col("recency_days") <= F.col("r1"), 3)
+        .when(F.col("recency_days") <= F.col("r2"), 2)
+        .otherwise(1)
+        .alias("r_score"),
+        F.when(F.col("frequency") <= F.col("f1"), 1)
+        .when(F.col("frequency") <= F.col("f2"), 2)
+        .otherwise(3)
+        .alias("f_score"),
+        F.when(F.col("monetary") <= F.col("m1"), 1)
+        .when(F.col("monetary") <= F.col("m2"), 2)
+        .otherwise(3)
+        .alias("m_score"),
+    )

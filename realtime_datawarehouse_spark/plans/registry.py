@@ -51,6 +51,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_perplexity_buckets",
     "olap_abtest_ztest",
     "olap_basket_lift",
+    "olap_rfm_segmentation",
     # oracle/implementation changed in r4
     "sk_hll_daily_uv",
     "sk_quantile_order_value",

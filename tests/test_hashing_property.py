@@ -148,3 +148,48 @@ def test_asof_join_matches_duckdb_asof(spark, left_rows, right_rows):
     exp = {lid: (None if p is None else int(p)) for lid, p in exp_rows}
     con.close()
     assert got == exp, (left_rows, right_rows)
+
+
+def test_cdc_chunks_reconstruct_property(spark):
+    """Property (hypothesis): for ANY text — including sentinel chars,
+    doubled spaces, and empty tokens — cdc_chunks is a partition of the
+    sanitized token stream: chunk token-counts and md5 hashes match an
+    independent pure-Python re-derivation, and no token is dropped or
+    duplicated."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from realtime_datawarehouse_spark.operators import textops
+
+    token = st.text(alphabet="ab\x01 Z9", min_size=0, max_size=6)
+    texts = st.lists(token, min_size=0, max_size=40).map(" ".join)
+
+    def local_chunks(toks, divisor=textops.CDC_DIVISOR):
+        out, cur = [], []
+        for t in toks:
+            cur.append(t)
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            if h % divisor == 0:
+                out.append(cur)
+                cur = []
+        if cur:
+            out.append(cur)
+        return out
+
+    @settings(max_examples=10, deadline=None)
+    @given(texts)
+    def check(text):
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = textops.cdc_chunks(docs).orderBy("chunk_id").collect()
+        sanitized = [
+            t for t in text.replace("\x01", "").lower().split(" ") if t != ""
+        ]
+        expected = local_chunks(sanitized)
+        assert [r.n_tokens for r in out] == [len(c) for c in expected]
+        assert sum(r.n_tokens for r in out) == len(sanitized)
+        assert [r.chunk_hash for r in out] == [
+            hashlib.md5(" ".join(c).encode()).hexdigest() for c in expected
+        ]
+
+    check()

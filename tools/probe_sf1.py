@@ -36,7 +36,12 @@ PROBE_QUERIES = (
     "dedup_minhash_lsh",
     "dedup_minhash_cdc",
     "dedup_semantic",
+    "dedup_semantic_lsh",
+    "dedup_ngram_containment",
     "pipeline_corpus_curation_v2",
+    "pipeline_corpus_curation_v3",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
 )
 
 
