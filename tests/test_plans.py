@@ -469,3 +469,27 @@ def test_new_r4_plan_gates(spark):
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
     p = _explain(spark, "ann_pq_topk")
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "olap_basket_lift",
+        "olap_rfm_segmentation",
+        "olap_timeseries_fill",
+        "olap_histogram",
+        "text_perplexity_buckets",
+        "olap_abtest_ztest",
+        "dedup_ngram_containment",
+        "ann_pq_rerank_topk",
+        "dedup_semantic_lsh",
+        "pipeline_corpus_curation_v3",
+    ],
+)
+def test_round4_no_sort_merge_join(spark, name):
+    """Every round-4 operator joins small sides by broadcast (thresholds,
+    codebooks, LUTs, stats, spines) or pairs within an exploded key — a
+    SortMergeJoin anywhere means a dim-sized side fell back to a data
+    shuffle."""
+    plan = _explain(spark, name, "simple")
+    assert "SortMergeJoin" not in plan, plan
