@@ -266,3 +266,55 @@ def test_compact_recovery_at_every_crash_point(spark, tmp_path):
     recover_compact(path)
     assert spark.read.parquet(path).count() == 10
     assert not os.path.exists(old) and not os.path.exists(staging)
+
+
+def test_runtime_bloom_filter_join_prunes_probe_side(spark):
+    """Runtime row-level filtering (Spark's runtime Bloom filter): on a
+    shuffle join whose build side is selective, the optimizer injects a
+    bloom `might_contain` predicate into the PROBE side's scan stage —
+    probe rows that cannot match are dropped before the exchange. At
+    100 TB this is the difference between shuffling the full fact table
+    and shuffling the ~matching slice. The size thresholds are tuned for
+    real clusters (application side ≥ 10 GB by default), so the test
+    forces them down to demonstrate the mechanism at fixture scale;
+    result equality with the unfiltered join is asserted."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.tables import table
+    from tests.conftest import SF_DIR_MID
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = (
+            table(spark, SF_DIR_MID, "orders")
+            .where(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+        l = table(spark, SF_DIR_MID, "lineitem")
+        j = l.join(o, l.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        filtered_ct = j.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    o2 = (
+        table(spark, SF_DIR_MID, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    l2 = table(spark, SF_DIR_MID, "lineitem")
+    plain = l2.join(o2, l2.l_orderkey == o2.o_orderkey)
+    assert "might_contain" not in plain._jdf.queryExecution().executedPlan().toString()
+    assert filtered_ct == plain.count()
