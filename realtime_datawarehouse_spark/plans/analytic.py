@@ -1120,3 +1120,76 @@ def olap_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(3)
         .alias("m_score"),
     )
+
+
+BAND_CENTS = 2_000  # |price difference| <= $20.00
+
+BAND_JOIN_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS priority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_totalprice > 450000
+)
+SELECT a.priority, a.okey AS okey_a, b.okey AS okey_b,
+       CAST(abs(a.cents - b.cents) AS BIGINT) AS diff_cents
+FROM o a JOIN o b
+  ON a.priority = b.priority AND a.okey < b.okey
+ AND abs(a.cents - b.cents) <= {BAND_CENTS}
+"""
+
+
+@query("ext_value_band_join", oracle=BAND_JOIN_ORACLE)
+def ext_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric band (range) self-join: same-priority order pairs within
+    $20 of each other — the value-proximity analog of the interval join
+    (J8), e.g. price-matching or near-duplicate transaction detection.
+
+    Scale shape: a naive theta join is a per-priority cross product. The
+    bucket trick makes it an EQUI-join: integer cents bucketized by the
+    band width, the left side keyed by its bucket, the right side
+    replicated to {b−1, b, b+1} — any qualifying pair shares a join key,
+    the exact band predicate then filters. ONE hash shuffle whose key
+    space is (priority × buckets); replication factor is exactly 3. The
+    selective price filter also prunes both scans (PushedFilters)."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 450000)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    a = o.select(
+        "okey", "priority", "cents", (F.col("cents") / BAND_CENTS).cast("bigint").alias("bucket")
+    )
+    b = o.select(
+        F.col("okey").alias("okey_b"),
+        F.col("priority").alias("priority_b"),
+        F.col("cents").alias("cents_b"),
+        F.explode(
+            F.array(
+                (F.col("cents") / BAND_CENTS).cast("bigint") - 1,
+                (F.col("cents") / BAND_CENTS).cast("bigint"),
+                (F.col("cents") / BAND_CENTS).cast("bigint") + 1,
+            )
+        ).alias("bucket"),
+    )
+    return (
+        a.join(
+            b,
+            (a.priority == b.priority_b)
+            & (a.bucket == b.bucket)
+            & (a.okey < b.okey_b)
+            & (F.abs(a.cents - b.cents_b) <= BAND_CENTS),
+        )
+        .select(
+            "priority",
+            F.col("okey").alias("okey_a"),
+            "okey_b",
+            F.abs(F.col("cents") - F.col("cents_b")).alias("diff_cents"),
+        )
+    )

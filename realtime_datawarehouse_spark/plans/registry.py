@@ -52,6 +52,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_abtest_ztest",
     "olap_basket_lift",
     "olap_rfm_segmentation",
+    "ext_value_band_join",
     # oracle/implementation changed in r4
     "sk_hll_daily_uv",
     "sk_quantile_order_value",
