@@ -1193,3 +1193,81 @@ def ext_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("cents") - F.col("cents_b")).alias("diff_cents"),
         )
     )
+
+
+PARETO_ORACLE = f"""
+WITH c AS (
+  SELECT o_custkey AS custkey, {dsum_sql('o_totalprice')} AS monetary
+  FROM orders GROUP BY 1
+), th AS (
+  SELECT floor(percentile_cont(0.9) WITHIN GROUP (ORDER BY monetary)
+               * 100 + 0.5) / 100.0 AS p90,
+         floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY monetary)
+               * 100 + 0.5) / 100.0 AS p50
+  FROM c
+), seg AS (
+  SELECT CASE WHEN c.monetary > th.p90 THEN 'top10'
+              WHEN c.monetary > th.p50 THEN 'mid40'
+              ELSE 'bottom50' END AS segment,
+         c.monetary
+  FROM c, th
+), s AS (
+  SELECT segment, count(*) AS customer_ct,
+         CAST(sum(CAST(floor(monetary * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM seg GROUP BY 1
+), tot AS (
+  SELECT sum(cents) AS total FROM s
+)
+SELECT s.segment, s.customer_ct,
+       floor(s.cents / 100.0 * 100 + 0.5) / 100.0 AS revenue,
+       CAST(s.cents * 1000000 // tot.total AS BIGINT) AS share_micro
+FROM s, tot
+"""
+
+
+@query("olap_pareto_segments", oracle=PARETO_ORACLE)
+def olap_pareto_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 readout): customers split into
+    top-10% / mid-40% / bottom-50% spend segments, with each segment's
+    revenue share in integer micro-units. Thresholds are broadcast
+    percentiles over the per-customer totals (no global sort, no ntile);
+    shares divide exact int64 cent sums."""
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        dsum(F.col("o_totalprice")).alias("monetary")
+    )
+    th = c.agg(
+        (
+            F.floor(
+                F.percentile(F.col("monetary"), F.lit(0.9)) * 100 + F.lit(0.5)
+            )
+            / 100.0
+        ).alias("p90"),
+        (
+            F.floor(
+                F.percentile(F.col("monetary"), F.lit(0.5)) * 100 + F.lit(0.5)
+            )
+            / 100.0
+        ).alias("p50"),
+    )
+    cents = F.floor(F.col("monetary") * 100 + F.lit(0.5)).cast("bigint")
+    seg = c.crossJoin(F.broadcast(th)).select(
+        F.when(F.col("monetary") > F.col("p90"), "top10")
+        .when(F.col("monetary") > F.col("p50"), "mid40")
+        .otherwise("bottom50")
+        .alias("segment"),
+        cents.alias("cents"),
+    )
+    s = seg.groupBy("segment").agg(
+        F.count("*").alias("customer_ct"), F.sum("cents").alias("cents")
+    )
+    tot = s.agg(F.sum("cents").alias("total"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "customer_ct",
+        (F.floor(F.col("cents") / 100.0 * 100 + F.lit(0.5)) / 100.0).alias(
+            "revenue"
+        ),
+        F.expr("cents * 1000000 div total").alias("share_micro"),
+    )

@@ -53,6 +53,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_basket_lift",
     "olap_rfm_segmentation",
     "ext_value_band_join",
+    "olap_pareto_segments",
     # oracle/implementation changed in r4
     "sk_hll_daily_uv",
     "sk_quantile_order_value",
