@@ -1072,3 +1072,112 @@ SELECT query_id, neighbor_id, sim, rnk FROM (
   FROM rescored
 ) WHERE rnk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Multiprobe LSH k-NN graph
+# ---------------------------------------------------------------------------
+
+KNN_K = 3
+
+
+def knn_graph(emb: DataFrame, k: int = KNN_K) -> DataFrame:
+    """Directed k-NN graph over the whole corpus via multiprobe LSH.
+
+    The corpus-curation primitive behind graph-based clustering (kNN graph →
+    community detection / connected components over strong edges). Each
+    vector probes its own hyperplane bucket PLUS the NUM_PLANES buckets at
+    Hamming distance 1 (one sign bit flipped) — the classic multiprobe
+    trick: per-vector candidate work grows by ×(NUM_PLANES+1) while recall
+    vs single-bucket probing rises from (1−θ/π)^P to cover every
+    one-plane miss, the dominant failure mode for near neighbors.
+
+    Scale shape: the corpus is written bucketed by ``bucket_id`` (see
+    ``lsh_buckets``), so the probe join is a co-located equi-join on the
+    bucket key; candidate volume is Σ_v (|b_v| + Σ_{b' at hd1} |b'|), never
+    the |corpus|² cross. The per-vector top-k is a window partitioned by
+    the source vec — key cardinality |corpus|, no skew beyond bucket skew.
+
+    Returns (vec_id, neighbor_id, sim, rnk), rnk 1..k by cosine desc.
+    """
+    b = lsh_buckets(emb)
+    v = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).select("vec_id", "v", l2_norm(F.col("v")).alias("vn"))
+    side = b.join(v, "vec_id")
+    # probe set: own bucket + one-bit flips (distinct by construction —
+    # XOR with distinct powers of two can't collide)
+    probes = F.array(
+        F.col("bucket_id"),
+        *[
+            F.col("bucket_id").bitwiseXOR(F.lit(1 << p))
+            for p in range(NUM_PLANES)
+        ],
+    )
+    src = side.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("v").alias("sv"),
+        F.col("vn").alias("sn"),
+        F.explode(probes).alias("probe_bucket"),
+    )
+    cand = side.select(
+        F.col("bucket_id").alias("cand_bucket"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("vn").alias("cn"),
+    )
+    scored = src.join(
+        cand,
+        (F.col("probe_bucket") == F.col("cand_bucket"))
+        & (F.col("src_id") != F.col("neighbor_id")),
+    ).select(
+        F.col("src_id").alias("vec_id"),
+        "neighbor_id",
+        pround(
+            _cos(F.col("sv"), F.col("cv"), F.col("sn"), F.col("cn")), 4
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("vec_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+def knn_graph_oracle(k: int = KNN_K) -> str:
+    planes = hyperplanes()
+    terms = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(c) for c in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    probe_list = "[b.bucket_id" + "".join(
+        f", xor(b.bucket_id, {1 << p})" for p in range(len(planes))
+    ) + "]"
+    cos = (
+        "list_dot_product(s.v, c.v) / (sqrt(list_dot_product(s.v, s.v))"
+        " * sqrt(list_dot_product(c.v, c.v)))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, {bucket} AS bucket_id FROM e
+), s AS (
+  SELECT vec_id, v, unnest({probe_list}) AS probe_bucket FROM b
+), sc AS (
+  SELECT s.vec_id, c.vec_id AS neighbor_id, {pround_sql(cos, 4)} AS sim
+  FROM s JOIN b c ON c.bucket_id = s.probe_bucket AND c.vec_id <> s.vec_id
+), r AS (
+  SELECT vec_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM sc
+)
+SELECT vec_id, neighbor_id, sim, rnk FROM r WHERE rnk <= {k}
+"""

@@ -1354,3 +1354,124 @@ FROM x
 WHERE epoch < floor(n_ep)
    OR ({h_sel}) % {SAMPLE_MOD} < floor((n_ep - floor(n_ep)) * {SAMPLE_MOD})
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-duplicated n-gram coverage (the "duplicate n-gram fraction")
+# ---------------------------------------------------------------------------
+
+DUP_NGRAM_N = 3
+DUP_NGRAM_MIN_DOCS = 2
+
+
+def dup_ngram_coverage(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document fraction of token positions covered by an n-gram that
+    also appears in ≥ DUP_NGRAM_MIN_DOCS distinct documents — the
+    "duplicate n-gram fraction" quality signal (Lee et al., Deduplicating
+    Training Data Makes Language Models Better; Gopher's dup-ngram filters).
+
+    Shape: posexplode positional shingles → int64 gram hash; document
+    frequency per hash (one hash-keyed agg); join instances back to the
+    duplicated-gram set; per-doc coverage = |union of [pos, pos+n-1]
+    intervals| via a bounded n-row sequence explode + distinct.
+
+    100 TB: the gram-hash shuffle is the cost center and is map-combinable
+    on (h, doc_id); the duplicated-gram set joins back on the same int64
+    key (no string shuffle). The coverage explode expands ≤ n× the
+    duplicated instances only — never the whole corpus — and is bounded by
+    doc length; the per-doc distinct runs inside one doc_id partition.
+    """
+    from realtime_datawarehouse_spark.functions.text import word_shingles
+
+    toks = docs.select(
+        "doc_id", tokenize(text_col).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        word_shingles(F.col("toks"), DUP_NGRAM_N).alias("grams"),
+    )
+    inst = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode("grams").alias("p0", "gram"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("p0") + 1).alias("pos"),  # 1-based, mirrors the SQL oracle
+        hash64(F.col("gram")).alias("h"),
+    )
+    df_ct = inst.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("doc_freq")
+    )
+    dup_inst = inst.join(
+        df_ct.where(F.col("doc_freq") >= DUP_NGRAM_MIN_DOCS).select("h"),
+        "h",
+    )
+    covered = (
+        dup_inst.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (DUP_NGRAM_N - 1))
+            ).alias("tpos"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("tpos").alias("covered_tokens"),
+        )
+    )
+    dup_cts = dup_inst.groupBy("doc_id").agg(
+        F.count("*").alias("dup_gram_ct")
+    )
+    base = toks.select("doc_id", "n_tokens")
+    return (
+        base.join(covered, "doc_id", "left")
+        .join(dup_cts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_gram_ct"), F.lit(0)).alias("dup_gram_ct"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).alias(
+                "covered_tokens"
+            ),
+            pround(
+                F.coalesce(F.col("covered_tokens"), F.lit(0))
+                / F.col("n_tokens"),
+                4,
+            ).alias("dup_coverage"),
+        )
+    )
+
+
+DUP_NGRAM_COVERAGE_ORACLE = f"""
+WITH docs2 AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS n_tokens, toks FROM docs2
+), inst AS (
+  SELECT doc_id, n_tokens, CAST(g.p AS INT) AS pos,
+         {hash64_sql("toks[g.p] || ' ' || toks[g.p+1] || ' ' || toks[g.p+2]")} AS h
+  FROM base, LATERAL (
+    SELECT unnest(range(1, n_tokens - {DUP_NGRAM_N - 2})) AS p) g
+  WHERE n_tokens >= {DUP_NGRAM_N}
+), df AS (
+  SELECT h FROM inst GROUP BY h
+  HAVING count(DISTINCT doc_id) >= {DUP_NGRAM_MIN_DOCS}
+), dup_inst AS (
+  SELECT i.doc_id, i.pos FROM inst i JOIN df USING (h)
+), cov AS (
+  SELECT doc_id, count(DISTINCT t.tp) AS covered_tokens
+  FROM dup_inst, LATERAL (
+    SELECT unnest(range(pos, pos + {DUP_NGRAM_N})) AS tp) t
+  GROUP BY doc_id
+), cts AS (
+  SELECT doc_id, count(*) AS dup_gram_ct FROM dup_inst GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(cts.dup_gram_ct, 0) AS dup_gram_ct,
+       COALESCE(cov.covered_tokens, 0) AS covered_tokens,
+       {pround_sql("COALESCE(cov.covered_tokens, 0) / b.n_tokens", 4)} AS dup_coverage
+FROM base b
+LEFT JOIN cov USING (doc_id)
+LEFT JOIN cts USING (doc_id)
+"""

@@ -95,6 +95,18 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.lang_id(_docs(spark, sf_dir))
 
 
+@query(
+    "text_dup_ngram_coverage", oracle=textops.DUP_NGRAM_COVERAGE_ORACLE
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate n-gram fraction per document (Lee et al. 2022 / Gopher's
+    dup-ngram quality rules): share of token positions covered by a 3-gram
+    that occurs in ≥2 distinct documents. One int64-gram-hash shuffle plus
+    a bounded coverage explode; see operators/textops.py::dup_ngram_coverage
+    for the 100 TB cost shape."""
+    return textops.dup_ngram_coverage(_docs(spark, sf_dir))
+
+
 @query("text_fingerprint", oracle=textops.FINGERPRINT_ORACLE)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprint(_docs(spark, sf_dir))
@@ -181,6 +193,16 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
     )
     return similarity.pq_rerank_topk(emb, queries, TOPK)
+
+
+@query("ann_knn_graph", oracle=similarity.knn_graph_oracle())
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed k-NN graph over the full corpus via multiprobe LSH (own
+    bucket + every Hamming-distance-1 bucket). The graph-clustering
+    primitive: feed the strong edges to connected components / community
+    detection. Candidate work is bucket-bounded, never |corpus|²; see
+    operators/similarity.py::knn_graph for the 100 TB layout."""
+    return similarity.knn_graph(_emb(spark, sf_dir))
 
 
 @query(
