@@ -28,6 +28,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from realtime_datawarehouse_spark.functions.hashing import (
+    hash64,
+    hash64_sql,
+    minhash_perm,
+    minhash_perm_sql,
+    permutation_params,
+)
+
 
 def approx_distinct_by_key(
     df: DataFrame, key: Column | str, col: str, rsd: float = 0.02
@@ -76,3 +84,135 @@ def heavy_hitters(
         .where(F.col("rank") <= k)
         .select(group, item, "cnt", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # slots per row
+
+
+def cms_heavy_hitters(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    key_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k keys by count-min-sketch estimate, with the exact count and
+    the CMS overestimate beside it.
+
+    The mergeable-state alternative to :func:`heavy_hitters` when the key
+    domain is unbounded: sketch state is d×w counters (here 4×1024)
+    REGARDLESS of data volume — after Spark's map-side partial aggregation
+    the (row, slot) shuffle carries at most d·w·partitions rows, and the
+    candidate probe joins against a broadcast of the ≤ d·w cells. Estimates
+    only ever overestimate (collisions add); the exact column quantifies it.
+
+    Hash family: the engine's portable universal hashes over the 60-bit md5
+    base (functions/hashing.py), slot = perm_j(h) mod w — identical in the
+    SQL oracle, so cell placement (and therefore every collision) is
+    engine-exact.
+
+    ``dim_keys``: one row per candidate key (the dimension table / prior
+    candidate list — at 100 TB the CMS answers point queries; it cannot
+    enumerate keys, so candidates come from a dimension or a sampled pass).
+    """
+    params = permutation_params(CMS_D)
+    h = hash64(F.col(key_col).cast("string"))
+    slots = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("r"),
+                (minhash_perm(h, a, b) % CMS_W).alias("slot"),
+            )
+            for j, (a, b) in enumerate(params)
+        ]
+    )
+    cells = (
+        fact.select(F.explode(slots).alias("c"))
+        .groupBy(F.col("c.r").alias("r"), F.col("c.slot").alias("slot"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    hq = hash64(F.col("cand").cast("string"))
+    probes = dim_keys.select(F.col(key_col).alias("cand")).select(
+        "cand",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("r"),
+                        (minhash_perm(hq, a, b) % CMS_W).alias("slot"),
+                    )
+                    for j, (a, b) in enumerate(params)
+                ]
+            )
+        ).alias("p"),
+    )
+    est = (
+        probes.join(
+            F.broadcast(cells),
+            (F.col("p.r") == F.col("r")) & (F.col("p.slot") == F.col("slot")),
+            "left",
+        )
+        .groupBy("cand")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_ct"))
+    )
+    exact = fact.groupBy(F.col(key_col).alias("cand")).agg(
+        F.count("*").alias("exact_ct")
+    )
+    return (
+        est.join(exact, "cand", "left")
+        .select(
+            F.col("cand").alias(key_col),
+            "est_ct",
+            F.coalesce(F.col("exact_ct"), F.lit(0)).alias("exact_ct"),
+            (F.col("est_ct") - F.coalesce(F.col("exact_ct"), F.lit(0))).alias(
+                "over_ct"
+            ),
+        )
+        .orderBy(F.col("est_ct").desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
+def cms_heavy_hitters_oracle(k: int = 10) -> str:
+    params = permutation_params(CMS_D)
+    h_fact = hash64_sql("CAST(l_partkey AS VARCHAR)")
+    h_cand = hash64_sql("CAST(p_partkey AS VARCHAR)")
+    inst = "\nUNION ALL\n".join(
+        f"SELECT {j} AS r, ({minhash_perm_sql('h', a, b)}) % {CMS_W} AS slot"
+        f" FROM hf"
+        for j, (a, b) in enumerate(params)
+    )
+    probe = "\nUNION ALL\n".join(
+        f"SELECT cand, {j} AS r, ({minhash_perm_sql('h', a, b)}) % {CMS_W}"
+        f" AS slot FROM hc"
+        for j, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH hf AS (
+  SELECT {h_fact} AS h FROM lineitem
+), inst AS (
+{inst}
+), cells AS (
+  SELECT r, slot, count(*) AS cnt FROM inst GROUP BY 1, 2
+), hc AS (
+  SELECT p_partkey AS cand, {h_cand} AS h FROM part
+), probes AS (
+{probe}
+), est AS (
+  SELECT p.cand, min(COALESCE(c.cnt, 0)) AS est_ct
+  FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.slot = p.slot
+  GROUP BY p.cand
+), exact AS (
+  SELECT l_partkey AS cand, count(*) AS exact_ct FROM lineitem GROUP BY 1
+)
+SELECT e.cand AS l_partkey, e.est_ct,
+       COALESCE(x.exact_ct, 0) AS exact_ct,
+       e.est_ct - COALESCE(x.exact_ct, 0) AS over_ct
+FROM est e LEFT JOIN exact x ON x.cand = e.cand
+ORDER BY e.est_ct DESC, e.cand
+LIMIT {k}
+"""

@@ -1271,3 +1271,206 @@ def olap_pareto_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("cents * 1000000 div total").alias("share_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, dt, cents,
+         count(*) OVER (PARTITION BY event_type) AS n_days,
+         row_number() OVER (PARTITION BY event_type ORDER BY dt) AS i,
+         sum(cents) OVER (PARTITION BY event_type ORDER BY dt
+                          ROWS UNBOUNDED PRECEDING) AS prefix,
+         sum(cents) OVER (PARTITION BY event_type) AS total
+  FROM daily
+), c AS (
+  SELECT event_type, dt, n_days,
+         abs(n_days * prefix - i * total) AS abs_cusum,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(n_days * prefix - i * total) DESC,
+                                     dt) AS rnk
+  FROM w
+)
+SELECT event_type, dt AS changepoint_dt,
+       CAST(abs_cusum AS BIGINT) AS max_abs_cusum_scaled,
+       CAST(n_days AS BIGINT) AS n_days
+FROM c WHERE rnk = 1
+"""
+
+
+@query("olap_cusum_drift", oracle=CUSUM_ORACLE)
+def olap_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detector over the daily value series per event
+    type: the day d maximizing |n·prefix_d − i_d·total| — the max-CUSUM
+    estimate of where the series' mean shifted (Page's test statistic with
+    the mean multiplied through, so every step is exact int64; no float
+    drift can move the argmax).
+
+    Shape: one map-combinable (type, day) aggregation, then window
+    functions over the tiny daily table partitioned by type — the raw
+    event scan never re-shuffles. Int64 headroom: |n·prefix| caps at
+    n_days × total_cents; at 100 TB revenue scale switch the two products
+    to decimal(38,0) — same plan, wider accumulator."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("event_type", "dt")
+        .agg(F.sum("c").alias("cents"))
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("dt")
+    w = daily.select(
+        "event_type",
+        "dt",
+        F.count("*").over(wp).alias("n_days"),
+        F.row_number().over(wo).alias("i"),
+        F.sum("cents").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "prefix"
+        ),
+        F.sum("cents").over(wp).alias("total"),
+    )
+    abs_cusum = F.abs(
+        F.col("n_days") * F.col("prefix") - F.col("i") * F.col("total")
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            abs_cusum.desc(), F.col("dt")
+        )
+    )
+    return (
+        w.select(
+            "event_type",
+            F.col("dt").alias("changepoint_dt"),
+            abs_cusum.alias("max_abs_cusum_scaled"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            rnk.alias("rnk"),
+        )
+        .where(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching (batch MATCH_RECOGNIZE emulation)
+# ---------------------------------------------------------------------------
+
+# v→c→p with no intervening error: the conversion-journey pattern. Kept to
+# a greedy leftmost regex subset where Java (Spark) and RE2 (DuckDB) agree
+# (same discipline as text_pii_redact).
+SEQ_PATTERN = "v[^e]*c[^e]*p"
+
+SEQ_MATCH_ORACLE = f"""
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(journey) AS BIGINT) AS journey_len,
+       CAST(len(regexp_extract_all(journey, '{SEQ_PATTERN}')) AS BIGINT)
+         AS match_ct
+FROM j
+"""
+
+
+@query("olap_sequence_match", oracle=SEQ_MATCH_ORACLE)
+def olap_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching in batch: per user,
+    count non-overlapping view→click→purchase journeys with no intervening
+    error event. The event stream collapses to one ordered initial-string
+    per user (the classic funnel-pattern reduction), then a single greedy
+    regex pass counts matches — the batch emulation of Flink CEP /
+    SQL:2016 MATCH_RECOGNIZE (the streaming twin is ST8's event-time CEP
+    kernel, streaming/jobs.py).
+
+    Shape: one user-keyed shuffle; per-user state is the journey string,
+    bounded by that user's activity (cap or window it for adversarial
+    skew at 100 TB). The regex runs inside codegen — no Python."""
+    ev = table(spark, sf_dir, "events")
+    j = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("ini")
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("s")), lambda x: x["ini"]
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    return j.select(
+        "user_id",
+        F.length("journey").cast("bigint").alias("journey_len"),
+        F.regexp_count(F.col("journey"), F.lit(SEQ_PATTERN))
+        .cast("bigint")
+        .alias("match_ct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view refresh algebra
+# ---------------------------------------------------------------------------
+
+INCR_BATCHES = 4
+
+INCR_GMV_ORACLE = f"""
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
+       {dsum_sql('o_totalprice')} AS gmv,
+       count(*) AS order_ct
+FROM orders GROUP BY 1
+"""
+
+
+@query("olap_incremental_gmv", oracle=INCR_GMV_ORACLE)
+def olap_incremental_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily GMV computed as an incremental materialized view would be:
+    each ingest batch contributes a PARTIAL aggregate (sum-of-cents,
+    count), and the view is the MERGE of partials — never a re-scan of
+    history. The batch id here simulates arrival slices; the refresh
+    algebra (sum/count are commutative monoids; the merge is another sum)
+    is what makes the DWS layer incrementally maintainable — append a new
+    batch's partials and re-merge only the touched days.
+    tests/test_plans.py::test_incremental_gmv_refresh_parity drives the
+    real thing over the versioned table store (append → delta-merge →
+    parity with full recompute).
+
+    The oracle is the direct one-pass aggregate — merged partials must be
+    indistinguishable from recomputation (exact int64 cents, order-free)."""
+    o = table(spark, sf_dir, "orders")
+    partials = (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"),
+            (F.col("o_orderkey") % INCR_BATCHES).alias("batch_id"),
+            F.floor(F.col("o_totalprice") * 1_000_000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("micros"),
+        )
+        .groupBy("dt", "batch_id")
+        .agg(
+            F.sum("micros").alias("p_micros"),
+            F.count("*").alias("p_ct"),
+        )
+    )
+    return partials.groupBy("dt").agg(
+        (F.sum("p_micros") / 1_000_000.0).alias("gmv"),
+        F.sum("p_ct").alias("order_ct"),
+    )

@@ -33,6 +33,13 @@ ORACLES: dict[str, str] = {}
 # only driver row predates two rounds of code evolution), then 11 of the
 # r02 cohort; the r02 remainder leads round 5.
 DRIVER_PRIORITY: list[str] = [
+    # new in r4 (second half) — never driver-recorded
+    "ann_knn_graph",
+    "text_dup_ngram_coverage",
+    "sk_cms_heavy_hitters",
+    "olap_cusum_drift",
+    "olap_sequence_match",
+    "olap_incremental_gmv",
     # new in r4
     "text_cdc_chunks",
     "dedup_minhash_cdc",

@@ -144,3 +144,21 @@ def hh_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").alias("brand"), F.col("l_partkey").alias("partkey")
     )
     return sketches.heavy_hitters(joined, "brand", "partkey", k=HH_K)
+
+
+@query(
+    "sk_cms_heavy_hitters", oracle=sketches.cms_heavy_hitters_oracle(k=10)
+)
+def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch top-10 part keys by estimated line count, with the
+    exact count and the (non-negative) CMS overestimate alongside. Sketch
+    state is 4×1024 counters independent of data volume — the heavy-hitter
+    form that still fits in memory when the key domain doesn't
+    (operators/sketches.py::cms_heavy_hitters has the 100 TB shape).
+    Cell placement uses the portable universal-hash family, so every
+    collision is reproduced bit-for-bit by the SQL oracle."""
+    li = table(spark, sf_dir, "lineitem")
+    cand = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    return sketches.cms_heavy_hitters(li, cand, "l_partkey", k=10)

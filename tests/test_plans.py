@@ -495,3 +495,172 @@ def test_round4_no_sort_merge_join(spark, name):
     shuffle."""
     plan = _explain(spark, name, "simple")
     assert "SortMergeJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-4 second-session additions
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "sk_cms_heavy_hitters",
+        "olap_cusum_drift",
+        "olap_sequence_match",
+        "olap_incremental_gmv",
+    ],
+)
+def test_r4b_no_sort_merge_join(spark, name):
+    """CMS probes join a broadcast of ≤ d·w cells; the other three have no
+    join wider than their single keyed aggregation — SortMergeJoin anywhere
+    means a bounded side fell back to a data-sized shuffle."""
+    plan = _explain(spark, name, "simple")
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cms_overestimate_invariant(spark):
+    """Count-min estimates can only overestimate (collisions add counts):
+    est ≥ exact for every candidate, and the top-k surfacing is exact-count
+    faithful on the fixture (small key domain → few collisions)."""
+    rows = registry.get_queries()["sk_cms_heavy_hitters"](
+        spark, SF_DIR
+    ).collect()
+    assert rows, "no heavy hitters"
+    for r in rows:
+        assert r.over_ct >= 0, r
+        assert r.est_ct == r.exact_ct + r.over_ct
+
+
+def test_knn_graph_structure_and_recall(spark):
+    """Multiprobe kNN graph: every node has out-degree ≤ k with contiguous
+    ranks, edge sims agree with exact cosine (spot recall vs the brute-force
+    graph — multiprobe at Hamming-1 must recover a nontrivial share of true
+    top-3 edges even in the fixture's weak-signal regime)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import similarity
+    from realtime_datawarehouse_spark.tables import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    got = similarity.knn_graph(emb).collect()
+    by_src = defaultdict(list)
+    for r in got:
+        by_src[r.vec_id].append(r)
+    for src, edges in by_src.items():
+        assert len(edges) <= similarity.KNN_K
+        assert sorted(e.rnk for e in edges) == list(range(1, len(edges) + 1))
+        sims = [e.sim for e in sorted(edges, key=lambda e: e.rnk)]
+        assert sims == sorted(sims, reverse=True)
+    # recall vs the exact graph (brute top-3 with every vector as a query)
+    qs = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_topk(emb, qs, k=similarity.KNN_K).collect()
+    }
+    approx = {(r.vec_id, r.neighbor_id) for r in got}
+    recall = len(exact & approx) / len(exact)
+    # measured 0.123 at sf0.001 — ~3.5× the random-candidate baseline
+    # (9 probed buckets / 256 ≈ 0.035) in the fixture's weak-signal regime
+    # (top-3 cosines ≈ 0.4, where hyperplane agreement is barely > 1/2;
+    # real near-dup corpora sit ≥ 0.9 where the same probe set recalls
+    # ~0.9+). The floor guards the mechanism, not fixture luck.
+    assert recall >= 0.08, f"multiprobe recall {recall:.3f} below floor"
+
+
+def test_cusum_finds_injected_mean_shift(spark, tmp_path):
+    """A series with a clean mean shift (10/day for days 1-10, 50/day
+    after) must put the max-|CUSUM| changepoint exactly at the shift
+    boundary (day 10) — pinning the statistic's argmax semantics against
+    an analytically solvable case."""
+    import datetime
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 3, 1 + i, 12, 0, 0),
+            1,
+            "x",
+            10.0 if i < 10 else 50.0,
+            "{}",
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = registry.get_queries()["olap_cusum_drift"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    assert out[0].changepoint_dt == "2024-03-10"  # day 10 (i=9)
+    assert out[0].n_days == 20
+
+
+def test_incremental_gmv_refresh_parity(spark, tmp_path):
+    """Drives the REAL incremental materialized-view loop over the
+    versioned table store: four arrival batches, each refresh reads the
+    current aggregate state, merges only the touched days' partials, and
+    commits. The final state must be indistinguishable from a full
+    recompute — the algebra olap_incremental_gmv registers as a query."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import table_store
+    from realtime_datawarehouse_spark.tables import table
+
+    path = str(tmp_path / "mv_gmv_daily")
+    o = table(spark, SF_DIR, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"),
+        (F.col("o_orderkey") % 4).alias("b"),
+        F.floor(F.col("o_totalprice") * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("micros"),
+    )
+    for b in range(4):
+        partial = (
+            o.where(F.col("b") == b)
+            .groupBy("dt")
+            .agg(F.sum("micros").alias("d_micros"), F.count("*").alias("d_ct"))
+        )
+        cur = table_store.read_state(spark, path)
+        if cur is None:
+            merged = partial.select(
+                "dt",
+                F.col("d_micros").alias("micros"),
+                F.col("d_ct").alias("order_ct"),
+            )
+        else:
+            # refresh touches ONLY days present in the incoming batch
+            merged = (
+                partial.join(cur, "dt", "left")
+                .select(
+                    "dt",
+                    (
+                        F.coalesce(F.col("micros"), F.lit(0))
+                        + F.col("d_micros")
+                    ).alias("micros"),
+                    (
+                        F.coalesce(F.col("order_ct"), F.lit(0))
+                        + F.col("d_ct")
+                    ).alias("order_ct"),
+                )
+                .unionByName(cur.join(partial, "dt", "left_anti"))
+            )
+        table_store.commit(merged, path)
+    got = {
+        r.dt: (r.micros, r.order_ct)
+        for r in table_store.read_state(spark, path).collect()
+    }
+    full = {
+        r.dt: (r.micros, r.order_ct)
+        for r in o.groupBy("dt")
+        .agg(F.sum("micros").alias("micros"), F.count("*").alias("order_ct"))
+        .collect()
+    }
+    assert got == full
