@@ -78,6 +78,11 @@ BENCH_QUERIES = (
     "dedup_ngram_containment",      # asymmetric containment pairs
     "ann_pq_topk",                  # product-quantization ADC scan
     "ann_pq_rerank_topk",           # PQ shortlist + exact rerank
+    # round-4 second-half additions
+    "ann_knn_graph",                # multiprobe LSH kNN graph
+    "text_dup_ngram_coverage",      # corpus-duplicated n-gram coverage
+    "sk_cms_heavy_hitters",         # count-min sketch + broadcast probe
+    "olap_sequence_match",          # journey regex pattern counting
 )
 
 

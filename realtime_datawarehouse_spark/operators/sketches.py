@@ -120,7 +120,16 @@ def cms_heavy_hitters(
     enumerate keys, so candidates come from a dimension or a sampled pass).
     """
     params = permutation_params(CMS_D)
-    h = hash64(F.col(key_col).cast("string"))
+    # CMS increments are additive, so cells can aggregate per-KEY counts
+    # instead of per-ROW increments — bit-identical by additivity, and the
+    # hash/explode pipeline runs over |keys| rows instead of |fact| rows
+    # (this query materializes the per-key counts anyway for the exact
+    # column; a pure streaming build would explode per row and rely on
+    # map-side combine for the same d×w shuffle bound).
+    keyed = fact.groupBy(F.col(key_col).alias("cand")).agg(
+        F.count("*").alias("exact_ct")
+    )
+    h = hash64(F.col("cand").cast("string"))
     slots = F.array(
         *[
             F.struct(
@@ -131,9 +140,9 @@ def cms_heavy_hitters(
         ]
     )
     cells = (
-        fact.select(F.explode(slots).alias("c"))
+        keyed.select(F.col("exact_ct").alias("w"), F.explode(slots).alias("c"))
         .groupBy(F.col("c.r").alias("r"), F.col("c.slot").alias("slot"))
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("w").alias("cnt"))
     )
     hq = hash64(F.col("cand").cast("string"))
     probes = dim_keys.select(F.col(key_col).alias("cand")).select(
@@ -159,11 +168,8 @@ def cms_heavy_hitters(
         .groupBy("cand")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_ct"))
     )
-    exact = fact.groupBy(F.col(key_col).alias("cand")).agg(
-        F.count("*").alias("exact_ct")
-    )
     return (
-        est.join(exact, "cand", "left")
+        est.join(keyed, "cand", "left")
         .select(
             F.col("cand").alias(key_col),
             "est_ct",

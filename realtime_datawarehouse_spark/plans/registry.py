@@ -40,6 +40,9 @@ DRIVER_PRIORITY: list[str] = [
     "olap_cusum_drift",
     "olap_sequence_match",
     "olap_incremental_gmv",
+    "olap_bitmap_uv_state",
+    "olap_bitmap_audience_overlap",
+    "olap_forecast_linear",
     # new in r4
     "text_cdc_chunks",
     "dedup_minhash_cdc",

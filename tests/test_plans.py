@@ -664,3 +664,69 @@ def test_incremental_gmv_refresh_parity(spark, tmp_path):
         .collect()
     }
     assert got == full
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "olap_bitmap_uv_state",
+        "olap_bitmap_audience_overlap",
+        "olap_forecast_linear",
+    ],
+)
+def test_r4b_bitmap_forecast_no_smj(spark, name):
+    """Bitmap state rollups join only tiny per-type readouts (broadcast);
+    the trend query joins nothing wider than its keyed aggregations."""
+    plan = _explain(spark, name, "simple")
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bitmap_uv_invariants(spark):
+    """Bitmap set algebra sanity: merged distinct ≤ sum of daily distincts
+    (equality only if no user appears on two days), and the overlap matrix
+    is symmetric-complete (one row per unordered type pair)."""
+    rows = registry.get_queries()["olap_bitmap_uv_state"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.distinct_uv <= r.sum_daily_uv
+        assert r.days_active >= 1
+    ov = registry.get_queries()["olap_bitmap_audience_overlap"](
+        spark, SF_DIR
+    ).collect()
+    types = {r.event_type for r in rows}
+    assert len(ov) == len(types) * (len(types) - 1) // 2
+    for r in ov:
+        assert 0 <= r.overlap_uv <= r.union_uv
+
+
+def test_forecast_recovers_injected_line(spark, tmp_path):
+    """A perfectly linear daily series (cents = 10 + 2·i) must come back
+    with slope exactly 2 cents/day and intercept exactly 10 cents — the
+    integer power-sum formulation leaves no room for fit error."""
+    import datetime
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 5, 1 + i, 9, 0, 0),
+            1,
+            "x",
+            (10 + 2 * (i + 1)) / 100.0,  # i is 0-based; day index is 1-based
+            "{}",
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = registry.get_queries()["olap_forecast_linear"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    assert out[0].slope_cents_e4 == 20000  # 2.0000 cents/day
+    assert out[0].intercept_cents_e2 == 1000  # 10.00 cents
+    assert out[0].n_days == 20
