@@ -83,6 +83,8 @@ BENCH_QUERIES = (
     "text_dup_ngram_coverage",      # corpus-duplicated n-gram coverage
     "sk_cms_heavy_hitters",         # count-min sketch + broadcast probe
     "olap_sequence_match",          # journey regex pattern counting
+    "olap_bitmap_uv_state",         # mergeable bitmap distinct state
+    "text_shared_substring_runs",   # consecutive-dup-gram run fold
 )
 
 

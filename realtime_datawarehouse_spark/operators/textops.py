@@ -1482,3 +1482,132 @@ FROM base b
 LEFT JOIN cov USING (doc_id)
 LEFT JOIN cts USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document shared-substring runs (doc-level ExactSubstr signal)
+# ---------------------------------------------------------------------------
+
+SUBSTR_N = 8
+
+
+def shared_substring_runs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document longest contiguous token run shared verbatim with
+    ANOTHER document — the doc-level readout of exact-substring dedup
+    (Lee et al. 2022 train ExactSubstr on suffix arrays; at corpus scale
+    the equivalent signal falls out of fixed-width shingles: a shared run
+    of L ≥ n tokens is exactly a run of L−n+1 consecutive duplicated
+    n-gram positions).
+
+    Shape: positional 8-gram hashes → ONE gram-hash shuffle where a window
+    min/max of doc_id marks cross-document duplication (min ≠ max, as in
+    :func:`dup_ngram_coverage`) → per-doc sorted position array → a linear
+    fold finds the longest consecutive run (array bounded by doc length).
+    Output: (doc_id, dup_gram_ct, max_run_grams, max_shared_tokens).
+
+    100 TB: identical cost shape to dup_ngram_coverage — the gram-hash
+    exchange dominates and is the only corpus-wide shuffle; the fold is
+    map-side, per-doc."""
+    from realtime_datawarehouse_spark.functions.text import word_shingles
+
+    toks = docs.select(
+        "doc_id", tokenize(text_col).alias("toks")
+    ).select(
+        "doc_id",
+        word_shingles(F.col("toks"), SUBSTR_N).alias("grams"),
+    )
+    inst = toks.select(
+        "doc_id", F.posexplode("grams").alias("p0", "gram")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        hash64(F.col("gram")).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h")
+    dup_pos = (
+        inst.withColumn("lo", F.min("doc_id").over(w))
+        .withColumn("hi", F.max("doc_id").over(w))
+        .where(F.col("lo") != F.col("hi"))
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    # longest run of consecutive positions via a fold over the sorted
+    # array; seed prev=-10 cannot collide (positions are ≥ 1)
+    longest = F.aggregate(
+        F.array_sort(F.collect_list("pos")),
+        F.struct(
+            F.lit(-10).alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev + 1, acc.run + 1).otherwise(1).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev + 1, acc.run + 1).otherwise(1),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    per_doc = dup_pos.groupBy("doc_id").agg(
+        F.count("*").alias("dup_gram_ct"),
+        longest.alias("max_run_grams"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("dup_gram_ct"), F.lit(0)).alias("dup_gram_ct"),
+            F.coalesce(F.col("max_run_grams"), F.lit(0)).alias(
+                "max_run_grams"
+            ),
+            F.when(
+                F.col("max_run_grams").isNull(), F.lit(0)
+            )
+            .otherwise(F.col("max_run_grams") + (SUBSTR_N - 1))
+            .alias("max_shared_tokens"),
+        )
+    )
+
+
+_SUBSTR_GRAM = " || ' ' || ".join(f"toks[g.p+{k}]" for k in range(SUBSTR_N))
+
+SHARED_SUBSTR_ORACLE = f"""
+WITH docs3 AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), inst AS (
+  SELECT doc_id, CAST(g.p AS INT) AS pos,
+         {hash64_sql(_SUBSTR_GRAM)} AS h
+  FROM docs3, LATERAL (
+    SELECT unnest(range(1, len(toks) - {SUBSTR_N - 2})) AS p) g
+  WHERE len(toks) >= {SUBSTR_N}
+), dup AS (
+  SELECT h FROM inst GROUP BY h HAVING min(doc_id) <> max(doc_id)
+), dup_pos AS (
+  SELECT DISTINCT i.doc_id, i.pos FROM inst i JOIN dup USING (h)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup_pos
+), runs AS (
+  SELECT doc_id, count(*) AS run_len FROM isl GROUP BY doc_id, grp
+), per_doc AS (
+  SELECT doc_id, max(run_len) AS max_run_grams FROM runs GROUP BY doc_id
+), cts AS (
+  SELECT doc_id, count(*) AS dup_gram_ct FROM dup_pos GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(c.dup_gram_ct, 0) AS BIGINT) AS dup_gram_ct,
+       CAST(COALESCE(p.max_run_grams, 0) AS INT) AS max_run_grams,
+       CAST(CASE WHEN p.max_run_grams IS NULL THEN 0
+                 ELSE p.max_run_grams + {SUBSTR_N - 1} END AS INT)
+         AS max_shared_tokens
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN cts c USING (doc_id)
+"""

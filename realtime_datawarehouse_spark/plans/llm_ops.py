@@ -107,6 +107,18 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.dup_ngram_coverage(_docs(spark, sf_dir))
 
 
+@query(
+    "text_shared_substring_runs", oracle=textops.SHARED_SUBSTR_ORACLE
+)
+def text_shared_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level exact-substring dedup signal: longest contiguous token run
+    shared verbatim with another document, recovered from consecutive
+    duplicated 8-gram positions (a shared L-token span ⇔ L−7 consecutive
+    duplicated grams). One gram-hash shuffle + a per-doc sorted-array fold;
+    see operators/textops.py::shared_substring_runs."""
+    return textops.shared_substring_runs(_docs(spark, sf_dir))
+
+
 @query("text_fingerprint", oracle=textops.FINGERPRINT_ORACLE)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprint(_docs(spark, sf_dir))

@@ -43,6 +43,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_bitmap_uv_state",
     "olap_bitmap_audience_overlap",
     "olap_forecast_linear",
+    "text_shared_substring_runs",
     # new in r4
     "text_cdc_chunks",
     "dedup_minhash_cdc",

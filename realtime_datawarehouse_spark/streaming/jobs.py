@@ -673,3 +673,21 @@ def semantic_dedup_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def bitmap_uv_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming form of olap_bitmap_uv_state's STATE layer: maintain the
+    per-(event_type, bucket) user bitmap incrementally — bitmap_construct_agg
+    is a commutative-monoid aggregate, so Structured Streaming merges each
+    micro-batch's partial bitmaps into the state-store value exactly like
+    sums (run in complete/update mode; readouts — bitmap_count rollups —
+    are batch queries over the emitted state, keeping the pipeline to ONE
+    stateful operator). State size: |types| × |user-space|/32768 bitmap
+    rows, independent of event volume."""
+    return events.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )

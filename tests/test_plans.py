@@ -730,3 +730,30 @@ def test_forecast_recovers_injected_line(spark, tmp_path):
     assert out[0].slope_cents_e4 == 20000  # 2.0000 cents/day
     assert out[0].intercept_cents_e2 == 1000  # 10.00 cents
     assert out[0].n_days == 20
+
+
+def test_shared_substring_run_length_exact(spark, tmp_path):
+    """Two documents sharing a verbatim 12-token span (and nothing else
+    n-gram-sized) must both report max_shared_tokens == 12; an unrelated
+    doc reports 0 — pinning the run⇔span arithmetic (L-token span ⇔ L−n+1
+    consecutive duplicated n-grams)."""
+    span = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (1, "alpha beta " + span + " gamma delta", "en", "s", 0),
+        (2, "one two three " + span + " four five", "en", "s", 0),
+        (3, "totally different words without overlap here at all", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in registry.get_queries()["text_shared_substring_runs"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[1].max_shared_tokens == 12
+    assert out[2].max_shared_tokens == 12
+    assert out[1].max_run_grams == 12 - 8 + 1
+    assert out[3].max_shared_tokens == 0 and out[3].dup_gram_ct == 0

@@ -843,3 +843,29 @@ def test_semantic_dedup_stream_parity(spark, tmp_path):
     assert (got.vec_id == batch.vec_id).all()
     assert (got.cluster_id == batch.cluster_id).all()
     assert (got.is_dup == batch.is_dup).all()
+
+
+def test_streaming_bitmap_uv_state_parity(spark, events_stream_dir):
+    """The streaming-maintained bitmap state (complete mode, merged across
+    3 micro-batches) must read out to EXACTLY the batch distinct-user
+    counts — bitmaps are exact, so parity is equality, not approximation."""
+    ev = table(spark, SF_DIR, "events")
+    stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+    q = jobs.run_to_memory(
+        jobs.bitmap_uv_state_stream(stream), "t_bitmap_state", "complete"
+    )
+    q.awaitTermination()
+    got = {
+        r.event_type: r.uv
+        for r in spark.table("t_bitmap_state")
+        .groupBy("event_type")
+        .agg(F.expr("sum(bitmap_count(bm))").alias("uv"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.uv
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("uv"))
+        .collect()
+    }
+    assert got == exact
