@@ -843,3 +843,102 @@ WHERE source <> '{eval_source}'
   AND p2 IN (SELECT bit FROM bits)
 GROUP BY 1
 """
+
+
+# τ_eff for prefix-filter candidate generation: the registered queries
+# compare pround(jaccard, 4) >= 0.8, which admits true J down to 0.79995
+# (floor(J*1e4+0.5) >= 8000  ⟺  J >= 0.79995). Candidate generation must
+# therefore be lossless down to 15999/20000, not 4/5 — else a pair whose
+# exact Jaccard rounds UP into the threshold could be pruned and the
+# output would diverge from the exact-pairs oracle.
+_PF_NUM = 15_999
+_PF_DEN = 20_000
+
+
+def jaccard_prefix_filter_pairs(
+    docs: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin family:
+    Bayardo et al. WWW'07, Xiao et al. WWW'08) — same output as
+    ``ngram_jaccard_pairs``, asymptotically smaller candidate stage.
+
+    Principle: order every document's shingles by global document
+    frequency ascending (rarest first; ties by hash — a total order both
+    engines reproduce). If J(A,B) ≥ τ then |A∩B| ≥ τ/(1+τ)·(|A|+|B|) ≥
+    τ·|A|, so the first ``|A| − ⌈τ·|A|⌉ + 1`` tokens of A and of B must
+    share at least one token. Only those prefixes are indexed: for τ=0.8
+    the inverted index shrinks ~5×, and — because prefixes hold the
+    RAREST tokens — hot shingles (the quadratic pair-explosion risk the
+    df-cap guards against in ``ngram_jaccard_pairs``) fall outside every
+    prefix, so their posting lists never materialize at all. Candidates
+    then verify EXACTLY against full shingle-hash sets, so the pruning is
+    lossless: the oracle is the same exact-pairs SQL.
+
+    Scale shape: one df join on the int64 shingle hash (O(shingles) map
+    side), one per-doc regroup, prefix-only posting lists (the pair
+    combinatorics run over ~(1−τ)·n tokens per doc), then a pair-keyed
+    verification join carrying each doc's hash array once. The length
+    filter (τ·max(n) ≤ min(n)) drops cross-size candidates before the
+    verify join ships any array.
+    """
+    e = doc_shingle_hashes(docs)
+    dfreq = e.groupBy("h").agg(F.count("*").alias("df"))
+    # both sides are corpus-scale: a shuffle is inevitable, but hash-join
+    # beats sort-merge on a high-cardinality int64 key (no sort phase;
+    # the df side is the smaller build side)
+    ej = e.join(dfreq.hint("shuffle_hash"), "h")
+    sets = ej.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct(F.col("df"), F.col("h")))).alias(
+            "ord"
+        ),
+        F.first("n").alias("n"),
+    )
+    # integer-exact prefix length: p = n − ⌈τ_eff·n⌉ + 1
+    ceil_tn = F.floor(
+        (F.lit(_PF_NUM) * F.col("n") + F.lit(_PF_DEN - 1)) / F.lit(_PF_DEN)
+    )
+    sets = sets.select(
+        "doc_id",
+        "n",
+        F.transform("ord", lambda x: x["h"]).alias("hs"),
+        (F.col("n") - ceil_tn + F.lit(1)).cast("int").alias("p"),
+    )
+    pre = sets.select(
+        "doc_id", "n", F.explode(F.slice("hs", F.lit(1), F.col("p"))).alias("h")
+    )
+    inv = pre.groupBy("h").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("n")))
+        ).alias("members")
+    )
+    inv = inv.where(F.size("members") >= 2)
+    cand = (
+        inv.select(
+            F.explode(_pairs_from_sorted_members(F.col("members"))).alias("p")
+        )
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n").alias("na"),
+            F.col("p.b.n").alias("nb"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("na").alias("na"), F.first("nb").alias("nb"))
+    )
+    # length filter: J ≥ τ ⇒ τ·max ≤ min (integer-exact with τ_eff)
+    cand = cand.where(
+        F.lit(_PF_NUM) * F.greatest("na", "nb")
+        <= F.lit(_PF_DEN) * F.least("na", "nb")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    v = cand.join(a.hint("shuffle_hash"), "doc_a").join(
+        b.hint("shuffle_hash"), "doc_b"
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        v.withColumn("jaccard", pround(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1611,3 +1611,122 @@ FROM (SELECT doc_id FROM documents) d
 LEFT JOIN per_doc p USING (doc_id)
 LEFT JOIN cts c USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): score every document by how much more
+# likely its hashed-n-gram profile is under a TARGET distribution than under
+# the background corpus — the standard cheap proxy for "looks like the
+# domain I want more of" when curating pretraining mixtures.
+
+DSIR_BUCKETS = 4096
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_grams, importance): Σ over the doc's word-bigram
+    instances of ln p_target(bucket) − ln p_background(bucket), with
+    hashed-bigram buckets and add-1 smoothing on both distributions.
+
+    ``target_pred`` is a boolean column over ``docs`` selecting the
+    target subcorpus (the background is the whole corpus).
+
+    Scale shape: ONE bigram explode feeds both bucket histograms (each
+    map-side combinable into ≤``buckets`` partials per task); the
+    per-bucket log-ratio table is ≤``buckets`` rows and broadcast to the
+    scorers, so corpus rows never shuffle for the join — the only
+    corpus-sized exchange is the final doc_id aggregation. Per-instance
+    terms are 1e-6-quantized int64 (the dsum discipline) so the sum is
+    order-free; the quantization sits AFTER a transcendental, so the
+    same libm-agreement caveat as ``unigram_logprob`` applies (and the
+    same production fix: materialize the tiny weight table once from one
+    engine)."""
+    from realtime_datawarehouse_spark.functions.text import word_shingles
+
+    grams = docs.select(
+        "doc_id",
+        target_pred.alias("is_target"),
+        F.explode(word_shingles(tokenize(text_col), 2)).alias("g"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (hash64(F.col("g")) % F.lit(buckets)).alias("b"),
+    )
+    hist = grams.groupBy("b").agg(
+        F.count("*").alias("ct_all"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct_t"),
+    )
+    tot = hist.agg(
+        F.sum("ct_all").alias("n_all"), F.sum("ct_t").alias("n_t")
+    )
+    lr = (
+        F.log(
+            (F.col("ct_t") + 1).cast("double")
+            / (F.col("n_t") + F.lit(buckets)).cast("double")
+        )
+        - F.log(
+            (F.col("ct_all") + 1).cast("double")
+            / (F.col("n_all") + F.lit(buckets)).cast("double")
+        )
+    )
+    weights = hist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(lr * F.lit(1_000_000) + F.lit(0.5)).cast("bigint").alias("w6"),
+    )
+    scored = grams.join(F.broadcast(weights), "b").groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"), F.sum("w6").alias("s6")
+    )
+    base = docs.select("doc_id")
+    imp = F.coalesce(F.col("s6"), F.lit(0)).cast("double") / F.lit(1_000_000.0)
+    return base.join(scored.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        (F.floor(imp * F.lit(10_000) + F.lit(0.5)) / F.lit(10_000.0)).alias(
+            "importance"
+        ),
+    )
+
+
+def dsir_weights_oracle(
+    target_pred_sql: str, buckets: int = DSIR_BUCKETS
+) -> str:
+    return f"""
+WITH d2 AS (
+  SELECT doc_id, ({target_pred_sql}) AS is_target,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, is_target,
+         {hash64_sql("toks[i] || ' ' || toks[i+1]")} % {buckets} AS b
+  FROM (SELECT doc_id, is_target, toks,
+               unnest(range(1, len(toks))) AS i
+        FROM d2 WHERE len(toks) >= 2)
+), hist AS (
+  SELECT b, count(*) AS ct_all,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct_t
+  FROM grams GROUP BY 1
+), tot AS (
+  SELECT sum(ct_all) AS n_all, sum(ct_t) AS n_t FROM hist
+), weights AS (
+  SELECT b,
+         CAST(floor((ln((ct_t + 1) * 1.0 / (n_t + {buckets}))
+                     - ln((ct_all + 1) * 1.0 / (n_all + {buckets})))
+                    * 1000000 + 0.5) AS BIGINT) AS w6
+  FROM hist CROSS JOIN tot
+), scored AS (
+  SELECT g.doc_id, count(*) AS n_grams, sum(w.w6) AS s6
+  FROM grams g JOIN weights w USING (b)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+       floor(CAST(coalesce(s.s6, 0) AS DOUBLE) / 1000000.0 * 10000 + 0.5)
+         / 10000.0 AS importance
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN scored s USING (doc_id)
+"""

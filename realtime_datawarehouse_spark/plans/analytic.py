@@ -1748,3 +1748,67 @@ def olap_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("overlap_uv"), F.lit(0)) / union_uv, 4
         ).alias("jaccard"),
     )
+
+
+# --- round-4 (second half): OHLC time-bars over the event stream ----------
+
+OHLC_ORACLE = f"""
+WITH e AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_start,
+         value,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+           lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+  FROM events
+)
+SELECT event_type, bar_start,
+       arg_min(value, ord) AS open,
+       max(value)          AS high,
+       min(value)          AS low,
+       arg_max(value, ord) AS close,
+       {dsum_sql('value')} AS volume,
+       count(*)            AS trade_ct
+FROM e GROUP BY 1, 2
+"""
+
+
+@query("olap_ohlc_bars", oracle=OHLC_ORACLE)
+def olap_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-bars: per (event_type, hour) open/high/low/close of
+    ``value`` plus summed volume — the market-data rollup every tick store
+    serves, and the time-bucketed first/last pattern (ClickHouse
+    argMin/argMax, TimescaleDB first/last) the reference's ADS layer
+    would grow next.
+
+    Scale shape: ONE map-side-combinable aggregation — ``min_by``/
+    ``max_by`` carry a single (value, order-key) pair per partition, so
+    the shuffle is O(bars), never O(ticks). The order key is a
+    zero-padded ``epoch_us || event_id`` string: lexicographic order
+    equals numeric order for fixed-width non-negatives, making first/last
+    picks total-ordered and engine-identical (DuckDB's arg_min rejects
+    composite keys, so a composed scalar replaces struct ordering).
+    """
+    ev = table(spark, sf_dir, "events")
+    ordk = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "bar_start"
+            ),
+            "value",
+            ordk.alias("ordk"),
+        )
+        .groupBy("event_type", "bar_start")
+        .agg(
+            F.min_by("value", "ordk").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ordk").alias("close"),
+            dsum(F.col("value")).alias("volume"),
+            F.count("*").alias("trade_ct"),
+        )
+    )

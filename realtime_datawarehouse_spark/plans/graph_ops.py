@@ -1,0 +1,123 @@
+"""Graph-analytics queries: PageRank over a deterministic customer graph.
+
+The reference has no graph surface; this is the next capability ring for a
+warehouse feeding recommendation / influence pipelines (and it exercises
+the repo's iterative-operator machinery — like dedup_connected_components —
+under a FULL value oracle, not just a rows-only check: the integer
+fixed-point formulation in operators/graph.py makes 3 unrolled PageRank
+iterations bit-reproducible in SQL).
+
+Topology: within each nation, customers (ordered by c_custkey) form a ring
+with a skip chord — u → next(u), u → u+7 (mod ring size) — so every node
+has out-degree ≥ 1 (no dangling), degrees vary where rings are short, and
+the whole edge set derives deterministically from the fixture (two window
+functions + one equi-join; no randomness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtime_datawarehouse_spark.operators.graph import SCALE, pagerank
+from realtime_datawarehouse_spark.plans.registry import query
+from realtime_datawarehouse_spark.tables import table
+
+PR_ITERS = 3
+RING_SKIP = 7
+_D_NUM, _D_DEN = 85, 100
+
+
+def _ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    wall = Window.partitionBy("c_nationkey")
+    ranked = c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wall).alias("cnt"),
+    ).where(F.col("cnt") >= 2)
+    targets = ranked.select(
+        "c_nationkey",
+        F.col("c_custkey").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("rn") % F.col("cnt")) + 1,
+                ((F.col("rn") + RING_SKIP - 1) % F.col("cnt")) + 1,
+            )
+        ).alias("t"),
+    )
+    dsts = ranked.select(
+        "c_nationkey", F.col("rn").alias("t"), F.col("c_custkey").alias("dst")
+    )
+    return (
+        targets.join(dsts, ["c_nationkey", "t"])
+        .where(F.col("dst") != F.col("src"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def _pagerank_oracle(iters: int = PR_ITERS) -> str:
+    base = f"CAST({SCALE * (_D_DEN - _D_NUM)} // ({_D_DEN} * nn.n_nodes) AS BIGINT)"
+    parts = [
+        f"""
+WITH ranked AS (
+  SELECT c_nationkey AS nk, c_custkey AS ck,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn,
+         count(*)    OVER (PARTITION BY c_nationkey) AS cnt
+  FROM customer
+), rk AS (
+  SELECT * FROM ranked WHERE cnt >= 2
+), tgt AS (
+  SELECT nk, ck AS src,
+         unnest([(rn % cnt) + 1, ((rn + {RING_SKIP - 1}) % cnt) + 1]) AS t
+  FROM rk
+), edges AS (
+  SELECT DISTINCT tgt.src AS src, rk.ck AS dst
+  FROM tgt JOIN rk ON rk.nk = tgt.nk AND rk.rn = tgt.t
+  WHERE rk.ck <> tgt.src
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+), nn AS (
+  SELECT count(*) AS n_nodes FROM nodes
+), outd AS (
+  SELECT src, count(*) AS od FROM edges GROUP BY 1
+), r0 AS (
+  SELECT node, CAST({SCALE} // nn.n_nodes AS BIGINT) AS rq
+  FROM nodes CROSS JOIN nn
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", i{i} AS (
+  SELECT e.dst AS node,
+         CAST(sum((r.rq * {_D_NUM}) // ({_D_DEN} * o.od)) AS BIGINT) AS infl
+  FROM r{i - 1} r
+  JOIN edges e ON e.src = r.node
+  JOIN outd  o ON o.src = e.src
+  GROUP BY 1
+), r{i} AS (
+  SELECT n.node, {base} + coalesce(i{i}.infl, 0) AS rq
+  FROM nodes n CROSS JOIN nn LEFT JOIN i{i} ON i{i}.node = n.node
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, rq AS rank_q FROM r{iters}"
+    )
+    return "".join(parts)
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{PR_ITERS}-iteration PageRank over the nation-ring customer graph —
+    an iterative distributed graph algorithm under a FULL value oracle
+    (integer fixed-point, see operators/graph.py). Per iteration: one
+    shuffle join on src + one map-combined integer sum on dst; the
+    out-degree-annotated edge set is computed once and persisted."""
+    return pagerank(
+        _ring_edges(spark, sf_dir), iters=PR_ITERS, d_num=_D_NUM, d_den=_D_DEN
+    )

@@ -1095,3 +1095,212 @@ def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, no rand(); the whole schedule is reproducible from the corpus
     alone."""
     return textops.epoch_schedule(_docs(spark, sf_dir), EPOCH_SCHEDULE)
+
+
+# --- round-4 (second half): embedding monitoring, score calibration, BPE --
+
+EMB_DIM_STATS_ORACLE = """
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), q AS (
+  SELECT dim, CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS vq, v FROM x
+)
+SELECT dim,
+       count(*) AS n_vecs,
+       floor(CAST(sum(vq) AS DOUBLE) / count(*) + 0.5) / 1000000.0 AS mean_v,
+       CAST(min(v) AS DOUBLE) AS min_v,
+       CAST(max(v) AS DOUBLE) AS max_v
+FROM q GROUP BY 1
+"""
+
+
+@query("embed_dimension_stats", oracle=EMB_DIM_STATS_ORACLE)
+def embed_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution profile (mean/min/max) — the
+    drift monitor every embedding pipeline runs: a dead or exploding
+    dimension shows up here before it poisons ANN recall.
+
+    Scale shape: posexplode multiplies rows DIM× but the immediate
+    groupBy(dim) is map-side combinable into exactly DIM partials per
+    partition — the shuffle carries O(DIM × partitions) rows no matter
+    the corpus size. Mean uses the 1e-6-quantized int64 sum (values are
+    in [-1,1]; floor-quantization is order-free and engine-identical for
+    negatives too — both engines floor toward -inf); min/max are exact
+    picks of binary float values, bit-equal in any engine."""
+    em = _emb(spark, sf_dir)
+    x = em.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v")
+    )
+    q = x.withColumn(
+        "vq", F.floor(F.col("v") * F.lit(1_000_000) + F.lit(0.5)).cast("bigint")
+    )
+    return q.groupBy("dim").agg(
+        F.count("*").alias("n_vecs"),
+        (
+            F.floor(F.sum("vq").cast("double") / F.count("*") + F.lit(0.5))
+            / F.lit(1_000_000.0)
+        ).alias("mean_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+_CAL_RATIO = "floor(stopword_ct * 1.0 / token_ct * 10000 + 0.5) / 10000.0"
+
+QUALITY_CALIBRATION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         len(toks) AS token_ct,
+         len(list_filter(toks, x -> x IN ({textops._STOP_SQL}))) AS stopword_ct
+  FROM t
+), r AS (
+  SELECT lang, {_CAL_RATIO} AS stop_ratio,
+         ntile(10) OVER (PARTITION BY lang
+                         ORDER BY {_CAL_RATIO}, doc_id) AS decile
+  FROM m
+)
+SELECT lang, decile, count(*) AS doc_ct,
+       min(stop_ratio) AS lo_ratio, max(stop_ratio) AS hi_ratio
+FROM r GROUP BY 1, 2
+"""
+
+
+@query("text_quality_calibration", oracle=QUALITY_CALIBRATION_ORACLE)
+def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language decile calibration of the stopword-ratio quality
+    signal: rank-normalize within each language, then report each
+    decile's population and ratio band. Absolute quality thresholds are
+    incomparable across languages (stopword lists differ in coverage);
+    calibrating per group is the standard fix before one global keep
+    rule is applied (CCNet buckets its perplexity the same way).
+
+    Scale shape: one hash exchange on ``lang`` + one sort feeds ntile;
+    the decile rollup re-uses the same partitioning (no second wide
+    shuffle). Ordering is made total by (ratio, doc_id), so each
+    engine's decile assignment is identical row-for-row."""
+    from pyspark.sql import Window
+
+    from realtime_datawarehouse_spark.functions.text import STOPWORDS, tokenize
+
+    docs = _docs(spark, sf_dir)
+    toks = tokenize("text")
+    token_ct = F.size(toks)
+    stop_ct = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    ratio = (
+        F.floor(
+            stop_ct.cast("double") / token_ct * F.lit(10_000) + F.lit(0.5)
+        )
+        / F.lit(10_000.0)
+    )
+    m = docs.select("doc_id", "lang", ratio.alias("stop_ratio"))
+    w = Window.partitionBy("lang").orderBy("stop_ratio", "doc_id")
+    r = m.select("lang", "stop_ratio", F.ntile(10).over(w).alias("decile"))
+    return r.groupBy("lang", "decile").agg(
+        F.count("*").alias("doc_ct"),
+        F.min("stop_ratio").alias("lo_ratio"),
+        F.max("stop_ratio").alias("hi_ratio"),
+    )
+
+
+BPE_TOPK = 20
+
+BPE_MERGE_ORACLE = f"""
+WITH t AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), w AS (
+  SELECT unnest(toks) AS w FROM t
+), wf AS (
+  SELECT w, count(*) AS ct FROM w GROUP BY 1
+), p AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, ct
+  FROM (
+    SELECT w, ct, unnest(generate_series(1, length(w) - 1)) AS i
+    FROM wf WHERE length(w) >= 2
+  )
+)
+SELECT pair, CAST(sum(ct) AS BIGINT) AS pair_ct
+FROM p GROUP BY 1
+ORDER BY pair_ct DESC, pair
+LIMIT {BPE_TOPK}
+"""
+
+
+@query("text_bpe_merge_pairs", oracle=BPE_MERGE_ORACLE)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step, distributed: corpus-weighted adjacent
+    character-pair frequencies, top-{BPE_TOPK} — the inner primitive of
+    tokenizer training (Sennrich BPE / GPT-2). The winning pair IS the
+    first merge rule; re-running over merged symbols iterates the
+    algorithm.
+
+    Scale shape: pair counting runs over the WORD-FREQUENCY table, not
+    the corpus — the explode factor applies to |vocab| rows (corpus
+    token counts collapse first in a map-combined groupBy), which is why
+    real BPE trainers count words first. Global top-k compiles to
+    TakeOrderedAndProject: per-partition heaps, only k rows reach the
+    driver side."""
+    from realtime_datawarehouse_spark.functions.text import tokenize
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(F.explode(tokenize("text")).alias("w"))
+    wf = words.groupBy("w").agg(F.count("*").alias("ct"))
+    p = (
+        wf.where(F.length("w") >= 2)
+        .select(
+            "w",
+            "ct",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(
+            F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"), F.col("ct")
+        )
+    )
+    return (
+        p.groupBy("pair")
+        .agg(F.sum("ct").alias("pair_ct"))
+        .orderBy(F.desc("pair_ct"), "pair")
+        .limit(BPE_TOPK)
+    )
+
+
+@query(
+    "dedup_jaccard_prefix",
+    oracle=dedup.ngram_jaccard_oracle(JACCARD_THRESHOLD),
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via prefix filtering (AllPairs/PPJoin): same
+    output as dedup_ngram_jaccard — the oracle IS the exact-pairs SQL —
+    but the inverted index holds only each doc's rarest-(1−τ) prefix
+    tokens, so hot shingles never build posting lists and the pair
+    combinatorics shrink ~5× at τ=0.8. The lossless scale path where the
+    df-cap variant is the lossy one."""
+    return dedup.jaccard_prefix_filter_pairs(
+        _docs(spark, sf_dir), JACCARD_THRESHOLD
+    )
+
+
+DSIR_TARGET_SOURCE = "src0"
+
+
+@query(
+    "text_dsir_weights",
+    oracle=textops.dsir_weights_oracle(f"source = '{DSIR_TARGET_SOURCE}'"),
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram log-ratio
+    score of every document against the ``src0`` target subcorpus — the
+    importance-resampling selector used to tilt a pretraining mixture
+    toward a domain without training a classifier. One bigram explode
+    feeds both bucket histograms; the ≤4096-row log-ratio table
+    broadcasts to the scorers (corpus rows never shuffle for the join)."""
+    docs = _docs(spark, sf_dir)
+    return textops.dsir_weights(
+        docs, F.col("source") == DSIR_TARGET_SOURCE
+    )

@@ -34,6 +34,13 @@ ORACLES: dict[str, str] = {}
 # r02 cohort; the r02 remainder leads round 5.
 DRIVER_PRIORITY: list[str] = [
     # new in r4 (second half) — never driver-recorded
+    "olap_ohlc_bars",
+    "graph_pagerank",
+    "dedup_jaccard_prefix",
+    "embed_dimension_stats",
+    "text_quality_calibration",
+    "text_bpe_merge_pairs",
+    "text_dsir_weights",
     "ann_knn_graph",
     "text_dup_ngram_coverage",
     "sk_cms_heavy_hitters",
@@ -148,6 +155,7 @@ def load() -> None:
     from realtime_datawarehouse_spark.plans import (  # noqa: F401
         analytic,
         cdc_pipelines,
+        graph_ops,
         llm_ops,
         sketch_agg,
         tpch_like,

@@ -757,3 +757,108 @@ def test_shared_substring_run_length_exact(spark, tmp_path):
     assert out[2].max_shared_tokens == 12
     assert out[1].max_run_grams == 12 - 8 + 1
     assert out[3].max_shared_tokens == 0 and out[3].dup_gram_ct == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-4 third-session additions
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "olap_ohlc_bars",
+        "embed_dimension_stats",
+        "text_bpe_merge_pairs",
+        "text_quality_calibration",
+        "text_dsir_weights",
+        "dedup_jaccard_prefix",
+        "graph_pagerank",
+    ],
+)
+def test_r4c_no_sort_merge_join(spark, name):
+    """None of these plans should sort anything to join: dim-sized sides
+    (DSIR weight table) broadcast; corpus-scale joins (prefix-filter df
+    annotation + verification, PageRank rank×edge) are hinted to
+    shuffle-HASH join — same exchange, no sort phase on high-cardinality
+    int64 keys."""
+    plan = _explain(spark, name, "simple")
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ohlc_single_aggregation_pass(spark):
+    """OHLC bars must be ONE map-side-combinable aggregation: a single
+    hash exchange on the bar key; min_by/max_by partials carry one
+    (value, order-key) pair each — shuffle O(bars), not O(ticks)."""
+    plan = _explain(spark, "olap_ohlc_bars", "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_min_by" in plan or "partial_min" in plan, plan
+
+
+def test_embed_dim_stats_single_exchange(spark):
+    """Per-dimension stats: the posexplode inflates rows DIM× but partial
+    aggregation collapses them to DIM rows per task BEFORE the single
+    hash exchange on dim."""
+    plan = _explain(spark, "embed_dimension_stats", "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bpe_topk_is_take_ordered(spark):
+    """Global top-k merge-pair selection must compile to
+    TakeOrderedAndProject (per-partition heaps), never a global sort."""
+    plan = _explain(spark, "text_bpe_merge_pairs", "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, plan
+
+
+def test_dsir_weight_table_broadcasts(spark):
+    """The ≤4096-row log-ratio table must broadcast to the scorers —
+    corpus rows never shuffle for the scoring join."""
+    plan = _explain(spark, "text_dsir_weights", "simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pagerank_mass_conservation(spark):
+    """Integer fixed-point PageRank: total mass can only shrink (floor
+    losses), never grow, and stays within |edges|·iters + N units of the
+    initial total; every rank is positive (base term guarantees it)."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.plans.graph_ops import (
+        PR_ITERS,
+        _ring_edges,
+        graph_pagerank,
+    )
+    from realtime_datawarehouse_spark.operators.graph import SCALE
+
+    r = graph_pagerank(spark, SF_DIR)
+    agg = r.agg(
+        F.sum("rank_q").alias("total"), F.min("rank_q").alias("mn"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    edges = _ring_edges(spark, SF_DIR).count()
+    assert agg.mn > 0
+    assert agg.total <= SCALE
+    # floor loss ≤ 1 unit per edge per iteration + N initial-split units
+    # + N base-term units per iteration
+    assert agg.total >= SCALE - PR_ITERS * (edges + agg.n) - agg.n
+
+
+def test_jaccard_prefix_matches_full_inverted_index(spark):
+    """The prefix-filtered pair set must EQUAL the full inverted-index
+    exact-Jaccard pair set (lossless pruning down to the rounded
+    threshold) — the point of using τ_eff=15999/20000 for candidate
+    generation."""
+    from realtime_datawarehouse_spark.operators import dedup
+    from realtime_datawarehouse_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents")
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, 0.8).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.jaccard_prefix_filter_pairs(docs, 0.8).collect()
+    }
+    assert full == pref
