@@ -76,3 +76,47 @@ def pagerank(
             )
         )
     return r.select("node", F.col("rq").alias("rank_q"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation counts over the undirected view
+    of ``edges(src, dst)`` — the local clustering signal (spam rings,
+    community density) warehouses compute on interaction graphs.
+
+    Algorithm: canonicalize each edge to (a < b); build wedges a−b−c with
+    a < b < c by joining the edge list with itself (each triangle is
+    generated EXACTLY once as its vertex-ordered wedge + closing edge —
+    no 3!/6 overcount, no division); verify the closing (a, c) edge with
+    a semi-join-shaped inner join; explode the 3 vertices and count.
+
+    Scale shape: the vertex-ordered join IS the classic degree-bound
+    mitigation — a vertex only extends wedges toward higher-numbered
+    neighbors, so a hub's wedge fan-out is bounded by its higher-ordered
+    degree (~d/2 on average; a full degree-ORDERED orientation — relabel
+    vertices by ascending degree first — tightens the bound to the
+    graph's degeneracy and drops in here as one extra rank join at 100 TB
+    skew). All joins are hash joins on int64 keys (hinted; no sorts).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ext = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    wedge = und.join(ext.hint("shuffle_hash"), F.col("b") == F.col("b2")).select(
+        "a", "b", "c"
+    )
+    closing = und.select(F.col("a").alias("ca"), F.col("b").alias("cc"))
+    tri = wedge.join(
+        closing.hint("shuffle_hash"),
+        (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cc")),
+    ).select("a", "b", "c")
+    return (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_ct"))
+    )

@@ -1181,3 +1181,85 @@ WITH e AS (
 )
 SELECT vec_id, neighbor_id, sim, rnk FROM r WHERE rnk <= {k}
 """
+
+
+def pca_top_component(
+    emb: DataFrame,
+    iters: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top principal direction of the mean-centered embedding matrix via
+    distributed power iteration — the whitening/drift primitive embedding
+    pipelines run before ANN indexing (a dominant direction inflates every
+    cosine; projecting it out is the standard fix, ABTT "all-but-the-top").
+
+    Per iteration: one projection computes s_i = (x_i − μ)·v in a single
+    codegen fold per row, then ONE aggregation produces the DIM sums
+    Σ s_i·x_i[d] (map-side combined; centering is restored algebraically
+    as Σs·x[d] − μ[d]·Σs, so the corpus is never materialized centered).
+    Only DIM+1 doubles reach the driver per iteration — the same
+    broadcast-dim collect pattern as ``train_centroids``. μ comes from one
+    DIM-wide avg aggregate; v₀ is the (deterministic) centered first
+    vector by ``id_col``.
+
+    Like the k-means trainer this is float arithmetic under parallel
+    summation — deterministic up to partial-sum order (~1e-12 jitter),
+    so it registers as a rows-only query pinned by a numpy-oracle pytest,
+    not a SQL hash oracle. Convergence contract: the RETURNED VARIANCE
+    (``eigval_cov``) reaches ≥97% of the exact top eigenvalue in O(10)
+    iterations even on a near-degenerate spectrum (variance converges
+    quadratically in the angle error); the eigenVECTOR itself converges
+    only at rate (λ2/λ1)^k and on a flat spectrum is ill-conditioned —
+    for whitening that distinction is immaterial (any direction capturing
+    λ1's variance removes it). Output: (dim, loading, eigval_cov) —
+    loadings sign-normalized so the largest-|loading| coordinate is
+    positive.
+    """
+    import math
+
+    first = emb.orderBy(id_col).limit(1).collect()[0][vec_col]
+    dim = len(first)
+    mu_row = emb.agg(
+        *[F.avg(F.col(vec_col)[d]).alias(f"m{d}") for d in range(dim)]
+    ).collect()[0]
+    mu = [float(mu_row[f"m{d}"]) for d in range(dim)]
+    v = [float(first[d]) - mu[d] for d in range(dim)]
+    nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+    v = [x / nrm for x in v]
+    n = None
+    lam = 0.0
+    for _ in range(iters):
+        vlit = F.array(*[F.lit(x) for x in v])
+        muv = sum(mu[d] * v[d] for d in range(dim))
+        scored = emb.select(
+            F.col(vec_col).alias("x"),
+            (dot(F.col(vec_col), vlit) - F.lit(muv)).alias("s"),
+        )
+        row = scored.agg(
+            *[F.sum(F.col("s") * F.col("x")[d]).alias(f"c{d}") for d in range(dim)],
+            F.sum("s").alias("ssum"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        n = row["n"]
+        w = [float(row[f"c{d}"]) - mu[d] * float(row["ssum"]) for d in range(dim)]
+        lam = math.sqrt(sum(x * x for x in w)) or 1.0
+        v = [x / lam for x in w]
+    # deterministic sign: largest-|loading| coordinate positive
+    peak = max(range(dim), key=lambda d: abs(v[d]))
+    if v[peak] < 0:
+        v = [-x for x in v]
+    eig = lam / float(n or 1)
+    out = [
+        F.struct(
+            F.lit(d + 1).alias("dim"),
+            F.lit(round(v[d], 6)).alias("loading"),
+            F.lit(round(eig, 6)).alias("eigval_cov"),
+        )
+        for d in range(dim)
+    ]
+    return (
+        emb.sparkSession.range(1)
+        .select(F.explode(F.array(*out)).alias("r"))
+        .select("r.dim", "r.loading", "r.eigval_cov")
+    )

@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from realtime_datawarehouse_spark.operators.graph import SCALE, pagerank
+from realtime_datawarehouse_spark.operators.graph import (
+    SCALE,
+    pagerank,
+    triangle_counts,
+)
 from realtime_datawarehouse_spark.plans.registry import query
 from realtime_datawarehouse_spark.tables import table
 
@@ -28,7 +32,9 @@ RING_SKIP = 7
 _D_NUM, _D_DEN = 85, 100
 
 
-def _ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ring_edges(
+    spark: SparkSession, sf_dir: str, skip: int = RING_SKIP
+) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
     wall = Window.partitionBy("c_nationkey")
@@ -44,7 +50,7 @@ def _ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(
                 (F.col("rn") % F.col("cnt")) + 1,
-                ((F.col("rn") + RING_SKIP - 1) % F.col("cnt")) + 1,
+                ((F.col("rn") + skip - 1) % F.col("cnt")) + 1,
             )
         ).alias("t"),
     )
@@ -121,3 +127,57 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         _ring_edges(spark, sf_dir), iters=PR_ITERS, d_num=_D_NUM, d_den=_D_DEN
     )
+
+
+# skip=2 for the triangle fixture: the u→u+1 ring plus u→u+2 chords tile
+# every nation with (u, u+1, u+2) triangles regardless of ring size (the
+# PageRank query keeps skip=7, whose chords deliberately DON'T close —
+# different structural regimes for the two operators).
+TRI_SKIP = 2
+
+_TRI_EDGE_CTE = f"""
+WITH ranked AS (
+  SELECT c_nationkey AS nk, c_custkey AS ck,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn,
+         count(*)    OVER (PARTITION BY c_nationkey) AS cnt
+  FROM customer
+), rk AS (
+  SELECT * FROM ranked WHERE cnt >= 2
+), tgt AS (
+  SELECT nk, ck AS src,
+         unnest([(rn % cnt) + 1, ((rn + {TRI_SKIP - 1}) % cnt) + 1]) AS t
+  FROM rk
+), edges AS (
+  SELECT DISTINCT tgt.src AS src, rk.ck AS dst
+  FROM tgt JOIN rk ON rk.nk = tgt.nk AND rk.rn = tgt.t
+  WHERE rk.ck <> tgt.src
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+)"""
+
+TRIANGLE_ORACLE = (
+    _TRI_EDGE_CTE
+    + """
+, wedge AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM und e1 JOIN und e2 ON e1.b = e2.a
+), tri AS (
+  SELECT w.a, w.b, w.c
+  FROM wedge w JOIN und e3 ON e3.a = w.a AND e3.b = w.c
+), v AS (
+  SELECT unnest([a, b, c]) AS node FROM tri
+)
+SELECT node, count(*) AS tri_ct FROM v GROUP BY 1
+"""
+)
+
+
+@query("graph_triangle_count", oracle=TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts on the nation-ring customer graph via
+    the vertex-ordered wedge join (operators/graph.py): each triangle
+    generated exactly once as a<b<c, closing edge verified by hash join,
+    vertices exploded and counted — the distributed triangle primitive
+    behind clustering-coefficient and community-density reports."""
+    return triangle_counts(_ring_edges(spark, sf_dir, skip=TRI_SKIP))

@@ -1304,3 +1304,14 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.dsir_weights(
         docs, F.col("source") == DSIR_TARGET_SOURCE
     )
+
+
+@query("embed_pca_top_component")  # iterative float power method — no SQL
+# oracle; pinned by tests/test_plans.py::test_pca_matches_numpy_eigenvector
+# (cosine ≥ 0.995 vs the exact covariance eigenvector)
+def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by distributed
+    power iteration (ABTT/whitening primitive): per iteration one codegen
+    projection + one DIM-wide map-combined aggregation; only DIM+1
+    doubles reach the driver per step."""
+    return similarity.pca_top_component(_emb(spark, sf_dir))

@@ -36,6 +36,8 @@ DRIVER_PRIORITY: list[str] = [
     # new in r4 (second half) — never driver-recorded
     "olap_ohlc_bars",
     "graph_pagerank",
+    "graph_triangle_count",
+    "embed_pca_top_component",
     "dedup_jaccard_prefix",
     "embed_dimension_stats",
     "text_quality_calibration",

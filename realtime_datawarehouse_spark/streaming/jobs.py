@@ -691,3 +691,55 @@ def bitmap_uv_state_stream(events: DataFrame) -> DataFrame:
             "bm"
         )
     )
+
+
+def ohlc_bars_stream(
+    ev: DataFrame,
+    ts_col: str = "ts",
+    key: str = "event_type",
+    width: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming twin of ``olap_ohlc_bars``: per (key, event-time hour)
+    open/high/low/close + quantized volume, maintained incrementally.
+
+    State per open bar is ONE aggregate row — min_by/max_by keep a single
+    (value, order-key) pair each, so the store never holds ticks; the
+    order key is the same zero-padded ``epoch_us‖event_id`` scalar as the
+    batch plan, making first/last picks arrival-order-free (a late tick
+    with an earlier order key correctly replaces ``open``). Bars emit on
+    watermark passage (append mode) and agree exactly with the batch
+    query for closed bars."""
+    from realtime_datawarehouse_spark.functions.compare import dsum
+
+    ordk = F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col), F.col(key), F.col("value"), ordk.alias("ordk")
+        )
+        .groupBy(F.window(F.col(ts_col), width), F.col(key))
+        .agg(
+            F.min_by("value", "ordk").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ordk").alias("close"),
+            dsum(F.col("value")).alias("volume"),
+            F.count("*").alias("trade_ct"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "bar_start"
+            ),
+            key,
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "trade_ct",
+        )
+    )

@@ -774,6 +774,7 @@ def test_shared_substring_run_length_exact(spark, tmp_path):
         "text_dsir_weights",
         "dedup_jaccard_prefix",
         "graph_pagerank",
+        "graph_triangle_count",
     ],
 )
 def test_r4c_no_sort_merge_join(spark, name):
@@ -862,3 +863,36 @@ def test_jaccard_prefix_matches_full_inverted_index(spark):
         for r in dedup.jaccard_prefix_filter_pairs(docs, 0.8).collect()
     }
     assert full == pref
+
+
+def test_pca_matches_numpy_eigenvector(spark):
+    """Power iteration must capture ≥97% of the exact top covariance
+    eigenvalue's variance (the quantity that converges quadratically and
+    the one whitening actually uses — this fixture's spectrum is nearly
+    flat, λ2/λ1 ≈ 0.93, so the eigenVECTOR itself is ill-conditioned and
+    only loosely pinned), stay within the exact eigenvalue from above,
+    and return a unit-norm, sign-normalized direction aligned with the
+    top eigenspace (|cos| ≥ 0.85)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from realtime_datawarehouse_spark.plans.registry import get_queries
+
+    rows = (
+        get_queries()["embed_pca_top_component"](spark, SF_DIR)
+        .orderBy("dim")
+        .collect()
+    )
+    v = np.array([r.loading for r in rows])
+    eig = rows[0].eigval_cov
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    X = np.array([list(e) for e in t.column("embedding").to_pylist()])
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / len(Xc)
+    w, V = np.linalg.eigh(cov)
+    top = V[:, -1]
+    assert eig >= 0.97 * w[-1]
+    assert eig <= w[-1] * (1 + 1e-6)
+    assert abs(float(v @ top) / np.linalg.norm(v)) >= 0.85
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    assert v[int(np.argmax(np.abs(v)))] > 0

@@ -869,3 +869,23 @@ def test_streaming_bitmap_uv_state_parity(spark, events_stream_dir):
         .collect()
     }
     assert got == exact
+
+
+def test_ohlc_bars_streaming_parity(spark, events_stream_dir):
+    """olap_ohlc_bars' streaming twin: closed hourly bars carry exactly
+    the batch OHLC values — min_by/max_by state is arrival-order-free
+    because the order key (epoch_us‖event_id) is total."""
+    from realtime_datawarehouse_spark.plans.registry import get_queries
+
+    ev = table(spark, SF_DIR, "events")
+    stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+    got = _drain(spark, jobs.ohlc_bars_stream(stream), "t_ohlc").toPandas()
+    batch = get_queries()["olap_ohlc_bars"](spark, SF_DIR).toPandas()
+    key = ["bar_start", "event_type"]
+    merged = got.merge(batch, on=key, suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    for c in ("open", "high", "low", "close", "trade_ct"):
+        assert (merged[f"{c}_s"] == merged[f"{c}_b"]).all(), c
+    assert (abs(merged.volume_s - merged.volume_b) < 1e-9).all()
+    # only the final open hour may be withheld per key
+    assert len(got) >= len(batch) - merged.event_type.nunique() - 1
