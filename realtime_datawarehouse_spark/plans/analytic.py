@@ -1812,3 +1812,135 @@ def olap_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("trade_ct"),
         )
     )
+
+
+# ClickHouse-parity windowFunnel: deepest view→click→purchase level where
+# every step falls within WF_WINDOW of the ANCHOR view event (the classic
+# bounded-window funnel, vs olap_funnel_conversion's unconstrained chain).
+WF_WINDOW_S = 24 * 3600  # discriminative on the sparse fixture: levels 1/2/3 all populated
+
+_WF_ORD = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
+WINDOW_FUNNEL_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, {_WF_ORD} AS okey
+  FROM events
+), nx AS (
+  SELECT user_id, event_type, us, okey,
+         min(CASE WHEN event_type = 'click'    THEN okey END) OVER wafter
+           AS nk_click,
+         min(CASE WHEN event_type = 'purchase' THEN okey END) OVER wafter
+           AS nk_purch
+  FROM e
+  WINDOW wafter AS (PARTITION BY user_id ORDER BY okey DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), anchors AS (
+  SELECT a.user_id, a.us AS a_us,
+         CAST(substr(a.nk_click, 1, 20) AS BIGINT) AS click_us,
+         CAST(substr(c.nk_purch, 1, 20) AS BIGINT) AS purch_us
+  FROM nx a
+  LEFT JOIN nx c ON c.user_id = a.user_id AND c.okey = a.nk_click
+  WHERE a.event_type = 'view'
+), lv AS (
+  SELECT user_id,
+         max(CASE
+               WHEN purch_us IS NOT NULL
+                    AND purch_us - a_us <= {WF_WINDOW_S} * CAST(1000000 AS BIGINT) THEN 3
+               WHEN click_us IS NOT NULL
+                    AND click_us - a_us <= {WF_WINDOW_S} * CAST(1000000 AS BIGINT) THEN 2
+               ELSE 1
+             END) AS funnel_level
+  FROM anchors GROUP BY 1
+)
+SELECT funnel_level, count(*) AS user_ct FROM lv GROUP BY 1
+"""
+
+
+@query("olap_window_funnel", oracle=WINDOW_FUNNEL_ORACLE)
+def olap_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window funnel (ClickHouse ``windowFunnel`` semantics): per
+    user, the deepest view→click→purchase chain whose every step lands
+    within WF_WINDOW_S (24 h) of the ANCHOR view; report user counts per
+    level. Unlike ``olap_funnel_conversion`` (unconstrained chain of
+    mins), each view event anchors its own window and the user scores
+    the max over anchors — late-arriving conversions outside the window
+    correctly don't count.
+
+    Scale shape: both lookahead columns (earliest later click / later
+    purchase) come from ONE window spec as running mins over the
+    descending total order — no per-anchor scan, no quadratic pair work;
+    one hash self-join fetches the purchase lookahead AT the matched
+    click row (fixed funnel depth = fixed join count, each on
+    (user, okey)); the level rollups are map-side combinable. The
+    self-join instantiates the windowed subtree on both sides (Catalyst
+    reuses the scan/shuffle where identical; at 100 TB materialize the
+    lookahead table once — checkpoint or intermediate table — before the
+    step joins). The okey (epoch_us‖event_id zero-padded) gives a total
+    order so ties are engine-identical, and step timestamps parse back
+    out of the key prefix — no extra join per step."""
+    ev = table(spark, sf_dir, "events")
+    okey = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        okey.alias("okey"),
+    )
+    wafter = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("okey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nx = e.select(
+        "user_id",
+        "event_type",
+        "us",
+        "okey",
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("okey"))
+        ).over(wafter).alias("nk_click"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("okey"))
+        ).over(wafter).alias("nk_purch"),
+    )
+    a = nx.where(F.col("event_type") == "view").select(
+        "user_id", F.col("us").alias("a_us"), F.col("nk_click")
+    )
+    c = nx.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"),
+        F.col("okey").alias("c_okey"),
+        F.col("nk_purch"),
+    )
+    anchors = a.join(
+        c.hint("shuffle_hash"),
+        (F.col("user_id") == F.col("c_uid"))
+        & (F.col("nk_click") == F.col("c_okey")),
+        "left",
+    ).select(
+        "user_id",
+        "a_us",
+        F.substring("nk_click", 1, 20).cast("bigint").alias("click_us"),
+        F.substring("nk_purch", 1, 20).cast("bigint").alias("purch_us"),
+    )
+    t_us = F.lit(WF_WINDOW_S * 1_000_000)
+    level = (
+        F.when(
+            F.col("purch_us").isNotNull()
+            & (F.col("purch_us") - F.col("a_us") <= t_us),
+            3,
+        )
+        .when(
+            F.col("click_us").isNotNull()
+            & (F.col("click_us") - F.col("a_us") <= t_us),
+            2,
+        )
+        .otherwise(1)
+    )
+    lv = anchors.groupBy("user_id").agg(F.max(level).alias("funnel_level"))
+    return lv.groupBy("funnel_level").agg(F.count("*").alias("user_ct"))

@@ -1315,3 +1315,100 @@ def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection + one DIM-wide map-combined aggregation; only DIM+1
     doubles reach the driver per step."""
     return similarity.pca_top_component(_emb(spark, sf_dir))
+
+
+# --- BM25 ranked retrieval (Okapi BM25, Robertson-Lucene idf variant) -----
+
+BM25_TERMS = ("join", "hash", "filter")
+BM25_TOPK = 20
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+BM25_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM t GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM t
+  WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM t
+  WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY 1
+), contrib AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({_BM25_K1} + 1.0))
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * dl.dl
+                / (CAST(stats.total_len AS DOUBLE) / stats.n_docs)))
+           * 1000000 + 0.5) AS BIGINT) AS c6
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+)
+SELECT doc_id, CAST(sum(c6) AS BIGINT) AS bm25_q6
+FROM contrib GROUP BY 1
+ORDER BY bm25_q6 DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+@query("ext_bm25_topk", oracle=BM25_ORACLE)
+def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{BM25_TOPK} for a fixed term query — the lexical
+    ranking half of every hybrid-retrieval stack (Lucene-variant idf,
+    k1={_BM25_K1}, b={_BM25_B}), executed warehouse-style without a
+    serving index.
+
+    Scale shape: the token explode feeds doc lengths; the QUERY-TERM
+    filter lands before the tf/df aggregations, so postings materialize
+    only for the |Q| query terms (map-side combined); df and the 1-row
+    corpus stats broadcast into the scorer — the only corpus-sized
+    exchanges are the dl and tf aggregations, and the global top-k is
+    TakeOrderedAndProject. Per-term contributions are 1e-6-quantized
+    BEFORE the int64 sum (order-free); the quantization sits after
+    ln/divisions, so the unigram_logprob libm caveat applies."""
+    from realtime_datawarehouse_spark.functions.text import tokenize
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    dl = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qt = t.where(F.col("term").isin(*BM25_TERMS))
+    tf = qt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfr = qt.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl)
+    )
+    c6 = F.floor(idf * tfn * F.lit(1_000_000) + F.lit(0.5)).cast("bigint")
+    contrib = (
+        tf.join(F.broadcast(dfr), "term")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", c6.alias("c6"))
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c6").alias("bm25_q6"))
+        .orderBy(F.desc("bm25_q6"), "doc_id")
+        .limit(BM25_TOPK)
+    )

@@ -35,6 +35,8 @@ ORACLES: dict[str, str] = {}
 DRIVER_PRIORITY: list[str] = [
     # new in r4 (second half) — never driver-recorded
     "olap_ohlc_bars",
+    "olap_window_funnel",
+    "ext_bm25_topk",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",

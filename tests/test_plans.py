@@ -775,6 +775,8 @@ def test_shared_substring_run_length_exact(spark, tmp_path):
         "dedup_jaccard_prefix",
         "graph_pagerank",
         "graph_triangle_count",
+        "olap_window_funnel",
+        "ext_bm25_topk",
     ],
 )
 def test_r4c_no_sort_merge_join(spark, name):
@@ -896,3 +898,11 @@ def test_pca_matches_numpy_eigenvector(spark):
     assert abs(float(v @ top) / np.linalg.norm(v)) >= 0.85
     assert abs(np.linalg.norm(v) - 1.0) < 1e-3
     assert v[int(np.argmax(np.abs(v)))] > 0
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """BM25's global top-k must compile to TakeOrderedAndProject; the df
+    table and corpus stats must broadcast into the scorer."""
+    plan = _explain(spark, "ext_bm25_topk", "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
