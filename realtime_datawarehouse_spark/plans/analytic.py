@@ -26,6 +26,7 @@ from realtime_datawarehouse_spark.functions.compare import (
     pround,
     pround_sql,
 )
+from realtime_datawarehouse_spark.functions.timeutil import fmt_date
 from realtime_datawarehouse_spark.plans.registry import query
 from realtime_datawarehouse_spark.tables import table
 
@@ -1944,3 +1945,42 @@ def olap_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lv = anchors.groupBy("user_id").agg(F.max(level).alias("funnel_level"))
     return lv.groupBy("funnel_level").agg(F.count("*").alias("user_ct"))
+
+
+UNPIVOT_ORACLE = f"""
+WITH wide AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
+         {dsum_sql('o_totalprice')}        AS gmv,
+         CAST(count(*) AS DOUBLE)          AS order_ct,
+         max(o_totalprice)                 AS max_price
+  FROM orders GROUP BY 1
+)
+SELECT dt, metric, value FROM (
+  SELECT dt, 'gmv'       AS metric, gmv       AS value FROM wide
+  UNION ALL
+  SELECT dt, 'order_ct'  AS metric, order_ct  AS value FROM wide
+  UNION ALL
+  SELECT dt, 'max_price' AS metric, max_price AS value FROM wide
+)
+"""
+
+
+@query("olap_unpivot_metrics", oracle=UNPIVOT_ORACLE)
+def olap_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long metric melt (UNPIVOT): per-day gmv / order count / max
+    price pivoted into (dt, metric, value) rows — the reshape every
+    metrics store and BI export runs. Spark's native ``unpivot``
+    (Expand) emits the long rows in the SAME pass as the projection: one
+    aggregation shuffle on dt, zero extra exchanges for the melt (the
+    UNION-ALL oracle formulation would rescan the aggregate 3×; Expand
+    doesn't). Counts are cast to double so the value column is
+    single-typed in both engines."""
+    o = table(spark, sf_dir, "orders")
+    wide = o.groupBy(fmt_date("o_orderdate").alias("dt")).agg(
+        dsum(F.col("o_totalprice")).alias("gmv"),
+        F.count("*").cast("double").alias("order_ct"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return wide.unpivot(
+        ["dt"], ["gmv", "order_ct", "max_price"], "metric", "value"
+    )

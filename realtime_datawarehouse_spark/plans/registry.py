@@ -27,15 +27,16 @@ ORACLES: dict[str, str] = {}
 # The external driver records correctness rows for only ~50 entries of
 # queries() per round, in emission order. Emission order therefore rotates
 # per round so every query accumulates a driver-recorded row. Round-4 head
-# (VERDICT r03 #1 — refresh the stale records): the 3 queries new this
-# round and the 3 whose implementation/oracle changed (sketch pins,
-# trained-IVF assignment), then the ENTIRE r01-recorded cohort (33 — their
-# only driver row predates two rounds of code evolution), then 11 of the
-# r02 cohort; the r02 remainder leads round 5.
+# (final): the ~43 queries NEW in round 4 (never driver-recorded) plus the
+# 3 whose implementation/oracle changed (sketch pins, trained-IVF
+# assignment) fill most of the 50-row budget — a never-recorded query
+# outranks a stale record. The remaining slots take the oldest r01 rows;
+# round 5 leads with the rest of the r01 cohort, then r02.
 DRIVER_PRIORITY: list[str] = [
     # new in r4 (second half) — never driver-recorded
     "olap_ohlc_bars",
     "olap_window_funnel",
+    "olap_unpivot_metrics",
     "ext_bm25_topk",
     "graph_pagerank",
     "graph_triangle_count",
