@@ -39,6 +39,14 @@ from pyspark.sql import DataFrame, SparkSession
 from realtime_datawarehouse_spark.sources.kafka import latest_by_key
 
 _POINTER = "_CURRENT"
+_LOCK = "_COMMIT_LOCK"
+# a crashed committer's lock goes stale; breakable after this many seconds
+_LOCK_STALE_S = 30.0
+
+
+class ConcurrentCommitError(RuntimeError):
+    """The table advanced past the version this commit was computed
+    against (optimistic-concurrency conflict — recompute and retry)."""
 
 
 def _pointer_path(path: str) -> str:
@@ -93,22 +101,87 @@ def _next_version_name(path: str) -> str:
     return f"v-{n:010d}"
 
 
-def commit(df: DataFrame, path: str) -> str:
+def _acquire_lock(path: str) -> str:
+    """Tiny mutex guarding ONLY the check-and-flip step (never the write:
+    snapshot writes run fully parallel outside it). O_EXCL creation is the
+    atomic primitive; a lock older than ``_LOCK_STALE_S`` (crashed
+    committer) is broken. On an object store this maps to a conditional
+    PUT / DynamoDB-style commit arbiter — the same shape Delta uses on
+    S3."""
+    import time
+
+    lock = os.path.join(path, _LOCK)
+    deadline = time.monotonic() + _LOCK_STALE_S
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                if time.monotonic() > deadline or (
+                    time.time() - os.path.getmtime(lock) > _LOCK_STALE_S
+                ):
+                    os.unlink(lock)  # break stale lock
+                    continue
+            except FileNotFoundError:
+                continue
+            time.sleep(0.02)
+
+
+def commit(df: DataFrame, path: str, expected_version: str | None = ...) -> str:
     """Write ``df`` as the next version (executor-parallel) and atomically
-    flip the pointer to it. Returns the committed version name."""
+    flip the pointer to it. Returns the committed version name.
+
+    ``expected_version`` enables OPTIMISTIC CONCURRENCY (Delta-style): pass
+    the version the merged plan was computed against (None for "table did
+    not exist") and the flip only happens if the table is still at that
+    version — otherwise :class:`ConcurrentCommitError` is raised, the
+    orphan snapshot is removed, and the caller recomputes against the new
+    current and retries (see ``merge_upsert``). Omitting it keeps the
+    unconditional last-writer-wins flip for single-writer paths.
+
+    The version DIRECTORY itself is the claim token: ``os.mkdir`` is
+    atomic, so two racing writers can never write into the same snapshot;
+    the loser of the name just claims the next number. The check-and-flip
+    runs under a short lock so a concurrent flip cannot interleave between
+    the check and the rename.
+    """
     import shutil
 
     os.makedirs(path, exist_ok=True)
+    check = expected_version is not ...
     previous = current_version(path)
-    version = _next_version_name(path)
+    # claim a version directory atomically (retry on name collision)
+    while True:
+        version = _next_version_name(path)
+        try:
+            os.mkdir(os.path.join(path, version))
+            break
+        except FileExistsError:
+            continue
     df.write.mode("overwrite").parquet(os.path.join(path, version))
 
-    tmp = _pointer_path(path) + f".tmp.{os.getpid()}"
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(version)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _pointer_path(path))  # atomic: readers see old or new
+    lock = _acquire_lock(path) if check else None
+    try:
+        if check and current_version(path) != expected_version:
+            shutil.rmtree(os.path.join(path, version), ignore_errors=True)
+            raise ConcurrentCommitError(
+                f"table at {path} moved from {expected_version!r} to "
+                f"{current_version(path)!r} during commit"
+            )
+        tmp = _pointer_path(path) + f".tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(version)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, _pointer_path(path))  # atomic: readers see old or new
+    finally:
+        if lock is not None:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     # GC: drop everything except the new current and its immediate
     # predecessor (grace period for readers holding the old pointer value).
@@ -142,15 +215,35 @@ def merge_upsert(
     The merged plan reads the CURRENT version directory and writes the NEXT
     one, so no barrier materialization is needed — the classic
     read-what-you-overwrite hazard does not exist here.
+
+    CONCURRENT WRITERS: the merge is committed with optimistic concurrency
+    — if another writer lands a version between this writer's read and its
+    flip, the commit conflicts (:class:`ConcurrentCommitError`), and the
+    merge recomputes against the NEW current state and retries (bounded).
+    Both writers' rows survive, in ``version_col`` order — the lost-update
+    anomaly of a naive last-flip-wins pointer cannot occur. This is the
+    MERGE-serialization contract Delta provides via its commit log.
+    (Retention caveat: GC keeps current+previous, so a writer's pinned
+    base survives ONE concurrent commit cycle; under heavier write
+    concurrency raise the retention window so slow writers' snapshots
+    outlive their read — same knob as Delta's log retention.)
     """
-    current = read_state(spark, path)
-    if current is None:
-        union = incoming
-    elif evolve_schema:
-        union = current.unionByName(incoming, allowMissingColumns=True)
-    else:
-        union = current.unionByName(incoming)
-    merged = latest_by_key(union, pk, version_col)
-    if delete_when is not None:
-        merged = merged.where(~delete_when)
-    return commit(merged, path)
+    attempts = 5
+    for attempt in range(attempts):
+        base = current_version(path)
+        current = read_state(spark, path, base) if base else None
+        if current is None:
+            union = incoming
+        elif evolve_schema:
+            union = current.unionByName(incoming, allowMissingColumns=True)
+        else:
+            union = current.unionByName(incoming)
+        merged = latest_by_key(union, pk, version_col)
+        if delete_when is not None:
+            merged = merged.where(~delete_when)
+        try:
+            return commit(merged, path, expected_version=base)
+        except ConcurrentCommitError:
+            if attempt == attempts - 1:
+                raise
+    raise AssertionError("unreachable")

@@ -1984,3 +1984,41 @@ def olap_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["dt"], ["gmv", "order_ct", "max_price"], "metric", "value"
     )
+
+
+GROWTH_ORACLE = f"""
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         {dsum_sql('o_totalprice')} AS gmv
+  FROM orders GROUP BY 1
+)
+SELECT month, gmv,
+       {pround_sql('(gmv - lag(gmv, 1) OVER w) * 100.0 / lag(gmv, 1) OVER w')}
+         AS mom_pct,
+       {pround_sql('(gmv - lag(gmv, 12) OVER w) * 100.0 / lag(gmv, 12) OVER w')}
+         AS yoy_pct
+FROM m
+WINDOW w AS (ORDER BY month)
+"""
+
+
+@query("olap_monthly_growth", oracle=GROWTH_ORACLE)
+def olap_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly GMV with month-over-month and year-over-year growth — the
+    trend header of every revenue dashboard. The growth lags run over the
+    ALREADY-AGGREGATED month table (|months| rows — ~80 here, bounded by
+    calendar at any corpus size), so the unpartitioned window is a
+    deliberate non-issue: the corpus-sized work is the one map-combined
+    aggregation; everything after is O(months)."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(dsum(F.col("o_totalprice")).alias("gmv"))
+    w = Window.orderBy("month")
+    mom = (F.col("gmv") - F.lag("gmv", 1).over(w)) * 100.0 / F.lag("gmv", 1).over(w)
+    yoy = (F.col("gmv") - F.lag("gmv", 12).over(w)) * 100.0 / F.lag("gmv", 12).over(w)
+    return m.select(
+        "month", "gmv", pround(mom, 2).alias("mom_pct"), pround(yoy, 2).alias("yoy_pct")
+    )

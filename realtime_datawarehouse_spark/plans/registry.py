@@ -37,6 +37,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_ohlc_bars",
     "olap_window_funnel",
     "olap_unpivot_metrics",
+    "olap_monthly_growth",
     "ext_bm25_topk",
     "graph_pagerank",
     "graph_triangle_count",

@@ -906,3 +906,43 @@ def test_bm25_topk_is_take_ordered(spark):
     plan = _explain(spark, "ext_bm25_topk", "simple")
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_jaccard_prefix_boundary_pairs(spark):
+    """Hand-crafted corpus: an exact duplicate pair (J=1), a pair just
+    ABOVE threshold (18 shared / 22 union ≈ 0.8182), and a pair BELOW
+    (14 shared / 26 union ≈ 0.5385) — the prefix filter must keep the
+    first two and drop the third, with exact jaccard values."""
+    from realtime_datawarehouse_spark.operators import dedup
+
+    w = [f"w{i:02d}" for i in range(40)]
+
+    def text(idxs):
+        return " ".join(w[i] for i in idxs)
+
+    # 3-gram shingling of a k-token doc gives k-2 shingles; overlapping
+    # token runs share shingles only inside the common run.
+    base = list(range(22))          # 20 shingles
+    above = list(range(2, 24))      # shares tokens 2..21 → 18 shared shingles
+    below = list(range(6, 28))      # shares 6..21 → 14 shared shingles
+    docs = spark.createDataFrame(
+        [
+            (1, text(base)),
+            (2, text(base)),        # exact dup of 1
+            (3, text(above)),
+            (4, text(below)),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_prefix_filter_pairs(docs, 0.8).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, 0.8).collect()
+    }
+    assert got == full
+    assert got[(1, 2)] == 1.0
+    assert round(18 / 22, 4) == got[(1, 3)] == got[(2, 3)]
+    assert (1, 4) not in got and (3, 4) not in got

@@ -297,3 +297,62 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
 
     with _pytest.raises(Exception):
         table_store.merge_upsert(spark, b3, path, pk="pk", version_col="ts")
+
+
+def test_concurrent_merge_upsert_no_lost_update(spark, tmp_path):
+    """Optimistic concurrency (Delta-style MERGE serialization): writer B
+    computes its merge against v1, writer A commits first, then B's
+    conditional commit must CONFLICT (not silently discard A's rows), and
+    B's retry — the merge_upsert loop — must land with BOTH writers'
+    updates present."""
+    import pytest
+
+    from realtime_datawarehouse_spark.operators import table_store as ts
+    from realtime_datawarehouse_spark.sources.kafka import latest_by_key
+
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "x", 1), (2, "y", 1)], "pk int, val string, ver int"
+    )
+    ts.commit(base, path)
+    v1 = ts.current_version(path)
+
+    # writer B: merge computed against v1 (pinned), NOT yet committed
+    b_incoming = spark.createDataFrame([(2, "B", 2)], "pk int, val string, ver int")
+    b_merged = latest_by_key(
+        ts.read_state(spark, path, v1).unionByName(b_incoming), "pk", "ver"
+    )
+
+    # writer A commits first (same base)
+    a_incoming = spark.createDataFrame([(1, "A", 2)], "pk int, val string, ver int")
+    ts.merge_upsert(spark, a_incoming, path, pk="pk", version_col="ver")
+    assert ts.current_version(path) != v1
+
+    # B's conditional commit must conflict — a naive flip would erase A's row
+    with pytest.raises(ts.ConcurrentCommitError):
+        ts.commit(b_merged, path, expected_version=v1)
+
+    # B retries through merge_upsert: recomputes against the new current
+    ts.merge_upsert(spark, b_incoming, path, pk="pk", version_col="ver")
+    rows = {
+        (r.pk, r.val) for r in ts.read_state(spark, path).collect()
+    }
+    assert rows == {(1, "A"), (2, "B")}
+
+
+def test_commit_claim_directories_never_collide(spark, tmp_path):
+    """The version directory is the claim token: sequential commits claim
+    strictly increasing names even when a stale empty claim dir exists
+    (simulating a racer that claimed but hasn't flipped)."""
+    import os
+
+    from realtime_datawarehouse_spark.operators import table_store as ts
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1)], "pk int, ver int")
+    v1 = ts.commit(df, path)
+    # simulate a concurrent claim that hasn't committed yet
+    os.mkdir(os.path.join(path, "v-0000000002"))
+    v3 = ts.commit(df, path)
+    assert v3 == "v-0000000003" and v1 == "v-0000000001"
+    assert ts.current_version(path) == v3
