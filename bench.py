@@ -91,6 +91,9 @@ BENCH_QUERIES = (
     "olap_ohlc_bars",               # min_by/max_by OHLC time-bars
     "text_bpe_merge_pairs",         # BPE merge-pair counting + top-k
     "text_dsir_weights",            # DSIR hashed-bigram importance scoring
+    "olap_window_funnel",           # bounded-window funnel (lookahead windows + step join)
+    "ext_bm25_topk",                # BM25 scorer + TakeOrdered top-k
+    "graph_triangle_count",         # vertex-ordered wedge join
 )
 
 

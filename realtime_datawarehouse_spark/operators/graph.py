@@ -92,10 +92,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Scale shape: the vertex-ordered join IS the classic degree-bound
     mitigation — a vertex only extends wedges toward higher-numbered
     neighbors, so a hub's wedge fan-out is bounded by its higher-ordered
-    degree (~d/2 on average; a full degree-ORDERED orientation — relabel
-    vertices by ascending degree first — tightens the bound to the
-    graph's degeneracy and drops in here as one extra rank join at 100 TB
-    skew). All joins are hash joins on int64 keys (hinted; no sorts).
+    degree (~d/2 on average; :func:`triangle_counts_degree_ordered` is the
+    degree-ORDERED orientation that tightens the bound to O(√m) — the
+    hub-proof form for 100 TB skew, equality-tested against this one).
+    All joins are hash joins on int64 keys (hinted; no sorts).
     """
     und = (
         edges.select(
@@ -116,6 +116,93 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return (
         tri.select(
             F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_ct"))
+    )
+
+
+def triangle_counts_degree_ordered(edges: DataFrame) -> DataFrame:
+    """Triangle counts with DEGREE-ordered orientation — same output as
+    :func:`triangle_counts`, hub-proof cost shape (the 100 TB form its
+    docstring promises).
+
+    Each undirected edge is oriented from the endpoint with smaller
+    (degree, node) to the larger — no dense-rank assignment or global
+    sort: the composite key itself is the total order, so orientation
+    needs only two hash joins against the degree table. Every vertex's
+    OUT-degree is then bounded by O(√m) (the arboricity/degeneracy
+    argument: a vertex keeps only neighbors of equal-or-higher degree),
+    so the wedge fan-out of a 10⁷-degree hub collapses from d² to ~m —
+    the node-iterator++ guarantee (Schank & Wagner 2005). Wedges are the
+    ordered out-neighbor pairs of each vertex; the closing edge is
+    checked in the same orientation. Pair generation uses the same
+    array-combinatorics as the dedup inverted index (the out-adjacency
+    list is collected per vertex — bounded by the √m out-degree cap)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    ann = und.join(da.hint("shuffle_hash"), "a").join(
+        db.hint("shuffle_hash"), "b"
+    )
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    out = ann.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(
+            a_first, F.struct(F.col("degb").alias("d"), F.col("b").alias("n"))
+        )
+        .otherwise(F.struct(F.col("dega").alias("d"), F.col("a").alias("n")))
+        .alias("dstk"),
+    )
+    adj = out.groupBy("src").agg(
+        F.sort_array(F.collect_list("dstk")).alias("nbrs")
+    )
+    wedge = (
+        adj.where(F.size("nbrs") >= 2)
+        .select(
+            "src",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("nbrs"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("nbrs"), i + 2, F.size("nbrs")),
+                            lambda y: F.struct(x.alias("v"), y.alias("w")),
+                        ),
+                    )
+                )
+            ).alias("p"),
+        )
+        .select("src", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    )
+    closing = out.select(
+        F.col("src").alias("cv"), F.col("dstk").alias("cw")
+    )
+    tri = wedge.join(
+        closing.hint("shuffle_hash"),
+        (F.col("v.n") == F.col("cv")) & (F.col("w") == F.col("cw")),
+    ).select(
+        F.col("src").alias("x"),
+        F.col("v.n").alias("y"),
+        F.col("w.n").alias("z"),
+    )
+    return (
+        tri.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
         )
         .groupBy("node")
         .agg(F.count("*").alias("tri_ct"))

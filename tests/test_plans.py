@@ -946,3 +946,23 @@ def test_jaccard_prefix_boundary_pairs(spark):
     assert got[(1, 2)] == 1.0
     assert round(18 / 22, 4) == got[(1, 3)] == got[(2, 3)]
     assert (1, 4) not in got and (3, 4) not in got
+
+
+def test_triangle_degree_ordered_equals_id_ordered(spark):
+    """The degree-ordered orientation (hub-proof 100 TB form) must produce
+    the identical per-vertex triangle counts as the id-ordered wedge join,
+    with no SortMergeJoin in its plan."""
+    from realtime_datawarehouse_spark.operators import graph
+    from realtime_datawarehouse_spark.plans.graph_ops import TRI_SKIP, _ring_edges
+
+    edges = _ring_edges(spark, SF_DIR, skip=TRI_SKIP)
+    a = {(r.node, r.tri_ct) for r in graph.triangle_counts(edges).collect()}
+    b = {
+        (r.node, r.tri_ct)
+        for r in graph.triangle_counts_degree_ordered(edges).collect()
+    }
+    assert a == b and len(a) > 0
+    plan = graph.triangle_counts_degree_ordered(edges)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "SortMergeJoin" not in plan
