@@ -942,3 +942,75 @@ def jaccard_prefix_filter_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def fuzzy_name_pairs(
+    names: DataFrame, name_col: str = "name", max_dist: int = 2
+) -> DataFrame:
+    """Entity-resolution fuzzy self-join: distinct string pairs within
+    Levenshtein distance ``max_dist`` — the dedup primitive behind
+    catalog/vendor-name matching.
+
+    Scale shape (Gravano et al. q-gram filtering): a naive form is an
+    O(n²) cross join with a DP per pair; here candidates come from a
+    positional-free q-gram (q=2) inverted index with the COUNT FILTER —
+    ed(a,b) ≤ k implies the bigram MULTISETS share ≥ max(len)−1−k·q
+    grams (each edit destroys ≤ q grams) — so only pairs passing that
+    integer bound reach the Levenshtein verify. Multiset intersection is
+    exact: per-(name, gram) occurrence counts ride the inverted index
+    and each shared gram contributes min(ca, cb). Hot grams are naturally
+    rare in name data; a df-cap (as in ``ngram_jaccard_pairs``) slots in
+    for adversarial distributions. Both engines run the identical
+    unit-cost Levenshtein, so the verify is engine-exact.
+    """
+    base = names.select(F.col(name_col).alias("nm")).distinct()
+    g = base.select(
+        "nm",
+        F.length("nm").alias("ln"),
+        F.explode(
+            F.expr("transform(sequence(1, length(nm) - 1), i -> substring(nm, i, 2))")
+        ).alias("g"),
+    )
+    per = g.groupBy("nm", "ln", "g").agg(F.count("*").alias("c"))
+    inv = per.groupBy("g").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("nm"), F.col("ln"), F.col("c")))
+        ).alias("members")
+    )
+    inv = inv.where(F.size("members") >= 2)
+    pairs = inv.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size("members")),
+                        lambda y: F.struct(
+                            x["nm"].alias("na"),
+                            y["nm"].alias("nb"),
+                            x["ln"].alias("la"),
+                            y["ln"].alias("lb"),
+                            F.least(x["c"], y["c"]).alias("m"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.na", "p.nb", "p.la", "p.lb", "p.m")
+    cand = pairs.groupBy("na", "nb").agg(
+        F.sum("m").alias("inter"),
+        F.first("la").alias("la"),
+        F.first("lb").alias("lb"),
+    )
+    bound = F.greatest("la", "lb") - F.lit(1) - F.lit(2 * max_dist)
+    cand = cand.where(F.col("inter") >= bound)
+    dist = F.levenshtein(F.col("na"), F.col("nb"))
+    return (
+        cand.withColumn("edit_dist", dist)
+        .where(F.col("edit_dist") <= max_dist)
+        .select(
+            F.col("na").alias("name_a"),
+            F.col("nb").alias("name_b"),
+            "edit_dist",
+        )
+    )

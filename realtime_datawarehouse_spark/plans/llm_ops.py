@@ -1412,3 +1412,27 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_q6"), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+FUZZY_NAME_ORACLE = """
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM (SELECT DISTINCT p_name FROM part) a
+JOIN (SELECT DISTINCT p_name FROM part) b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@query("ext_fuzzy_name_join", oracle=FUZZY_NAME_ORACLE)
+def ext_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution over part names: distinct name pairs
+    within Levenshtein distance 2, via the q-gram count-filter inverted
+    index (operators/dedup.py fuzzy_name_pairs) — candidates bounded by
+    an integer multiset-intersection filter before any edit-distance DP
+    runs. The oracle is the obviously-correct O(n²) cross-join form; the
+    Spark plan is the one that survives a 10⁸-name catalog."""
+    from realtime_datawarehouse_spark.tables import table as _t
+
+    return dedup.fuzzy_name_pairs(
+        _t(spark, sf_dir, "part"), name_col="p_name", max_dist=2
+    )

@@ -39,6 +39,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_unpivot_metrics",
     "olap_monthly_growth",
     "ext_bm25_topk",
+    "ext_fuzzy_name_join",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",

@@ -777,6 +777,7 @@ def test_shared_substring_run_length_exact(spark, tmp_path):
         "graph_triangle_count",
         "olap_window_funnel",
         "ext_bm25_topk",
+        "ext_fuzzy_name_join",
     ],
 )
 def test_r4c_no_sort_merge_join(spark, name):
