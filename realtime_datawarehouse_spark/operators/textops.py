@@ -1730,3 +1730,123 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents) d
 LEFT JOIN scored s USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr span REMOVAL (Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better", the dedup that cuts repeated spans out of
+# documents instead of dropping whole documents). Span unit: 5-token grams
+# duplicated across ≥2 distinct documents (n=3 is degenerate on this
+# small-vocabulary fixture — 92% of tokens would qualify; n=5 removes ~10%).
+
+DEDUP_SPAN_N = 5
+
+
+def substring_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, removed_tokens, clean_text): every token
+    covered by a cross-document duplicated {DEDUP_SPAN_N}-gram is cut,
+    and the surviving tokens re-join in order — ExactSubstr dedup as a
+    distributed plan instead of a suffix-array binary.
+
+    Scale shape: one gram-hash exchange finds duplicated instances
+    ("≥2 distinct docs" = min≠max of doc_id over the hash partition — no
+    second aggregation); covered positions expand ≤ n× the DUPLICATED
+    instances only; the cut is one LeftAnti hash join of token positions
+    against covered positions; reassembly is a per-doc sort of surviving
+    (pos, token) pairs — state bounded by document length. The suffix
+    -array formulation finds arbitrary-length maximal repeats; fixed-n
+    gram cover approximates it from below (a length-L duplicated span is
+    covered exactly by its L−n+1 duplicated grams for L ≥ n), which is
+    the standard streaming-friendly relaxation.
+    """
+    from pyspark.sql import Window
+
+    from realtime_datawarehouse_spark.functions.text import word_shingles
+
+    base = docs.select(
+        "doc_id", tokenize(text_col).alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+    inst = base.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("toks"), DEDUP_SPAN_N)).alias(
+            "p0", "gram"
+        ),
+    ).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), hash64(F.col("gram")).alias("h")
+    )
+    w = Window.partitionBy("h")
+    dup_inst = (
+        inst.withColumn("lo", F.min("doc_id").over(w))
+        .withColumn("hi", F.max("doc_id").over(w))
+        .where(F.col("lo") != F.col("hi"))
+        .select("doc_id", "pos")
+    )
+    covered = dup_inst.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (DEDUP_SPAN_N - 1))
+        ).alias("tp"),
+    ).distinct()
+    toks = base.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("tp"), "tok")
+    kept = toks.join(covered.hint("shuffle_hash"), ["doc_id", "tp"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("tp"), F.col("tok")))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("kept_ct"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(rebuilt.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("kept_ct"), F.lit(0))).alias(
+                "removed_tokens"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def substring_dedup_oracle(n: int = DEDUP_SPAN_N) -> str:
+    gram = " || ' ' || ".join(f"toks[g.p+{i}]" for i in range(n))
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS n_tokens, toks FROM docs2
+), inst AS (
+  SELECT doc_id, CAST(g.p AS INT) AS pos, {hash64_sql(gram)} AS h
+  FROM base, LATERAL (
+    SELECT unnest(range(1, n_tokens - {n - 2})) AS p) g
+  WHERE n_tokens >= {n}
+), df AS (
+  SELECT h FROM inst GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), dup_inst AS (
+  SELECT i.doc_id, i.pos FROM inst i JOIN df USING (h)
+), covered AS (
+  SELECT DISTINCT doc_id, t.tp FROM dup_inst, LATERAL (
+    SELECT unnest(range(pos, pos + {n})) AS tp) t
+), toks AS (
+  SELECT doc_id, CAST(s.i AS INT) AS tp, toks[s.i] AS tok
+  FROM base, LATERAL (SELECT unnest(range(1, n_tokens + 1)) AS i) s
+), kept AS (
+  SELECT t.* FROM toks t ANTI JOIN covered c USING (doc_id, tp)
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean_text,
+         count(*) AS kept_ct
+  FROM kept GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(b.n_tokens - coalesce(r.kept_ct, 0) AS BIGINT) AS removed_tokens,
+       coalesce(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""

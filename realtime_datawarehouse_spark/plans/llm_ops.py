@@ -1436,3 +1436,13 @@ def ext_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fuzzy_name_pairs(
         _t(spark, sf_dir, "part"), name_col="p_name", max_dist=2
     )
+
+
+@query("text_substring_dedup", oracle=textops.substring_dedup_oracle())
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span removal (Lee et al. 2022): cut every token
+    covered by a cross-document duplicated 5-gram and reassemble the
+    document — the span-level dedup that keeps documents but removes
+    boilerplate/quotes. One gram-hash exchange + one LeftAnti position
+    join + per-doc reassembly (operators/textops.py substring_dedup)."""
+    return textops.substring_dedup(_docs(spark, sf_dir))

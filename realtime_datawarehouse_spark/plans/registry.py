@@ -40,6 +40,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_monthly_growth",
     "ext_bm25_topk",
     "ext_fuzzy_name_join",
+    "text_substring_dedup",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",

@@ -967,3 +967,27 @@ def test_triangle_degree_ordered_equals_id_ordered(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "SortMergeJoin" not in plan
+
+
+def test_substring_dedup_injected_span(spark):
+    """Inject a 12-token span shared verbatim by two docs among unique
+    filler: exactly the span's tokens (plus any grams bridging into
+    filler — none here, fillers differ) are removed from BOTH docs;
+    a fully unique doc loses nothing."""
+    from realtime_datawarehouse_spark.operators import textops
+
+    span = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"a0 a1 a2 a3 {span} a4 a5 a6 a7"),
+            (2, f"b0 b1 b2 b3 {span} b4 b5 b6 b7"),
+            (3, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.substring_dedup(docs).collect()}
+    assert out[1].removed_tokens == 12
+    assert out[1].clean_text == "a0 a1 a2 a3 a4 a5 a6 a7"
+    assert out[2].clean_text == "b0 b1 b2 b3 b4 b5 b6 b7"
+    assert out[3].removed_tokens == 0
+    assert out[3].clean_text == "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"
