@@ -78,3 +78,69 @@ def asof_join(
         *[F.col(c) for c in lcols],
         *[F.col(f"_asof_p.{c}").alias(c) for c in payload],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key_left: str,
+    key_right: str,
+    ts_left: str,
+    ts_right: str,
+    payload: list[str],
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Forward as-of: attach the EARLIEST ``right`` row with the same key
+    and ``right.ts >= left.ts`` (inclusive), optionally only if it lands
+    within ``tolerance_us`` microseconds — "the next order after this
+    event, if within a week" (pandas ``merge_asof(direction='forward',
+    tolerance=...)``, kdb ``aj`` forward form).
+
+    Same union-merge shape as :func:`asof_join` (ONE keyed exchange + a
+    per-partition sort), just ordered DESCENDING so the carried value is
+    the nearest FOLLOWING right row. The payload struct carries the right
+    row's own timestamp, so the tolerance check is one comparison after
+    the window — no second pass, and an out-of-tolerance match nulls the
+    WHOLE payload (never a per-column mix)."""
+    lcols = left.columns
+    payload_t = F.struct(
+        F.col(ts_right).alias("_pt"), *[F.col(c) for c in payload]
+    )
+    tagged_left = left.select(
+        F.col(key_left).alias("_k"),
+        F.col(ts_left).alias("_t"),
+        F.lit(0).alias("_is_r"),
+        F.lit(None)
+        .cast(right.select(payload_t.alias("_p")).schema["_p"].dataType)
+        .alias("_p"),
+        *[F.col(c) for c in lcols],
+    )
+    tagged_right = right.select(
+        F.col(key_right).alias("_k"),
+        F.col(ts_right).alias("_t"),
+        F.lit(1).alias("_is_r"),
+        payload_t.alias("_p"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    # descending time: the running last-non-null is the nearest FOLLOWING
+    # right row; at equal _t the right row sorts first (inclusive forward)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").desc(), F.col("_is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_left.unionByName(tagged_right).select(
+        "*",
+        F.last("_p", ignorenulls=True).over(w).alias("_asof_p"),
+    )
+    if tolerance_us is not None:
+        in_tol = (
+            F.unix_micros(F.col("_asof_p._pt")) - F.unix_micros(F.col("_t"))
+        ) <= F.lit(tolerance_us)
+        carried = carried.withColumn(
+            "_asof_p", F.when(in_tol, F.col("_asof_p"))
+        )
+    return carried.where(F.col("_is_r") == 0).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"_asof_p.{c}").alias(c) for c in payload],
+    )

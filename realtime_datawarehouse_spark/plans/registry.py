@@ -41,6 +41,7 @@ DRIVER_PRIORITY: list[str] = [
     "ext_bm25_topk",
     "ext_fuzzy_name_join",
     "text_substring_dedup",
+    "ext_asof_forward_tol",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",

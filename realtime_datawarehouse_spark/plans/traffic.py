@@ -895,3 +895,86 @@ def ext_hop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+ASOF_FWD_TOL_DAYS = 7
+
+EXT_ASOF_FWD_ORACLE = f"""
+WITH pur AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id,
+         arg_max(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), j AS (
+  SELECT v.event_id, v.user_id, v.ts,
+         pur.ts AS pts, pur.purchase_id, pur.purchase_value
+  FROM v
+  ASOF LEFT JOIN pur
+    ON v.user_id = pur.user_id AND pur.ts >= v.ts
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       CASE WHEN epoch_us(pts) - epoch_us(ts)
+                 <= {ASOF_FWD_TOL_DAYS} * CAST(86400000000 AS BIGINT)
+            THEN purchase_id END AS purchase_id,
+       CASE WHEN epoch_us(pts) - epoch_us(ts)
+                 <= {ASOF_FWD_TOL_DAYS} * CAST(86400000000 AS BIGINT)
+            THEN strftime(pts, '%Y-%m-%d %H:%M:%S') END AS purchase_ts,
+       CASE WHEN epoch_us(pts) - epoch_us(ts)
+                 <= {ASOF_FWD_TOL_DAYS} * CAST(86400000000 AS BIGINT)
+            THEN purchase_value END AS purchase_value
+FROM j
+"""
+
+
+@query("ext_asof_forward_tol", oracle=EXT_ASOF_FWD_ORACLE)
+def ext_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each view event picks up the SAME
+    user's next purchase, but only if it lands within 7 days — the
+    conversion-attribution join (pandas merge_asof direction=\'forward\',
+    tolerance=...). Single-exchange union-merge ordered descending; the
+    tolerance check is one comparison on the carried payload's own
+    timestamp, and an out-of-window match nulls the whole payload. The
+    oracle is DuckDB's native ASOF LEFT JOIN with the same post-filter."""
+    from realtime_datawarehouse_spark.operators.temporal import (
+        asof_join_forward,
+    )
+
+    ev = _events(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_id"),
+            F.max_by("value", "event_id").alias("purchase_value"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            "purchase_id",
+            fmt_ts("ts").alias("purchase_ts"),
+            "purchase_value",
+        )
+    )
+    joined = asof_join_forward(
+        views,
+        pur,
+        key_left="user_id",
+        key_right="user_id",
+        ts_left="ts",
+        ts_right="ts",
+        payload=["purchase_id", "purchase_ts", "purchase_value"],
+        tolerance_us=ASOF_FWD_TOL_DAYS * 86_400_000_000,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        fmt_ts("ts").alias("view_ts"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )

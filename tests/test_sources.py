@@ -270,3 +270,52 @@ def test_cdc_snapshot_then_tail(spark, tmp_path):
     final = debezium.latest_config(spark.table("t_cdc"))
     got = {r.source_table: r.sink_columns for r in final.collect()}
     assert got == {"part": "p_partkey,p_brand,p_type"}
+
+
+def test_file_format_round_trips(spark, tmp_path):
+    """CSV / JSONL / ORC round-trip the same rows with explicit schemas
+    (timestamps as formatted strings across the text formats), and an
+    ORC partitioned write prunes on the partition filter."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.sources import files
+    from realtime_datawarehouse_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    ev = (
+        table(spark, SF_DIR, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+    want = {tuple(r) for r in ev.collect()}
+
+    p = str(tmp_path / "csv")
+    files.write_csv(ev, p)
+    got = files.read_csv(spark, p, ev.schema)
+    assert {tuple(r) for r in got.collect()} == want
+
+    p = str(tmp_path / "jsonl")
+    files.write_jsonl(ev, p)
+    got = files.read_jsonl(spark, p, ev.schema)
+    assert {tuple(r) for r in got.collect()} == want
+
+    p = str(tmp_path / "orc")
+    files.write_orc(ev, p, partition_by=["event_type"])
+    got = files.read_orc(spark, p)
+    assert {
+        tuple(r) for r in got.select(*ev.columns).collect()
+    } == want
+    # partition pruning: the event_type filter must select directories,
+    # not rows — the pruned scan touches strictly fewer files
+    full_files = set(files.read_orc(spark, p).inputFiles())
+    pruned = files.read_orc(spark, p).where(F.col("event_type") == "view")
+    view_files = {f for f in full_files if "event_type=view" in f}
+    assert view_files and view_files < full_files
+    assert pruned.count() == sum(
+        1 for r in want if r[2] == "view"
+    )
