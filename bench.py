@@ -94,6 +94,8 @@ BENCH_QUERIES = (
     "olap_window_funnel",           # bounded-window funnel (lookahead windows + step join)
     "ext_bm25_topk",                # BM25 scorer + TakeOrdered top-k
     "graph_triangle_count",         # vertex-ordered wedge join
+    "text_substring_dedup",         # ExactSubstr span removal + reassembly
+    "ext_asof_forward_tol",         # forward as-of with tolerance
 )
 
 

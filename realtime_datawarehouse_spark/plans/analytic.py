@@ -2022,3 +2022,52 @@ def olap_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "month", "gmv", pround(mom, 2).alias("mom_pct"), pround(yoy, 2).alias("yoy_pct")
     )
+
+
+SKYLINE_ORACLE = """
+SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+)
+"""
+
+
+@query("olap_skyline_parts", oracle=SKYLINE_ORACLE)
+def olap_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front): parts not dominated on
+    (p_retailprice, p_size), both minimized — the multi-objective
+    shortlist query ("no part is both cheaper AND smaller").
+
+    The oracle is the textbook NOT EXISTS anti-join — O(n²) pair work.
+    The Spark plan is the SORT-SWEEP identity instead: collapse to one
+    min-size row per distinct price (map-combined agg), take the running
+    min of size over strictly-smaller prices (a lag over the price-
+    ordered window of the DISTINCT-PRICE table — |prices| rows, NOT the
+    corpus), and a part is on the skyline iff its size equals its price
+    group's min AND beats every smaller price's min strictly. Total cost
+    one aggregation + one tiny window + one hash join back — O(n log n),
+    zero pair joins; the same sweep is the inner step of grid-partitioned
+    skylines in higher dimensions."""
+    p = table(spark, sf_dir, "part")
+    per_price = p.groupBy("p_retailprice").agg(
+        F.min("p_size").alias("gmin")
+    )
+    wp = Window.orderBy("p_retailprice")
+    ann = per_price.select(
+        "p_retailprice",
+        "gmin",
+        F.min("gmin").over(
+            wp.rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("rmin"),
+    )
+    sky_prices = ann.where(
+        F.col("rmin").isNull() | (F.col("gmin") < F.col("rmin"))
+    ).select("p_retailprice", "gmin")
+    return (
+        p.join(F.broadcast(sky_prices), "p_retailprice")
+        .where(F.col("p_size") == F.col("gmin"))
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )

@@ -42,6 +42,7 @@ DRIVER_PRIORITY: list[str] = [
     "ext_fuzzy_name_join",
     "text_substring_dedup",
     "ext_asof_forward_tol",
+    "olap_skyline_parts",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",
