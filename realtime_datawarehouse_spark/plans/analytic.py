@@ -2071,3 +2071,120 @@ def olap_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_size") == F.col("gmin"))
         .select("p_partkey", "p_name", "p_retailprice", "p_size")
     )
+
+
+EWMA_ALPHA_NUM, EWMA_ALPHA_DEN = 3, 10  # α = 0.3
+
+EWMA_ORACLE = f"""
+WITH d AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mth,
+         {dsum_sql('o_totalprice')} AS gmv
+  FROM orders GROUP BY 1
+), seq AS (
+  SELECT mth, gmv, row_number() OVER (ORDER BY mth) - 1 AS i FROM d
+), acc AS (
+  SELECT mth, gmv, i,
+         sum(gmv * power(10.0 / 7.0, i)) OVER (ORDER BY mth
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM seq
+)
+SELECT mth, gmv,
+       {pround_sql('0.3 * power(0.7, i) * s + 0.7 * power(0.7, i)'
+                   ' * first_value(gmv) OVER (ORDER BY mth)', 2)} AS ewma
+FROM acc
+"""
+
+
+@query("olap_ewma_monthly_gmv", oracle=EWMA_ORACLE)
+def olap_ewma_monthly_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of monthly GMV (α=0.3,
+    seeded at the first day's value) — the smoothing every ops
+    dashboard applies before alerting on revenue dips.
+
+    EWMA is defined recursively (s_t = α·x_t + (1−α)·s_{t−1}) which no
+    parallel engine evaluates directly; the plan uses the closed form
+    s_t = α·(1−α)^t·Σ x_i/(1−α)^i + (1−α)^t·x_0 — a RUNNING SUM of
+    rescaled terms, i.e. one ordered window over the |months| aggregate
+    (calendar-bounded, same deliberate tiny-window exception as
+    olap_monthly_growth). The rescale factor (1/0.7)^i caps at ~2.4e12
+    over the fixture's 80 months — inside double range; the grain is
+    MONTHLY precisely because a multi-year DAILY series (~2 400 points)
+    overflows the closed form — at that length, chunk the series and
+    carry the EWMA across chunk boundaries (the segmented-scan form).
+    Both engines evaluate the identical pow/sum chain in the same frame
+    order, with the libm-pow caveat of the unigram family."""
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias("mth")
+    ).agg(dsum(F.col("o_totalprice")).alias("gmv"))
+    w = Window.orderBy("mth")
+    seq = d.select(
+        "mth", "gmv", (F.row_number().over(w) - 1).alias("i")
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = F.sum(F.col("gmv") * F.pow(F.lit(10.0 / 7.0), F.col("i"))).over(run)
+    ewma = (
+        F.lit(0.3) * F.pow(F.lit(0.7), F.col("i")) * s
+        + F.lit(0.7) * F.pow(F.lit(0.7), F.col("i"))
+        * F.first("gmv").over(w)
+    )
+    return seq.select("mth", "gmv", pround(ewma, 2).alias("ewma"))
+
+
+EQUIDEPTH_BUCKETS = 10
+
+_ED_QS = ", ".join(
+    f"{pround_sql(f'quantile_cont(o_totalprice, {k}/10.0)', 4)} AS q{k}"
+    for k in range(1, EQUIDEPTH_BUCKETS)
+)
+_ED_BUCKET = " + ".join(
+    f"CASE WHEN o_totalprice > b.q{k} THEN 1 ELSE 0 END"
+    for k in range(1, EQUIDEPTH_BUCKETS)
+)
+
+EQUIDEPTH_ORACLE = f"""
+WITH b AS (
+  SELECT {_ED_QS} FROM orders
+)
+SELECT CAST(1 + {_ED_BUCKET} AS INT) AS bucket,
+       count(*) AS order_ct,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi
+FROM orders CROSS JOIN b
+GROUP BY 1
+"""
+
+
+@query("olap_equidepth_histogram", oracle=EQUIDEPTH_ORACLE)
+def olap_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order value (complement of the equi-width
+    olap_histogram): boundaries are the exact interpolated deciles, then
+    one broadcast comparison pass buckets every row — two scans total, no
+    global sort, no per-row window. Boundaries are pround-ed to 4 dp in
+    BOTH engines before comparison so a price sitting exactly on a
+    boundary compares identically (prices live on the 0.01 grid, so the
+    4 dp rounding is lossless there). At 100 TB swap the exact decile agg
+    for approx_percentile — the bucketing pass is unchanged."""
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        *[
+            pround(
+                F.percentile(F.col("o_totalprice"), F.lit(k / 10.0)), 4
+            ).alias(f"q{k}")
+            for k in range(1, EQUIDEPTH_BUCKETS)
+        ]
+    )
+    bucket = sum(
+        F.when(F.col("o_totalprice") > F.col(f"q{k}"), 1).otherwise(0)
+        for k in range(1, EQUIDEPTH_BUCKETS)
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select((F.lit(1) + bucket).cast("int").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("order_ct"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -43,6 +43,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_substring_dedup",
     "ext_asof_forward_tol",
     "olap_skyline_parts",
+    "olap_ewma_monthly_gmv",
+    "olap_equidepth_histogram",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",
