@@ -2188,3 +2188,99 @@ def olap_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+USER_EWMA_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+           lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey
+  FROM events
+), seq AS (
+  SELECT user_id, event_id, vq,
+         row_number() OVER (PARTITION BY user_id ORDER BY okey) - 1 AS i
+  FROM e
+), r AS (
+  SELECT user_id, i, event_id, vq AS sq FROM seq WHERE i = 0
+  UNION ALL
+  SELECT seq.user_id, seq.i, seq.event_id,
+         (3 * seq.vq + 7 * r.sq) // 10
+  FROM seq JOIN r ON seq.user_id = r.user_id AND seq.i = r.i + 1
+)
+SELECT user_id, event_id, sq AS ewma_q6 FROM r
+"""
+
+
+@query("olap_ewma_user_value", oracle=USER_EWMA_ORACLE)
+def olap_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-USER recursive EWMA of event values (α = 3/10, seeded at each
+    user's first event), computed EXACTLY in integer fixed-point:
+    s_t = ⌊(3·x_t + 7·s_{t−1}) / 10⌋ over 1e-6-quantized values — an
+    ``aggregate`` fold over each user's time-sorted event array, so the
+    result is bit-identical to the oracle's recursive CTE (the
+    closed-form float identity used by olap_ewma_monthly_gmv amplifies
+    pow/sum ulps across long chains and can flip a rounding boundary —
+    measured 1-in-10⁴ rows at sf0.01 — so the per-key form does the
+    recursion honestly instead).
+
+    Scale shape: one hash exchange groups each user's events; the fold
+    state is the user's own event array (bounded by per-key activity —
+    the same bound any per-key sessionization carries; for unbounded
+    keys, chunk by time and carry s across chunks, or run the streaming
+    twin ``ewma_stream`` which holds ONE integer per key). Intermediate
+    3·x+7·s ≤ 3.9e9 ≪ 2^53, so the %-and-divide floor division is exact
+    in both engines."""
+    ev = table(spark, sf_dir, "events")
+    okey = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    e = ev.select(
+        "user_id",
+        okey.alias("okey"),
+        F.col("event_id"),
+        F.floor(F.col("value") * F.lit(1_000_000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    arr = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("okey", "event_id", "vq"))
+        ).alias("evs")
+    )
+
+    def step(acc, x):
+        t = 3 * x["vq"] + 7 * acc["s"]
+        s_new = F.when(
+            acc["s"] < 0, x["vq"]
+        ).otherwise(((t - t % 10) / 10).cast("long"))
+        return F.struct(
+            s_new.alias("s"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["event_id"].alias("event_id"), s_new.alias("sq")
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    init = F.struct(
+        F.lit(-1).cast("long").alias("s"),
+        F.expr("array()").cast(
+            "array<struct<event_id:bigint,sq:bigint>>"
+        ).alias("out"),
+    )
+    folded = arr.select(
+        "user_id",
+        F.aggregate(F.col("evs"), init, step, lambda a: a["out"]).alias("out"),
+    )
+    return folded.select(
+        "user_id", F.explode("out").alias("o")
+    ).select(
+        "user_id",
+        F.col("o.event_id").alias("event_id"),
+        F.col("o.sq").alias("ewma_q6"),
+    )

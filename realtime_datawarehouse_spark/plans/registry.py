@@ -44,6 +44,7 @@ DRIVER_PRIORITY: list[str] = [
     "ext_asof_forward_tol",
     "olap_skyline_parts",
     "olap_ewma_monthly_gmv",
+    "olap_ewma_user_value",
     "olap_equidepth_histogram",
     "graph_pagerank",
     "graph_triangle_count",

@@ -743,3 +743,70 @@ def ohlc_bars_stream(
             "trade_ct",
         )
     )
+
+
+def ewma_kernel_factory():
+    """Streaming twin of ``olap_ewma_user_value``: per-key integer
+    fixed-point EWMA (s ← ⌊(3·x + 7·s)/10⌋ over 1e-6-quantized values).
+    State is ONE int64 per key — the smoothing value itself — so the
+    store never grows with history; arrival in event-time order is the
+    contract (same as the batch plan's sort), enforced per batch by an
+    okey sort inside the kernel.
+
+    Returns (kernel, output_schema, state_schema)."""
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ewma_q6", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("s", LongType())])
+
+    def kernel(key: Any, pdfs, state: GroupState):
+        s = state.get[0] if state.exists else None
+        out_eid, out_s = [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("okey")
+            for eid, vq in zip(pdf["event_id"], pdf["vq"]):
+                vq = int(vq)
+                s = vq if s is None else (3 * vq + 7 * s) // 10
+                out_eid.append(int(eid))
+                out_s.append(s)
+        if s is not None:
+            state.update((s,))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(out_eid),
+                "event_id": out_eid,
+                "ewma_q6": out_s,
+            }
+        )
+
+    return kernel, out_schema, state_schema
+
+
+def ewma_stream(ev: DataFrame) -> DataFrame:
+    """Per-user streaming EWMA over ``value`` (event-time order)."""
+    kernel, out_schema, state_schema = ewma_kernel_factory()
+    okey = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    prepared = ev.select(
+        "user_id",
+        "event_id",
+        okey.alias("okey"),
+        F.floor(F.col("value") * F.lit(1_000_000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        kernel,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

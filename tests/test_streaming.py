@@ -889,3 +889,19 @@ def test_ohlc_bars_streaming_parity(spark, events_stream_dir):
     assert (abs(merged.volume_s - merged.volume_b) < 1e-9).all()
     # only the final open hour may be withheld per key
     assert len(got) >= len(batch) - merged.event_type.nunique() - 1
+
+
+def test_ewma_stream_parity(spark, events_stream_dir):
+    """Streaming integer EWMA must equal the batch recursive fold
+    EXACTLY (both run s = (3x + 7s) // 10 over the same event-time
+    order; the streaming state is one int64 per user)."""
+    from realtime_datawarehouse_spark.plans.registry import get_queries
+
+    ev = table(spark, SF_DIR, "events")
+    stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+    got = _drain(spark, jobs.ewma_stream(stream), "t_ewma").toPandas()
+    batch = get_queries()["olap_ewma_user_value"](spark, SF_DIR).toPandas()
+    key = ["user_id", "event_id"]
+    merged = got.merge(batch, on=key, suffixes=("_s", "_b"))
+    assert len(merged) == len(batch) == len(got)
+    assert (merged.ewma_q6_s == merged.ewma_q6_b).all()
