@@ -410,3 +410,97 @@ SELECT doc_id,
        CAST(doc_id % 1000 AS INT)                           AS rms
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# Perceptual average-hash (aHash) over the decoded payload — the image
+# NEAR-dup primitive (exact dedup catches only byte-identical files; aHash
+# survives re-encodes/resizes). The "pixels" here are 64 evenly-strided
+# payload bytes (the deterministic stand-in for an 8×8 grayscale downsample;
+# a real build swaps ONE line — the sampling — for PIL's resize+grayscale,
+# keeping schema, batching and the bit arithmetic identical).
+# --------------------------------------------------------------------------
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash_hi", LongType()),
+        StructField("phash_lo", LongType()),
+    ]
+)
+
+
+def make_phash_kernel():
+    """aHash kernel: 64 strided samples, bit i = sample_i·64 > Σ samples
+    (integer comparison — no float mean, so the SQL oracle is bit-exact).
+    Nested so cloudpickle ships it by value (foreign-cwd workers)."""
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def one(payload: bytes) -> tuple[int, int]:
+            n = len(payload)
+            if n == 0:
+                return 0, 0
+            vals = [payload[(i * n) // 64] for i in range(64)]
+            total = sum(vals)
+            hi = lo = 0
+            for i in range(32):
+                if vals[i] * 64 > total:
+                    hi |= 1 << i
+                if vals[32 + i] * 64 > total:
+                    lo |= 1 << i
+            return hi, lo
+
+        for pdf in batches:
+            pairs = [one(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash_hi": [p[0] for p in pairs],
+                    "phash_lo": [p[1] for p in pairs],
+                }
+            )
+
+    return phash
+
+
+def image_phash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    payloads = attach_payload(docs, text_col)
+    return payloads.mapInPandas(make_phash_kernel(), schema=PHASH_SCHEMA)
+
+
+def _phash_sample_sql(i: int) -> str:
+    # payload byte at ⌊i·n/64⌋ — ASCII fixture ⇒ octet == char (asserted
+    # by the decode tests), so ascii(substr(...)) IS the byte
+    return (
+        f"CASE WHEN strlen(text) = 0 THEN 0 ELSE "
+        f"ascii(substr(text, CAST((({i} * strlen(text)) // 64) AS INT) + 1, 1))"
+        f" END"
+    )
+
+
+def image_phash_oracle() -> str:
+    samples = ", ".join(
+        f"{_phash_sample_sql(i)} AS v{i}" for i in range(64)
+    )
+    total = " + ".join(f"v{i}" for i in range(64))
+    hi = " + ".join(
+        f"(CASE WHEN v{i} * 64 > total THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN v{32 + i} * 64 > total THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, {samples} FROM documents
+), t AS (
+  SELECT doc_id, *, {total} AS total FROM s
+)
+SELECT doc_id,
+       CAST({hi} AS BIGINT) AS phash_hi,
+       CAST({lo} AS BIGINT) AS phash_lo
+FROM t
+"""

@@ -1446,3 +1446,14 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/quotes. One gram-hash exchange + one LeftAnti position
     join + per-doc reassembly (operators/textops.py substring_dedup)."""
     return textops.substring_dedup(_docs(spark, sf_dir))
+
+
+@query("mm_image_phash", oracle=multimodal.image_phash_oracle())
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per image payload (64 strided samples,
+    bit = sample·64 > Σ — integer arithmetic, oracle bit-exact): the
+    image NEAR-dup key that survives re-encodes, emitted as two int32
+    halves ready for the simhash-style hamming banding. Arrow-batched
+    mapInPandas; a real deployment swaps only the sampling line for
+    PIL resize+grayscale."""
+    return multimodal.image_phash(_docs(spark, sf_dir))

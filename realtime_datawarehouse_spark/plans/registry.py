@@ -46,6 +46,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_ewma_monthly_gmv",
     "olap_ewma_user_value",
     "olap_equidepth_histogram",
+    "mm_image_phash",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",
