@@ -413,7 +413,7 @@ def near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     v = emb.select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     ).select("vec_id", "v", l2_norm(F.col("v")).alias("vn"))
-    side = b.join(v, "vec_id")
+    side = b.join(v.hint("shuffle_hash"), "vec_id")
     a = side.select(
         F.col("bucket_id"),
         F.col("vec_id").alias("vec_a"),
@@ -428,7 +428,7 @@ def near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     )
     return (
         a.join(
-            c,
+            c.hint("shuffle_hash"),
             (F.col("bucket_id") == F.col("bucket_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
@@ -543,7 +543,7 @@ def semdedup(
     a, b = assigned.alias("a"), assigned.alias("b")
     dup_ids = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
@@ -678,7 +678,7 @@ def semdedup_lsh(
     a, b = assigned.alias("a"), assigned.alias("b")
     dup_ids = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.bucket_id") == F.col("b.bucket_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
@@ -1127,7 +1127,7 @@ def knn_graph(emb: DataFrame, k: int = KNN_K) -> DataFrame:
         F.col("vn").alias("cn"),
     )
     scored = src.join(
-        cand,
+        cand.hint("shuffle_hash"),
         (F.col("probe_bucket") == F.col("cand_bucket"))
         & (F.col("src_id") != F.col("neighbor_id")),
     ).select(

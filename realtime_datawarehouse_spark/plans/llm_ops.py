@@ -335,22 +335,26 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("exact_keeper"),
     )
-    s12 = q.join(ex, "doc_id").withColumn(
+    s12 = q.join(ex.hint("shuffle_hash"), "doc_id").withColumn(
         "survived12", (F.col("keep") == 1) & (F.col("exact_keeper") == 1)
     )
     pairs = dedup.lsh_candidate_pairs(docs)
     surv = s12.where("survived12").select("doc_id")
     near = (
         pairs.join(
-            surv.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+            surv.withColumnRenamed("doc_id", "doc_a").hint("shuffle_hash"),
+            "doc_a",
         )
-        .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .join(
+            surv.withColumnRenamed("doc_id", "doc_b").hint("shuffle_hash"),
+            "doc_b",
+        )
         .select("doc_b")
         .distinct()
         .withColumnRenamed("doc_b", "doc_id")
         .withColumn("is_near", F.lit(1))
     )
-    return s12.join(near, "doc_id", "left").select(
+    return s12.join(near.hint("shuffle_hash"), "doc_id", "left").select(
         "doc_id",
         F.when(F.col("keep") == 0, "quality")
         .when(F.col("exact_keeper") == 0, "exact_dup")
@@ -901,11 +905,17 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_datawarehouse_spark.functions.compare import pround
 
     sem = (
-        a.join(surv, F.col("a.vec_id") == F.col("sid"), "left_semi")
+        a.join(
+            surv.hint("shuffle_hash"),
+            F.col("a.vec_id") == F.col("sid"),
+            "left_semi",
+        )
         .join(
             b.join(
-                surv, F.col("b.vec_id") == F.col("sid"), "left_semi"
-            ),
+                surv.hint("shuffle_hash"),
+                F.col("b.vec_id") == F.col("sid"),
+                "left_semi",
+            ).hint("shuffle_hash"),
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
@@ -973,9 +983,17 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.vn") * F.col("b.vn"))
     sem = (
-        a.join(surv, F.col("a.vec_id") == F.col("sid"), "left_semi")
+        a.join(
+            surv.hint("shuffle_hash"),
+            F.col("a.vec_id") == F.col("sid"),
+            "left_semi",
+        )
         .join(
-            b.join(surv, F.col("b.vec_id") == F.col("sid"), "left_semi"),
+            b.join(
+                surv.hint("shuffle_hash"),
+                F.col("b.vec_id") == F.col("sid"),
+                "left_semi",
+            ).hint("shuffle_hash"),
             (F.col("a.bucket_id") == F.col("b.bucket_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
