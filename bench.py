@@ -96,6 +96,8 @@ BENCH_QUERIES = (
     "graph_triangle_count",         # vertex-ordered wedge join
     "text_substring_dedup",         # ExactSubstr span removal + reassembly
     "ext_asof_forward_tol",         # forward as-of with tolerance
+    "olap_ewma_user_value",         # per-key integer-recursion fold
+    "mm_image_phash",               # Arrow-batched perceptual hash kernel
 )
 
 
