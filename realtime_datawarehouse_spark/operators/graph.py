@@ -207,3 +207,36 @@ def triangle_counts_degree_ordered(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("tri_ct"))
     )
+
+
+def bfs_layers(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """(node, dist): minimum hop distance (≤ ``max_hops``) from the seed
+    set over directed ``edges(src, dst)`` — bounded-depth BFS, the reach /
+    influence-radius primitive (and the inner step of distributed
+    shortest-path).
+
+    Frontier-expansion form: each iteration joins the CURRENT frontier
+    (nodes first reached at distance d) against the edge list and
+    anti-joins already-visited nodes — so a node's distance is final the
+    first time it appears, every edge is traversed at most ``max_hops``
+    times, and the per-iteration shuffle carries only the frontier, not
+    the visited set. All joins hash (hinted); the iteration count is the
+    only sequential dimension (Pregel superstep shape)."""
+    visited = seeds.select(F.col("node"), F.lit(0).alias("dist")).distinct()
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(
+                edges.hint("shuffle_hash"),
+                frontier["node"] == edges["src"],
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.hint("shuffle_hash"), "node", "left_anti")
+            .select("node", F.lit(d).alias("dist"))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited

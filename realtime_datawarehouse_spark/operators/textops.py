@@ -1850,3 +1850,73 @@ SELECT b.doc_id, b.n_tokens,
        coalesce(r.clean_text, '') AS clean_text
 FROM base b LEFT JOIN rebuilt r USING (doc_id)
 """
+
+
+def ngram_novelty(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_shingles, novel_ct, novelty): share of a document's
+    distinct shingles whose FIRST corpus occurrence (minimum doc_id) is
+    this document — the marginal-contribution signal dedup-aware
+    curation ranks by ("what does this doc add that the corpus doesn't
+    already have?"; novelty 0 = fully covered by earlier docs, the
+    deduplication complement of text_dup_ngram_coverage).
+
+    Scale shape: one shingle-hash exchange; first-owner is min(doc_id)
+    OVER the hash partition (no second aggregation or join), then one
+    map-combined per-doc rollup. Docs below the shingle width emit
+    n_shingles = 0 with novelty 0 (nothing contributed, nothing
+    measured)."""
+    from pyspark.sql import Window
+
+    from realtime_datawarehouse_spark.operators.dedup import (
+        doc_shingle_hashes,
+    )
+
+    e = doc_shingle_hashes(docs, text_col)
+    w = Window.partitionBy("h")
+    owned = e.withColumn("first_doc", F.min("doc_id").over(w))
+    per = owned.groupBy("doc_id").agg(
+        F.first("n").alias("n_shingles"),
+        F.sum(
+            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+        ).alias("novel_ct"),
+    )
+    base = docs.select("doc_id")
+    return base.join(per.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+        F.coalesce(F.col("novel_ct"), F.lit(0)).alias("novel_ct"),
+        F.coalesce(
+            pround(F.col("novel_ct") / F.col("n_shingles"), 4), F.lit(0.0)
+        ).alias("novelty"),
+    )
+
+
+NGRAM_NOVELTY_ORACLE = (
+    # same 3-word-shingle CTE as the dedup family
+    """
+WITH docs2 AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM docs2 WHERE len(toks) >= 3
+), e AS (
+  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+), owned AS (
+  SELECT doc_id, n, min(doc_id) OVER (PARTITION BY s) AS first_doc FROM e
+), per AS (
+  SELECT doc_id, any_value(n) AS n_shingles,
+         sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS novel_ct
+  FROM owned GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(p.novel_ct, 0) AS BIGINT) AS novel_ct,
+       coalesce(floor(p.novel_ct * 1.0 / p.n_shingles * 10000 + 0.5)
+                / 10000.0, 0.0) AS novelty
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per p USING (doc_id)
+"""
+)

@@ -2284,3 +2284,74 @@ def olap_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.event_id").alias("event_id"),
         F.col("o.sq").alias("ewma_q6"),
     )
+
+
+BENFORD_ORACLE = f"""
+WITH d AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digit
+  FROM orders WHERE o_totalprice >= 1
+)
+SELECT digit, count(*) AS order_ct,
+       {pround_sql('count(*) * 1.0 / (SELECT count(*) FROM d)', 4)} AS share
+FROM d GROUP BY 1
+"""
+
+
+@query("olap_benford_check", oracle=BENFORD_ORACLE)
+def olap_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order values (the Benford fraud/DQ
+    screen): digits extracted through the integer's STRING form — no
+    log10, so both engines agree exactly. One map-combined count +
+    a broadcast 1-row total."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count("*").alias("order_ct"))
+    tot = counts.agg(F.sum("order_ct").alias("total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "order_ct",
+        pround(
+            F.col("order_ct").cast("double") / F.col("total").cast("double"), 4
+        ).alias("share"),
+    )
+
+
+HEATMAP_ORACLE = """
+SELECT CAST(isodow(ts) AS INT) AS dow,
+       CAST(hour(ts) AS INT)   AS hod,
+       count(*)                AS event_ct,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS uu
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("olap_calendar_heatmap", oracle=HEATMAP_ORACLE)
+def olap_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap (events + unique users) — the
+    usage-pattern matrix behind every ops dashboard. ISO weekday
+    (Mon=1..Sun=7) matches DuckDB's isodow; one aggregation, 7×24 keys,
+    exact count-distinct inside (HLL slots in at scale, as A5→sk_hll)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.dayofweek(F.col("ts")).alias("dow_sun1"),
+            F.hour(F.col("ts")).alias("hod"),
+            "user_id",
+        )
+        .select(
+            # Spark dayofweek is Sun=1..Sat=7; convert to ISO Mon=1..Sun=7
+            ((F.col("dow_sun1") + 5) % 7 + 1).alias("dow"),
+            "hod",
+            "user_id",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count("*").alias("event_ct"),
+            F.countDistinct("user_id").alias("uu"),
+        )
+    )

@@ -181,3 +181,68 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices exploded and counted — the distributed triangle primitive
     behind clustering-coefficient and community-density reports."""
     return triangle_counts(_ring_edges(spark, sf_dir, skip=TRI_SKIP))
+
+
+BFS_SEED_MOD = 100  # seeds: every 100th customer key
+
+_BFS_EDGE_CTE = _TRI_EDGE_CTE  # same skip-2 ring+chord graph
+
+
+def _bfs_oracle(max_hops: int = 3) -> str:
+    parts = [
+        _BFS_EDGE_CTE,
+        f""", seeds AS (
+  SELECT DISTINCT a AS node FROM und WHERE a % {BFS_SEED_MOD} = 0
+  UNION
+  SELECT DISTINCT b FROM und WHERE b % {BFS_SEED_MOD} = 0
+), dedges AS (
+  SELECT a AS src, b AS dst FROM und
+  UNION ALL
+  SELECT b, a FROM und
+), v0 AS (
+  SELECT node, 0 AS dist FROM seeds
+)""",
+    ]
+    for d in range(1, max_hops + 1):
+        parts.append(
+            f""", f{d} AS (
+  SELECT DISTINCT e.dst AS node
+  FROM v{d - 1} f JOIN dedges e ON e.src = f.node
+  WHERE f.dist = {d - 1}
+    AND e.dst NOT IN (SELECT node FROM v{d - 1})
+), v{d} AS (
+  SELECT node, dist FROM v{d - 1}
+  UNION ALL
+  SELECT node, {d} FROM f{d}
+)"""
+        )
+    parts.append(f"\nSELECT node, dist FROM v{max_hops}")
+    return "".join(parts)
+
+
+@query("graph_bfs_layers", oracle=_bfs_oracle())
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS distances from the every-100th-customer seed set over
+    the undirected skip-2 ring graph — frontier expansion with
+    anti-joined visited set (operators/graph.py bfs_layers); exact
+    unrolled-iteration SQL oracle."""
+    und = (
+        _ring_edges(spark, sf_dir, skip=TRI_SKIP)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    dedges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    seeds = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select("b"))
+        .distinct()
+        .where(F.col("node") % BFS_SEED_MOD == 0)
+    )
+    from realtime_datawarehouse_spark.operators.graph import bfs_layers
+
+    return bfs_layers(dedges, seeds, max_hops=3)

@@ -1475,3 +1475,12 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas; a real deployment swaps only the sampling line for
     PIL resize+grayscale."""
     return multimodal.image_phash(_docs(spark, sf_dir))
+
+
+@query("text_ngram_novelty", oracle=textops.NGRAM_NOVELTY_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal n-gram novelty per document (share of its shingles first
+    seen HERE) — the complement of duplicate coverage and the ranking
+    signal for dedup-aware curation ordering. One shingle-hash exchange;
+    first-owner via window min; per-doc rollup."""
+    return textops.ngram_novelty(_docs(spark, sf_dir))

@@ -47,6 +47,10 @@ DRIVER_PRIORITY: list[str] = [
     "olap_ewma_user_value",
     "olap_equidepth_histogram",
     "mm_image_phash",
+    "graph_bfs_layers",
+    "olap_benford_check",
+    "olap_calendar_heatmap",
+    "text_ngram_novelty",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",
