@@ -33,7 +33,15 @@ ORACLES: dict[str, str] = {}
 # outranks a stale record. The remaining slots take the oldest r01 rows;
 # round 5 leads with the rest of the r01 cohort, then r02.
 DRIVER_PRIORITY: list[str] = [
-    # new in r4 (second half) — never driver-recorded
+    # oracle/implementation changed in r4 (sketch pins, trained-IVF
+    # assignment) — MUST re-record this round, so they lead
+    "sk_hll_daily_uv",
+    "sk_quantile_order_value",
+    "ann_ivf_trained_topk",
+    # new in r4 (second half) — never driver-recorded; the head exceeds
+    # the driver's ~50-row budget by a few entries, so the LAST few below
+    # (simple single-agg queries with strong inline verification) roll to
+    # round 5
     "olap_ohlc_bars",
     "olap_window_funnel",
     "olap_unpivot_metrics",
@@ -90,10 +98,6 @@ DRIVER_PRIORITY: list[str] = [
     "olap_rfm_segmentation",
     "ext_value_band_join",
     "olap_pareto_segments",
-    # oracle/implementation changed in r4
-    "sk_hll_daily_uv",
-    "sk_quantile_order_value",
-    "ann_ivf_trained_topk",
     # r01-recorded cohort (oldest driver rows)
     "embed_near_dup_pairs",
     "mm_decode_metadata",
