@@ -1920,3 +1920,106 @@ FROM (SELECT doc_id FROM documents) d
 LEFT JOIN per p USING (doc_id)
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Full BPE TRAINING loop (Sennrich 2016 / GPT-2 style): iterate the merge
+# step text_bpe_merge_pairs demonstrates once — the tokenizer-training
+# algorithm itself, distributed.
+
+BPE_TRAIN_MERGES = 8
+
+
+def _apply_merge(sym_col: F.Column, left: str, right: str) -> F.Column:
+    """Replace every non-overlapping adjacent (left, right) in the symbol
+    array with the concatenated symbol — one codegen'd fold, greedy
+    left-to-right exactly like the sequential reference algorithm (a
+    merged symbol is consumed and cannot chain into the next pair)."""
+    init = F.struct(
+        F.expr("array()").cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+
+    def step(acc, s):
+        is_pair = acc["carry"].isNotNull() & (acc["carry"] == F.lit(left)) & (
+            s == F.lit(right)
+        )
+        out_merged = F.concat(
+            acc["out"], F.array(F.lit(left + right))
+        )
+        out_shift = F.when(
+            acc["carry"].isNotNull(),
+            F.concat(acc["out"], F.array(acc["carry"])),
+        ).otherwise(acc["out"])
+        return F.struct(
+            F.when(is_pair, out_merged).otherwise(out_shift).alias("out"),
+            F.when(is_pair, F.lit(None).cast("string")).otherwise(s).alias(
+                "carry"
+            ),
+        )
+
+    def finish(acc):
+        return F.when(
+            acc["carry"].isNotNull(),
+            F.concat(acc["out"], F.array(acc["carry"])),
+        ).otherwise(acc["out"])
+
+    return F.aggregate(sym_col, init, step, finish)
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """(step, left, right, pair_ct): the learned BPE merge table — the
+    ACTUAL tokenizer-training loop, distributed the way real trainers
+    run it: pair counting and merge application over the WORD-FREQUENCY
+    table (corpus token counts collapse once up front), one driver round
+    per merge collecting a single (pair, count) row — the same
+    tiny-collect iteration shape as k-means and PageRank.
+
+    Per iteration: adjacent-pair counts are a map-combined aggregation
+    over |vocab| symbol arrays; the winning pair (count desc, then
+    lexicographic — the standard deterministic tie-break) broadcasts
+    into a codegen'd greedy left-to-right fold that rewrites each word's
+    symbol array in place. State (the segmented vocab) persists across
+    iterations; previous iterations unpersist. No SQL rendering of an
+    N-step recursive merge exists, so the query registers rows-only and
+    tests/test_plans.py pins EXACT equality against a pure-Python
+    reference BPE on the same corpus."""
+    words = docs.select(F.explode(tokenize(text_col)).alias("w"))
+    wf = words.groupBy("w").agg(F.count("*").alias("ct"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    state = wf.select(F.col("ct"), chars.alias("sym")).persist()
+    merges: list[tuple[int, str, str, int]] = []
+    for step_no in range(1, n_merges + 1):
+        pairs = state.select(
+            "ct",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("sym"), 1, F.size("sym") - 1).alias("l"),
+                    F.slice(F.col("sym"), 2, F.size("sym") - 1).alias("r"),
+                )
+            ).alias("p"),
+        ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "ct")
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("ct").alias("pair_ct"))
+            .orderBy(F.desc("pair_ct"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, pair_ct = top[0].l, top[0].r, int(top[0].pair_ct)
+        merges.append((step_no, left, right, pair_ct))
+        nxt = state.select("ct", _apply_merge(F.col("sym"), left, right).alias("sym")).persist()
+        state.unpersist()
+        state = nxt
+    state.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_ct bigint"
+    )

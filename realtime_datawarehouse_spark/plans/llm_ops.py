@@ -1484,3 +1484,14 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal for dedup-aware curation ordering. One shingle-hash exchange;
     first-owner via window min; per-doc rollup."""
     return textops.ngram_novelty(_docs(spark, sf_dir))
+
+
+@query("text_bpe_train")  # iterative merge loop — no SQL rendering of the
+# N-step recursion; rows-only, pinned EXACTLY by
+# tests/test_plans.py::test_bpe_train_matches_reference
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE training (8 merges) over the corpus word-frequency
+    table — the tokenizer-training loop itself (operators/textops.py
+    bpe_train); per merge one map-combined pair count + a broadcast
+    greedy rewrite fold."""
+    return textops.bpe_train(_docs(spark, sf_dir))

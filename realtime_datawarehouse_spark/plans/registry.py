@@ -59,6 +59,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_benford_check",
     "olap_calendar_heatmap",
     "text_ngram_novelty",
+    "text_bpe_train",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",

@@ -991,3 +991,58 @@ def test_substring_dedup_injected_span(spark):
     assert out[2].clean_text == "b0 b1 b2 b3 b4 b5 b6 b7"
     assert out[3].removed_tokens == 0
     assert out[3].clean_text == "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed BPE trainer must reproduce a sequential reference
+    implementation EXACTLY — same merges, same order, same counts (ties
+    broken by count desc then lexicographic pair, greedy left-to-right
+    non-overlapping application)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from realtime_datawarehouse_spark.plans.registry import get_queries
+
+    got = [
+        (r.step, r.left, r.right, r.pair_ct)
+        for r in get_queries()["text_bpe_train"](spark, SF_DIR)
+        .orderBy("step")
+        .collect()
+    ]
+
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet").column(
+        "text"
+    ).to_pylist()
+    wf = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                wf[w] += 1
+    vocab = {w: [c for c in w] for w in wf}
+    want = []
+    for step in range(1, 9):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        (left, right), ct = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((step, left, right, ct))
+        for w, syms in vocab.items():
+            out, carry = [], None
+            for s in syms:
+                if carry == left and s == right:
+                    out.append(left + right)
+                    carry = None
+                else:
+                    if carry is not None:
+                        out.append(carry)
+                    carry = s
+            if carry is not None:
+                out.append(carry)
+            vocab[w] = out
+    assert got == want, (got, want)
