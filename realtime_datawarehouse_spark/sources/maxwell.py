@@ -70,7 +70,7 @@ def project_data(env: DataFrame, cols: dict[str, str]) -> DataFrame:
     )
 
 
-def cart_add_delta(env: DataFrame) -> DataFrame:
+def cart_add_delta(env: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     """P5/P6 cart-add fact: inserts + quantity-increase updates with delta.
 
     Filter (DwdTradeCartAdd.java:42-44):
@@ -95,6 +95,7 @@ def cart_add_delta(env: DataFrame) -> DataFrame:
         data_col("sku_id").alias("sku_id"),
         delta.alias("sku_num_delta"),
         F.col("type").alias("change_type"),
+        *[F.col(c) for c in extra_cols],
     )
 
 

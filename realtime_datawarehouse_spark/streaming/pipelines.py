@@ -406,3 +406,133 @@ def traffic_stream_graph(
         dws_traffic_channel_window(uv), memory_table
     )
     return [q1, q2, q3]
+
+
+def _cart_fact_boundary_schema():
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    return StructType(
+        [
+            StructField("user_id", StringType()),
+            StructField("sku_num_delta", IntegerType()),
+            StructField("event_time", TimestampType()),
+        ]
+    )
+
+
+def _cart_uu_boundary_schema():
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("stt", StringType()),
+            StructField("edt", StringType()),
+            StructField("cart_add_uu_ct", LongType()),
+        ]
+    )
+
+
+def trade_stream_graph(
+    spark: SparkSession,
+    raw: DataFrame,
+    work_dir: str,
+    store_path: str | None = None,
+) -> list:
+    """The §3.4 TRADE dataflow as one running set of THREE chained
+    streaming queries over shared storage boundaries (the right-column
+    twin of ``traffic_stream_graph``):
+
+      raw (topic_db) ── q1: Maxwell parse → ETL filter → cart-add facts
+        with quantity delta + event time
+        → ``{work_dir}/dwd_cart_add``        (append boundary)
+      boundary ── q2: first-per-user-day dedup → 10 s tumble UU window
+        → ``{work_dir}/dws_cart_uu``         (append boundary)
+      boundary ── q3: ADS daily rollup, foreachBatch MERGE into the
+        versioned table store (the reference's OLAP-sink upsert shape)
+        → ``{store_path}``
+
+    Every boundary is replayable and keyed like the reference's
+    intermediate Kafka topics; each query owns its checkpoint. The ADS
+    stage runs in UPDATE mode — per batch, changed days MERGE by PK into
+    the store, so the served table always holds the latest rollup (K2's
+    upsert contract instead of append windows). Returns [q1, q2, q3].
+    """
+    from realtime_datawarehouse_spark.sources import maxwell as mx
+
+    store_path = store_path or os.path.join(work_dir, "ads_cart_daily")
+    dwd_dir = os.path.join(work_dir, "dwd_cart_add")
+    dws_dir = os.path.join(work_dir, "dws_cart_uu")
+
+    env = mx.parse_envelope(raw)
+    kept = mx.etl_filter(env).withColumn(
+        "event_time", F.timestamp_seconds(F.col("ts").cast("long"))
+    )
+    facts = mx.cart_add_delta(kept, extra_cols=("event_time",)).select(
+        "user_id", "sku_num_delta", "event_time"
+    )
+    q1 = (
+        facts.writeStream.format("parquet")
+        .option("path", dwd_dir)
+        .option("checkpointLocation", os.path.join(work_dir, "ck1"))
+        .outputMode("append")
+        .start()
+    )
+
+    f = jobs.parquet_stream(spark, dwd_dir, _cart_fact_boundary_schema())
+    firsts = jobs.first_per_user_day(
+        f.withColumn("visit_date", F.to_date("event_time")),
+        ts_col="event_time",
+        key="user_id",
+        watermark=jobs.DAY_TTL_WATERMARK,
+    )
+    uu = (
+        firsts.groupBy(F.window("event_time", "10 seconds"))
+        .agg(F.count("*").alias("cart_add_uu_ct"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "cart_add_uu_ct",
+        )
+    )
+    q2 = (
+        uu.writeStream.format("parquet")
+        .option("path", dws_dir)
+        .option("checkpointLocation", os.path.join(work_dir, "ck2"))
+        .outputMode("append")
+        .start()
+    )
+
+    w = jobs.parquet_stream(spark, dws_dir, _cart_uu_boundary_schema())
+    daily = (
+        w.select(F.substring("stt", 1, 10).alias("dt"), "cart_add_uu_ct")
+        .groupBy("dt")
+        .agg(F.sum("cart_add_uu_ct").alias("cart_add_uu"))
+    )
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table_store.merge_upsert(
+            batch_df.sparkSession,
+            batch_df.withColumn("ver", F.lit(batch_id)),
+            store_path,
+            pk="dt",
+            version_col="ver",
+        )
+
+    q3 = (
+        daily.writeStream.outputMode("update")
+        .foreachBatch(upsert_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "ck3"))
+        .start()
+    )
+    return [q1, q2, q3]

@@ -490,3 +490,57 @@ def test_traffic_stream_graph_three_hop_parity(spark, tmp_path):
     assert got == expected
     # and the graph deduped: m1/m2 appear once despite re-entries
     assert sum(c for (_, _, _, _, _, c) in got) == 3  # m1, m2, m4
+
+
+def test_trade_stream_graph_three_hop_parity(spark, tmp_path):
+    """§3.4's TRADE column as one running set of three chained streaming
+    queries over storage boundaries — Maxwell facts → UU window → ADS
+    daily MERGE into the table store — with batch parity at the served
+    table: per-day cart-add UU equals the batch distinct-user count."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import table_store as ts
+    from realtime_datawarehouse_spark.sources import maxwell as mx
+
+    raw = _stream_of_lines(
+        spark,
+        tmp_path / "in",
+        [CART_LINES_B1, CART_LINES_B2] + CART_HEARTBEATS,
+    )
+    store = str(tmp_path / "ads_store")
+    qs = pipelines.trade_stream_graph(
+        spark, raw, str(tmp_path / "graph"), store_path=store
+    )
+    try:
+        for q in qs:
+            q.processAllAvailable()
+    finally:
+        for q in qs:
+            q.stop()
+    served = {
+        r.dt: r.cart_add_uu for r in ts.read_state(spark, store).collect()
+    }
+
+    # batch parity: distinct cart-add users per day over the same lines
+    # (each user's first event lands in exactly one window; summing the
+    # closed windows per day = the day's distinct users)
+    all_lines = CART_LINES_B1 + CART_LINES_B2 + sum(CART_HEARTBEATS, [])
+    raw_b = spark.createDataFrame([(s,) for s in all_lines], "value string")
+    env = mx.etl_filter(mx.parse_envelope(raw_b)).withColumn(
+        "event_time", F.timestamp_seconds(F.col("ts").cast("long"))
+    )
+    facts = mx.cart_add_delta(env, extra_cols=("event_time",))
+    want = {
+        r.dt: r.uu
+        for r in facts.select(
+            F.date_format("event_time", "yyyy-MM-dd").alias("dt"), "user_id"
+        )
+        .groupBy("dt")
+        .agg(F.countDistinct("user_id").alias("uu"))
+        .collect()
+    }
+    # day 1 must be fully closed (heartbeats advanced the watermark);
+    # the heartbeat day itself may still be open
+    assert served["2024-01-01"] == want["2024-01-01"] == 3
+    for dt, uu in served.items():
+        assert uu <= want[dt]
