@@ -2023,3 +2023,56 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_ct bigint"
     )
+
+
+def bpe_encode(
+    docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, tokens_before, tokens_after): tokenize each document
+    under the corpus-trained BPE merge table — the encode half of the
+    tokenizer workflow, and the real token-cost meter once a tokenizer
+    exists (replaces the whitespace/BPE-ish proxies of token_stats).
+
+    The merge table comes from :func:`bpe_train` (a driver-side list of
+    ≤``n_merges`` (left, right) literals); application is ``n_merges``
+    CHAINED greedy folds compiled into ONE projection — no joins, no
+    shuffles, corpus scanned once. Word-level token counts sum per doc
+    via the word-frequency map the trainer already uses... here counts
+    stay per-document, so the plan is: split → per-word symbol arrays →
+    fold per merge → Σ array sizes per doc (map-only until the final
+    doc rollup, which needs no shuffle either — counts are computed
+    inside the row). Rows-only (the merge literals are data-dependent,
+    the same static-oracle constraint as unigram_logprob's vocab);
+    pinned exactly against the reference encoder in-test."""
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(docs, n_merges, text_col).orderBy("step").collect()
+    ]
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    chars = lambda w: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+    )
+
+    def encode_word(w):
+        sym = chars(w)
+        for left, right in merges:
+            sym = _apply_merge(sym, left, right)
+        return sym
+
+    before = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    after = F.aggregate(
+        F.transform(words, lambda w: F.size(encode_word(w))),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    return docs.select(
+        "doc_id",
+        before.alias("tokens_before"),
+        after.alias("tokens_after"),
+    )

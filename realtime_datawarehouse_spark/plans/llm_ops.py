@@ -1495,3 +1495,14 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_train); per merge one map-combined pair count + a broadcast
     greedy rewrite fold."""
     return textops.bpe_train(_docs(spark, sf_dir))
+
+
+@query("text_bpe_encode")  # merge literals are data-dependent (trained on
+# the corpus) — rows-only; pinned exactly by
+# tests/test_plans.py::test_bpe_encode_matches_reference
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document under the corpus-trained 8-merge BPE table:
+    per-doc character count vs post-merge token count — the encode half
+    of the tokenizer loop, applied as 8 chained codegen folds in one
+    corpus scan (operators/textops.py bpe_encode)."""
+    return textops.bpe_encode(_docs(spark, sf_dir))

@@ -60,6 +60,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_calendar_heatmap",
     "text_ngram_novelty",
     "text_bpe_train",
+    "text_bpe_encode",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",

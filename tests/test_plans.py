@@ -1046,3 +1046,80 @@ def test_bpe_train_matches_reference(spark):
                 out.append(carry)
             vocab[w] = out
     assert got == want, (got, want)
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Encoding under the trained merges must match the sequential
+    reference: same merges (already pinned), same greedy application per
+    word, summed per document; tokens_before is the character count of
+    the whitespace tokens."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from realtime_datawarehouse_spark.plans.registry import get_queries
+
+    got = {
+        r.doc_id: (r.tokens_before, r.tokens_after)
+        for r in get_queries()["text_bpe_encode"](spark, SF_DIR).collect()
+    }
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    texts = dict(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    )
+    # retrain reference merges (identical to test_bpe_train's)
+    wf = Counter()
+    for txt in texts.values():
+        for w in txt.lower().split():
+            if w:
+                wf[w] += 1
+    vocab = {w: [c for c in w] for w in wf}
+    merges = []
+    for _ in range(8):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        (left, right), _ct = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right))
+        for w, syms in vocab.items():
+            out, carry = [], None
+            for s in syms:
+                if carry == left and s == right:
+                    out.append(left + right)
+                    carry = None
+                else:
+                    if carry is not None:
+                        out.append(carry)
+                    carry = s
+            if carry is not None:
+                out.append(carry)
+            vocab[w] = out
+
+    def enc_len(w):
+        syms = [c for c in w]
+        for left, right in merges:
+            out, carry = [], None
+            for s in syms:
+                if carry == left and s == right:
+                    out.append(left + right)
+                    carry = None
+                else:
+                    if carry is not None:
+                        out.append(carry)
+                    carry = s
+            if carry is not None:
+                out.append(carry)
+            syms = out
+        return len(syms)
+
+    for doc_id, txt in texts.items():
+        ws = [w for w in txt.lower().split() if w]
+        want_before = sum(len(w) for w in ws)
+        want_after = sum(enc_len(w) for w in ws)
+        assert got[doc_id] == (want_before, want_after), doc_id
