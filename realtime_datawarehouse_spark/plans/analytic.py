@@ -2355,3 +2355,50 @@ def olap_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("uu"),
         )
     )
+
+
+MARKOV_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), t AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS pair_ct
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT from_type, sum(pair_ct) AS out_ct FROM t GROUP BY 1
+)
+SELECT t.from_type, t.to_type, t.pair_ct,
+       {pround_sql('t.pair_ct * 1.0 / tot.out_ct', 4)} AS prob
+FROM t JOIN tot USING (from_type)
+"""
+
+
+@query("olap_markov_transition_probs", oracle=MARKOV_ORACLE)
+def olap_markov_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition probabilities over the per-user
+    event sequence — the normalized form of olap_event_transitions (the
+    next-event model behind journey prediction and anomaly scoring).
+    One user-keyed window for lead(), one map-combined pair count, a
+    broadcast per-source total for the normalization (|event types|²
+    keyspace)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("pair_ct"))
+    tot = t.groupBy("from_type").agg(F.sum("pair_ct").alias("out_ct"))
+    return t.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "pair_ct",
+        pround(
+            F.col("pair_ct").cast("double") / F.col("out_ct").cast("double"), 4
+        ).alias("prob"),
+    )

@@ -246,3 +246,73 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_datawarehouse_spark.operators.graph import bfs_layers
 
     return bfs_layers(dedges, seeds, max_hops=3)
+
+
+CLUSTERING_ORACLE = (
+    _TRI_EDGE_CTE
+    + """
+, wedge AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM und e1 JOIN und e2 ON e1.b = e2.a
+), tri AS (
+  SELECT w.a, w.b, w.c
+  FROM wedge w JOIN und e3 ON e3.a = w.a AND e3.b = w.c
+), tv AS (
+  SELECT unnest([a, b, c]) AS node FROM tri
+), tc AS (
+  SELECT node, count(*) AS tri_ct FROM tv GROUP BY 1
+), deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY 1
+)
+SELECT d.node, d.deg,
+       CAST(coalesce(tc.tri_ct, 0) AS BIGINT) AS tri_ct,
+       CASE WHEN d.deg >= 2 THEN
+         floor(coalesce(tc.tri_ct, 0) * 2.0 / (d.deg * (d.deg - 1))
+               * 10000 + 0.5) / 10000.0
+       ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN tc USING (node)
+"""
+)
+
+
+@query("graph_clustering_coeff", oracle=CLUSTERING_ORACLE)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex — tri_ct / C(deg, 2),
+    the density-of-neighborhood signal (spam rings score ~1, stars ~0).
+    Composes the triangle wedge join with one degree aggregation and a
+    hash join; the ratio is integer-derived (2·tri / deg·(deg−1)) then
+    portably rounded."""
+    edges = _ring_edges(spark, sf_dir, skip=TRI_SKIP)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    tc = triangle_counts(edges)
+    from realtime_datawarehouse_spark.functions.compare import pround
+
+    joined = deg.join(
+        tc.withColumnRenamed("node", "tnode").hint("shuffle_hash"),
+        deg["node"] == F.col("tnode"),
+        "left",
+    )
+    tri = F.coalesce(F.col("tri_ct"), F.lit(0))
+    coef = F.when(
+        F.col("deg") >= 2,
+        pround(
+            tri * 2.0 / (F.col("deg") * (F.col("deg") - 1)), 4
+        ),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "node", "deg", tri.alias("tri_ct"), coef.alias("clustering")
+    )

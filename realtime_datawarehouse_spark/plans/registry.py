@@ -61,6 +61,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_ngram_novelty",
     "text_bpe_train",
     "text_bpe_encode",
+    "graph_clustering_coeff",
+    "olap_markov_transition_probs",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",
