@@ -42,6 +42,11 @@ PROBE_QUERIES = (
     "pipeline_corpus_curation_v3",
     "ann_pq_topk",
     "ann_pq_rerank_topk",
+    # round-4 third-session additions (documents/embeddings-based)
+    "dedup_jaccard_prefix",
+    "text_substring_dedup",
+    "text_dsir_weights",
+    "text_ngram_novelty",
 )
 
 
