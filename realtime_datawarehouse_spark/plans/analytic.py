@@ -2402,3 +2402,67 @@ def olap_markov_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pair_ct").cast("double") / F.col("out_ct").cast("double"), 4
         ).alias("prob"),
     )
+
+
+WATERFALL_ORACLE = f"""
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mth,
+         o_orderpriority AS priority,
+         {dsum_sql('o_totalprice')} AS gmv
+  FROM orders GROUP BY 1, 2
+), d AS (
+  SELECT mth, priority, gmv,
+         {pround_sql('gmv - lag(gmv) OVER (PARTITION BY priority ORDER BY mth)')}
+           AS delta
+  FROM m
+), t AS (
+  -- deltas are 2-dp values; sum exact integer cents so partial-sum order
+  -- can never flip a rounding boundary (the dsum discipline, signed form)
+  SELECT mth,
+         CAST(sum(CAST(floor(delta * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+           AS total_delta
+  FROM d GROUP BY 1
+)
+SELECT d.mth, d.priority, d.gmv, d.delta,
+       CASE WHEN t.total_delta <> 0 THEN
+         {pround_sql('d.delta / t.total_delta', 4)}
+       END AS contrib_share
+FROM d JOIN t USING (mth)
+WHERE d.delta IS NOT NULL
+"""
+
+
+@query("olap_gmv_waterfall", oracle=WATERFALL_ORACLE)
+def olap_gmv_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting waterfall: each month's GMV delta decomposed by
+    order priority — which segment drove the move (the bridge chart
+    behind every revenue review). Per-priority lag over the month grain
+    (partitioned window — |priorities| parallel series), month totals
+    broadcast back for the contribution share; share is NULL on
+    zero-delta months (division degenerate in both engines alike)."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias("mth"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(dsum(F.col("o_totalprice")).alias("gmv"))
+    w = Window.partitionBy("priority").orderBy("mth")
+    d = m.select(
+        "mth",
+        "priority",
+        "gmv",
+        pround(F.col("gmv") - F.lag("gmv").over(w), 2).alias("delta"),
+    ).where(F.col("delta").isNotNull())
+    dq = F.floor(F.col("delta") * 100 + F.lit(0.5)).cast("bigint")
+    t = d.groupBy("mth").agg(
+        (F.sum(dq).cast("double") / F.lit(100.0)).alias("total_delta")
+    )
+    return d.join(F.broadcast(t), "mth").select(
+        "mth",
+        "priority",
+        "gmv",
+        "delta",
+        F.when(
+            F.col("total_delta") != 0,
+            pround(F.col("delta") / F.col("total_delta"), 4),
+        ).alias("contrib_share"),
+    )

@@ -63,6 +63,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_bpe_encode",
     "graph_clustering_coeff",
     "olap_markov_transition_probs",
+    "olap_gmv_waterfall",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",
