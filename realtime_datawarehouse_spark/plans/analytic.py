@@ -2466,3 +2466,81 @@ def olap_gmv_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.col("delta") / F.col("total_delta"), 4),
         ).alias("contrib_share"),
     )
+
+
+LTV_ORACLE = f"""
+WITH firsts AS (
+  SELECT o_custkey,
+         min(date_trunc('month', o_orderdate)) AS cohort_m
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT strftime(f.cohort_m, '%Y-%m') AS cohort,
+         CAST((year(o.o_orderdate) - year(f.cohort_m)) * 12
+              + (month(o.o_orderdate) - month(f.cohort_m)) AS INT)
+           AS month_offset,
+         o.o_totalprice
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+  WHERE (year(o.o_orderdate) - year(f.cohort_m)) * 12
+        + (month(o.o_orderdate) - month(f.cohort_m)) <= 11
+), g AS (
+  SELECT cohort, month_offset,
+         CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS gmv_q6
+  FROM j GROUP BY 1, 2
+)
+SELECT cohort, month_offset,
+       floor(CAST(gmv_q6 AS DOUBLE) / 10000.0 + 0.5) / 100.0 AS gmv,
+       floor(CAST(sum(gmv_q6) OVER (PARTITION BY cohort ORDER BY month_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 10000.0 + 0.5) / 100.0 AS cum_gmv
+FROM g
+"""
+
+
+@query("olap_cohort_ltv", oracle=LTV_ORACLE)
+def olap_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: cumulative revenue per acquisition cohort by
+    month offset (first year) — the money twin of the retention
+    triangle and the payback-period readout. First-order month per
+    customer (map-combined min), one broadcast-free join back on
+    custkey, integer-quantized sums, and the cumulative runs over the
+    tiny (cohort × ≤12) grid; the running sum accumulates EXACT int64
+    micro-units so the cumulative is order-free too."""
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_m")
+    )
+    off = (
+        (F.year("o_orderdate") - F.year("cohort_m")) * 12
+        + (F.month("o_orderdate") - F.month("cohort_m"))
+    )
+    j = (
+        o.join(firsts.hint("shuffle_hash"), "o_custkey")
+        .select(
+            F.date_format("cohort_m", "yyyy-MM").alias("cohort"),
+            off.cast("int").alias("month_offset"),
+            "o_totalprice",
+        )
+        .where(F.col("month_offset") <= 11)
+    )
+    g = j.groupBy("cohort", "month_offset").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 1_000_000 + F.lit(0.5)).cast(
+                "bigint"
+            )
+        ).alias("gmv_q6")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    to_money = lambda c: (  # noqa: E731
+        F.floor(c.cast("double") / F.lit(10_000.0) + F.lit(0.5)) / F.lit(100.0)
+    )
+    return g.select(
+        "cohort",
+        "month_offset",
+        to_money(F.col("gmv_q6")).alias("gmv"),
+        to_money(F.sum("gmv_q6").over(w)).alias("cum_gmv"),
+    )

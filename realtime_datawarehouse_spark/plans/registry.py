@@ -64,6 +64,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_clustering_coeff",
     "olap_markov_transition_probs",
     "olap_gmv_waterfall",
+    "olap_cohort_ltv",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",
