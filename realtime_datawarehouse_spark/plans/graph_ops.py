@@ -65,26 +65,14 @@ def _ring_edges(
     )
 
 
-def _pagerank_oracle(iters: int = PR_ITERS) -> str:
+def _pr_chain_sql(edges_prefix: str, iters: int = PR_ITERS) -> str:
+    """Unrolled integer-PageRank SQL over any prefix that defines a CTE
+    ``edges(src, dst)`` (opened with WITH and ending in a closing paren —
+    the chain appends its own CTEs and the final SELECT)."""
     base = f"CAST({SCALE * (_D_DEN - _D_NUM)} // ({_D_DEN} * nn.n_nodes) AS BIGINT)"
     parts = [
-        f"""
-WITH ranked AS (
-  SELECT c_nationkey AS nk, c_custkey AS ck,
-         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn,
-         count(*)    OVER (PARTITION BY c_nationkey) AS cnt
-  FROM customer
-), rk AS (
-  SELECT * FROM ranked WHERE cnt >= 2
-), tgt AS (
-  SELECT nk, ck AS src,
-         unnest([(rn % cnt) + 1, ((rn + {RING_SKIP - 1}) % cnt) + 1]) AS t
-  FROM rk
-), edges AS (
-  SELECT DISTINCT tgt.src AS src, rk.ck AS dst
-  FROM tgt JOIN rk ON rk.nk = tgt.nk AND rk.rn = tgt.t
-  WHERE rk.ck <> tgt.src
-), nodes AS (
+        edges_prefix,
+        f""", nodes AS (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
   )
@@ -95,7 +83,7 @@ WITH ranked AS (
 ), r0 AS (
   SELECT node, CAST({SCALE} // nn.n_nodes AS BIGINT) AS rq
   FROM nodes CROSS JOIN nn
-)"""
+)""",
     ]
     for i in range(1, iters + 1):
         parts.append(
@@ -111,10 +99,29 @@ WITH ranked AS (
   FROM nodes n CROSS JOIN nn LEFT JOIN i{i} ON i{i}.node = n.node
 )"""
         )
-    parts.append(
-        f"\nSELECT node, rq AS rank_q FROM r{iters}"
-    )
+    parts.append(f"\nSELECT node, rq AS rank_q FROM r{iters}")
     return "".join(parts)
+
+
+def _pagerank_oracle(iters: int = PR_ITERS) -> str:
+    prefix = f"""
+WITH ranked AS (
+  SELECT c_nationkey AS nk, c_custkey AS ck,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn,
+         count(*)    OVER (PARTITION BY c_nationkey) AS cnt
+  FROM customer
+), rk AS (
+  SELECT * FROM ranked WHERE cnt >= 2
+), tgt AS (
+  SELECT nk, ck AS src,
+         unnest([(rn % cnt) + 1, ((rn + {RING_SKIP - 1}) % cnt) + 1]) AS t
+  FROM rk
+), edges AS (
+  SELECT DISTINCT tgt.src AS src, rk.ck AS dst
+  FROM tgt JOIN rk ON rk.nk = tgt.nk AND rk.rn = tgt.t
+  WHERE rk.ck <> tgt.src
+)"""
+    return _pr_chain_sql(prefix, iters)
 
 
 @query("graph_pagerank", oracle=_pagerank_oracle())
@@ -316,3 +323,40 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "node", "deg", tri.alias("tri_ct"), coef.alias("clustering")
     )
+
+
+def _doc_centrality_oracle() -> str:
+    from realtime_datawarehouse_spark.operators.similarity import (
+        knn_graph_oracle,
+    )
+
+    prefix = f"""
+WITH edges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+{knn_graph_oracle()}
+  ) knn
+)"""
+    return _pr_chain_sql(prefix)
+
+
+@query("graph_doc_centrality", oracle=_doc_centrality_oracle())
+def graph_doc_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document centrality: integer fixed-point PageRank over the
+    multiprobe-LSH kNN similarity graph — "which documents sit at the
+    center of embedding space" (the representative-sample selector of
+    corpus summarization / coreset pickers, SemDeDup's constructive
+    complement). A pure COMPOSITION of two audited operators: the
+    ann_knn_graph edge builder feeds operators/graph.pagerank unchanged,
+    and the oracle nests the knn SQL inside the unrolled PageRank chain
+    — the whole two-stage flow stays bit-exact end-to-end. kNN out-
+    degree ≤ k bounds every node's fan-out; nodes whose probe buckets
+    are empty contribute nothing (dangling — the operator's documented
+    contract, identical in both engines)."""
+    from realtime_datawarehouse_spark.operators import similarity
+    from realtime_datawarehouse_spark.tables import table as _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = similarity.knn_graph(emb).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return pagerank(edges, iters=PR_ITERS, d_num=_D_NUM, d_den=_D_DEN)

@@ -65,6 +65,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_markov_transition_probs",
     "olap_gmv_waterfall",
     "olap_cohort_ltv",
+    "graph_doc_centrality",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",
