@@ -53,7 +53,7 @@ def pagerank(
         .distinct()
     )
     outd = edges.groupBy("src").agg(F.count("*").alias("od"))
-    ej = edges.join(outd, "src").persist()
+    ej = edges.join(outd.hint("shuffle_hash"), "src").persist()
     n_df = nodes.agg(F.count("*").alias("n_nodes"))
     base_nodes = nodes.crossJoin(F.broadcast(n_df))
     r = base_nodes.select(
