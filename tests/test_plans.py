@@ -778,6 +778,14 @@ def test_shared_substring_run_length_exact(spark, tmp_path):
         "olap_window_funnel",
         "ext_bm25_topk",
         "ext_fuzzy_name_join",
+        "graph_clustering_coeff",
+        "graph_bfs_layers",
+        "graph_doc_centrality",
+        "olap_cohort_ltv",
+        "olap_markov_transition_probs",
+        "olap_gmv_waterfall",
+        "text_substring_dedup",
+        "text_ngram_novelty",
     ],
 )
 def test_r4c_no_sort_merge_join(spark, name):
