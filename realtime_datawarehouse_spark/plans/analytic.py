@@ -2544,3 +2544,78 @@ def olap_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_money(F.col("gmv_q6")).alias("gmv"),
         to_money(F.sum("gmv_q6").over(w)).alias("cum_gmv"),
     )
+
+
+ATTRIBUTION_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, value, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   >= {SESSION_GAP_S} * CAST(1000000 AS BIGINT) THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tagged AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM seq
+), entry AS (
+  SELECT user_id, session_seq,
+         arg_min(event_type,
+                 lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                 lpad(CAST(event_id AS VARCHAR), 12, '0')) AS entry_type
+  FROM tagged GROUP BY 1, 2
+)
+SELECT e.entry_type,
+       count(*) AS purchase_ct,
+       {dsum_sql('t.value')} AS attributed_value
+FROM tagged t
+JOIN entry e ON e.user_id = t.user_id AND e.session_seq = t.session_seq
+WHERE t.event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@query("olap_session_attribution", oracle=ATTRIBUTION_ORACLE)
+def olap_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-touch attribution: every purchase's value credited to the
+    event type that OPENED its session (gap-sessionized like
+    olap_sessionize) — the first-touch revenue attribution report.
+    One user-keyed exchange feeds the gap tagging, the running session
+    number, and the per-session entry pick (min over the total order
+    key); purchases join their session's entry on (user, session) —
+    hash join, same partitioning."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us >= SESSION_GAP_S * 1_000_000),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        is_new.alias("is_new"),
+    ).withColumn("session_seq", F.sum("is_new").over(run))
+    okey = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    entry = tagged.groupBy("user_id", "session_seq").agg(
+        F.min_by("event_type", okey).alias("entry_type")
+    )
+    purchases = tagged.where(F.col("event_type") == "purchase")
+    return (
+        purchases.join(
+            entry.hint("shuffle_hash"), ["user_id", "session_seq"]
+        )
+        .groupBy("entry_type")
+        .agg(
+            F.count("*").alias("purchase_ct"),
+            dsum(F.col("value")).alias("attributed_value"),
+        )
+    )

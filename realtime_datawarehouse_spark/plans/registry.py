@@ -66,6 +66,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_gmv_waterfall",
     "olap_cohort_ltv",
     "graph_doc_centrality",
+    "olap_session_attribution",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",
