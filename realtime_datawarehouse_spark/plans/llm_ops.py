@@ -1506,3 +1506,65 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the tokenizer loop, applied as 8 chained codegen folds in one
     corpus scan (operators/textops.py bpe_encode)."""
     return textops.bpe_encode(_docs(spark, sf_dir))
+
+
+VOCAB_GROWTH_BUCKET = 50
+
+VOCAB_GROWTH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS tok
+  FROM documents
+), firsts AS (
+  SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY 1
+), newv AS (
+  SELECT CAST(first_doc // {VOCAB_GROWTH_BUCKET} AS BIGINT) AS bucket,
+         count(*) AS new_types
+  FROM firsts GROUP BY 1
+), vol AS (
+  SELECT CAST(doc_id // {VOCAB_GROWTH_BUCKET} AS BIGINT) AS bucket,
+         count(*) AS tokens
+  FROM toks GROUP BY 1
+)
+SELECT v.bucket,
+       CAST(sum(v.tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(n.new_types, 0)) OVER w AS BIGINT) AS cum_vocab
+FROM vol v LEFT JOIN newv n USING (bucket)
+WINDOW w AS (ORDER BY v.bucket ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@query("text_vocab_growth", oracle=VOCAB_GROWTH_ORACLE)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law readout): cumulative distinct
+    token types vs cumulative tokens in doc_id order, bucketed — the
+    corpus statistic that says when new data stops adding new language
+    (flat curve ⇒ dedup/diversify before scaling). Type first-sightings
+    are one map-combined min per token; token volume one count; both
+    collapse to |buckets| rows before the tiny cumulative window."""
+    from pyspark.sql import Window
+
+    from realtime_datawarehouse_spark.functions.text import tokenize
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    newv = firsts.groupBy(
+        F.expr(f"first_doc div {VOCAB_GROWTH_BUCKET}").alias("bucket")
+    ).agg(F.count("*").alias("new_types"))
+    vol = toks.groupBy(
+        F.expr(f"doc_id div {VOCAB_GROWTH_BUCKET}").alias("bucket")
+    ).agg(F.count("*").alias("tokens"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        vol.join(newv.hint("shuffle_hash"), "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("tokens").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_types"), F.lit(0)))
+            .over(w)
+            .alias("cum_vocab"),
+        )
+    )

@@ -67,6 +67,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_cohort_ltv",
     "graph_doc_centrality",
     "olap_session_attribution",
+    "text_vocab_growth",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",
