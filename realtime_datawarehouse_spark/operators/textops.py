@@ -2076,3 +2076,71 @@ def bpe_encode(
         before.alias("tokens_before"),
         after.alias("tokens_after"),
     )
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, distinct_chars, entropy): Shannon entropy of the
+    per-document character distribution (nats, 4 dp) — the cheap
+    gibberish/boilerplate screen (natural text ≈ 2.5–3.2 nats; repeated
+    filler and base64 blobs sit far off in either direction).
+
+    Scale shape: one explode to (doc, char) counts (map-combined — the
+    keyspace per doc is its alphabet, not its length), then a per-doc
+    rollup summing per-character −(c/n)·ln(c/n) terms 1e-6-quantized
+    BEFORE the int64 sum (order-free; the quantize-after-ln libm caveat
+    of unigram_logprob applies)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(text_col)),
+        lambda i: F.col(text_col).substr(i, F.lit(1)),
+    )
+    e = docs.select(
+        "doc_id", F.length(text_col).alias("n"), F.explode(chars).alias("ch")
+    )
+    per = e.groupBy("doc_id", "n", "ch").agg(F.count("*").alias("c"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term6 = F.floor(-p * F.log(p) * F.lit(1_000_000) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.first("n").alias("n_chars"),
+        F.count("*").alias("distinct_chars"),
+        F.sum(term6).alias("h6"),
+    )
+    base = docs.select("doc_id")
+    return base.join(agg.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+        F.coalesce(F.col("distinct_chars"), F.lit(0)).alias("distinct_chars"),
+        F.coalesce(
+            F.floor(
+                F.col("h6").cast("double") / F.lit(1_000_000.0) * F.lit(10_000)
+                + F.lit(0.5)
+            )
+            / F.lit(10_000.0),
+            F.lit(0.0),
+        ).alias("entropy"),
+    )
+
+
+CHAR_ENTROPY_ORACLE = """
+WITH e AS (
+  SELECT doc_id, length(text) AS n,
+         unnest(list_transform(range(1, length(text) + 1),
+                               i -> substr(text, CAST(i AS INT), 1))) AS ch
+  FROM documents
+), per AS (
+  SELECT doc_id, n, ch, count(*) AS c FROM e GROUP BY 1, 2, 3
+), agg AS (
+  SELECT doc_id, any_value(n) AS n_chars, count(*) AS distinct_chars,
+         sum(CAST(floor(-(c * 1.0 / n) * ln(c * 1.0 / n) * 1000000 + 0.5)
+                  AS BIGINT)) AS h6
+  FROM per GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(a.distinct_chars, 0) AS BIGINT) AS distinct_chars,
+       coalesce(floor(CAST(a.h6 AS DOUBLE) / 1000000.0 * 10000 + 0.5)
+                / 10000.0, 0.0) AS entropy
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id)
+"""

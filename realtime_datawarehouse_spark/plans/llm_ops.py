@@ -1568,3 +1568,12 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_vocab"),
         )
     )
+
+
+@query("text_char_entropy", oracle=textops.CHAR_ENTROPY_ORACLE)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (nats) — the
+    cheap gibberish/boilerplate screen beside the token-level quality
+    signals; per-character terms quantize before the int64 sum
+    (operators/textops.py char_entropy)."""
+    return textops.char_entropy(_docs(spark, sf_dir))

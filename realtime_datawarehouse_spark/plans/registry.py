@@ -68,6 +68,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_doc_centrality",
     "olap_session_attribution",
     "text_vocab_growth",
+    "text_char_entropy",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",
