@@ -2619,3 +2619,49 @@ def olap_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value")).alias("attributed_value"),
         )
     )
+
+
+INTERARRIVAL_ORACLE = f"""
+WITH seq AS (
+  SELECT o_custkey,
+         CAST((epoch_us(o_orderdate) - epoch_us(lag(o_orderdate) OVER w))
+              // CAST(86400000000 AS BIGINT) AS BIGINT) AS gap_days
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), g AS (
+  SELECT o_custkey, gap_days FROM seq WHERE gap_days IS NOT NULL
+)
+SELECT o_custkey AS custkey,
+       count(*) AS n_gaps,
+       min(gap_days) AS min_gap_days,
+       max(gap_days) AS max_gap_days,
+       {pround_sql('avg(gap_days)', 2)} AS avg_gap_days
+FROM g GROUP BY 1
+"""
+
+
+@query("olap_order_interarrival", oracle=INTERARRIVAL_ORACLE)
+def olap_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order cadence: inter-order gaps in whole days
+    (min/max/avg) — the churn-risk precursor behind RFM recency. One
+    customer-keyed window for the lag, one map-combined rollup; gaps
+    are exact integer day counts (epoch floor-division), so the average
+    is a ratio of exact ints rounded portably."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.expr(
+        "(unix_micros(o_orderdate) - unix_micros(lag(o_orderdate) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))) "
+        "div 86400000000"
+    )
+    seq = o.select("o_custkey", gap.alias("gap_days")).where(
+        F.col("gap_days").isNotNull()
+    )
+    return seq.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_days").alias("min_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+        pround(
+            F.sum("gap_days").cast("double") / F.count("*").cast("double"), 2
+        ).alias("avg_gap_days"),
+    )

@@ -69,6 +69,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_session_attribution",
     "text_vocab_growth",
     "text_char_entropy",
+    "olap_order_interarrival",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",
