@@ -2665,3 +2665,58 @@ def olap_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap_days").cast("double") / F.count("*").cast("double"), 2
         ).alias("avg_gap_days"),
     )
+
+
+STICKINESS_ORACLE = f"""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+  FROM events
+), days AS (
+  SELECT DISTINCT d FROM du
+), wau AS (
+  SELECT days.d, count(DISTINCT du.user_id) AS wau
+  FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+  GROUP BY 1
+), dau AS (
+  SELECT d, count(*) AS dau FROM du GROUP BY 1
+)
+SELECT strftime(dau.d, '%Y-%m-%d') AS dt, dau.dau, wau.wau,
+       {pround_sql('dau.dau * 1.0 / wau.wau', 4)} AS stickiness
+FROM dau JOIN wau ON wau.d = dau.d
+"""
+
+
+@query("olap_dau_wau_stickiness", oracle=STICKINESS_ORACLE)
+def olap_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / rolling-7-day WAU stickiness per day — the engagement ratio
+    every growth dashboard leads with. Rolling DISTINCT counts can't run
+    in a plain window frame (distinct isn't subtractable), so the plan
+    is the standard warehouse shape: collapse to distinct (day, user)
+    pairs ONCE (the only corpus-sized aggregation), then a 7-row-per-day
+    range join against the day spine (|days|×7 rows — calendar-bounded)
+    re-counts distinct users per trailing window. At 100 TB the pair
+    table is the reusable daily-activity atom every other engagement
+    metric shares; bitmap state (olap_bitmap_uv_state) replaces the
+    re-count when days×users outgrows it."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    win = days.alias("s").join(
+        du.alias("u").hint("shuffle_hash"),
+        (F.col("u.d") >= F.date_sub(F.col("s.d"), 6))
+        & (F.col("u.d") <= F.col("s.d")),
+    )
+    wau = win.groupBy(F.col("s.d").alias("d")).agg(
+        F.countDistinct("u.user_id").alias("wau")
+    )
+    dau = du.groupBy("d").agg(F.count("*").alias("dau"))
+    return dau.join(F.broadcast(wau), "d").select(
+        F.date_format("d", "yyyy-MM-dd").alias("dt"),
+        "dau",
+        "wau",
+        pround(
+            F.col("dau").cast("double") / F.col("wau").cast("double"), 4
+        ).alias("stickiness"),
+    )

@@ -70,6 +70,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_vocab_growth",
     "text_char_entropy",
     "olap_order_interarrival",
+    "olap_dau_wau_stickiness",
     "graph_pagerank",
     "graph_triangle_count",
     "embed_pca_top_component",
