@@ -195,6 +195,7 @@ def load() -> None:
         tpch_like,
         traffic,
         trade,
+        warehouse_ext,
     )
 
     _LOADED = True
