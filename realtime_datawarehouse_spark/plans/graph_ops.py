@@ -360,3 +360,100 @@ def graph_doc_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return pagerank(edges, iters=PR_ITERS, d_num=_D_NUM, d_den=_D_DEN)
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor / Jaccard scores for non-adjacent pairs
+# ---------------------------------------------------------------------------
+
+LINKPRED_ORACLE = (
+    _TRI_EDGE_CTE
+    + """
+, sym AS (
+  SELECT a AS u, b AS w FROM und
+  UNION ALL
+  SELECT b AS u, a AS w FROM und
+),
+deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1
+),
+cand AS (
+  SELECT e1.u AS u, e2.u AS v, CAST(count(*) AS BIGINT) AS cn
+  FROM sym e1 JOIN sym e2 ON e2.w = e1.w AND e1.u < e2.u
+  GROUP BY 1, 2
+),
+nonadj AS (
+  SELECT c.u, c.v, c.cn FROM cand c
+  ANTI JOIN und ON und.a = c.u AND und.b = c.v
+)
+SELECT n.u, n.v, n.cn,
+       CAST(floor(CAST(n.cn AS DOUBLE) * 1000000.0
+                  / CAST(du.d + dv.d - n.cn AS DOUBLE)) AS BIGINT)
+         AS jaccard6
+FROM nonadj n
+JOIN deg du ON du.u = n.u
+JOIN deg dv ON dv.u = n.v
+"""
+)
+
+
+@query("graph_link_prediction", oracle=LINKPRED_ORACLE)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the skip-2 ring graph: for every NON-adjacent
+    vertex pair with at least one common neighbor, the common-neighbor
+    count and neighborhood-Jaccard score (cn / (deg(u)+deg(v)−cn)) — the
+    classic local similarity indices recommender graphs rank candidate
+    edges by.
+
+    Scale shape: candidate pairs come from the wedge join (sym ⋈ sym on
+    the shared middle vertex, u < v canonicalization halves the output)
+    — work is Σ deg(w)², bounded here by constant ring degree, and at
+    100 TB by the standard high-degree-hub cap (drop/ sample middles
+    above a degree threshold — same guard as dedup_ngram_jaccard's
+    hot-shingle cap). Adjacency exclusion is a LeftAnti hash join on the
+    canonical edge set; degree annotation joins hit the nodes-sized
+    table. All-integer output; the Jaccard ratio is a single
+    floor(double) both engines evaluate identically."""
+    und = (
+        _ring_edges(spark, sf_dir, skip=TRI_SKIP)
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    e1 = sym
+    e2 = sym.select(F.col("u").alias("v"), F.col("w").alias("w"))
+    cand = (
+        e1.join(e2.hint("shuffle_hash"), "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+    )
+    nonadj = cand.join(
+        und.hint("shuffle_hash"),
+        (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")),
+        "left_anti",
+    )
+    du = deg.select(F.col("u").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    return (
+        nonadj.join(du.hint("shuffle_hash"), "u")
+        .join(dv.hint("shuffle_hash"), "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.floor(
+                F.col("cn").cast("double")
+                * F.lit(1000000.0)
+                / (F.col("du") + F.col("dv") - F.col("cn")).cast("double")
+            )
+            .cast("bigint")
+            .alias("jaccard6"),
+        )
+    )

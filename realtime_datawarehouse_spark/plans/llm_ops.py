@@ -10,7 +10,7 @@ this module binds them to fixture tables and registers driver queries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realtime_datawarehouse_spark.operators import (
@@ -1577,3 +1577,208 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     signals; per-character terms quantize before the int64 sum
     (operators/textops.py char_entropy)."""
     return textops.char_entropy(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Word-pair association (PMI) and winnowing fingerprints (round 4b)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR_CT = 5
+PMI_TOPK = 50
+
+PMI_ORACLE = f"""
+WITH t AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT unnest(toks) AS w FROM t
+),
+uc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1
+),
+n AS (
+  SELECT CAST(count(*) AS BIGINT) AS total FROM uni
+),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(toks)), i ->
+           toks[i] || ' ' || toks[i+1])) AS pair,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i]))  AS w1,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+  FROM t WHERE len(toks) >= 2
+),
+bc AS (
+  SELECT pair, any_value(w1) AS w1, any_value(w2) AS w2,
+         CAST(count(*) AS BIGINT) AS pair_ct
+  FROM bi GROUP BY 1
+),
+scored AS (
+  SELECT bc.pair, bc.pair_ct,
+         CAST(floor(CAST(bc.pair_ct AS DOUBLE) * CAST(n.total AS DOUBLE)
+                    * 1000000.0
+                    / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)))
+              AS BIGINT) AS lift6
+  FROM bc
+  JOIN uc ua ON ua.w = bc.w1
+  JOIN uc ub ON ub.w = bc.w2
+  CROSS JOIN n
+  WHERE bc.pair_ct >= {PMI_MIN_PAIR_CT}
+),
+r AS (
+  SELECT pair, pair_ct, lift6,
+         row_number() OVER (ORDER BY lift6 DESC, pair ASC) AS rank
+  FROM scored
+)
+SELECT pair, pair_ct, lift6, rank FROM r WHERE rank <= {PMI_TOPK}
+"""
+
+
+@query("text_cooccur_pmi", oracle=PMI_ORACLE)
+def text_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOPK} adjacent word pairs by pointwise-mutual-information
+    lift — collocation mining for tokenizer/vocab curation (which multi-
+    word units deserve merges; complements text_bpe_merge_pairs' raw
+    frequency view with an association-strength view).
+
+    PMI's log is monotone, so ranking by the integer-scaled lift
+    ct(a,b)·N / (ct(a)·ct(b)) avoids the transcendental entirely — every
+    value crossing the oracle boundary is a bigint (floor of exact-double
+    products: counts < 2^31 keep the double products exact-comparable in
+    both engines' identical IEEE evaluation order).
+
+    Scale shape: one explode feeds BOTH the unigram and bigram counts
+    (map-side combinable); the two unigram joins hit the SMALL distinct-
+    vocab table (broadcast); the global scalar N crosses as a broadcast
+    one-row cross join; top-k is TakeOrderedAndProject, never a full
+    sort."""
+    from realtime_datawarehouse_spark.functions.text import (
+        tokenize,
+        word_shingles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(tokenize(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    uni = toks.select(F.explode("toks").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
+    n = uni.agg(F.count("*").alias("total"))
+    bc = (
+        toks.select(F.explode(word_shingles(F.col("toks"), 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("pair_ct"))
+        .where(F.col("pair_ct") >= PMI_MIN_PAIR_CT)
+        .withColumn("w1", F.split_part(F.col("pair"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("pair"), F.lit(" "), F.lit(2)))
+    )
+    ua = uc.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    ub = uc.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    scored = (
+        bc.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pair",
+            "pair_ct",
+            F.floor(
+                F.col("pair_ct").cast("double")
+                * F.col("total").cast("double")
+                * F.lit(1000000.0)
+                / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+            )
+            .cast("bigint")
+            .alias("lift6"),
+        )
+    )
+    # orderBy().limit() plans as TakeOrderedAndProject (per-partition local
+    # top-k, k×partitions merged at the driver); the rank window then runs
+    # over the k survivors only — never a single-partition sort of the
+    # full pair table.
+    topk = scored.orderBy(F.desc("lift6"), F.asc("pair")).limit(PMI_TOPK)
+    w = Window.orderBy(F.desc("lift6"), F.asc("pair"))  # over k rows only
+    return topk.select(
+        "pair", "pair_ct", "lift6", F.row_number().over(w).alias("rank")
+    )
+
+
+WINNOW_K = 3  # tokens per shingle
+WINNOW_W = 4  # shingle hashes per winnowing window
+
+
+def _winnow_oracle(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    from realtime_datawarehouse_spark.functions.hashing import hash64_sql
+
+    join_expr = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, len(toks) - {k - 2}), i -> {join_expr}),
+           s -> {hash64_sql('s')}) AS hs
+  FROM t WHERE len(toks) >= {k}
+),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {w}
+              THEN list_transform(range(1, len(hs) - {w - 2}),
+                                  i -> list_min(hs[i:i+{w - 1}]))
+              ELSE [] END AS fp
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(fp) AS BIGINT)                AS n_windows,
+       CAST(len(list_distinct(fp)) AS BIGINT) AS n_fps,
+       coalesce(list_min(fp), -1)             AS min_fp
+FROM wins
+"""
+
+
+@query("text_winnowing_fingerprint", oracle=_winnow_oracle())
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every {WINNOW_K}-token shingle, slide a
+    {WINNOW_W}-hash window, keep each window's minimum — guaranteed-
+    coverage local sampling of the shingle space, the standard
+    plagiarism / near-dup fingerprint when positional locality matters
+    (MinHash samples globally; winnowing guarantees a shared fingerprint
+    for any match ≥ W+K−1 tokens).
+
+    Plan is pure builtin array algebra — the sliding min is an
+    element-wise ``least`` over {WINNOW_W} shifted slices (the same
+    constant-evaluation-count trick as functions/text.py word_shingles;
+    a transform(i -> array_min(slice(hs, i, w))) form re-inlines the
+    md5 chain per window, quadratic hashing). Map-only: no shuffle at
+    any scale; per-doc outputs are scalars (driver-safe, no arrays)."""
+    from realtime_datawarehouse_spark.functions.hashing import hash64
+    from realtime_datawarehouse_spark.functions.text import (
+        tokenize,
+        word_shingles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    hs = F.transform(
+        word_shingles(tokenize(F.col("text")), WINNOW_K), lambda s: hash64(s)
+    )
+    base = docs.select("doc_id", hs.alias("hs"))
+    m = F.greatest(F.size("hs") - (WINNOW_W - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[
+            F.slice(F.col("hs"), i + 1, m).alias(f"h{i}")
+            for i in range(WINNOW_W)
+        ]
+    )
+    fp = F.transform(
+        zipped, lambda x: F.least(*[x[f"h{i}"] for i in range(WINNOW_W)])
+    )
+    out = base.select("doc_id", fp.alias("fp"))
+    return out.select(
+        "doc_id",
+        F.size("fp").cast("bigint").alias("n_windows"),
+        F.size(F.array_distinct("fp")).cast("bigint").alias("n_fps"),
+        F.coalesce(F.array_min("fp"), F.lit(-1)).alias("min_fp"),
+    )

@@ -20,7 +20,7 @@ runs oracles at sf0.01.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realtime_datawarehouse_spark.operators import sketches
@@ -162,3 +162,90 @@ def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("l_partkey")
     )
     return sketches.cms_heavy_hitters(li, cand, "l_partkey", k=10)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — a sketch with a FULL SQL oracle
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_HASH_SPACE = float(1 << 60)  # hash64 is uniform on [0, 2^60)
+
+
+def _kmv_oracle(k: int = KMV_K) -> str:
+    from realtime_datawarehouse_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS dt, {h} AS h
+  FROM events
+),
+ranked AS (
+  SELECT dt, h, row_number() OVER (PARTITION BY dt ORDER BY h) AS rn
+  FROM hashed
+),
+agg AS (
+  SELECT dt,
+         CAST(count(*) AS BIGINT)                         AS nd,
+         max(CASE WHEN rn <= {k} THEN h END)              AS hk
+  FROM ranked GROUP BY 1
+)
+SELECT dt,
+       CAST(CASE WHEN nd <= {k} THEN nd
+                 ELSE CAST(floor(({k}.0 - 1.0) * {_HASH_SPACE}
+                                 / CAST(hk AS DOUBLE)) AS BIGINT)
+            END AS BIGINT) AS est_uv
+FROM agg
+"""
+
+
+@query("sk_kmv_distinct", oracle=_kmv_oracle())
+def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily unique visitors via the KMV (k-minimum-values / bottom-k)
+    sketch: keep the {KMV_K} smallest 60-bit hashes per day; when more
+    than {KMV_K} distinct values exist, estimate N ≈ (k−1)·2^60 / h_(k).
+
+    Unlike HLL++ / GK (pinned-VALUES oracles), KMV is built entirely from
+    the portable md5-derived hash64 — the DuckDB oracle replays the exact
+    bottom-k selection, so this sketch gets a FULL value-hash oracle at
+    any scale, and it doubles as the mergeable distinct-sample the
+    theta-sketch family generalizes (union = merge bottom-k sets).
+
+    Cross-engine exactness: the estimator runs in doubles, but both
+    inputs are exact integers < 2^60 and (k−1)·2^60 = 63·2^60 is exactly
+    representable, so the single multiply/divide/floor chain is
+    bit-identical IEEE in both engines.
+
+    Scale shape: the window ranks the per-day DISTINCT hash set (already
+    one hash-agg down from raw events), and the rank sort shares the
+    distinct's (dt, h) exchange. At 100 TB, prepend a static prefilter
+    ``h < k·2^60 / N_floor`` (any safe lower bound on daily UV) so the
+    sort sees only the candidate bottom slice; the estimator itself is
+    unchanged — that filter is a pure optimization, invisible to the
+    oracle."""
+    from realtime_datawarehouse_spark.functions.hashing import hash64
+    from realtime_datawarehouse_spark.functions.timeutil import fmt_date
+
+    ev = table(spark, sf_dir, "events")
+    hashed = ev.select(
+        fmt_date("ts").alias("dt"),
+        hash64(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("dt").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    agg = ranked.groupBy("dt").agg(
+        F.count("*").alias("nd"),
+        F.max(F.when(F.col("rn") <= KMV_K, F.col("h"))).alias("hk"),
+    )
+    est = (
+        F.when(F.col("nd") <= KMV_K, F.col("nd").cast("double"))
+        .otherwise(
+            F.floor(
+                (F.lit(float(KMV_K) - 1.0) * F.lit(_HASH_SPACE))
+                / F.col("hk").cast("double")
+            )
+        )
+        .cast("bigint")
+    )
+    return agg.select("dt", est.alias("est_uv"))
