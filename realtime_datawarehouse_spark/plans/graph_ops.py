@@ -457,3 +457,127 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation over the kNN similarity graph (semi-supervised)
+# ---------------------------------------------------------------------------
+
+LP_SEED_MOD = 5   # seeds: every 5th vector keeps its true label
+LP_ITERS = 2
+
+
+def _label_prop_oracle(iters: int = LP_ITERS) -> str:
+    from realtime_datawarehouse_spark.operators.similarity import (
+        knn_graph_oracle,
+    )
+
+    parts = [
+        f"""
+WITH edges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+{knn_graph_oracle()}
+  ) knn
+),
+seeds AS (
+  SELECT vec_id, label FROM embeddings WHERE vec_id % {LP_SEED_MOD} = 0
+),
+lab0 AS (SELECT vec_id, label FROM seeds)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+v{i} AS (
+  SELECT e.src AS vec_id, l.label, CAST(count(*) AS BIGINT) AS c
+  FROM edges e JOIN lab{i - 1} l ON l.vec_id = e.dst
+  GROUP BY 1, 2
+),
+p{i} AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM v{i}
+  ) t WHERE rn = 1
+),
+lab{i} AS (
+  SELECT coalesce(s.vec_id, p.vec_id) AS vec_id,
+         coalesce(s.label, p.label)   AS label
+  FROM seeds s FULL JOIN p{i} p ON p.vec_id = s.vec_id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT a.vec_id,
+       CAST(coalesce(l.label, -1) AS INTEGER) AS label,
+       CAST(CASE WHEN a.vec_id % {LP_SEED_MOD} = 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS is_seed
+FROM embeddings a
+LEFT JOIN lab{iters} l ON l.vec_id = a.vec_id"""
+    )
+    return "".join(parts)
+
+
+@query("graph_label_propagation", oracle=_label_prop_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation: every {LP_SEED_MOD}th vector
+    keeps its true label (clamped seed); {LP_ITERS} synchronous rounds
+    spread labels along the multiprobe-LSH kNN graph by neighbor majority
+    vote, ties to the smallest label — the classic cheap classifier for
+    labeling a corpus from a small annotated subset.
+
+    The vote argmax is the map-combinable ``max_by(label, (count,
+    −label))`` aggregate (the ivf_assign pattern — no row_number window
+    over the |nodes|×|labels| vote table; the oracle's window form is
+    deterministically equivalent because (c DESC, label ASC) argmin is
+    max over the (c, −label) lexicographic struct). Each round is one
+    join on the bounded-fan-out edge list (out-degree ≤ k) plus one
+    aggregation — Σ|edges| work per round, the iterative-operator shape
+    shared with pagerank/connected-components.
+
+    Seeds-clamp composes via a full-outer join with coalesce (seed label
+    wins); unreached vectors report -1."""
+    from realtime_datawarehouse_spark.operators import similarity
+    from realtime_datawarehouse_spark.tables import table as _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = similarity.knn_graph(emb).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    seeds = emb.where(F.col("vec_id") % LP_SEED_MOD == 0).select(
+        "vec_id", "label"
+    )
+    lab = seeds
+    for _ in range(LP_ITERS):
+        votes = (
+            edges.join(
+                lab.select(
+                    F.col("vec_id").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("vec_id"), F.col("nl").alias("label"))
+            .agg(F.count("*").alias("c"))
+        )
+        pick = votes.groupBy("vec_id").agg(
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("label")
+        )
+        s = seeds.select("vec_id", F.col("label").alias("s_label"))
+        p = pick.select("vec_id", F.col("label").alias("p_label"))
+        lab = s.join(p, "vec_id", "full_outer").select(
+            "vec_id", F.coalesce("s_label", "p_label").alias("label")
+        )
+    return (
+        emb.select("vec_id")
+        .join(lab.withColumnRenamed("label", "l"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("l", F.lit(-1)).cast("int").alias("label"),
+            F.when(F.col("vec_id") % LP_SEED_MOD == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_seed"),
+        )
+    )

@@ -1782,3 +1782,45 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("fp")).cast("bigint").alias("n_fps"),
         F.coalesce(F.array_min("fp"), F.lit(-1)).alias("min_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplication-aware training weights
+# ---------------------------------------------------------------------------
+
+DUP_WEIGHT_ORACLE = """
+WITH sized AS (
+  SELECT doc_id,
+         CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+           AS cluster_size
+  FROM documents
+)
+SELECT doc_id, cluster_size,
+       CAST(floor(1000000.0 / CAST(cluster_size AS DOUBLE)) AS BIGINT)
+         AS weight6
+FROM sized
+"""
+
+
+@query("mix_dup_aware_weights", oracle=DUP_WEIGHT_ORACLE)
+def mix_dup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware example weights: every document keeps a weight of
+    1/|exact-dup cluster| (1e-6-scaled integer) so a corpus trained
+    WITHOUT dropping duplicates still sees each unique text with unit
+    total mass — the soft-dedup alternative to dedup_exact's hard keeper
+    selection (used when provenance or recency columns must survive).
+
+    One hash exchange on the content hash (a count window, no join-back
+    of a separate cluster-size table); the weight is a single portable
+    floor(double) both engines evaluate identically."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text"))
+    return docs.select(
+        "doc_id",
+        F.count("*").over(w).alias("cluster_size"),
+        F.floor(
+            F.lit(1000000.0) / F.count("*").over(w).cast("double")
+        )
+        .cast("bigint")
+        .alias("weight6"),
+    )

@@ -249,3 +249,122 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
     )
     return agg.select("dt", est.alias("est_uv"))
+
+
+def _kmv_union_oracle(k: int = KMV_K) -> str:
+    from realtime_datawarehouse_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("CAST(user_id AS VARCHAR)")
+    space_int = 1 << 60
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type AS seg, {h} AS h FROM events
+),
+ranked AS (
+  SELECT seg, h, row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
+  FROM hashed
+),
+agg AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS nd,
+         max(CASE WHEN rn <= {k} THEN h END) AS hk
+  FROM ranked GROUP BY 1
+),
+seg_est AS (
+  SELECT seg,
+         CAST(CASE WHEN nd <= {k} THEN nd
+                   ELSE CAST(floor(({k}.0 - 1.0) * {_HASH_SPACE}
+                                   / CAST(hk AS DOUBLE)) AS BIGINT)
+              END AS BIGINT) AS est_uv
+  FROM agg
+),
+theta AS (
+  SELECT min(CASE WHEN nd <= {k} THEN CAST({space_int} AS BIGINT)
+                  ELSE hk END) AS th
+  FROM agg
+),
+kept AS (
+  SELECT CAST(count(DISTINCT r.h) AS BIGINT) AS ct, any_value(t.th) AS th
+  FROM ranked r CROSS JOIN theta t
+  WHERE r.rn <= {k} AND r.h < t.th
+)
+SELECT seg, est_uv FROM seg_est
+UNION ALL
+SELECT 'ALL' AS seg,
+       CAST(CASE WHEN th >= CAST({space_int} AS BIGINT) THEN ct
+                 ELSE CAST(floor(CAST(ct AS DOUBLE) * {_HASH_SPACE}
+                                 / CAST(th AS DOUBLE)) AS BIGINT)
+            END AS BIGINT) AS est_uv
+FROM kept
+"""
+
+
+@query("sk_kmv_union", oracle=_kmv_union_oracle())
+def sk_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style UNION of per-segment KMV sketches: per-event-type
+    distinct-user estimates PLUS an 'ALL' row estimated purely from the
+    MERGED bottom-k sets — never from a second scan of the raw data. This
+    is the property that makes KMV/theta sketches warehouse-composable
+    (per-partition sketches roll up to any grouping), demonstrated under a
+    full value oracle: theta = min over segment thresholds, keep retained
+    hashes below theta, estimate = |kept|·2^60/theta.
+
+    Same cross-engine-exact double chain as sk_kmv_distinct; the merge
+    touches only |segments|·k retained hashes (constant-size state per
+    segment at any scale — the 100 TB rollup cost is independent of user
+    cardinality)."""
+    from realtime_datawarehouse_spark.functions.hashing import hash64
+
+    space_int = 1 << 60
+    ev = table(spark, sf_dir, "events")
+    hashed = ev.select(
+        F.col("event_type").alias("seg"),
+        hash64(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("seg").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    agg = ranked.groupBy("seg").agg(
+        F.count("*").alias("nd"),
+        F.max(F.when(F.col("rn") <= KMV_K, F.col("h"))).alias("hk"),
+    )
+    seg_est = agg.select(
+        "seg",
+        F.when(F.col("nd") <= KMV_K, F.col("nd").cast("double"))
+        .otherwise(
+            F.floor(
+                (F.lit(float(KMV_K) - 1.0) * F.lit(_HASH_SPACE))
+                / F.col("hk").cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("est_uv"),
+    )
+    theta = agg.agg(
+        F.min(
+            F.when(F.col("nd") <= KMV_K, F.lit(space_int)).otherwise(
+                F.col("hk")
+            )
+        ).alias("th")
+    )
+    kept = (
+        ranked.where(F.col("rn") <= KMV_K)
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("h") < F.col("th"))
+        .agg(
+            F.count_distinct(F.col("h")).alias("ct"),
+            F.any_value(F.col("th")).alias("th"),
+        )
+    )
+    union_est = kept.select(
+        F.lit("ALL").alias("seg"),
+        F.when(F.col("th") >= F.lit(space_int), F.col("ct").cast("double"))
+        .otherwise(
+            F.floor(
+                F.col("ct").cast("double")
+                * F.lit(_HASH_SPACE)
+                / F.col("th").cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("est_uv"),
+    )
+    return seg_est.unionByName(union_est)

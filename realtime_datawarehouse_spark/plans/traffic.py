@@ -978,3 +978,135 @@ def ext_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
         "purchase_value",
     )
+
+
+# --------------------------------------------------------------------------
+# ext: nearest as-of join — each error event matched to the CLOSEST click
+# of the same user in either direction, within tolerance (pandas
+# merge_asof(direction='nearest', tolerance=...)).
+# --------------------------------------------------------------------------
+
+ASOF_NEAREST_TOL_US = 86_400_000_000  # 1 day
+
+EXT_ASOF_NEAREST_ORACLE = f"""
+WITH ck AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+b AS (
+  SELECT err.event_id, ck.click_id, ck.ts AS cts
+  FROM err ASOF LEFT JOIN ck
+    ON err.user_id = ck.user_id AND err.ts >= ck.ts
+),
+f AS (
+  SELECT err.event_id, ck.click_id, ck.ts AS cts
+  FROM err ASOF LEFT JOIN ck
+    ON err.user_id = ck.user_id AND ck.ts >= err.ts
+),
+j AS (
+  SELECT err.event_id, err.user_id, err.ts,
+         b.click_id AS b_id, epoch_us(err.ts) - epoch_us(b.cts) AS db,
+         b.cts AS b_ts,
+         f.click_id AS f_id, epoch_us(f.cts) - epoch_us(err.ts) AS df,
+         f.cts AS f_ts
+  FROM err
+  LEFT JOIN b ON b.event_id = err.event_id
+  LEFT JOIN f ON f.event_id = err.event_id
+),
+pick AS (
+  SELECT event_id, user_id, ts,
+         (db IS NOT NULL AND db <= {ASOF_NEAREST_TOL_US}) AS vb,
+         (df IS NOT NULL AND df <= {ASOF_NEAREST_TOL_US}) AS vf,
+         b_id, db, b_ts, f_id, df, f_ts
+  FROM j
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+       CASE WHEN vb AND (NOT vf OR db <= df) THEN b_id
+            WHEN vf THEN f_id END AS click_id,
+       CASE WHEN vb AND (NOT vf OR db <= df)
+              THEN strftime(b_ts, '%Y-%m-%d %H:%M:%S')
+            WHEN vf THEN strftime(f_ts, '%Y-%m-%d %H:%M:%S') END AS click_ts,
+       CASE WHEN vb AND (NOT vf OR db <= df) THEN db
+            WHEN vf THEN df END AS delta_us
+FROM pick
+"""
+
+
+@query("ext_asof_nearest", oracle=EXT_ASOF_NEAREST_ORACLE)
+def ext_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (merge_asof direction='nearest', 1-day
+    tolerance): each error event is matched to the same user's closest
+    click in time, backward winning exact-distance ties — "what was the
+    user doing when the error hit", the diagnostic enrichment pattern.
+
+    Composed from the two audited as-of kernels (operators/temporal.py):
+    one backward and one forward union-merge pass (each a single keyed
+    exchange + sort — a fused one-sort variant exists but would need the
+    inclusive-tie contract moved to a post-check; two passes keeps both
+    kernels' contracts intact), then a per-row distance arbitration with
+    NO additional shuffle (the two results join on the error's own key).
+    The oracle states the same arbitration over DuckDB's native ASOF
+    joins in both directions."""
+    from realtime_datawarehouse_spark.operators.temporal import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    ev = _events(spark, sf_dir)
+    err = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    ck = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", F.col("ts").alias("cts"), "click_id")
+    )
+    b = asof_join(
+        err,
+        ck,
+        key_left="user_id",
+        key_right="user_id",
+        ts_left="ts",
+        ts_right="cts",
+        payload=["click_id", "cts"],
+    ).select(
+        F.col("event_id"),
+        F.col("click_id").alias("b_id"),
+        F.col("cts").alias("b_ts"),
+    )
+    f = asof_join_forward(
+        err,
+        ck,
+        key_left="user_id",
+        key_right="user_id",
+        ts_left="ts",
+        ts_right="cts",
+        payload=["click_id", "cts"],
+    ).select(
+        F.col("event_id"),
+        F.col("click_id").alias("f_id"),
+        F.col("cts").alias("f_ts"),
+    )
+    j = err.join(b, "event_id", "left").join(f, "event_id", "left")
+    db = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
+    df_ = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts"))
+    vb = F.col("b_ts").isNotNull() & (db <= F.lit(ASOF_NEAREST_TOL_US))
+    vf = F.col("f_ts").isNotNull() & (df_ <= F.lit(ASOF_NEAREST_TOL_US))
+    use_b = vb & (~vf | (db <= df_))
+    return j.select(
+        "event_id",
+        "user_id",
+        fmt_ts("ts").alias("error_ts"),
+        F.when(use_b, F.col("b_id"))
+        .when(vf, F.col("f_id"))
+        .alias("click_id"),
+        F.when(use_b, fmt_ts("b_ts"))
+        .when(vf, fmt_ts("f_ts"))
+        .alias("click_ts"),
+        F.when(use_b, db).when(vf, df_).alias("delta_us"),
+    )

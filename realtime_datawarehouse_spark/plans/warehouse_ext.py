@@ -31,7 +31,7 @@ from realtime_datawarehouse_spark.functions.compare import (
     pround,
     pround_sql,
 )
-from realtime_datawarehouse_spark.functions.timeutil import fmt_ts
+from realtime_datawarehouse_spark.functions.timeutil import fmt_date, fmt_ts
 from realtime_datawarehouse_spark.plans.registry import query
 from realtime_datawarehouse_spark.tables import table
 
@@ -479,4 +479,91 @@ def olap_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.percentile(F.col("us"), F.lit(0.9)) / F.lit(1000000.0), 2).alias(
             "p90_sec"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands: rolling mean ± 2σ over the daily per-type revenue series
+# ---------------------------------------------------------------------------
+
+BOLL_WINDOW = 7  # trailing days (ROWS frame)
+
+BOLLINGER_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+),
+roll AS (
+  SELECT event_type, d,
+         CAST(sum(cents)         OVER w7 AS BIGINT) AS s,
+         CAST(sum(cents * cents) OVER w7 AS BIGINT) AS ss,
+         CAST(count(*)           OVER w7 AS BIGINT) AS n
+  FROM daily
+  WINDOW w7 AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN {BOLL_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       strftime(d, '%Y-%m-%d') AS dt,
+       n AS n_days,
+       floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 * 100 + 0.5)
+         / 100.0 AS mid,
+       floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+              + 2.0 * sqrt(CAST(n * ss - s * s AS DOUBLE)
+                           / CAST(n * n AS DOUBLE))) / 100.0 * 100 + 0.5)
+         / 100.0 AS upper,
+       floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+              - 2.0 * sqrt(CAST(n * ss - s * s AS DOUBLE)
+                           / CAST(n * n AS DOUBLE))) / 100.0 * 100 + 0.5)
+         / 100.0 AS lower
+FROM roll
+"""
+
+
+@query("olap_bollinger_bands", oracle=BOLLINGER_ORACLE)
+def olap_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over daily per-type revenue: trailing-{BOLL_WINDOW}-day
+    rolling mean ± 2σ (population), the volatility envelope read against
+    olap_ohlc_bars / olap_cusum_drift for regime shifts.
+
+    Cross-engine exactness: the rolling sum and sum-of-squares accumulate
+    exact int64 cents inside the ROWS frame; variance is the integer
+    identity (n·Σx² − (Σx)²)/n² — one double division — and sqrt is
+    IEEE-exactly-rounded, so identical inputs give identical bands in
+    both engines (the functions/compare.py 'prefer sqrt over ln' rule).
+
+    Scale shape: one map-combinable daily aggregation, then a windowed
+    pass over the TINY per-type daily series (|types|×|days| rows); the
+    ROWS frame is O(1) running state per row, never a per-row rescan."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(cents).alias("cents"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(BOLL_WINDOW - 1), Window.currentRow)
+    )
+    roll = daily.select(
+        "event_type",
+        "d",
+        F.sum("cents").over(w7).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w7).alias("ss"),
+        F.count("*").over(w7).alias("n"),
+    )
+    mean_c = F.col("s").cast("double") / F.col("n").cast("double")
+    sd_c = F.sqrt(
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("n") * F.col("n")).cast("double")
+    )
+    return roll.select(
+        "event_type",
+        fmt_date("d").alias("dt"),
+        F.col("n").alias("n_days"),
+        pround(mean_c / F.lit(100.0), 2).alias("mid"),
+        pround((mean_c + F.lit(2.0) * sd_c) / F.lit(100.0), 2).alias("upper"),
+        pround((mean_c - F.lit(2.0) * sd_c) / F.lit(100.0), 2).alias("lower"),
     )
