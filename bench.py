@@ -98,6 +98,15 @@ BENCH_QUERIES = (
     "ext_asof_forward_tol",         # forward as-of with tolerance
     "olap_ewma_user_value",         # per-key integer-recursion fold
     "mm_image_phash",               # Arrow-batched perceptual hash kernel
+    # round-4 continuation additions
+    "ext_scd2_point_in_time_join",  # union-merge PIT lookup (no range join)
+    "olap_scd2_intervals",          # gaps-and-islands SCD2 build
+    "ext_asof_nearest",             # bidirectional as-of + arbitration
+    "graph_link_prediction",        # wedge join + anti-join + degree joins
+    "text_winnowing_fingerprint",   # map-only sliding-min fingerprints
+    "text_cooccur_pmi",             # double-counted explode + broadcast PMI
+    "sk_kmv_distinct",              # bottom-k distinct sketch
+    "olap_gini_concentration",      # ranked integer Gini per nation
 )
 
 

@@ -240,3 +240,43 @@ def bfs_layers(
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
+
+
+def label_propagation(
+    edges: DataFrame, seeds: DataFrame, iters: int = 2
+) -> DataFrame:
+    """Synchronous clamped label propagation: ``seeds`` (vec_id, label)
+    keep their labels every round; other nodes take the majority label of
+    their in-neighborhood along ``edges`` (src, dst — votes flow dst→src),
+    ties to the SMALLEST label.
+
+    The vote argmax is the map-combinable ``max_by(label, (count,
+    −label))`` aggregate — max over the lexicographic (c, −label) struct
+    is exactly "highest count, then smallest label", with no row_number
+    window over the votes table. Each round costs one join on the edge
+    list plus two keyed aggregations; nothing driver-side.
+
+    Returns (vec_id, label) for every node that received a label."""
+    lab = seeds
+    for _ in range(iters):
+        votes = (
+            edges.join(
+                lab.select(
+                    F.col("vec_id").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("vec_id"), F.col("nl").alias("label"))
+            .agg(F.count("*").alias("c"))
+        )
+        pick = votes.groupBy("vec_id").agg(
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("label")
+        )
+        s = seeds.select("vec_id", F.col("label").alias("s_label"))
+        p = pick.select("vec_id", F.col("label").alias("p_label"))
+        lab = s.join(p, "vec_id", "full_outer").select(
+            "vec_id", F.coalesce("s_label", "p_label").alias("label")
+        )
+    return lab

@@ -540,6 +540,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_datawarehouse_spark.operators import similarity
     from realtime_datawarehouse_spark.tables import table as _t
 
+    from realtime_datawarehouse_spark.operators.graph import (
+        label_propagation,
+    )
+
     emb = _t(spark, sf_dir, "embeddings")
     edges = similarity.knn_graph(emb).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
@@ -547,28 +551,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = emb.where(F.col("vec_id") % LP_SEED_MOD == 0).select(
         "vec_id", "label"
     )
-    lab = seeds
-    for _ in range(LP_ITERS):
-        votes = (
-            edges.join(
-                lab.select(
-                    F.col("vec_id").alias("dst"), F.col("label").alias("nl")
-                ),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("vec_id"), F.col("nl").alias("label"))
-            .agg(F.count("*").alias("c"))
-        )
-        pick = votes.groupBy("vec_id").agg(
-            F.max_by(
-                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
-            ).alias("label")
-        )
-        s = seeds.select("vec_id", F.col("label").alias("s_label"))
-        p = pick.select("vec_id", F.col("label").alias("p_label"))
-        lab = s.join(p, "vec_id", "full_outer").select(
-            "vec_id", F.coalesce("s_label", "p_label").alias("label")
-        )
+    lab = label_propagation(edges, seeds, iters=LP_ITERS)
     return (
         emb.select("vec_id")
         .join(lab.withColumnRenamed("label", "l"), "vec_id", "left")

@@ -38,6 +38,24 @@ DRIVER_PRIORITY: list[str] = [
     "sk_hll_daily_uv",
     "sk_quantile_order_value",
     "ann_ivf_trained_topk",
+    # new in r4 continuation session — never driver-recorded; lead so the
+    # freshest additions get their first driver row this round (the
+    # displaced tail below rolls to round 5's head)
+    "olap_scd2_intervals",
+    "ext_scd2_point_in_time_join",
+    "olap_gini_concentration",
+    "olap_new_vs_returning_gmv",
+    "olap_seasonal_naive_mape",
+    "olap_funnel_ttc",
+    "sk_kmv_distinct",
+    "sk_kmv_union",
+    "text_cooccur_pmi",
+    "text_winnowing_fingerprint",
+    "graph_link_prediction",
+    "graph_label_propagation",
+    "ext_asof_nearest",
+    "olap_bollinger_bands",
+    "mix_dup_aware_weights",
     # new in r4 (second half) — never driver-recorded; the head exceeds
     # the driver's ~50-row budget by a few entries, so the LAST few below
     # (simple single-agg queries with strong inline verification) roll to

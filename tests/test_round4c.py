@@ -1,0 +1,284 @@
+"""Round-4 continuation batch: invariants, accuracy floors, and plan
+gates for the SCD2/as-of/sketch/graph/text additions.
+
+Correctness-vs-oracle for every query here is covered by
+tests/test_correctness.py (auto-parametrized); these tests pin the
+properties the oracle can't see — estimator accuracy against exact
+truth, algorithmic guarantees (winnowing coverage), semantic invariants
+(SCD2 intervals partition the timeline), and the physical plan shapes the
+100 TB story depends on.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_datawarehouse_spark.plans import registry
+from realtime_datawarehouse_spark.tables import table
+from tests.conftest import SF_DIR, SF_DIR_MID
+from tests.test_plans import _explain
+
+registry.load()
+Q = registry.QUERIES
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch accuracy (the oracle pins determinism; this pins USEFULNESS)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_estimate_accuracy(spark):
+    """At sf0.01 daily UV (~134) exceeds k=64, so the estimator regime is
+    active; KMV with k=64 has rse ≈ 1/sqrt(k-2) ≈ 13%, assert ±35%."""
+    est = {
+        r.dt: r.est_uv for r in Q["sk_kmv_distinct"](spark, SF_DIR_MID).collect()
+    }
+    ev = table(spark, SF_DIR_MID, "events")
+    exact = {
+        r.dt: r.uv
+        for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        .agg(F.count_distinct("user_id").alias("uv"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    assert any(v > 64 for v in exact.values())  # estimator regime exercised
+    for dt, uv in exact.items():
+        assert abs(est[dt] - uv) / uv <= 0.35, (dt, est[dt], uv)
+
+
+def test_kmv_union_matches_true_distinct(spark):
+    """The merged ('ALL') theta-union estimate must land within ±35% of
+    the TRUE distinct-user count across all segments — the merge path
+    never rescans raw data, so this is the property that matters."""
+    rows = {r.seg: r.est_uv for r in Q["sk_kmv_union"](spark, SF_DIR_MID).collect()}
+    ev = table(spark, SF_DIR_MID, "events")
+    true_all = ev.select("user_id").distinct().count()
+    assert abs(rows["ALL"] - true_all) / true_all <= 0.35, (rows["ALL"], true_all)
+    # per-segment rows agree with sk_kmv-style estimates (same estimator)
+    assert set(rows) == {"ALL", "view", "click", "purchase", "signup", "error"}
+
+
+# ---------------------------------------------------------------------------
+# Label propagation: accuracy against the fixture's ground-truth labels
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_structure_on_fixture(spark):
+    """Fixture labels are NOT geometric clusters (exact top-3 cosine is
+    ~9% same-label — measured), so accuracy is pinned on the synthetic
+    clustered graph below; here we pin the structural contract: seeds
+    always keep their true labels, and propagation reaches most nodes."""
+    got = Q["graph_label_propagation"](spark, SF_DIR).toPandas()
+    truth = (
+        table(spark, SF_DIR, "embeddings")
+        .select("vec_id", F.col("label").alias("true_label"))
+        .toPandas()
+    )
+    m = got.merge(truth, on="vec_id")
+    seeds = m[m.is_seed == 1]
+    assert (seeds.label == seeds.true_label).all()  # clamped
+    non_seed = m[(m.is_seed == 0) & (m.label >= 0)]
+    assert len(non_seed) > 50  # propagation actually reached most nodes
+
+
+def test_label_propagation_recovers_clusters(spark):
+    """On a graph whose topology IS the label structure (two disjoint
+    rings, one seed each), two rounds must label every reached node with
+    its own ring's seed label — and tie-breaking must pick the smallest
+    label deterministically."""
+    from realtime_datawarehouse_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def ring(base, n):
+        return [(base + i, base + (i + 1) % n) for i in range(n)]
+
+    # two 6-node rings (bidirectional edges so votes flow both ways)
+    e = ring(0, 6) + ring(100, 6)
+    e = e + [(b, a) for a, b in e]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    seeds = spark.createDataFrame(
+        [(0, 7), (100, 3)], "vec_id bigint, label int"
+    )
+    got = {
+        r.vec_id: r.label
+        for r in label_propagation(edges, seeds, iters=3).collect()
+    }
+    for v, l in got.items():
+        assert l == (7 if v < 100 else 3), (v, l)
+    # a 6-ring's farthest node is distance 3 — both rings fully labeled
+    assert len(got) == 12
+
+
+# ---------------------------------------------------------------------------
+# Winnowing guarantee: docs sharing a long-enough token run share a
+# fingerprint (the property that makes it a dedup primitive)
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    from realtime_datawarehouse_spark.plans.llm_ops import (
+        WINNOW_K,
+        WINNOW_W,
+        text_winnowing_fingerprint,
+    )
+
+    # two docs sharing a (W+K-1)-token run amid different surroundings
+    run = " ".join(f"shared{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {run} delta epsilon zeta eta theta iota"),
+            (2, f"one two three four {run} five six seven eight nine ten"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # recompute per-doc fingerprint SETS (the registered query returns
+    # scalar summaries; the guarantee needs the sets)
+    from realtime_datawarehouse_spark.functions.hashing import hash64
+    from realtime_datawarehouse_spark.functions.text import (
+        tokenize,
+        word_shingles,
+    )
+
+    hs = F.transform(
+        word_shingles(tokenize(F.col("text")), WINNOW_K), lambda s: hash64(s)
+    )
+    base = docs.select("doc_id", hs.alias("hs"))
+    m = F.greatest(F.size("hs") - (WINNOW_W - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("hs"), i + 1, m).alias(f"h{i}") for i in range(WINNOW_W)]
+    )
+    fp = F.transform(
+        zipped, lambda x: F.least(*[x[f"h{i}"] for i in range(WINNOW_W)])
+    )
+    sets = {
+        r.doc_id: set(r.fp)
+        for r in base.select("doc_id", fp.alias("fp")).collect()
+    }
+    assert sets[1] & sets[2], "shared run must yield a shared fingerprint"
+    # and the registered query over the fixture runs with sane invariants
+    out = text_winnowing_fingerprint(spark, SF_DIR).toPandas()
+    assert (out.n_fps <= out.n_windows).all()
+    assert (out.n_windows > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# SCD2 intervals partition each user's timeline
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_intervals_partition_timeline(spark):
+    got = Q["olap_scd2_intervals"](spark, SF_DIR).toPandas()
+    ev = table(spark, SF_DIR, "events")
+    n_events = ev.count()
+    assert got.n_events.sum() == n_events  # every event in exactly one run
+    for _, g in got.groupby("user_id"):
+        g = g.sort_values("valid_from")
+        # contiguous: each interval's valid_to == next interval's valid_from
+        vt = g.valid_to.tolist()
+        vf = g.valid_from.tolist()
+        assert vt[-1] == "CURRENT"
+        assert vt[:-1] == vf[1:]
+        # adjacent runs always change type (maximal islands)
+        types = g.event_type.tolist()
+        assert all(a != b for a, b in zip(types, types[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of parity vs brute force
+# ---------------------------------------------------------------------------
+
+
+def test_asof_nearest_matches_bruteforce(spark):
+    from realtime_datawarehouse_spark.plans.traffic import ASOF_NEAREST_TOL_US
+
+    got = Q["ext_asof_nearest"](spark, SF_DIR).toPandas()
+    ev = table(spark, SF_DIR, "events").toPandas()
+    clicks = ev[ev.event_type == "click"]
+    # pre-collapse ties like the operator: max event_id per (user, ts)
+    clicks = (
+        clicks.sort_values("event_id")
+        .groupby(["user_id", "ts"], as_index=False)
+        .last()
+    )
+    errs = ev[ev.event_type == "error"]
+    for _, e in errs.iterrows():
+        cand = clicks[clicks.user_id == e.user_id].copy()
+        cand["delta"] = (cand.ts - e.ts).abs()
+        cand = cand[cand.delta <= pd.Timedelta(microseconds=ASOF_NEAREST_TOL_US)]
+        row = got[got.event_id == e.event_id].iloc[0]
+        if cand.empty:
+            assert pd.isna(row.click_id)
+            continue
+        best = cand.delta.min()
+        # backward wins ties: among minimal-delta candidates prefer ts <= e.ts
+        tied = cand[cand.delta == best]
+        back = tied[tied.ts <= e.ts]
+        pick = (back if len(back) else tied).iloc[0]
+        assert row.click_id == pick.event_id, (e.event_id, row.click_id, pick.event_id)
+        assert row.delta_us == int(best.value // 1000)
+
+
+# ---------------------------------------------------------------------------
+# Bollinger invariants
+# ---------------------------------------------------------------------------
+
+
+def test_bollinger_band_invariants(spark):
+    from realtime_datawarehouse_spark.plans.warehouse_ext import BOLL_WINDOW
+
+    got = Q["olap_bollinger_bands"](spark, SF_DIR).toPandas()
+    assert (got.n_days <= BOLL_WINDOW).all() and (got.n_days >= 1).all()
+    assert (got.upper >= got.mid).all() and (got.mid >= got.lower).all()
+    # each type's series is daily-dense enough to hit the full window
+    assert (got.groupby("event_type").n_days.max() == BOLL_WINDOW).all()
+
+
+# ---------------------------------------------------------------------------
+# Plan gates for the new queries (the 100 TB shapes, asserted)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "olap_gini_concentration",  # dims broadcast
+        "text_cooccur_pmi",  # vocab + N broadcast
+        "graph_link_prediction",  # shuffle-hash hinted pair joins
+        "olap_new_vs_returning_gmv",
+        "olap_scd2_intervals",
+        "ext_scd2_point_in_time_join",
+        "olap_seasonal_naive_mape",
+        "olap_bollinger_bands",
+        "sk_kmv_distinct",
+        "sk_kmv_union",
+        "mix_dup_aware_weights",
+        "olap_funnel_ttc",
+    ],
+)
+def test_r4c_no_sort_merge_join(spark, name):
+    plan = _explain(spark, name, "simple")
+    assert "SortMergeJoin" not in plan, f"{name}:\n{plan}"
+
+
+def test_winnowing_is_map_only(spark):
+    """The fingerprint pass must be a pure scan→project pipeline: no
+    exchange of any kind (the whole point of a per-doc fingerprint)."""
+    plan = _explain(spark, "text_winnowing_fingerprint", "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_pmi_topk_is_take_ordered(spark):
+    plan = _explain(spark, "text_cooccur_pmi", "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_scd2_pit_join_single_exchange(spark):
+    """The as-of form must shuffle on user_id once — never a range join
+    (BroadcastNestedLoopJoin) and never more than the one keyed exchange
+    plus the final-stage rebalance."""
+    plan = _explain(spark, "ext_scd2_point_in_time_join", "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
