@@ -56,6 +56,7 @@ DRIVER_PRIORITY: list[str] = [
     "ext_asof_nearest",
     "olap_bollinger_bands",
     "mix_dup_aware_weights",
+    "olap_budget_allocation",
     # new in r4 (second half) — never driver-recorded; the head exceeds
     # the driver's ~50-row budget by a few entries, so the LAST few below
     # (simple single-agg queries with strong inline verification) roll to

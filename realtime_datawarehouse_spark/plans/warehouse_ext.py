@@ -567,3 +567,99 @@ def olap_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround((mean_c + F.lit(2.0) * sd_c) / F.lit(100.0), 2).alias("upper"),
         pround((mean_c - F.lit(2.0) * sd_c) / F.lit(100.0), 2).alias("lower"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Proportional budget allocation (largest-remainder / Hamilton method)
+# ---------------------------------------------------------------------------
+
+ALLOC_BUDGET = 1_000_000  # ppm units allocated per month
+
+ALLOC_ORACLE = f"""
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         strftime(o_orderdate, '%Y-%m-%d') AS dt,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+),
+quoted AS (
+  SELECT month, dt, cents,
+         CAST(sum(cents) OVER m AS BIGINT)                        AS total,
+         CAST(({ALLOC_BUDGET} * cents) // sum(cents) OVER m AS BIGINT)
+                                                                  AS quota,
+         CAST(({ALLOC_BUDGET} * cents) % sum(cents) OVER m AS BIGINT)
+                                                                  AS frac
+  FROM daily
+  WINDOW m AS (PARTITION BY month)
+),
+ranked AS (
+  SELECT month, dt, quota,
+         CAST({ALLOC_BUDGET} - sum(quota) OVER (PARTITION BY month) AS BIGINT)
+           AS leftover,
+         row_number() OVER (PARTITION BY month
+                            ORDER BY frac DESC, dt ASC) AS rk
+  FROM quoted
+)
+SELECT month, dt,
+       CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_ppm
+FROM ranked
+"""
+
+
+@query("olap_budget_allocation", oracle=ALLOC_ORACLE)
+def olap_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) proportional allocation: each month's
+    fixed budget of {ALLOC_BUDGET} ppm units is split across its days in
+    proportion to daily GMV, integer quotas topped up by the days with
+    the largest fractional remainders until the budget is EXACTLY
+    exhausted (Σ alloc per month ≡ budget — the invariant naive
+    per-row rounding violates; the finance/targeting allocation op).
+
+    Pure int64 end-to-end: quota = ⌊B·cents/total⌋ and the remainder
+    ranking uses (B·cents) mod total — no doubles anywhere, so both
+    engines agree bit-for-bit. One exchange on month; the quota windows
+    and the remainder rank share its partitioning (the rank sorts
+    |days-per-month| ≈ 31 rows per group)."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"),
+    ).agg(F.sum(cents).alias("cents"))
+    m = Window.partitionBy("month")
+    # integer division on BOTH sides: DuckDB's / on bigints is a double
+    # divide whose BIGINT cast ROUNDS, while Spark's cast truncates —
+    # `//` vs `div` keeps the whole chain in exact int64
+    quoted = daily.withColumn("total", F.sum("cents").over(m)).select(
+        "month",
+        "dt",
+        F.expr(f"CAST(({ALLOC_BUDGET} * cents) div total AS BIGINT)").alias(
+            "quota"
+        ),
+        F.expr(f"CAST(({ALLOC_BUDGET} * cents) % total AS BIGINT)").alias(
+            "frac"
+        ),
+    )
+    ranked = quoted.select(
+        "month",
+        "dt",
+        "quota",
+        (F.lit(ALLOC_BUDGET) - F.sum("quota").over(m)).alias("leftover"),
+        F.row_number()
+        .over(Window.partitionBy("month").orderBy(F.desc("frac"), F.asc("dt")))
+        .alias("rk"),
+    )
+    return ranked.select(
+        "month",
+        "dt",
+        (
+            F.col("quota")
+            + F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("alloc_ppm"),
+    )

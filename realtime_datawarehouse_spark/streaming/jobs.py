@@ -810,3 +810,78 @@ def ewma_stream(ev: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def scd2_kernel_factory():
+    """Streaming SCD Type-2 builder (the incremental twin of
+    plans/warehouse_ext.olap_scd2_intervals): per user, collapse the
+    event-type stream into validity intervals, EMITTING each interval the
+    moment it closes (a different type arrives). The open run stays in
+    state — exactly the 'current' row of an SCD2 dimension; downstream
+    PK-upsert (K2) keeps the serving table's open rows fresh.
+
+    State is three scalars per user (type, run start, count) — O(keys)
+    regardless of history length, the property that lets the dimension
+    build run forever. Requires per-user event-time order across batches
+    (the parity test feeds ordered files; in production the source is a
+    compacted per-key log or a watermark+sort stage)."""
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("valid_from", TimestampType()),
+            StructField("valid_to", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cur_type", StringType()),
+            StructField("start_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def kernel(key: Any, pdfs, state: GroupState):
+        cur_type, start_us, n = (None, None, 0)
+        if state.exists:
+            cur_type, start_us, n = state.get
+        closed: list[tuple] = []
+        uid = int(key[0])
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = pdf["ts"].astype("int64") // 1000
+            for et, t in zip(pdf["event_type"].tolist(), ts_us.tolist()):
+                if cur_type is None:
+                    cur_type, start_us, n = et, int(t), 1
+                elif et == cur_type:
+                    n += 1
+                else:
+                    closed.append((uid, cur_type, start_us, int(t), n))
+                    cur_type, start_us, n = et, int(t), 1
+        state.update((cur_type, start_us, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "event_type": [c[1] for c in closed],
+                    "valid_from": [pd.Timestamp(c[2] * 1000) for c in closed],
+                    "valid_to": [pd.Timestamp(c[3] * 1000) for c in closed],
+                    "n_events": [c[4] for c in closed],
+                }
+            )
+
+    return kernel, out_schema, state_schema
+
+
+def scd2_stream(ev: DataFrame) -> DataFrame:
+    kernel, out_schema, state_schema = scd2_kernel_factory()
+    return ev.groupBy("user_id").applyInPandasWithState(
+        kernel,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

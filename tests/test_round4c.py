@@ -282,3 +282,13 @@ def test_scd2_pit_join_single_exchange(spark):
     plan = _explain(spark, "ext_scd2_point_in_time_join", "simple")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_budget_allocation_exactly_exhausts(spark):
+    """The Hamilton-method invariant: every month's allocations sum to
+    EXACTLY the budget (the property naive per-row rounding breaks)."""
+    from realtime_datawarehouse_spark.plans.warehouse_ext import ALLOC_BUDGET
+
+    got = Q["olap_budget_allocation"](spark, SF_DIR).toPandas()
+    sums = got.groupby("month").alloc_ppm.sum()
+    assert (sums == ALLOC_BUDGET).all(), sums[sums != ALLOC_BUDGET]

@@ -905,3 +905,35 @@ def test_ewma_stream_parity(spark, events_stream_dir):
     merged = got.merge(batch, on=key, suffixes=("_s", "_b"))
     assert len(merged) == len(batch) == len(got)
     assert (merged.ewma_q6_s == merged.ewma_q6_b).all()
+
+
+def test_scd2_stream_parity(spark, events_stream_dir):
+    """Streaming SCD2 ≡ batch gaps-and-islands on the CLOSED intervals:
+    every interval the batch build closes (valid_to set) must be emitted
+    by the incremental kernel — including runs spanning micro-batch
+    boundaries (the open run carries in state and closes in a later
+    batch). Open (CURRENT) runs stay in state by design."""
+    from realtime_datawarehouse_spark.plans.warehouse_ext import _scd2_runs
+
+    ev = table(spark, SF_DIR, "events")
+    stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+    got = _drain(spark, jobs.scd2_stream(stream), "t_scd2").toPandas()
+
+    batch = (
+        _scd2_runs(ev)
+        .where(F.col("vt").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.col("vf").alias("valid_from"),
+            F.col("vt").alias("valid_to"),
+            "n_events",
+        )
+        .toPandas()
+    )
+    key = ["user_id", "valid_from"]
+    assert len(got) == len(batch)
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    for c in ["user_id", "event_type", "valid_to", "n_events"]:
+        assert (g[c] == b[c]).all(), c
