@@ -53,3 +53,88 @@ def test_layered_pipeline_end_to_end(spark, duck, tmp_path):
     ).fetchone()
     got = warehouse.ads_gmv(spark, out, dt)
     assert abs(got - float(exp_gmv)) < 1e-6 * max(1.0, abs(exp_gmv))
+
+
+def test_tpch_refresh_streams_rf1_rf2(spark, duck, tmp_path):
+    """TPC-H-style refresh workload through the versioned table store:
+    RF1 inserts a batch of new orders, RF2 tombstone-deletes a slice of
+    originals — each an atomic MERGE commit — and the warehouse query
+    (monthly GMV) over the resulting state must match DuckDB computed on
+    (orders ∪ inserted) − deleted. This is the write-path twin of the
+    read-path oracle gate: snapshot isolation, PK merge, and delete
+    semantics all participate.
+    """
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import table_store
+    from realtime_datawarehouse_spark.tables import table
+
+    path = str(tmp_path / "orders_store")
+    o = table(spark, SF_DIR, "orders").withColumn("is_delete", F.lit(0))
+
+    # initial load (version 1 of every PK)
+    table_store.merge_upsert(
+        spark, o, path, pk="o_orderkey", version_col="o_orderkey"
+    )
+
+    # RF1: insert 1% new orders (fresh keys above the current max)
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+    rf1 = (
+        o.where(F.col("o_orderkey") % 100 == 7)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mx + 1))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+    )
+    table_store.merge_upsert(
+        spark, rf1, path, pk="o_orderkey", version_col="o_orderkey"
+    )
+
+    # RF2: delete the originals ending in 13 (tombstone rows win the merge)
+    rf2 = o.where(F.col("o_orderkey") % 100 == 13).withColumn(
+        "is_delete", F.lit(1)
+    )
+    table_store.merge_upsert(
+        spark,
+        rf2,
+        path,
+        pk="o_orderkey",
+        version_col="is_delete",  # tombstone outranks the stored row
+        delete_when=F.col("is_delete") == 1,
+    )
+
+    got = (
+        table_store.read_state(spark, path)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("order_ct"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("gmv_cents"),
+        )
+        .toPandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    exp = duck.execute(
+        """
+        WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        state AS (
+          SELECT o_orderdate, o_totalprice FROM orders
+          WHERE o_orderkey % 100 <> 13
+          UNION ALL
+          SELECT o_orderdate, o_totalprice + 1.0 FROM orders
+          WHERE o_orderkey % 100 = 7
+        )
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(count(*) AS BIGINT) AS order_ct,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS gmv_cents
+        FROM state GROUP BY 1 ORDER BY 1
+        """
+    ).fetchdf()
+    assert got.month.tolist() == exp.month.tolist()
+    assert got.order_ct.tolist() == exp.order_ct.tolist()
+    assert got.gmv_cents.tolist() == exp.gmv_cents.tolist()
+    # three atomic versions: load, RF1, RF2 (GC keeps current+previous)
+    assert len(table_store.list_versions(path)) >= 2
