@@ -564,3 +564,122 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_seed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Community modularity of the label partition on the kNN graph
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    from realtime_datawarehouse_spark.operators.similarity import (
+        knn_graph_oracle,
+    )
+
+    return f"""
+WITH edges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+{knn_graph_oracle()}
+  ) knn
+),
+lab AS (SELECT vec_id, label FROM embeddings),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+tagged AS (
+  SELECT ls.label AS src_label, ld.label AS dst_label
+  FROM edges e
+  JOIN lab ls ON ls.vec_id = e.src
+  JOIN lab ld ON ld.vec_id = e.dst
+),
+per AS (
+  SELECT src_label AS label,
+         CAST(sum(CASE WHEN dst_label = src_label THEN 1 ELSE 0 END)
+              AS BIGINT) AS intra_edges,
+         CAST(count(*) AS BIGINT) AS out_deg
+  FROM tagged
+  GROUP BY 1
+),
+ind AS (
+  SELECT dst_label AS label, CAST(count(*) AS BIGINT) AS in_deg
+  FROM tagged GROUP BY 1
+)
+SELECT p.label,
+       p.intra_edges,
+       p.out_deg,
+       CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+       floor((CAST(p.intra_edges AS DOUBLE) / CAST(m.m AS DOUBLE)
+              - (CAST(p.out_deg AS DOUBLE) / CAST(m.m AS DOUBLE))
+                * (CAST(coalesce(i.in_deg, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS q_contrib
+FROM per p
+LEFT JOIN ind i ON i.label = p.label
+CROSS JOIN m
+"""
+
+
+@query("graph_modularity", oracle=_modularity_oracle())
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed modularity decomposition of the embedding LABEL partition
+    on the multiprobe-LSH kNN graph: per community, intra-community edge
+    share minus the random-graph expectation (out_c/m)·(in_c/m) — sum the
+    q_contrib column and you have Newman's Q, the standard "is this
+    partition real structure" readout for community assignments
+    (here it QUANTIFIES what the label-propagation tests measured: the
+    fixture's labels are near-random w.r.t. embedding geometry, Q ≈ 0;
+    a clustered labeling would push Q toward 1−1/k).
+
+    All counts are exact integers off one pass over the labeled edge
+    list; |labels| output rows; the kNN edge builder is the audited
+    operator. One double chain at the end, portably rounded."""
+    from realtime_datawarehouse_spark.functions.compare import pround
+    from realtime_datawarehouse_spark.operators import similarity
+    from realtime_datawarehouse_spark.tables import table as _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = similarity.knn_graph(emb).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    lab = emb.select("vec_id", "label")
+    tagged = (
+        edges.join(
+            lab.select(
+                F.col("vec_id").alias("src"), F.col("label").alias("src_label")
+            ),
+            "src",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("dst"), F.col("label").alias("dst_label")
+            ),
+            "dst",
+        )
+    )
+    per = tagged.groupBy(F.col("src_label").alias("label")).agg(
+        F.sum(
+            F.when(F.col("dst_label") == F.col("src_label"), 1).otherwise(0)
+        ).alias("intra_edges"),
+        F.count("*").alias("out_deg"),
+    )
+    ind = tagged.groupBy(F.col("dst_label").alias("label")).agg(
+        F.count("*").alias("in_deg")
+    )
+    m = edges.agg(F.count("*").alias("m"))
+    joined = (
+        per.join(ind, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "intra_edges",
+            "out_deg",
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            pround(
+                F.col("intra_edges").cast("double") / F.col("m").cast("double")
+                - (F.col("out_deg").cast("double") / F.col("m").cast("double"))
+                * (
+                    F.coalesce("in_deg", F.lit(0)).cast("double")
+                    / F.col("m").cast("double")
+                ),
+                6,
+            ).alias("q_contrib"),
+        )
+    )
+    return joined

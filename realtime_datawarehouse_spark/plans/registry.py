@@ -57,6 +57,8 @@ DRIVER_PRIORITY: list[str] = [
     "olap_bollinger_bands",
     "mix_dup_aware_weights",
     "olap_budget_allocation",
+    "olap_corr_matrix",
+    "graph_modularity",
     # new in r4 (second half) — never driver-recorded; the head exceeds
     # the driver's ~50-row budget by a few entries, so the LAST few below
     # (simple single-agg queries with strong inline verification) roll to

@@ -663,3 +663,104 @@ def olap_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix over daily per-type revenue series
+# ---------------------------------------------------------------------------
+
+CORR_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) // 100
+              AS BIGINT) AS dollars
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT)              AS n,
+         CAST(sum(a.dollars) AS BIGINT)        AS sx,
+         CAST(sum(b.dollars) AS BIGINT)        AS sy,
+         CAST(sum(a.dollars * a.dollars) AS BIGINT) AS sxx,
+         CAST(sum(b.dollars * b.dollars) AS BIGINT) AS syy,
+         CAST(sum(a.dollars * b.dollars) AS BIGINT) AS sxy
+  FROM daily a JOIN daily b
+    ON b.d = a.d AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n,
+       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS corr
+FROM pairs
+"""
+
+
+@query("olap_corr_matrix", oracle=CORR_ORACLE)
+def olap_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between every pair of event types' daily
+    revenue series — the co-movement screen behind basket/affinity
+    analysis (upper triangle; |types|·(|types|−1)/2 rows).
+
+    Exactness: daily sums quantize to integer DOLLARS (scale-invariant
+    for correlation, and the coarser grid keeps n·Σxy inside int64 at
+    any SF — the cents grid would overflow near sf1); all five moments
+    are exact int64; the final expression is one double chain with
+    IEEE-exact sqrt, identical in both engines.
+
+    Scale shape: one map-combinable daily aggregation; the pair join and
+    moment aggregation run on the |types|×|days| table — thousands of
+    rows regardless of corpus size."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) div 100"
+            " AS BIGINT)"
+        ).alias("dollars")
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        "d",
+        F.col("dollars").alias("x"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("d").alias("d2"),
+        F.col("dollars").alias("y"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("d2") == F.col("d"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    corr = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (
+            F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+            )
+            * F.sqrt(
+                (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+        )
+    )
+    return pairs.select("type_a", "type_b", "n", pround(corr, 6).alias("corr"))
