@@ -885,3 +885,73 @@ def scd2_stream(ev: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def kmv_kernel_factory(k: int = 64):
+    """Streaming KMV (bottom-k) distinct sketch per key: state is the
+    sorted array of the k smallest DISTINCT 60-bit hashes seen — constant
+    size per key forever, the streaming twin of plans/sketch_agg
+    ``sk_kmv_distinct`` (same estimator, identical values once the stream
+    drains). Each batch emits (key, est_uv, upd_seq); the latest seq per
+    key is the current estimate (PK-upsert/K2 collapses resends).
+    """
+    from pyspark.sql.types import ArrayType
+
+    out_schema = StructType(
+        [
+            StructField("dt", StringType()),
+            StructField("est_uv", LongType()),
+            StructField("upd_seq", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("hashes", ArrayType(LongType())),
+            StructField("seq", LongType()),
+        ]
+    )
+    space = float(1 << 60)
+
+    def kernel(key: Any, pdfs, state: GroupState):
+        hashes: list[int] = []
+        seq = 0
+        if state.exists:
+            stored, seq = state.get
+            hashes = list(stored)
+        s = set(hashes)
+        for pdf in pdfs:
+            if len(pdf):
+                s.update(int(h) for h in pdf["h"])
+        hashes = sorted(s)[:k]
+        seq += 1
+        state.update((hashes, seq))
+        if len(hashes) < k:
+            est = len(hashes)
+        else:
+            est = int((float(k) - 1.0) * space / float(hashes[-1]))
+        yield pd.DataFrame(
+            {"dt": [str(key[0])], "est_uv": [est], "upd_seq": [seq]}
+        )
+
+    return kernel, out_schema, state_schema
+
+
+def kmv_stream(ev: DataFrame, k: int = 64) -> DataFrame:
+    """Daily distinct-user KMV estimates over a stream: the portable
+    hash64 is computed JVM-side (codegen) before grouping; only the
+    (dt, h) pairs reach the Python state kernel."""
+    from realtime_datawarehouse_spark.functions.hashing import hash64
+    from realtime_datawarehouse_spark.functions.timeutil import fmt_date
+
+    kernel, out_schema, state_schema = kmv_kernel_factory(k)
+    keyed = ev.select(
+        fmt_date("ts").alias("dt"),
+        hash64(F.col("user_id").cast("string")).alias("h"),
+    )
+    return keyed.groupBy("dt").applyInPandasWithState(
+        kernel,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

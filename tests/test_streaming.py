@@ -937,3 +937,23 @@ def test_scd2_stream_parity(spark, events_stream_dir):
     b = batch.sort_values(key).reset_index(drop=True)
     for c in ["user_id", "event_type", "valid_to", "n_events"]:
         assert (g[c] == b[c]).all(), c
+
+
+def test_kmv_stream_parity(spark, events_stream_dir):
+    """Streaming KMV ≡ batch sk_kmv_distinct once the stream drains: the
+    bottom-k state is order-insensitive (set minimum), so the final
+    emission per day must equal the batch sketch exactly — including days
+    whose bottom-k assembles across micro-batches."""
+    from realtime_datawarehouse_spark.plans import registry
+
+    registry.load()
+    ev = table(spark, SF_DIR, "events")
+    stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+    got = _drain(spark, jobs.kmv_stream(stream), "t_kmv", "update").toPandas()
+    final = (
+        got.sort_values("upd_seq").groupby("dt", as_index=False).last()
+    )
+    batch = registry.QUERIES["sk_kmv_distinct"](spark, SF_DIR).toPandas()
+    m = final.merge(batch, on="dt", suffixes=("_s", "_b"))
+    assert len(m) == len(batch)
+    assert (m.est_uv_s == m.est_uv_b).all()
