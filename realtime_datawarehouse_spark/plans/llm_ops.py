@@ -1824,3 +1824,102 @@ def mix_dup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weight6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidate quality vs the exact Jaccard ground truth
+# ---------------------------------------------------------------------------
+
+
+def _minhash_eval_oracle() -> str:
+    lsh = dedup.lsh_candidate_pairs_oracle()
+    ex = dedup.ngram_jaccard_oracle(JACCARD_THRESHOLD)
+    return f"""
+WITH l AS (
+  SELECT doc_a, doc_b FROM (
+{lsh}
+  ) t
+),
+x AS (
+  SELECT doc_a, doc_b FROM (
+{ex}
+  ) t
+),
+j AS (
+  SELECT (l.doc_a IS NOT NULL) AS in_lsh,
+         (x.doc_a IS NOT NULL) AS in_ex
+  FROM l FULL JOIN x ON x.doc_a = l.doc_a AND x.doc_b = l.doc_b
+),
+c AS (
+  SELECT CAST(sum(CASE WHEN in_lsh AND in_ex THEN 1 ELSE 0 END) AS BIGINT)
+           AS tp,
+         CAST(sum(CASE WHEN in_lsh AND NOT in_ex THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN in_ex AND NOT in_lsh THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn
+  FROM j
+)
+SELECT tp, fp, fn,
+       CAST(CASE WHEN tp + fp = 0 THEN 1000000
+                 ELSE CAST(floor(CAST(tp AS DOUBLE) * 1000000.0
+                                 / CAST(tp + fp AS DOUBLE)) AS BIGINT)
+            END AS BIGINT) AS precision6,
+       CAST(CASE WHEN tp + fn = 0 THEN 1000000
+                 ELSE CAST(floor(CAST(tp AS DOUBLE) * 1000000.0
+                                 / CAST(tp + fn AS DOUBLE)) AS BIGINT)
+            END AS BIGINT) AS recall6
+FROM c
+"""
+
+
+@query("dedup_minhash_eval", oracle=_minhash_eval_oracle())
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality audit: MinHash-LSH candidate pairs scored
+    against the exact n-gram-Jaccard ground truth (threshold
+    {JACCARD_THRESHOLD}) — TP/FP/FN plus integer-scaled precision and
+    recall, the one-row report that justifies running the banded sketch
+    instead of the exact quadratic form at 100 TB. A pure COMPOSITION of
+    two audited operators joined full-outer on the pair key; at scale
+    this runs on a SAMPLE split (the standard way to monitor sketch
+    quality in production) while the exact side here doubles as the
+    audit oracle."""
+    docs = _docs(spark, sf_dir)
+    lsh = dedup.lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    ex = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    j = lsh.withColumn("in_lsh", F.lit(True)).join(
+        ex.withColumn("in_ex", F.lit(True)), ["doc_a", "doc_b"], "full_outer"
+    )
+    c = j.agg(
+        F.sum(
+            F.when(F.col("in_lsh") & F.col("in_ex"), 1).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(F.col("in_lsh") & F.col("in_ex").isNull(), 1).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when(F.col("in_ex") & F.col("in_lsh").isNull(), 1).otherwise(0)
+        ).alias("fn"),
+    )
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(1000000)).otherwise(
+        F.floor(
+            F.col("tp").cast("double")
+            * F.lit(1000000.0)
+            / (F.col("tp") + F.col("fp")).cast("double")
+        )
+    )
+    rec = F.when(F.col("tp") + F.col("fn") == 0, F.lit(1000000)).otherwise(
+        F.floor(
+            F.col("tp").cast("double")
+            * F.lit(1000000.0)
+            / (F.col("tp") + F.col("fn")).cast("double")
+        )
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        prec.cast("bigint").alias("precision6"),
+        rec.cast("bigint").alias("recall6"),
+    )

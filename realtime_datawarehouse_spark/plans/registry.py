@@ -59,6 +59,8 @@ DRIVER_PRIORITY: list[str] = [
     "olap_budget_allocation",
     "olap_corr_matrix",
     "graph_modularity",
+    "dedup_minhash_eval",
+    "sk_kmv_intersect",
     # new in r4 (second half) — never driver-recorded; the head exceeds
     # the driver's ~50-row budget by a few entries, so the LAST few below
     # (simple single-agg queries with strong inline verification) roll to

@@ -368,3 +368,100 @@ def sk_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_uv"),
     )
     return seg_est.unionByName(union_est)
+
+
+def _kmv_intersect_oracle(k: int = KMV_K) -> str:
+    from realtime_datawarehouse_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("CAST(user_id AS VARCHAR)")
+    space_int = 1 << 60
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type AS seg, {h} AS h FROM events
+),
+ranked AS (
+  SELECT seg, h, row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
+  FROM hashed
+),
+agg AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS nd,
+         CASE WHEN count(*) <= {k} THEN CAST({space_int} AS BIGINT)
+              ELSE max(CASE WHEN rn <= {k} THEN h END) END AS theta
+  FROM ranked GROUP BY 1
+),
+kept AS (SELECT seg, h FROM ranked WHERE rn <= {k}),
+pairs AS (
+  SELECT a.seg AS seg_a, b.seg AS seg_b,
+         least(ta.theta, tb.theta) AS th,
+         CAST(count(*) FILTER (WHERE a.h < least(ta.theta, tb.theta))
+              AS BIGINT) AS ct
+  FROM kept a
+  JOIN kept b ON b.h = a.h AND a.seg < b.seg
+  JOIN agg ta ON ta.seg = a.seg
+  JOIN agg tb ON tb.seg = b.seg
+  GROUP BY 1, 2, 3
+)
+SELECT seg_a, seg_b,
+       CAST(CASE WHEN th >= CAST({space_int} AS BIGINT) THEN ct
+                 ELSE CAST(floor(CAST(ct AS DOUBLE) * {_HASH_SPACE}
+                                 / CAST(th AS DOUBLE)) AS BIGINT)
+            END AS BIGINT) AS est_overlap
+FROM pairs
+"""
+
+
+@query("sk_kmv_intersect", oracle=_kmv_intersect_oracle())
+def sk_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch INTERSECTION over the per-segment KMV sketches: the
+    estimated audience overlap |users(a) ∩ users(b)| for every event-type
+    pair, computed purely from the retained bottom-k sets (kept hashes
+    present in BOTH sketches below θ = min threshold, scaled by 2^60/θ)
+    — with union (sk_kmv_union) this completes the sketch set algebra
+    that makes constant-size distinct state composable across any
+    grouping. Exact-regime pairs (both sketches complete) return exact
+    overlaps. Same cross-engine-exact double chain as the union; the
+    pair join touches |segments|·k retained hashes only. Accuracy vs
+    the exact overlap is pinned in tests (the exact form is
+    olap_bitmap_audience_overlap)."""
+    from realtime_datawarehouse_spark.functions.hashing import hash64
+
+    space_int = 1 << 60
+    ev = table(spark, sf_dir, "events")
+    hashed = ev.select(
+        F.col("event_type").alias("seg"),
+        hash64(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("seg").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    agg = ranked.groupBy("seg").agg(
+        F.when(F.count("*") <= KMV_K, F.lit(space_int))
+        .otherwise(F.max(F.when(F.col("rn") <= KMV_K, F.col("h"))))
+        .alias("theta")
+    )
+    kept = ranked.where(F.col("rn") <= KMV_K).select("seg", "h")
+    a = kept.select(F.col("seg").alias("seg_a"), "h")
+    b = kept.select(F.col("seg").alias("seg_b"), F.col("h").alias("h2"))
+    ta = agg.select(F.col("seg").alias("seg_a"), F.col("theta").alias("th_a"))
+    tb = agg.select(F.col("seg").alias("seg_b"), F.col("theta").alias("th_b"))
+    pairs = (
+        a.join(b, (F.col("h2") == F.col("h")) & (F.col("seg_a") < F.col("seg_b")))
+        .join(F.broadcast(ta), "seg_a")
+        .join(F.broadcast(tb), "seg_b")
+        .withColumn("th", F.least("th_a", "th_b"))
+        .groupBy("seg_a", "seg_b", "th")
+        .agg(
+            F.sum(F.when(F.col("h") < F.col("th"), 1).otherwise(0)).alias("ct")
+        )
+    )
+    est = (
+        F.when(F.col("th") >= F.lit(space_int), F.col("ct").cast("double"))
+        .otherwise(
+            F.floor(
+                F.col("ct").cast("double")
+                * F.lit(_HASH_SPACE)
+                / F.col("th").cast("double")
+            )
+        )
+        .cast("bigint")
+    )
+    return pairs.select("seg_a", "seg_b", est.alias("est_overlap"))

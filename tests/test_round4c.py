@@ -292,3 +292,26 @@ def test_budget_allocation_exactly_exhausts(spark):
     got = Q["olap_budget_allocation"](spark, SF_DIR).toPandas()
     sums = got.groupby("month").alloc_ppm.sum()
     assert (sums == ALLOC_BUDGET).all(), sums[sums != ALLOC_BUDGET]
+
+
+def test_kmv_intersect_accuracy(spark):
+    """Theta-intersection estimates within ±40% of the true overlaps at
+    sf0.01 (high-overlap regime: effective kept-sample per pair ≈ k, rse
+    ≈ 1/√k ≈ 13%, floor leaves margin)."""
+    got = {
+        (r.seg_a, r.seg_b): r.est_overlap
+        for r in Q["sk_kmv_intersect"](spark, SF_DIR_MID).collect()
+    }
+    ev = table(spark, SF_DIR_MID, "events")
+    users = (
+        ev.select("event_type", "user_id").distinct().toPandas()
+    )
+    by_type = {
+        t: set(g.user_id) for t, g in users.groupby("event_type")
+    }
+    types = sorted(by_type)
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            true = len(by_type[a] & by_type[b])
+            est = got[(a, b)]
+            assert abs(est - true) / max(true, 1) <= 0.40, (a, b, est, true)
