@@ -61,6 +61,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_modularity",
     "dedup_minhash_eval",
     "sk_kmv_intersect",
+    "olap_model_lift_table",
     # new in r4 (second half) — never driver-recorded; the head exceeds
     # the driver's ~50-row budget by a few entries, so the LAST few below
     # (simple single-agg queries with strong inline verification) roll to

@@ -764,3 +764,102 @@ def olap_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.select("type_a", "type_b", "n", pround(corr, 6).alias("corr"))
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / gains table (model-evaluation readout)
+# ---------------------------------------------------------------------------
+
+LIFT_TRAIN_END = "1999-01-01"  # score window: orders before; outcome: after
+
+LIFT_ORACLE = f"""
+WITH scored AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{LIFT_TRAIN_END}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS score,
+         CAST(max(CASE WHEN o_orderdate >= TIMESTAMP '{LIFT_TRAIN_END}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS responded
+  FROM orders GROUP BY 1
+),
+decs AS (
+  SELECT ntile(10) OVER (ORDER BY score DESC, custkey ASC) AS decile,
+         score, responded
+  FROM scored
+),
+per AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT)      AS n_customers,
+         CAST(sum(responded) AS BIGINT) AS responders
+  FROM decs GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_customers) AS BIGINT) AS n_all,
+         CAST(sum(responders) AS BIGINT)  AS r_all
+  FROM per
+)
+SELECT decile, n_customers, responders,
+       CAST(floor(CAST(responders AS DOUBLE) * 1000000.0
+                  / CAST(n_customers AS DOUBLE)) AS BIGINT) AS rate6,
+       CAST(floor((CAST(responders AS DOUBLE) / CAST(n_customers AS DOUBLE))
+                  / (CAST(r_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS lift6
+FROM per CROSS JOIN tot
+"""
+
+
+@query("olap_model_lift_table", oracle=LIFT_ORACLE)
+def olap_model_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table — the standard propensity-model evaluation
+    readout: customers scored by pre-{LIFT_TRAIN_END} order frequency,
+    outcome = ordered at-or-after that date; per score-decile response
+    rate and lift vs the base rate. A high-score decile with lift ≫ 1e6
+    (1.0) validates the score; the table is what campaign-targeting ADS
+    layers serve.
+
+    ntile runs over (score DESC, custkey) — a total order, so decile
+    boundaries are identical in both engines; rates/lifts are single
+    double chains over exact int64 counts. The ntile sort ranks
+    per-customer AGGREGATES, and the final table is 10 rows. The global
+    ntile is a single-partition sort of |customers| aggregate rows — at
+    billions of customers swap to broadcast percentile thresholds
+    (exactly olap_pareto_segments' banding), which changes only how the
+    decile id is assigned."""
+    o = table(spark, sf_dir, "orders")
+    scored = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(
+            F.when(F.col("o_orderdate") < F.lit(LIFT_TRAIN_END), 1).otherwise(0)
+        ).alias("score"),
+        F.max(
+            F.when(F.col("o_orderdate") >= F.lit(LIFT_TRAIN_END), 1).otherwise(
+                0
+            )
+        ).alias("responded"),
+    )
+    decs = scored.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("score"), F.asc("custkey"))),
+    )
+    per = decs.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("responded").alias("responders"),
+    )
+    tot = per.agg(
+        F.sum("n_customers").alias("n_all"), F.sum("responders").alias("r_all")
+    )
+    rate = F.floor(
+        F.col("responders").cast("double")
+        * F.lit(1000000.0)
+        / F.col("n_customers").cast("double")
+    )
+    lift = F.floor(
+        (F.col("responders").cast("double") / F.col("n_customers").cast("double"))
+        / (F.col("r_all").cast("double") / F.col("n_all").cast("double"))
+        * F.lit(1000000.0)
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        "responders",
+        rate.cast("bigint").alias("rate6"),
+        lift.cast("bigint").alias("lift6"),
+    )
