@@ -1923,3 +1923,219 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         prec.cast("bigint").alias("precision6"),
         rec.cast("bigint").alias("recall6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR-diversified retrieval (greedy maximal marginal relevance re-rank)
+# ---------------------------------------------------------------------------
+
+MMR_SHORTLIST = 8
+MMR_K = 3
+MMR_REL_W = 7  # λ = 0.7 as integer tenths: score = 7·rel4 − 3·maxsim4
+MMR_DIV_W = 3
+
+
+def _mmr_oracle() -> str:
+    from realtime_datawarehouse_spark.functions.compare import pround_sql
+    from realtime_datawarehouse_spark.operators.similarity import (
+        _COS_AB,
+        brute_topk_oracle,
+    )
+
+    brute = brute_topk_oracle(MMR_SHORTLIST, ANN_QUERY_PRED_SQL)
+    parts = [
+        f"""
+WITH cand AS (
+  SELECT query_id, neighbor_id,
+         CAST(floor(sim * 10000 + 0.5) AS BIGINT) AS rel4, rnk
+  FROM (
+{brute}
+  ) t
+),
+ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cv AS (
+  SELECT c.query_id, c.neighbor_id, c.rel4, e.v
+  FROM cand c JOIN ev e ON e.vec_id = c.neighbor_id
+),
+psim AS (
+  SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+         CAST(floor({pround_sql(_COS_AB, 4)} * 10000 + 0.5) AS BIGINT) AS s4
+  FROM cv a JOIN cv b
+    ON b.query_id = a.query_id AND b.neighbor_id <> a.neighbor_id
+),
+p1 AS (
+  SELECT query_id, neighbor_id AS pick,
+         {MMR_REL_W} * rel4 AS score
+  FROM cand WHERE rnk = 1
+)"""
+    ]
+    prev_picks = ["p1"]
+    for i in range(2, MMR_K + 1):
+        pick_cols = ", ".join(f"{p}.pick AS pk{j}" for j, p in enumerate(prev_picks, 1))
+        joins = " ".join(
+            f"JOIN {p} ON {p}.query_id = c.query_id" for p in prev_picks
+        )
+        not_picked = " AND ".join(
+            f"c.neighbor_id <> pk{j}" for j in range(1, i)
+        )
+        max_sim = ", ".join(
+            f"(SELECT s4 FROM psim WHERE psim.query_id = c.query_id"
+            f" AND psim.na = c.neighbor_id AND psim.nb = pk{j})"
+            for j in range(1, i)
+        )
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT c.query_id, c.neighbor_id, c.rel4, {pick_cols}
+  FROM cand c {joins}
+),
+s{i} AS (
+  SELECT query_id, neighbor_id,
+         {MMR_REL_W} * rel4
+         - {MMR_DIV_W} * greatest({max_sim}) AS score
+  FROM c{i} c
+  WHERE {not_picked}
+),
+p{i} AS (
+  SELECT query_id, neighbor_id AS pick, score FROM (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rn
+    FROM s{i}
+  ) t WHERE rn = 1
+)"""
+        )
+        prev_picks.append(f"p{i}")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT query_id, {i} AS mmr_rank, pick AS neighbor_id,"
+        f" CAST(score AS BIGINT) AS mmr_score FROM p{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    parts.append("\n" + selects)
+    return "".join(parts)
+
+
+@query("ann_mmr_diversify", oracle=_mmr_oracle())
+def ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal-marginal-relevance) diversified top-{MMR_K}: greedy
+    re-rank of the exact top-{MMR_SHORTLIST} shortlist, each step picking
+    argmax of λ·relevance − (1−λ)·max-similarity-to-already-picked
+    (λ=0.7) — the standard redundancy-suppressing re-ranker for RAG
+    retrieval and dedup-aware sampling.
+
+    The greedy loop is unrolled ({MMR_K} static steps, like the PageRank
+    chain) into pure DataFrame ops; scores are INTEGER (similarities
+    quantized to 1e-4 then weighted 7/−3), so selection is bit-identical
+    in both engines including ties (neighbor_id ascending).
+
+    Scale shape: the shortlist stage is the audited brute/ANN top-k; the
+    re-rank only ever touches |queries|·{MMR_SHORTLIST} candidate rows
+    and their {MMR_SHORTLIST}² pairwise sims per query — constant work
+    per query regardless of corpus size, and each unrolled step is one
+    small keyed join + argmax aggregate."""
+    from realtime_datawarehouse_spark.functions.compare import pround
+    from realtime_datawarehouse_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from realtime_datawarehouse_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.expr(ANN_QUERY_PRED_SQL)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    brute = similarity.brute_topk(emb, qs, MMR_SHORTLIST)
+    cand = brute.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("sim") * 10000 + F.lit(0.5)).cast("bigint").alias("rel4"),
+        "rnk",
+    )
+    ev = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cv = cand.join(ev, cand.neighbor_id == ev.vec_id).select(
+        "query_id", "neighbor_id", "rel4", "v"
+    )
+    a = cv.select(
+        F.col("query_id").alias("q"),
+        F.col("neighbor_id").alias("na"),
+        F.col("v").alias("va"),
+    )
+    b = cv.select(
+        F.col("query_id").alias("q"),
+        F.col("neighbor_id").alias("nb"),
+        F.col("v").alias("vb"),
+    )
+    psim = (
+        a.join(b, "q")
+        .where(F.col("na") != F.col("nb"))
+        .select(
+            F.col("q").alias("query_id"),
+            "na",
+            "nb",
+            F.floor(
+                pround(cosine_similarity(F.col("va"), F.col("vb")), 4)
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("s4"),
+        )
+    )
+    picks = [
+        cand.where(F.col("rnk") == 1).select(
+            "query_id",
+            F.col("neighbor_id").alias("pick"),
+            (F.lit(MMR_REL_W) * F.col("rel4")).alias("score"),
+        )
+    ]
+    for i in range(2, MMR_K + 1):
+        c = cand
+        sim_cols = []
+        for j, p in enumerate(picks, 1):
+            pj = p.select(
+                "query_id", F.col("pick").alias(f"pk{j}")
+            )
+            c = c.join(pj, "query_id").where(
+                F.col("neighbor_id") != F.col(f"pk{j}")
+            )
+            sj = psim.select(
+                "query_id",
+                F.col("na").alias("neighbor_id"),
+                F.col("nb").alias(f"pk{j}"),
+                F.col("s4").alias(f"s4_{j}"),
+            )
+            c = c.join(sj, ["query_id", "neighbor_id", f"pk{j}"])
+            sim_cols.append(F.col(f"s4_{j}"))
+        scored = c.select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.lit(MMR_REL_W) * F.col("rel4")
+                - F.lit(MMR_DIV_W) * F.greatest(*sim_cols)
+                if len(sim_cols) > 1
+                else F.lit(MMR_REL_W) * F.col("rel4")
+                - F.lit(MMR_DIV_W) * sim_cols[0]
+            ).alias("score"),
+        )
+        wsel = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id")
+        )
+        picks.append(
+            scored.withColumn("rn", F.row_number().over(wsel))
+            .where(F.col("rn") == 1)
+            .select("query_id", F.col("neighbor_id").alias("pick"), "score")
+        )
+    out = None
+    for i, p in enumerate(picks, 1):
+        part = p.select(
+            "query_id",
+            F.lit(i).alias("mmr_rank"),
+            F.col("pick").alias("neighbor_id"),
+            F.col("score").cast("bigint").alias("mmr_score"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -315,3 +315,53 @@ def test_kmv_intersect_accuracy(spark):
             true = len(by_type[a] & by_type[b])
             est = got[(a, b)]
             assert abs(est - true) / max(true, 1) <= 0.40, (a, b, est, true)
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """MMR's picked sets must be no MORE mutually similar than the plain
+    top-k head, and strictly less similar in aggregate (the whole point
+    of the re-rank) — measured as mean max-pairwise-cosine within each
+    query's picked set."""
+    import itertools
+
+    import numpy as np
+
+    from realtime_datawarehouse_spark.operators import similarity
+    from realtime_datawarehouse_spark.plans.llm_ops import (
+        ANN_QUERY_PRED_SQL,
+        MMR_K,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    qs = emb.where(F.expr(ANN_QUERY_PRED_SQL)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plain = similarity.brute_topk(emb, qs, MMR_K).toPandas()
+    mmr = Q["ann_mmr_diversify"](spark, SF_DIR).toPandas()
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=float)
+        for r in emb.collect()
+    }
+
+    def mean_max_pair_sim(df, id_col):
+        vals = []
+        for _, g in df.groupby("query_id"):
+            ids = g[id_col].tolist()
+            sims = [
+                float(
+                    vecs[a] @ vecs[b]
+                    / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+                )
+                for a, b in itertools.combinations(ids, 2)
+            ]
+            vals.append(max(sims))
+        return sum(vals) / len(vals)
+
+    plain_sim = mean_max_pair_sim(plain, "neighbor_id")
+    mmr_sim = mean_max_pair_sim(mmr, "neighbor_id")
+    assert mmr_sim <= plain_sim + 1e-9, (mmr_sim, plain_sim)
+    # rank-1 always equals the relevance argmax (MMR's first pick)
+    m1 = mmr[mmr.mmr_rank == 1].set_index("query_id").neighbor_id
+    p1 = plain[plain.rnk == 1].set_index("query_id").neighbor_id
+    assert (m1.sort_index() == p1.sort_index()).all()
