@@ -263,7 +263,7 @@ def label_propagation(
             edges.join(
                 lab.select(
                     F.col("vec_id").alias("dst"), F.col("label").alias("nl")
-                ),
+                ).hint("shuffle_hash"),
                 "dst",
             )
             .groupBy(F.col("src").alias("vec_id"), F.col("nl").alias("label"))
@@ -276,7 +276,7 @@ def label_propagation(
         )
         s = seeds.select("vec_id", F.col("label").alias("s_label"))
         p = pick.select("vec_id", F.col("label").alias("p_label"))
-        lab = s.join(p, "vec_id", "full_outer").select(
+        lab = s.join(p.hint("shuffle_hash"), "vec_id", "full_outer").select(
             "vec_id", F.coalesce("s_label", "p_label").alias("label")
         )
     return lab

@@ -554,7 +554,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = label_propagation(edges, seeds, iters=LP_ITERS)
     return (
         emb.select("vec_id")
-        .join(lab.withColumnRenamed("label", "l"), "vec_id", "left")
+        .join(
+            lab.withColumnRenamed("label", "l").hint("shuffle_hash"),
+            "vec_id",
+            "left",
+        )
         .select(
             "vec_id",
             F.coalesce("l", F.lit(-1)).cast("int").alias("label"),
@@ -664,7 +668,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = edges.agg(F.count("*").alias("m"))
     joined = (
-        per.join(ind, "label", "left")
+        per.join(F.broadcast(ind), "label", "left")
         .crossJoin(F.broadcast(m))
         .select(
             "label",

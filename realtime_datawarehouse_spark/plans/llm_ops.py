@@ -1889,7 +1889,9 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     j = lsh.withColumn("in_lsh", F.lit(True)).join(
-        ex.withColumn("in_ex", F.lit(True)), ["doc_a", "doc_b"], "full_outer"
+        ex.withColumn("in_ex", F.lit(True)).hint("shuffle_hash"),
+        ["doc_a", "doc_b"],
+        "full_outer",
     )
     c = j.agg(
         F.sum(
@@ -2047,7 +2049,7 @@ def ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
     )
     brute = similarity.brute_topk(emb, qs, MMR_SHORTLIST)
-    cand = brute.select(
+    cand_plan = brute.select(
         "query_id",
         "neighbor_id",
         F.floor(F.col("sim") * 10000 + F.lit(0.5)).cast("bigint").alias("rel4"),
@@ -2056,9 +2058,9 @@ def ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cv = cand.join(ev, cand.neighbor_id == ev.vec_id).select(
-        "query_id", "neighbor_id", "rel4", "v"
-    )
+    cv = ev.join(
+        F.broadcast(cand_plan), cand_plan.neighbor_id == ev.vec_id
+    ).select("query_id", "neighbor_id", "rel4", "v")
     a = cv.select(
         F.col("query_id").alias("q"),
         F.col("neighbor_id").alias("na"),
@@ -2069,8 +2071,8 @@ def ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("nb"),
         F.col("v").alias("vb"),
     )
-    psim = (
-        a.join(b, "q")
+    psim_plan = (
+        a.join(F.broadcast(b), "q")
         .where(F.col("na") != F.col("nb"))
         .select(
             F.col("q").alias("query_id"),
@@ -2085,6 +2087,15 @@ def ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s4"),
         )
     )
+    # The greedy loop references the shortlist/pair-sim state ~15×, and
+    # Catalyst does NOT dedupe the repeated subtrees (no ReusedExchange
+    # across the unrolled branches — measured: the corpus-wide brute scan
+    # re-executed 15×, 1.6 s warm at sf0.001). Both states are bounded at
+    # |queries|·SHORTLIST(²) rows BY CONSTRUCTION, so materialize them
+    # driver-side ONCE and loop over literal relations — the same
+    # legitimately-tiny collect class as train_centroids' k×DIM means.
+    cand = spark.createDataFrame(cand_plan.collect(), cand_plan.schema)
+    psim = spark.createDataFrame(psim_plan.collect(), psim_plan.schema)
     picks = [
         cand.where(F.col("rnk") == 1).select(
             "query_id",
@@ -2099,7 +2110,7 @@ def ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             pj = p.select(
                 "query_id", F.col("pick").alias(f"pk{j}")
             )
-            c = c.join(pj, "query_id").where(
+            c = c.join(F.broadcast(pj), "query_id").where(
                 F.col("neighbor_id") != F.col(f"pk{j}")
             )
             sj = psim.select(
@@ -2108,7 +2119,9 @@ def ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("nb").alias(f"pk{j}"),
                 F.col("s4").alias(f"s4_{j}"),
             )
-            c = c.join(sj, ["query_id", "neighbor_id", f"pk{j}"])
+            c = c.join(
+                F.broadcast(sj), ["query_id", "neighbor_id", f"pk{j}"]
+            )
             sim_cols.append(F.col(f"s4_{j}"))
         scored = c.select(
             "query_id",
