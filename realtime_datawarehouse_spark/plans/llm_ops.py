@@ -2152,3 +2152,116 @@ def ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate pairs (pigeonhole-banded Hamming join)
+# ---------------------------------------------------------------------------
+
+PHASH_HAMMING_MAX = 3  # ≤3 differing bits of 64 ⇒ some 16-bit chunk equal
+
+
+def _phash_pairs_oracle() -> str:
+    from realtime_datawarehouse_spark.operators.multimodal import (
+        image_phash_oracle,
+    )
+
+    ph = image_phash_oracle()
+    return f"""
+WITH ph AS (
+  SELECT doc_id, phash_hi, phash_lo FROM (
+{ph}
+  ) t
+),
+bands AS (
+  SELECT doc_id, phash_hi, phash_lo, b.band_idx,
+         CASE b.band_idx
+           WHEN 0 THEN phash_lo & 65535
+           WHEN 1 THEN (phash_lo >> 16) & 65535
+           WHEN 2 THEN phash_hi & 65535
+           ELSE (phash_hi >> 16) & 65535
+         END AS chunk
+  FROM ph, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash_hi AS ha, a.phash_lo AS la,
+         b.phash_hi AS hb, b.phash_lo AS lb
+  FROM bands a
+  JOIN bands b ON b.band_idx = a.band_idx AND b.chunk = a.chunk
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
+      <= {PHASH_HAMMING_MAX}
+"""
+
+
+@query("mm_phash_near_dup_pairs", oracle=_phash_pairs_oracle())
+def mm_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-duplicate pairs: images whose 64-bit perceptual hashes
+    differ in ≤{PHASH_HAMMING_MAX} bits, found WITHOUT the quadratic
+    all-pairs scan via pigeonhole banding — split the hash into four
+    16-bit chunks; Hamming ≤3 guarantees at least one chunk matches
+    exactly, so candidates come from four bucketed equi-joins and only
+    candidates pay the exact bit_count(xor) check (the image-dedup twin
+    of MinHash-LSH banding; same guarantee structure, zero false
+    negatives within the radius).
+
+    The phash itself is the audited Arrow-batched kernel
+    (operators/multimodal.py — disclosed deterministic decode stub, real
+    Spark plumbing); the SQL oracle recomputes it bit-for-bit. Scale
+    shape: shuffle on (band, chunk) — 2^16 buckets per band bound skew;
+    exact check is two JVM bit-ops per candidate."""
+    from realtime_datawarehouse_spark.operators import multimodal
+
+    ph = multimodal.image_phash(_docs(spark, sf_dir)).select(
+        "doc_id", "phash_hi", "phash_lo"
+    )
+    chunk = (
+        F.when(F.col("band_idx") == 0, F.col("phash_lo").bitwiseAND(65535))
+        .when(
+            F.col("band_idx") == 1,
+            F.shiftright("phash_lo", 16).bitwiseAND(65535),
+        )
+        .when(F.col("band_idx") == 2, F.col("phash_hi").bitwiseAND(65535))
+        .otherwise(F.shiftright("phash_hi", 16).bitwiseAND(65535))
+    )
+    bands = ph.select(
+        "doc_id",
+        "phash_hi",
+        "phash_lo",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_idx"),
+    ).withColumn("chunk", chunk)
+    a = bands.select(
+        F.col("band_idx").alias("bi"),
+        F.col("chunk").alias("ck"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash_hi").alias("ha"),
+        F.col("phash_lo").alias("la"),
+    )
+    b = bands.select(
+        F.col("band_idx").alias("bi"),
+        F.col("chunk").alias("ck"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash_hi").alias("hb"),
+        F.col("phash_lo").alias("lb"),
+    )
+    hamming = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    ) + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+    return (
+        a.join(b.hint("shuffle_hash"), ["bi", "ck"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "la", "hb", "lb")
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .where(F.col("hamming") <= PHASH_HAMMING_MAX)
+    )

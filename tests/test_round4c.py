@@ -365,3 +365,42 @@ def test_mmr_diversifies_vs_plain_topk(spark):
     m1 = mmr[mmr.mmr_rank == 1].set_index("query_id").neighbor_id
     p1 = plain[plain.rnk == 1].set_index("query_id").neighbor_id
     assert (m1.sort_index() == p1.sort_index()).all()
+
+
+def test_phash_near_dup_finds_planted_and_real_dups(spark):
+    """The banded Hamming join must (a) find a planted identical-image
+    pair at hamming 0, and (b) at sf0.1 — the only fixture scale with
+    exact-dup texts — report every exact-dup pair (identical stub bytes
+    ⇒ identical phash ⇒ hamming 0; pigeonhole banding guarantees zero
+    false negatives within the radius)."""
+    from realtime_datawarehouse_spark.operators import multimodal
+    from realtime_datawarehouse_spark.plans.llm_ops import (
+        mm_phash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the same exact image payload text"),
+            (2, "the same exact image payload text"),
+            (3, "a completely different image payload"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ph = multimodal.image_phash(docs).collect()
+    by_id = {r.doc_id: (r.phash_hi, r.phash_lo) for r in ph}
+    assert by_id[1] == by_id[2] != by_id[3]
+
+    got = mm_phash_near_dup_pairs(spark, "/root/testdata/sf0.1").toPandas()
+    import duckdb
+
+    dups = duckdb.sql(
+        "SELECT min(doc_id) a, max(doc_id) b FROM "
+        "'/root/testdata/sf0.1/documents.parquet' "
+        "GROUP BY text HAVING count(*) = 2"
+    ).fetchall()
+    assert dups  # fixture premise: sf0.1 has exact-dup texts
+    found = set(zip(got.doc_a, got.doc_b))
+    for a, b in dups:
+        assert (a, b) in found, (a, b)
+    zero = got[got.hamming == 0]
+    assert len(zero) >= len(dups)
