@@ -2265,3 +2265,71 @@ def mm_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hamming") <= PHASH_HAMMING_MAX)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source near-dup leakage report
+# ---------------------------------------------------------------------------
+
+
+def _cross_source_leakage_oracle() -> str:
+    lsh = dedup.lsh_candidate_pairs_oracle()
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM (
+{lsh}
+  ) t
+),
+tagged AS (
+  SELECT least(da.source, db.source)    AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS near_dup_pairs,
+       CAST(CASE WHEN source_a = source_b THEN 0 ELSE 1 END AS BIGINT)
+         AS cross_source
+FROM tagged
+GROUP BY 1, 2
+"""
+
+
+@query("curate_cross_source_leakage", oracle=_cross_source_leakage_oracle())
+def curate_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination map: MinHash-LSH near-dup pairs rolled
+    up by (source_a, source_b) with a cross-source flag — the diagnostic
+    that tells you WHERE duplicate mass comes from (mirror sites, eval
+    leakage between a benchmark source and a web crawl, republication)
+    before choosing per-source dedup policy. Pure composition: the
+    audited banded pair generator plus two dim joins on the doc key and
+    a map-combinable rollup; pair volume (not corpus volume) drives the
+    added cost."""
+    docs = _docs(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    pairs = dedup.lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    tagged = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ).hint("shuffle_hash"),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ).hint("shuffle_hash"),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("near_dup_pairs"),
+        F.when(F.col("source_a") == F.col("source_b"), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("cross_source"),
+    )

@@ -64,6 +64,9 @@ DRIVER_PRIORITY: list[str] = [
     "olap_model_lift_table",
     "ann_mmr_diversify",
     "mm_phash_near_dup_pairs",
+    "olap_growth_accounting",
+    "olap_abtest_srm_check",
+    "curate_cross_source_leakage",
     # new in r4 (second half) — never driver-recorded; the head exceeds
     # the driver's ~50-row budget by a few entries, so the LAST few below
     # (simple single-agg queries with strong inline verification) roll to

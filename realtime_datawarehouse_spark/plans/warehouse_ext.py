@@ -863,3 +863,161 @@ def olap_model_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.cast("bigint").alias("rate6"),
         lift.cast("bigint").alias("lift6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: new / retained / resurrected / churned per day
+# ---------------------------------------------------------------------------
+
+GROWTH_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+tagged AS (
+  SELECT user_id, d,
+         lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+         lead(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+  FROM active
+),
+states AS (
+  SELECT d,
+         CAST(sum(CASE WHEN prev_d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users,
+         CAST(sum(CASE WHEN prev_d = d - 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS retained,
+         CAST(sum(CASE WHEN prev_d IS NOT NULL AND prev_d < d - 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+  FROM tagged GROUP BY 1
+),
+churn AS (
+  SELECT d + 1 AS d, CAST(count(*) AS BIGINT) AS churned
+  FROM tagged
+  WHERE next_d IS DISTINCT FROM d + 1
+  GROUP BY 1
+)
+SELECT strftime(s.d, '%Y-%m-%d') AS dt,
+       s.new_users, s.retained, s.resurrected,
+       CAST(coalesce(c.churned, 0) AS BIGINT) AS churned_from_prev
+FROM states s LEFT JOIN churn c ON c.d = s.d
+"""
+
+
+@query("olap_growth_accounting", oracle=GROWTH_ORACLE)
+def olap_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting — the canonical DAU decomposition: each
+    active user-day classified as NEW (first day ever), RETAINED (also
+    active yesterday), or RESURRECTED (returning after a gap), plus the
+    count of users who were active the previous day and did not return
+    (churned-from-prev; includes last-day-of-data users by the standard
+    convention, identical in both engines). new+retained+resurrected =
+    DAU, the identity the invariant test pins.
+
+    One exchange on user_id for the distinct + lag/lead windows; the
+    day-level states aggregate is map-combinable; churn joins the tiny
+    |days| table."""
+    ev = table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    tagged = active.select(
+        "user_id",
+        "d",
+        F.lag("d").over(w).alias("prev_d"),
+        F.lead("d").over(w).alias("next_d"),
+    )
+    states = tagged.groupBy("d").agg(
+        F.sum(F.when(F.col("prev_d").isNull(), 1).otherwise(0)).alias(
+            "new_users"
+        ),
+        F.sum(
+            F.when(F.col("prev_d") == F.date_sub("d", 1), 1).otherwise(0)
+        ).alias("retained"),
+        F.sum(
+            F.when(
+                F.col("prev_d").isNotNull()
+                & (F.col("prev_d") < F.date_sub("d", 1)),
+                1,
+            ).otherwise(0)
+        ).alias("resurrected"),
+    )
+    churn = (
+        tagged.where(
+            ~F.col("next_d").eqNullSafe(F.date_add("d", 1))
+        )
+        .groupBy(F.date_add("d", 1).alias("d"))
+        .agg(F.count("*").alias("churned"))
+    )
+    return (
+        states.join(F.broadcast(churn), "d", "left")
+        .select(
+            fmt_date("d").alias("dt"),
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce("churned", F.lit(0)).alias("churned_from_prev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B sample-ratio-mismatch (SRM) chi-square check
+# ---------------------------------------------------------------------------
+
+SRM_ORACLE = """
+WITH assign AS (
+  SELECT DISTINCT user_id, CAST(user_id % 2 AS BIGINT) AS variant
+  FROM events
+),
+counts AS (
+  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM assign
+)
+SELECT n0, n1,
+       floor(CAST((2 * n0 - (n0 + n1)) * (2 * n0 - (n0 + n1))
+                  + (2 * n1 - (n0 + n1)) * (2 * n1 - (n0 + n1)) AS DOUBLE)
+             / CAST(2 * (n0 + n1) AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS chi2,
+       CAST(CASE WHEN CAST((2 * n0 - (n0 + n1)) * (2 * n0 - (n0 + n1))
+                           + (2 * n1 - (n0 + n1)) * (2 * n1 - (n0 + n1))
+                      AS DOUBLE)
+                      / CAST(2 * (n0 + n1) AS DOUBLE) > 3.841
+                 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM counts
+"""
+
+
+@query("olap_abtest_srm_check", oracle=SRM_ORACLE)
+def olap_abtest_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for the A/B pipeline (the validity
+    check that must pass BEFORE olap_abtest_ztest's effect readout is
+    trusted): chi-square goodness-of-fit of the observed 50/50 split
+    (same user_id%2 assignment as the z-test), flagged at the p<0.05
+    critical value 3.841. χ² for two equal-expected cells reduces to
+    ((2n0−N)² + (2n1−N)²)/(2N) — integer numerators (4·Δ² ≤ 4N² keeps
+    int64 to ~1.5e9 users), one division, portable rounding.
+
+    One distinct on user_id, then a two-cell reduce — nothing else."""
+    ev = table(spark, sf_dir, "events")
+    assign = ev.select(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).distinct()
+    counts = assign.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    n = F.col("n0") + F.col("n1")
+    num = (2 * F.col("n0") - n) * (2 * F.col("n0") - n) + (
+        2 * F.col("n1") - n
+    ) * (2 * F.col("n1") - n)
+    chi2 = num.cast("double") / (2 * n).cast("double")
+    return counts.select(
+        "n0",
+        "n1",
+        pround(chi2, 6).alias("chi2"),
+        F.when(chi2 > F.lit(3.841), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("srm_flag"),
+    )

@@ -404,3 +404,19 @@ def test_phash_near_dup_finds_planted_and_real_dups(spark):
         assert (a, b) in found, (a, b)
     zero = got[got.hamming == 0]
     assert len(zero) >= len(dups)
+
+
+def test_growth_accounting_identity(spark):
+    """new + retained + resurrected must equal DAU for every day, and
+    total new across days equals the total user base."""
+    got = Q["olap_growth_accounting"](spark, SF_DIR).toPandas()
+    ev = table(spark, SF_DIR, "events")
+    dau = {
+        r.dt: r.dau
+        for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        .agg(F.count_distinct("user_id").alias("dau"))
+        .collect()
+    }
+    for _, r in got.iterrows():
+        assert r.new_users + r.retained + r.resurrected == dau[r.dt], r.dt
+    assert got.new_users.sum() == ev.select("user_id").distinct().count()
