@@ -418,5 +418,6 @@ def test_growth_accounting_identity(spark):
         .collect()
     }
     for _, r in got.iterrows():
-        assert r.new_users + r.retained + r.resurrected == dau[r.dt], r.dt
+        day = r["dt"]  # r.dt would hit pandas' datetime accessor
+        assert r.new_users + r.retained + r.resurrected == dau[day], day
     assert got.new_users.sum() == ev.select("user_id").distinct().count()
