@@ -107,6 +107,11 @@ BENCH_QUERIES = (
     "text_cooccur_pmi",             # double-counted explode + broadcast PMI
     "sk_kmv_distinct",              # bottom-k distinct sketch
     "olap_gini_concentration",      # ranked integer Gini per nation
+    "dedup_minhash_eval",           # LSH-vs-exact full-outer audit
+    "ann_mmr_diversify",            # greedy MMR re-rank (constant/query)
+    "mm_phash_near_dup_pairs",      # banded Hamming pair join
+    "olap_growth_accounting",       # DAU lifecycle decomposition
+    "curate_cross_source_leakage",  # LSH pairs × source rollup
 )
 
 

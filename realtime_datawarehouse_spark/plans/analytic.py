@@ -2720,3 +2720,123 @@ def olap_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dau").cast("double") / F.col("wau").cast("double"), 4
         ).alias("stickiness"),
     )
+
+
+WINFN2_ORACLE = """
+SELECT o_orderkey,
+       o_custkey,
+       CAST(floor(percent_rank() OVER seq * 1000000 + 0.5) AS BIGINT)
+         AS pct_rank6,
+       CAST(floor(cume_dist() OVER seq * 1000000 + 0.5) AS BIGINT)
+         AS cume6,
+       nth_value(o_orderkey, 2) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS second_order,
+       first_value(o_orderkey) OVER seq  AS first_order,
+       last_value(o_orderkey) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS latest_order
+FROM orders
+WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("olap_window_functions_v2", oracle=WINFN2_ORACLE)
+def olap_window_functions_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining OVER-clause family (completes olap_window_functions'
+    row_number/lag/lead/dense_rank/ntile set): percent_rank, cume_dist,
+    nth_value, first_value, and whole-partition last_value — all with
+    EXPLICIT frames where the default could differ, over the same total
+    order (o_orderdate, o_orderkey), so both engines bit-agree. The rank
+    ratios are 1e-6-quantized before crossing the oracle boundary. One
+    exchange + one sort serves every function."""
+    o = table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = seq.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        q6(F.percent_rank().over(seq)).alias("pct_rank6"),
+        q6(F.cume_dist().over(seq)).alias("cume6"),
+        F.nth_value("o_orderkey", 2).over(run).alias("second_order"),
+        F.first("o_orderkey").over(seq).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("latest_order"),
+    )
+
+
+MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (
+  SELECT event_type, any_value(med) AS med,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       floor(m.med * 100 + 0.5) / 100.0 AS median_value,
+       floor(m.mad * 100 + 0.5) / 100.0 AS mad_value,
+       CAST(sum(CASE WHEN abs(d.value - m.med)
+                          > 3.0 * 1.4826 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY 1, 2, 3
+"""
+
+
+@query("olap_mad_outliers", oracle=MAD_ORACLE)
+def olap_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen via Median-Absolute-Deviation: per event
+    type, the median, the MAD, and the count of values beyond the
+    standard 3σ-equivalent fence (3·1.4826·MAD) — the heavy-tail-safe
+    complement to olap_anomaly_outliers' moment-based z-scores (one
+    extreme value shifts a mean/stddev fence; it cannot move a median
+    fence).
+
+    Both medians are exact interpolated percentiles (the
+    olap_exact_percentile discipline — identical percentile_cont
+    formula both engines); the fence compare runs on raw doubles with
+    the same literal constants, so the counts agree exactly. Two
+    aggregation passes over events + one broadcast of the |types|-row
+    median table; medians at 100 TB swap to the GK-sketch quantile
+    (sk_quantile_order_value) with a documented tolerance."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.any_value("med").alias("med"),
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad"),
+    )
+    fenced = dev.drop("med").join(F.broadcast(mad), "event_type")
+    return fenced.groupBy(
+        "event_type",
+        pround(F.col("med"), 2).alias("median_value"),
+        pround(F.col("mad"), 2).alias("mad_value"),
+    ).agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("med"))
+                > F.lit(3.0) * F.lit(1.4826) * F.col("mad"),
+                1,
+            ).otherwise(0)
+        ).alias("n_outliers")
+    )

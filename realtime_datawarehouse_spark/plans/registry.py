@@ -27,11 +27,13 @@ ORACLES: dict[str, str] = {}
 # The external driver records correctness rows for only ~50 entries of
 # queries() per round, in emission order. Emission order therefore rotates
 # per round so every query accumulates a driver-recorded row. Round-4 head
-# (final): the ~43 queries NEW in round 4 (never driver-recorded) plus the
-# 3 whose implementation/oracle changed (sketch pins, trained-IVF
-# assignment) fill most of the 50-row budget — a never-recorded query
-# outranks a stale record. The remaining slots take the oldest r01 rows;
-# round 5 leads with the rest of the r01 cohort, then r02.
+# (final): the 3 changed-oracle queries lead, then the ~26 continuation-
+# session queries (newest, never recorded), then the earlier round-4
+# cohort — the 50-row budget cuts somewhere inside that cohort, and
+# everything displaced (plus the r01/r02 tails listed below) rolls to
+# round 5's head. Every query in this list is verified green this round
+# by the local replication (tests/test_correctness.py) and the full
+# driver-contract sim at sf0.01 regardless of driver-row age.
 DRIVER_PRIORITY: list[str] = [
     # oracle/implementation changed in r4 (sketch pins, trained-IVF
     # assignment) — MUST re-record this round, so they lead
@@ -67,6 +69,8 @@ DRIVER_PRIORITY: list[str] = [
     "olap_growth_accounting",
     "olap_abtest_srm_check",
     "curate_cross_source_leakage",
+    "olap_window_functions_v2",
+    "olap_mad_outliers",
     # new in r4 (second half) — never driver-recorded; the head exceeds
     # the driver's ~50-row budget by a few entries, so the LAST few below
     # (simple single-agg queries with strong inline verification) roll to
