@@ -687,3 +687,56 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the kNN similarity graph
+# ---------------------------------------------------------------------------
+
+
+def _degree_dist_oracle() -> str:
+    from realtime_datawarehouse_spark.operators.similarity import (
+        knn_graph_oracle,
+    )
+
+    return f"""
+WITH edges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+{knn_graph_oracle()}
+  ) knn
+),
+ind AS (
+  SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg FROM edges GROUP BY 1
+),
+alln AS (SELECT vec_id AS node FROM embeddings),
+deg AS (
+  SELECT a.node, CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg
+  FROM alln a LEFT JOIN ind i ON i.node = a.node
+)
+SELECT in_deg, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1
+"""
+
+
+@query("graph_degree_distribution", oracle=_degree_dist_oracle())
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree distribution of the kNN similarity graph (out-degree is
+    ≤k by construction; the IN-degree histogram is the hub diagnostic —
+    a heavy tail here is exactly the skew the hub-degree caps in
+    link-prediction/wedge ops guard against, so this is the query you
+    run BEFORE choosing those caps). Two map-combinable aggregations;
+    zero-degree nodes kept via the left join."""
+    from realtime_datawarehouse_spark.operators import similarity
+    from realtime_datawarehouse_spark.tables import table as _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = similarity.knn_graph(emb).select(
+        F.col("neighbor_id").alias("node")
+    )
+    ind = edges.groupBy("node").agg(F.count("*").alias("in_deg"))
+    deg = (
+        emb.select(F.col("vec_id").alias("node"))
+        .join(ind.hint("shuffle_hash"), "node", "left")
+        .select(F.coalesce("in_deg", F.lit(0)).alias("in_deg"))
+    )
+    return deg.groupBy("in_deg").agg(F.count("*").alias("n_nodes"))

@@ -2333,3 +2333,55 @@ def curate_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cross_source"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility report
+# ---------------------------------------------------------------------------
+
+FERTILITY_ORACLE = """
+WITH t AS (
+  SELECT lang,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS toks,
+         length(text) AS chars
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)    AS n_docs,
+       CAST(sum(toks) AS BIGINT)   AS total_tokens,
+       CAST(floor(CAST(sum(chars) AS DOUBLE) * 1000000.0
+                  / CAST(sum(toks) AS DOUBLE)) AS BIGINT)
+         AS chars_per_token6
+FROM t
+GROUP BY 1
+"""
+
+
+@query("text_tokenizer_fertility", oracle=FERTILITY_ORACLE)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — chars consumed per token, the
+    metric that decides whether a tokenizer under- or over-segments a
+    language (high fertility = more tokens per text = higher training
+    cost for the same content; read against mix_source_token_shares
+    when budgeting a multilingual mix). Pure map-combinable aggregates;
+    the ratio is integer-scaled off exact int64 sums."""
+    from realtime_datawarehouse_spark.functions.text import tokenize
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "lang",
+        F.size(tokenize(F.col("text"))).alias("toks"),
+        F.length("text").alias("chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.floor(
+            F.sum("chars").cast("double")
+            * F.lit(1000000.0)
+            / F.sum("toks").cast("double")
+        )
+        .cast("bigint")
+        .alias("chars_per_token6"),
+    )

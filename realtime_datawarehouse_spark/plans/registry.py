@@ -71,6 +71,9 @@ DRIVER_PRIORITY: list[str] = [
     "curate_cross_source_leakage",
     "olap_window_functions_v2",
     "olap_mad_outliers",
+    "olap_yoy_growth",
+    "text_tokenizer_fertility",
+    "graph_degree_distribution",
     # new in r4 (second half) — never driver-recorded; the head exceeds
     # the driver's ~50-row budget by a few entries, so the LAST few below
     # (simple single-agg queries with strong inline verification) roll to

@@ -1021,3 +1021,63 @@ def olap_abtest_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("srm_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth (the lag-12 companion to olap_monthly_growth's MoM)
+# ---------------------------------------------------------------------------
+
+YOY_ORACLE = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(strftime(o_orderdate, '%Y') AS BIGINT)  AS yr,
+         CAST(strftime(o_orderdate, '%m') AS BIGINT)  AS mo,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT a.month,
+       floor(CAST(a.cents AS DOUBLE) / 100.0 * 100 + 0.5) / 100.0 AS gmv,
+       CAST(a.cents - p.cents AS BIGINT) AS delta_cents,
+       CAST(floor(CAST(a.cents - p.cents AS DOUBLE) * 1000000.0
+                  / CAST(p.cents AS DOUBLE)) AS BIGINT) AS yoy_growth6
+FROM monthly a
+JOIN monthly p ON p.yr = a.yr - 1 AND p.mo = a.mo
+"""
+
+
+@query("olap_yoy_growth", oracle=YOY_ORACLE)
+def olap_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly GMV growth — the seasonal-safe companion to
+    olap_monthly_growth's MoM readout (lag-12 as a self-join on
+    (year−1, month) over the tiny monthly aggregate, robust to missing
+    months where a window lag(12) silently misaligns). Integer cents
+    end-to-end; the growth ratio is one floor(double) chain."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(F.sum(cents).alias("cents"))
+    prev = monthly.select(
+        F.col("yr").alias("p_yr"),
+        F.col("mo").alias("p_mo"),
+        F.col("cents").alias("p_cents"),
+    )
+    j = monthly.join(
+        prev,
+        (F.col("p_yr") == F.col("yr") - 1) & (F.col("p_mo") == F.col("mo")),
+    )
+    return j.select(
+        "month",
+        pround(F.col("cents").cast("double") / F.lit(100.0), 2).alias("gmv"),
+        (F.col("cents") - F.col("p_cents")).alias("delta_cents"),
+        F.floor(
+            (F.col("cents") - F.col("p_cents")).cast("double")
+            * F.lit(1000000.0)
+            / F.col("p_cents").cast("double")
+        )
+        .cast("bigint")
+        .alias("yoy_growth6"),
+    )
