@@ -2385,3 +2385,114 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chars_per_token6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: IVF probe results vs exact brute-force truth
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    from realtime_datawarehouse_spark.operators.similarity import (
+        NUM_PROBE,
+        brute_topk_oracle,
+        ivf_topk_oracle,
+    )
+
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+{brute_topk_oracle(TOPK, ANN_QUERY_PRED_SQL)}
+  ) t
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+{ivf_topk_oracle(TOPK, NUM_PROBE, ANN_QUERY_PRED_SQL)}
+  ) t
+),
+hit AS (
+  SELECT t.rnk,
+         CAST(count(*) AS BIGINT) AS n_truth,
+         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+  FROM truth t
+  LEFT JOIN approx a
+    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+  GROUP BY 1
+),
+cum AS (
+  SELECT rnk AS k,
+         CAST(sum(n_truth) OVER w AS BIGINT) AS truth_at_k,
+         CAST(sum(n_hit)   OVER w AS BIGINT) AS hits_at_k
+  FROM hit
+  WINDOW w AS (ORDER BY rnk ROWS UNBOUNDED PRECEDING)
+)
+SELECT k, truth_at_k, hits_at_k,
+       CAST(floor(CAST(hits_at_k AS DOUBLE) * 1000000.0
+                  / CAST(truth_at_k AS DOUBLE)) AS BIGINT) AS recall6
+FROM cum
+"""
+
+
+@query("ann_ivf_recall_eval", oracle=_ann_recall_oracle())
+def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit under a FULL value oracle: recall@k (k=1..{TOPK})
+    of the IVF probe-pruned search against the exact brute-force truth —
+    for each truth rank, did the approximate result set contain that
+    neighbor, accumulated into the recall curve. The per-operator recall
+    floors live in pytest; THIS query makes the whole evaluation itself
+    reproducible cross-engine (both result sets and the join are
+    deterministic), the pattern for monitoring ANN quality in
+    production on a sampled query set.
+
+    Cost: two audited ANN plans + a |queries|·k-row join — the truth
+    side is the expensive one by design (that's what makes it the
+    audit)."""
+    from realtime_datawarehouse_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.expr(ANN_QUERY_PRED_SQL)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    truth = similarity.brute_topk(emb, qs, TOPK).select(
+        "query_id", "neighbor_id", "rnk"
+    )
+    approx = similarity.ivf_topk(emb, qs, TOPK).select(
+        "query_id", F.col("neighbor_id").alias("a_nid")
+    )
+    hit = (
+        truth.join(
+            F.broadcast(approx),
+            (F.col("a_nid") == F.col("neighbor_id"))
+            & (approx.query_id == truth.query_id),
+            "left",
+        )
+        .groupBy("rnk")
+        .agg(
+            F.count("*").alias("n_truth"),
+            F.sum(
+                F.when(F.col("a_nid").isNotNull(), 1).otherwise(0)
+            ).alias("n_hit"),
+        )
+    )
+    w = Window.orderBy("rnk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hit.select(
+        F.col("rnk").alias("k"),
+        F.sum("n_truth").over(w).alias("truth_at_k"),
+        F.sum("n_hit").over(w).alias("hits_at_k"),
+    )
+    return cum.select(
+        "k",
+        "truth_at_k",
+        "hits_at_k",
+        F.floor(
+            F.col("hits_at_k").cast("double")
+            * F.lit(1000000.0)
+            / F.col("truth_at_k").cast("double")
+        )
+        .cast("bigint")
+        .alias("recall6"),
+    )

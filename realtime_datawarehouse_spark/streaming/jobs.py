@@ -955,3 +955,63 @@ def kmv_stream(ev: DataFrame, k: int = 64) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def growth_accounting_kernel_factory():
+    """Streaming user-lifecycle classifier (incremental twin of
+    plans/warehouse_ext.olap_growth_accounting's new/retained/resurrected
+    states): per user, ONE epoch-day of state (last active day). Each
+    newly-seen active day emits a (day, class) row — 'new' on first
+    sighting ever, 'retained' when the previous active day was yesterday,
+    'resurrected' after a gap; a day already counted emits nothing, so
+    downstream per-day counts are exactly the batch decomposition
+    (churned-from-prev needs one day of look-AHEAD and stays batch-side
+    by design). Requires per-user event-time order across batches, like
+    scd2_stream."""
+    out_schema = StructType(
+        [
+            StructField("d", LongType()),  # epoch days
+            StructField("cls", StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_day", LongType())])
+
+    def kernel(key: Any, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        rows: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            days = sorted(
+                set((pdf["ts"].astype("int64") // 86_400_000_000_000).tolist())
+            )
+            for d in days:
+                if last is None:
+                    rows.append((d, "new"))
+                elif d == last:
+                    continue
+                elif d == last + 1:
+                    rows.append((d, "retained"))
+                elif d > last + 1:
+                    rows.append((d, "resurrected"))
+                else:  # out-of-order day below state: contract violation
+                    continue
+                last = d
+        state.update((last,))
+        if rows:
+            yield pd.DataFrame(
+                {"d": [r[0] for r in rows], "cls": [r[1] for r in rows]}
+            )
+
+    return kernel, out_schema, state_schema
+
+
+def growth_accounting_stream(ev: DataFrame) -> DataFrame:
+    kernel, out_schema, state_schema = growth_accounting_kernel_factory()
+    return ev.groupBy("user_id").applyInPandasWithState(
+        kernel,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

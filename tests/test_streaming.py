@@ -9,6 +9,7 @@ first-per-key ops.
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
 from pyspark.sql import functions as F
@@ -957,3 +958,40 @@ def test_kmv_stream_parity(spark, events_stream_dir):
     m = final.merge(batch, on="dt", suffixes=("_s", "_b"))
     assert len(m) == len(batch)
     assert (m.est_uv_s == m.est_uv_b).all()
+
+
+def test_growth_accounting_stream_parity(spark, events_stream_dir):
+    """Streaming lifecycle classification ≡ batch growth accounting for
+    new/retained/resurrected per day — including users whose state
+    transition spans a micro-batch boundary (last-active-day carries in
+    state)."""
+    from realtime_datawarehouse_spark.plans import registry
+
+    registry.load()
+    ev = table(spark, SF_DIR, "events")
+    stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+    got = _drain(
+        spark, jobs.growth_accounting_stream(stream), "t_growth"
+    ).toPandas()
+    got["dt"] = (
+        pd.to_datetime(got.d, unit="D").dt.strftime("%Y-%m-%d")
+    )
+    counts = (
+        got.groupby(["dt", "cls"]).size().unstack(fill_value=0).reset_index()
+    )
+    batch = (
+        registry.QUERIES["olap_growth_accounting"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("dt")
+        .reset_index(drop=True)
+    )
+    counts = counts.rename(
+        columns={"new": "s_new", "retained": "s_ret", "resurrected": "s_res"}
+    )
+    for c in ("s_new", "s_ret", "s_res"):
+        if c not in counts:
+            counts[c] = 0
+    m = batch.merge(counts, on="dt", how="left").fillna(0)
+    assert (m.new_users == m.s_new).all()
+    assert (m.retained == m.s_ret).all()
+    assert (m.resurrected == m.s_res).all()
