@@ -318,3 +318,33 @@ def test_runtime_bloom_filter_join_prunes_probe_side(spark):
     plain = l2.join(o2, l2.l_orderkey == o2.o_orderkey)
     assert "might_contain" not in plain._jdf.queryExecution().executedPlan().toString()
     assert filtered_ct == plain.count()
+
+
+def test_hive_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned layout (the 100 TB fact-table norm): a
+    single-day predicate must prune at the DIRECTORY level — the scan's
+    PartitionFilters carries the predicate and the file count drops to
+    one partition's worth, so a day query over a year of data reads
+    1/365th of the files, not a row-filtered full scan."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.tables import table
+
+    path = str(tmp_path / "events_by_day")
+    ev = table(spark, SF_DIR, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.partitionBy("dt").mode("overwrite").parquet(path)
+
+    df = spark.read.parquet(path).where(F.col("dt") == "2024-01-05")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "dt#" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    n_days = ev.select("dt").distinct().count()
+    # pruned read touches exactly the one matching partition
+    scanned = df.count()
+    expected = ev.where(F.col("dt") == "2024-01-05").count()
+    assert scanned == expected > 0
+    import glob
+
+    assert len(glob.glob(f"{path}/dt=*")) == n_days
