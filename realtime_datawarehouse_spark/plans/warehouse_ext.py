@@ -1081,3 +1081,82 @@ def olap_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("yoy_growth6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report (the pre-flight for salting / AQE skew decisions)
+# ---------------------------------------------------------------------------
+
+SKEW_KEYS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def _skew_report_oracle() -> str:
+    parts = []
+    for rel, key in SKEW_KEYS:
+        parts.append(
+            f"""(
+  WITH counts AS (
+    SELECT {key} AS k, CAST(count(*) AS BIGINT) AS ct FROM {rel} GROUP BY 1
+  ),
+  top AS (
+    SELECT k, ct FROM counts ORDER BY ct DESC, k ASC LIMIT 1
+  ),
+  tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS dk, CAST(sum(ct) AS BIGINT) AS n
+    FROM counts
+  )
+  SELECT '{rel}' AS rel, '{key}' AS key,
+         tot.dk AS distinct_keys,
+         CAST(top.k AS BIGINT) AS top_key,
+         top.ct AS top_ct,
+         tot.n AS total_rows,
+         CAST(floor(CAST(top.ct AS DOUBLE) * 1000000.0
+                    / CAST(tot.n AS DOUBLE)) AS BIGINT) AS top_share6
+  FROM top CROSS JOIN tot
+)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("olap_join_skew_report", oracle=_skew_report_oracle())
+def olap_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight: for each hot join key, the distinct-key
+    count, the heaviest key and its row share — the numbers that decide
+    between a plain shuffle join, salting (operators/skew.py), or AQE
+    skew splitting BEFORE a 100 TB join is launched. Per key: one
+    map-combinable count, a TakeOrdered(1) for the top key (never a
+    global sort), and a two-scalar reduce; ties break to the smallest
+    key in both engines."""
+    out = None
+    for rel, key in SKEW_KEYS:
+        t = table(spark, sf_dir, rel)
+        counts = t.groupBy(F.col(key).alias("k")).agg(
+            F.count("*").alias("ct")
+        )
+        top = counts.orderBy(F.desc("ct"), F.asc("k")).limit(1)
+        tot = counts.agg(
+            F.count("*").alias("distinct_keys"),
+            F.sum("ct").alias("total_rows"),
+        )
+        row = top.crossJoin(F.broadcast(tot)).select(
+            F.lit(rel).alias("rel"),
+            F.lit(key).alias("key"),
+            "distinct_keys",
+            F.col("k").cast("bigint").alias("top_key"),
+            F.col("ct").alias("top_ct"),
+            "total_rows",
+            F.floor(
+                F.col("ct").cast("double")
+                * F.lit(1000000.0)
+                / F.col("total_rows").cast("double")
+            )
+            .cast("bigint")
+            .alias("top_share6"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
