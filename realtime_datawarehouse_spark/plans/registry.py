@@ -76,6 +76,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_degree_distribution",
     "ann_ivf_recall_eval",
     "olap_join_skew_report",
+    "sql_top_customers_by_year",
     # new in r4 (second half) — never driver-recorded; the head exceeds
     # the driver's ~50-row budget by a few entries, so the LAST few below
     # (simple single-agg queries with strong inline verification) roll to

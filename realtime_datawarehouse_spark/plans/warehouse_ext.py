@@ -1160,3 +1160,49 @@ def olap_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Shared-dialect SQL entry: ONE ANSI-SQL text runs verbatim on both engines
+# ---------------------------------------------------------------------------
+
+SHARED_SQL = """
+WITH cust_orders AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+per AS (
+  SELECT o_custkey, yr,
+         CAST(sum(cents) AS BIGINT)  AS cents,
+         CAST(count(*) AS BIGINT)    AS order_ct
+  FROM cust_orders
+  GROUP BY o_custkey, yr
+),
+ranked AS (
+  SELECT o_custkey, yr, cents, order_ct,
+         row_number() OVER (PARTITION BY yr
+                            ORDER BY cents DESC, o_custkey ASC) AS rn
+  FROM per
+)
+SELECT yr, o_custkey AS custkey, cents, order_ct, rn AS yr_rank
+FROM ranked WHERE rn <= 5
+"""
+
+
+@query("sql_top_customers_by_year", oracle=SHARED_SQL)
+def sql_top_customers_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-first interface demonstration (the reference's 7 DWD jobs are
+    Flink SQL — rt/app/dwd/db/*.java — so the engine must accept raw SQL,
+    not just the DataFrame DSL): top-5 customers by spend per year,
+    written ONCE in dialect-neutral ANSI SQL (EXTRACT / floor / CAST /
+    windowed row_number / CTEs) and executed VERBATIM by both Spark and
+    the DuckDB oracle — the query text IS the oracle text, so any
+    divergence is an engine-semantics bug by definition.
+
+    Catalyst plans it identically to the DSL equivalent: map-combinable
+    per-(cust, yr) aggregation, one exchange for the per-year rank
+    window over aggregates."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SHARED_SQL)
