@@ -8,7 +8,7 @@ parallel — no shuffles at all except the final optional aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from realtime_datawarehouse_spark.functions.compare import pround, pround_sql
@@ -519,6 +519,130 @@ WITH toks AS (
 SELECT doc_id,
        floor(CAST(sum(t6) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)
              * 10000 + 0.5) / 10000.0 AS avg_neg_logp,
+       CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS oov_ct
+FROM scored
+GROUP BY 1
+"""
+
+
+# Conditional bigram LM: same perplexity-filter family as unigram_logprob
+# (CCNet scores docs under a KenLM; the unigram form captures vocabulary
+# fit, this bigram form additionally captures local word order). Vocab is
+# the broadcast top-B corpus bigrams with their exact context totals, so
+# p(w2|w1) = cnt(w1 w2) / cnt(w1 ·) is an exact conditional; OOV bigrams
+# back off to the uniform floor 1/total_bigrams.
+BIGRAM_VOCAB_SIZE = 40
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = BIGRAM_VOCAB_SIZE,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus bigram
+    LM restricted to a broadcast top-``vocab_size`` bigram table; bigrams
+    outside it score the uniform backoff ``-ln(1/total_bigrams)``.
+
+    Scale shape: ONE bigram explode feeds both the model build and the
+    scoring join. The build shuffles only distinct bigrams (map-side
+    combined); the context totals are a second tiny aggregate OVER THE
+    COUNTS (not the corpus); the ≤``vocab_size``-row model and the scalar
+    grand total broadcast to the scorers, so corpus rows never shuffle for
+    the join — the only corpus-sized exchange is the final doc_id
+    aggregation. Per-token ``-ln p`` terms are 1e-6-quantized int64 before
+    summing (dsum discipline) so the mean is order-free; the same
+    libm-ln-agreement caveat as ``unigram_logprob`` applies (and the same
+    production fix: materialize the tiny model table once from one engine).
+    Documents with fewer than two tokens produce no bigrams and are absent
+    from the output on both engines.
+    """
+    from realtime_datawarehouse_spark.functions.text import word_shingles
+
+    bgs = docs.select(
+        "doc_id", F.explode(word_shingles(tokenize(text_col), 2)).alias("bg")
+    )
+    counts = bgs.groupBy("bg").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    # context totals as a window OVER THE COUNTS (|distinct bigrams| rows,
+    # partitioned by first word) — not a separate corpus-scanning subtree:
+    # Catalyst cannot dedupe repeated aggregate subtrees, so deriving ctx
+    # from a second groupBy over `counts` would re-scan the corpus
+    wctx = Window.partitionBy(F.substring_index(F.col("bg"), " ", 1))
+    vocab = (
+        counts.withColumn("ctx_cnt", F.sum("cnt").over(wctx))
+        .orderBy(F.desc("cnt"), F.asc("bg"))
+        .limit(vocab_size)
+        .select("bg", "cnt", "ctx_cnt")
+    )
+    term = F.floor(
+        -F.log(
+            F.when(
+                F.col("cnt").isNotNull(),
+                F.col("cnt").cast("double") / F.col("ctx_cnt"),
+            ).otherwise(F.lit(1.0) / F.col("total"))
+        )
+        * F.lit(1_000_000)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        bgs.join(F.broadcast(vocab), "bg", "left")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", term.alias("t6"), F.col("cnt").isNull().alias("oov"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("t6").alias("s6"),
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("oov"), 1).otherwise(0)).alias("oov_ct"),
+    )
+    avg6 = F.col("s6").cast("double") / (
+        F.col("n").cast("double") * F.lit(1_000_000.0)
+    )
+    return agg.select(
+        "doc_id",
+        (F.floor(avg6 * F.lit(10_000) + F.lit(0.5)) / F.lit(10_000.0)).alias(
+            "avg_neg_logp2"
+        ),
+        "oov_ct",
+    )
+
+
+BIGRAM_LOGPROB_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         -- DuckDB slices are INCLUSIVE: [:-1] keeps the last element, which
+         -- would make list_zip null-pad an extra phantom bigram
+         list_transform(list_zip(toks[:len(toks) - 1], toks[2:]),
+                        x -> x[1] || ' ' || x[2]) AS bigrams
+  FROM t
+), bgs AS (
+  SELECT doc_id, unnest(bigrams) AS bg FROM m
+), counts AS (
+  SELECT bg, count(*) AS cnt FROM bgs GROUP BY 1
+), ctx AS (
+  SELECT split_part(bg, ' ', 1) AS c, sum(cnt) AS ctx_cnt
+  FROM counts GROUP BY 1
+), total AS (
+  SELECT sum(cnt) AS total FROM counts
+), vocab AS (
+  SELECT v.bg, v.cnt, ctx.ctx_cnt
+  FROM (SELECT bg, cnt FROM counts
+        ORDER BY cnt DESC, bg ASC LIMIT {BIGRAM_VOCAB_SIZE}) v
+  JOIN ctx ON split_part(v.bg, ' ', 1) = ctx.c
+), scored AS (
+  SELECT b.doc_id,
+         CAST(floor(-ln(CASE WHEN v.cnt IS NULL THEN 1.0 / total.total
+                             ELSE v.cnt * 1.0 / v.ctx_cnt END) * 1000000
+                    + 0.5) AS BIGINT) AS t6,
+         (v.cnt IS NULL) AS oov
+  FROM bgs b LEFT JOIN vocab v ON b.bg = v.bg CROSS JOIN total
+)
+SELECT doc_id,
+       floor(CAST(sum(t6) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)
+             * 10000 + 0.5) / 10000.0 AS avg_neg_logp2,
        CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS oov_ct
 FROM scored
 GROUP BY 1

@@ -587,6 +587,16 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.unigram_logprob(_docs(spark, sf_dir))
 
 
+@query("text_bigram_logprob", oracle=textops.BIGRAM_LOGPROB_ORACLE)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram LM scoring (the order-sensitive companion of
+    text_unigram_logprob): mean -ln p(w2|w1) under exact top-B bigram
+    conditionals with a uniform OOV backoff. One bigram explode feeds both
+    the model build and the scoring join; the model broadcasts, the corpus
+    never shuffles for it (see operators/textops.py::bigram_logprob)."""
+    return textops.bigram_logprob(_docs(spark, sf_dir))
+
+
 PPL_BUCKETS_ORACLE = f"""
 WITH lp AS (
 {textops.UNIGRAM_LOGPROB_ORACLE}

@@ -43,6 +43,8 @@ DRIVER_PRIORITY: list[str] = [
     # new in r4 continuation session — never driver-recorded; lead so the
     # freshest additions get their first driver row this round (the
     # displaced tail below rolls to round 5's head)
+    "text_bigram_logprob",
+    "olap_max_concurrent_intervals",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",

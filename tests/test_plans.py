@@ -1131,3 +1131,31 @@ def test_bpe_encode_matches_reference(spark):
         want_before = sum(len(w) for w in ws)
         want_after = sum(enc_len(w) for w in ws)
         assert got[doc_id] == (want_before, want_after), doc_id
+
+
+def test_bigram_lm_model_broadcasts_and_bounded_scans(spark):
+    """text_bigram_logprob: the ≤40-row bigram model and the scalar grand
+    total must BROADCAST to the scorers (corpus rows never shuffle for the
+    scoring join), and the corpus may be scanned at most 3× (score /
+    model-build / total) — the context totals must come from a window over
+    the counts aggregate, not a fourth corpus-scanning subtree."""
+    plan = _explain(spark, "text_bigram_logprob", "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("documents.parquet") <= 3, plan
+    assert "TakeOrderedAndProject(limit=40" in plan, plan
+
+
+def test_concurrent_intervals_sweep_shares_partitioning(spark):
+    """olap_max_concurrent_intervals: the sweep must be day-pre-aggregated
+    boundary events (no interval self-join), and the running sum, the
+    partition max, and the final peak-date aggregation must all run on the
+    single suppkey partitioning — exactly two hash exchanges total
+    ((suppkey, d) pre-agg + suppkey sweep), no Exchange above the Window."""
+    plan = _explain(spark, "olap_max_concurrent_intervals", "simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "SortMergeJoin" not in plan, plan  # orderkey join broadcasts at
+    # bench scale; at 100 TB AQE picks the shuffle join — the gate pins the
+    # fixture-scale plan
+    head, _, tail = plan.partition("Window")
+    assert "Exchange" not in head, plan  # nothing reshuffles after the sweep
