@@ -715,6 +715,108 @@ def connected_components(
     return result
 
 
+def connected_components_star(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    node_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") — the EXTREME-DIAMETER
+    scale path promised in ``connected_components``'s docstring. Min-label
+    propagation needs O(diameter) rounds; the star alternation contracts
+    components in O(log² n) rounds regardless of diameter (each phase
+    rewires whole neighborhoods to their local min, so paths halve instead
+    of shrinking by one hop).
+
+    Per round: large-star connects every strictly-larger neighbor of u to
+    min(Γ(u) ∪ {u}); small-star orients edges (max → min) and connects each
+    node's smaller neighborhood (plus itself) to its min. Both phases are
+    one groupBy-min plus one join back over the current edge set — the
+    same per-round physical shape as one label-propagation step, but the
+    EDGE SET itself contracts toward stars, and intermediate edge counts
+    never exceed the symmetric closure of the input (proved in the paper).
+
+    Convergence is detected by an order-free edge-set checksum
+    (count + bit_xor of per-edge hash64) — one tiny aggregate per round
+    instead of a full set-difference anti-join; a missed detection would
+    need a hash-sum collision between consecutive DIFFERENT edge sets
+    (~2⁻⁶⁴, and one extra round is the only consequence). The driver sees
+    checksums only, never data. Output contract matches
+    ``connected_components``: (node, component_id = min reachable,
+    is_keeper)."""
+    # lineage is CUT each round (localCheckpoint, eager): one round's plan
+    # references the prior edge set ~16× (sym/mins/oriented each re-expand
+    # their inputs), so carrying logical lineage across rounds grows the
+    # analyzed plan exponentially — persist alone does not truncate it.
+    # GraphFrames' CC does the same per-round checkpoint; on a cluster use
+    # a reliable checkpoint dir instead of local blocks.
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sum: tuple | None = None
+    for _ in range(max_iters):
+        # large-star over the symmetric view
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("mv"), F.col("u"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the (max → min) orientation
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins_s = oriented.groupBy("u").agg(F.min("v").alias("mv"))
+        rewired = oriented.join(mins_s, "u").select(
+            F.col("v").alias("u"), F.col("mv").alias("v")
+        )
+        selfed = mins_s.select(F.col("u"), F.col("mv").alias("v"))
+        new = (
+            rewired.unionByName(selfed)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        row = new.select(
+            hash64(F.concat_ws(":", F.col("u"), F.col("v"))).alias("eh")
+        ).agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(eh)").alias("h"),
+        ).collect()[0]
+        edges = new
+        if (row.n, row.h) == prev_sum:
+            break
+        prev_sum = (row.n, row.h)
+    # at the fixpoint every edge points child → component root (the min);
+    # isolated nodes label themselves
+    roots = edges.groupBy("u").agg(F.min("v").alias("root"))
+    result = (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(roots, F.col("node") == F.col("u"), "left")
+        .select(
+            F.col("node").alias(node_col),
+            F.coalesce(F.col("root"), F.col("node")).alias("component_id"),
+            F.when(F.coalesce(F.col("root"), F.col("node")) == F.col("node"), 1)
+            .otherwise(0)
+            .alias("is_keeper"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # intermediate checkpoint blocks are released by the ContextCleaner once
+    # their DataFrames go out of scope — nothing to unpersist explicitly
+    return result
+
+
 def connected_components_oracle() -> str:
     """Recursive-CTE transitive closure over the SAME LSH pair set: label =
     min reachable node. Quadratic in component size — fine as an oracle,

@@ -654,6 +654,22 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(docs, dedup.lsh_candidate_pairs(docs))
 
 
+@query(
+    "dedup_connected_components_star",
+    oracle=dedup.connected_components_oracle(),
+)
+def dedup_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as dedup_connected_components, computed by
+    the large-star/small-star alternation (O(log² n) rounds independent of
+    component diameter) — the scale path for long-chain duplicate graphs
+    where min-label propagation's O(diameter) rounds would dominate. Same
+    recursive-CTE oracle: both must produce identical components."""
+    docs = _docs(spark, sf_dir)
+    return dedup.connected_components_star(
+        docs, dedup.lsh_candidate_pairs(docs)
+    )
+
+
 @query("text_paragraph_dedup", oracle=textops.PARAGRAPH_DEDUP_ORACLE)
 def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact paragraph dedup (keep first occurrence, reassemble

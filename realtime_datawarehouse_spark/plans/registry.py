@@ -45,6 +45,7 @@ DRIVER_PRIORITY: list[str] = [
     # displaced tail below rolls to round 5's head)
     "text_bigram_logprob",
     "olap_max_concurrent_intervals",
+    "dedup_connected_components_star",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",

@@ -440,6 +440,55 @@ def hop_multi_metric(
     )
 
 
+def session_window_stream(
+    ev: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = "6 hours",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming twin of ``olap_sessionize`` via the BUILTIN
+    ``session_window`` (dynamic-gap event-time sessions): Spark merges
+    overlapping per-key windows in the state store and emits a session
+    once the watermark passes its close (last event + gap). The batch
+    plan's lag+cumsum construction uses the same >= gap half-open rule
+    (equivalence pinned by test_sessionize_matches_builtin_session_window),
+    so closed sessions agree exactly.
+
+    State per key is the set of OPEN sessions (bounded by gap), not the
+    event history; duration is computed from max(ts) rather than
+    ``session_window.end`` because the builtin window end includes the
+    trailing gap."""
+    from realtime_datawarehouse_spark.functions.compare import dsum
+
+    return (
+        ev.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(ts_col).alias("last_ts"),
+            dsum(F.col("value")).alias("session_value"),
+        )
+        .select(
+            key,
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            (
+                (
+                    F.unix_micros(F.col("last_ts"))
+                    - F.unix_micros(F.col("session_window.start"))
+                )
+                / F.lit(1_000_000)
+            )
+            .cast("bigint")
+            .alias("duration_s"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def approx_uv_daily(
     ev: DataFrame,
     ts_col: str = "ts",

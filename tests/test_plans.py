@@ -1159,3 +1159,49 @@ def test_concurrent_intervals_sweep_shares_partitioning(spark):
     # fixture-scale plan
     head, _, tail = plan.partition("Window")
     assert "Exchange" not in head, plan  # nothing reshuffles after the sweep
+
+
+def test_star_cc_handles_extreme_diameter_chain(spark):
+    """The large-star/small-star variant exists for long-chain graphs where
+    min-label propagation needs O(diameter) rounds: a 64-node path must
+    resolve to a single component (root 0) well inside the O(log² n) round
+    budget, with isolated nodes labeling themselves."""
+    from realtime_datawarehouse_spark.operators import dedup
+
+    n = 64
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n + 2)], "doc_id long"  # +2 isolated nodes
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: (r.component_id, r.is_keeper)
+        for r in dedup.connected_components_star(
+            nodes, pairs, max_iters=12
+        ).collect()
+    }
+    for i in range(n):
+        assert got[i] == (0, 1 if i == 0 else 0), (i, got[i])
+    for iso in (n, n + 1):
+        assert got[iso] == (iso, 1), (iso, got[iso])
+
+
+def test_star_cc_agrees_with_label_propagation(spark):
+    """Both CC formulations must produce identical components over the
+    same LSH pair set (the registered oracle pins each independently;
+    this pins them against each other on the fixture)."""
+    from realtime_datawarehouse_spark.operators import dedup
+    from realtime_datawarehouse_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    a = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(docs, pairs).collect()
+    }
+    b = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components_star(docs, pairs).collect()
+    }
+    assert a == b

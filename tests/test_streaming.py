@@ -995,3 +995,40 @@ def test_growth_accounting_stream_parity(spark, events_stream_dir):
     assert (m.new_users == m.s_new).all()
     assert (m.retained == m.s_ret).all()
     assert (m.resurrected == m.s_res).all()
+
+
+def test_session_window_streaming_parity(spark, events_stream_dir):
+    """olap_sessionize's streaming twin: closed builtin session_window
+    sessions agree exactly with the batch lag+cumsum construction (same
+    >= gap half-open rule, same quantized value sum). Only the final
+    micro-batch's still-open sessions may be withheld."""
+    from realtime_datawarehouse_spark.plans import registry
+
+    ev = table(spark, SF_DIR, "events")
+    stream = jobs.parquet_stream(spark, events_stream_dir, ev.schema)
+    got = _drain(
+        spark, jobs.session_window_stream(stream), "t_sesswin"
+    ).toPandas()
+
+    batch = (
+        registry.get_queries()["olap_sessionize"](spark, SF_DIR)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "duration_s",
+            "n_events",
+            "session_value",
+        )
+        .toPandas()
+    )
+    key = ["user_id", "session_start"]
+    merged = got.merge(batch, on=key, suffixes=("_s", "_b"))
+    # every emitted session matches its batch twin exactly
+    assert len(merged) == len(got), (len(merged), len(got))
+    assert (merged.duration_s_s == merged.duration_s_b).all()
+    assert (merged.n_events_s == merged.n_events_b).all()
+    assert (abs(merged.session_value_s - merged.session_value_b) < 1e-9).all()
+    # ...and nearly all batch sessions were emitted (open tail withheld)
+    assert len(got) >= len(batch) * 0.9, (len(got), len(batch))
