@@ -46,6 +46,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_bigram_logprob",
     "olap_max_concurrent_intervals",
     "dedup_connected_components_star",
+    "ext_interval_overlap_pairs",
+    "graph_kcore",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",

@@ -1206,3 +1206,116 @@ def sql_top_customers_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over aggregates."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(SHARED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Binned interval-overlap join (range join): which order lines were "in
+# fulfillment" at overlapping times, per supplier. The naive formulation is
+# a non-equi self-join (a.s < b.e AND b.s < a.e) — a nested-loop O(n²) scan
+# Spark cannot hash. The grid-bin identity turns it into an EQUI-join:
+# every interval is exploded to the coarse time bins it spans, candidates
+# meet only inside a shared (supplier, bin) bucket, and each true pair is
+# counted exactly once in the bin containing max(start_a, start_b) — a day
+# both intervals provably contain. Bin width is chosen at the interval
+# length cap, so each interval lands in ≤2 bins (bounded fan-out); at
+# 100 TB hot (supplier, bin) cells are salted like any skewed equi-key.
+# ---------------------------------------------------------------------------
+
+OVERLAP_BIN_DAYS = 32  # ≥ the 30-day interval cap → ≤2 bins per interval
+OVERLAP_CAP_DAYS = 30  # fulfillment intervals capped at 30 days (fixture
+# shipdates are synthetic/uncorrelated; the cap keeps pair density real)
+
+INTERVAL_OVERLAP_ORACLE = f"""
+WITH iv AS (
+  SELECT l.l_suppkey AS suppkey,
+         l.l_orderkey * 16 + l.l_linenumber AS iid,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o.o_orderdate AS DATE)) AS BIGINT) AS s,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS e
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > o.o_orderdate
+    AND date_diff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) <= {OVERLAP_CAP_DAYS}
+)
+SELECT a.suppkey AS suppkey, CAST(count(*) AS BIGINT) AS overlap_pairs
+FROM iv a JOIN iv b
+  ON a.suppkey = b.suppkey AND a.iid < b.iid
+ AND a.s < b.e AND b.s < a.e
+GROUP BY 1
+"""
+
+
+def binned_overlap_pairs(
+    iv: DataFrame, bin_days: int = OVERLAP_BIN_DAYS
+) -> DataFrame:
+    """(suppkey, iid, s, e) half-open intervals → per-suppkey count of
+    overlapping pairs via the grid-bin equi-join. ``bin_days`` must be
+    ≥ the longest interval for the ≤2-bins-per-interval bound (correctness
+    holds for any width; width only controls fan-out vs bucket density)."""
+    B = bin_days
+    binned = iv.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / F.lit(B)),
+                F.floor((F.col("e") - 1) / F.lit(B)),
+            )
+        ),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.suppkey") == F.col("b.suppkey"))
+        & (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("a.iid") < F.col("b.iid")),
+    ).where(
+        (F.col("a.s") < F.col("b.e"))
+        & (F.col("b.s") < F.col("a.e"))
+        # count each pair once: only in the bin holding max(s_a, s_b) — a
+        # day both intervals contain whenever they overlap
+        & (
+            F.col("a.bin")
+            == F.floor(F.greatest(F.col("a.s"), F.col("b.s")) / F.lit(B))
+        )
+    )
+    return pairs.groupBy(F.col("a.suppkey").alias("suppkey")).agg(
+        F.count("*").cast("bigint").alias("overlap_pairs")
+    )
+
+
+@query("ext_interval_overlap_pairs", oracle=INTERVAL_OVERLAP_ORACLE)
+def ext_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count overlapping fulfillment-interval pairs per supplier with the
+    grid-bin equi-join (oracle: the textbook quadratic non-equi self-join —
+    same counts, infeasible shape at scale). See the module comment for
+    the dedup identity; [s, e) is [orderdate, shipdate) in epoch days,
+    intervals capped at {cap} days, bin width {bin} days.""".format(
+        cap=OVERLAP_CAP_DAYS, bin=OVERLAP_BIN_DAYS
+    )
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = (
+        li.select("l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("l_shipdate") > F.col("o_orderdate"))
+            & (
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+                <= OVERLAP_CAP_DAYS
+            )
+        )
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("iid"),
+            F.datediff(F.to_date("o_orderdate"), epoch)
+            .cast("bigint")
+            .alias("s"),
+            F.datediff(F.to_date("l_shipdate"), epoch)
+            .cast("bigint")
+            .alias("e"),
+        )
+    )
+    return binned_overlap_pairs(iv)

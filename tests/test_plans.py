@@ -1205,3 +1205,92 @@ def test_star_cc_agrees_with_label_propagation(spark):
         for r in dedup.connected_components_star(docs, pairs).collect()
     }
     assert a == b
+
+
+def test_binned_overlap_equals_naive_quadratic(spark):
+    """The grid-bin equi-join must count exactly the pairs the naive
+    non-equi self-join counts — on a DENSE constructed interval set
+    (including spans crossing bin boundaries, nested intervals, exact
+    touch s == e, and multiple keys), since the parquet fixture is sparse
+    at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.plans.warehouse_ext import (
+        binned_overlap_pairs,
+    )
+
+    rows = []
+    iid = 0
+    for k in (1, 2, 3):
+        for i in range(40):
+            s = (i * 7 + k * 13) % 97
+            rows.append((k, iid, s, s + 1 + (i * 5 + k) % 30))
+            iid += 1
+    iv = spark.createDataFrame(
+        rows, "suppkey long, iid long, s long, e long"
+    )
+    got = {
+        r.suppkey: r.overlap_pairs
+        for r in binned_overlap_pairs(iv, bin_days=32).collect()
+    }
+    a, b = iv.alias("a"), iv.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.suppkey") == F.col("b.suppkey"))
+            & (F.col("a.iid") < F.col("b.iid"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e")),
+        )
+        .groupBy(F.col("a.suppkey").alias("suppkey"))
+        .agg(F.count("*").alias("overlap_pairs"))
+        .collect()
+    )
+    want = {r.suppkey: r.overlap_pairs for r in naive}
+    assert got == want and sum(want.values()) > 100, (got, want)
+
+
+def test_kcore_fixpoint_within_rounds(spark):
+    """KCORE_ROUNDS is a fixed unroll shared by both engines — it must
+    reach the peel fixpoint on the fixture (one extra round changes
+    nothing), otherwise the registered result is an unconverged prefix."""
+    from realtime_datawarehouse_spark.plans.graph_ops import (
+        KCORE_ROUNDS,
+        _copurchase_sym_edges,
+        kcore_peel,
+    )
+
+    sym = _copurchase_sym_edges(spark, SF_DIR)
+    at = {
+        (r.u, r.core_deg)
+        for r in kcore_peel(sym, rounds=KCORE_ROUNDS).collect()
+    }
+    beyond = {
+        (r.u, r.core_deg)
+        for r in kcore_peel(sym, rounds=KCORE_ROUNDS + 1).collect()
+    }
+    assert at == beyond and len(at) > 0
+
+
+def test_kcore_cascade_on_constructed_graph(spark):
+    """True cascade semantics pinned against a hand-computed case: a
+    4-clique (survives k=3) with a pendant chain hung off it (the chain
+    peels over MULTIPLE rounds — node by node from the far end) and an
+    isolated triangle (peels entirely at k=3)."""
+    from realtime_datawarehouse_spark.plans.graph_ops import kcore_peel
+
+    und = (
+        # 4-clique 1-2-3-4
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        # pendant chain 4-10-11-12 (each degree ≤2 → cascades off)
+        + [(4, 10), (10, 11), (11, 12)]
+        # triangle 20-21-22 (degree 2 each → all peel at k=3)
+        + [(20, 21), (21, 22), (20, 22)]
+    )
+    sym = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "u long, v long"
+    )
+    got = {
+        r.u: r.core_deg for r in kcore_peel(sym, k=3, rounds=6).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}, got
