@@ -2941,3 +2941,118 @@ def olap_max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.min(fmt_date("d")).alias("peak_date"))
         .select("suppkey", "peak_open", "peak_date")
     )
+
+
+# --------------------------------------------------------------------------
+# CUPED (Controlled-experiment Using Pre-Existing Data, Deng et al. 2013):
+# variance-reduced A/B readout. The experiment metric y (post-period spend)
+# is adjusted by the pre-period covariate x: y' = y − θ(x − x̄), with
+# θ = cov(x,y)/var(x) pooled across variants — the industry-standard
+# sensitivity boost every experimentation platform ships beside the z-test.
+# --------------------------------------------------------------------------
+
+CUPED_SPLIT = "2024-01-11"  # pre-period before, experiment period after
+
+CUPED_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS BIGINT) AS variant,
+         CAST(sum(CASE WHEN ts <  TIMESTAMP '{CUPED_SPLIT} 00:00:00'
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT} 00:00:00'
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events
+  GROUP BY 1
+), pool AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy
+  FROM u
+), th AS (
+  SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+  FROM pool
+), v AS (
+  SELECT variant,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS DOUBLE) / count(*) AS mx,
+         CAST(sum(y) AS DOUBLE) / count(*) AS my
+  FROM u GROUP BY 1
+)
+SELECT v.variant, v.n_users,
+       floor(v.my / 100.0 * 10000 + 0.5) / 10000.0 AS mean_spend,
+       floor((v.my - th.theta * (v.mx - th.xbar)) / 100.0 * 10000 + 0.5)
+         / 10000.0 AS mean_spend_cuped,
+       floor(th.theta * 1000000 + 0.5) / 1000000.0 AS theta
+FROM v CROSS JOIN th
+"""
+
+
+@query("olap_abtest_cuped", oracle=CUPED_ORACLE)
+def olap_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout (variant = user_id parity,
+    covariate = pre-period spend): per-variant raw and variance-reduced
+    mean spend plus the pooled θ. All sums are exact integer cents;
+    θ's numerator/denominator are exact 128-bit integer cross-products
+    (decimal(38,0) on Spark, HUGEINT on DuckDB) cast to double only for
+    the final division — so the float expressions see bit-identical
+    inputs and stay IEEE-deterministic (+,-,*,/ only, no transcendentals).
+
+    Scale shape: one user-keyed aggregation (map-side combinable
+    conditional sums), then a 5-number pooled reduce and a 2-row
+    per-variant reduce — the θ arithmetic runs on scalars; the per-user
+    table is aggregated once and never joined back to events."""
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(f"{CUPED_SPLIT} 00:00:00").cast("timestamp")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    u = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("bigint").alias("variant"),
+        F.sum(F.when(F.col("ts") < split, cents).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= split, cents).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pool = u.agg(
+        d(F.count("*")).alias("n"),
+        d(F.sum("x")).alias("sx"),
+        d(F.sum("y")).alias("sy"),
+        F.sum(d(F.col("x")) * d(F.col("x"))).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d(F.col("x")) * d(F.col("y"))).cast("decimal(38,0)").alias("sxy"),
+    )
+    th = pool.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("xbar"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        (F.sum("x").cast("double") / F.count("*")).alias("mx"),
+        (F.sum("y").cast("double") / F.count("*")).alias("my"),
+    )
+    out = v.crossJoin(F.broadcast(th))
+    r4 = lambda c: F.floor(c * 10_000 + F.lit(0.5)) / 10_000.0  # noqa: E731
+    return out.select(
+        "variant",
+        "n_users",
+        r4(F.col("my") / 100.0).alias("mean_spend"),
+        r4(
+            (F.col("my") - F.col("theta") * (F.col("mx") - F.col("xbar")))
+            / 100.0
+        ).alias("mean_spend_cuped"),
+        (F.floor(F.col("theta") * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias(
+            "theta"
+        ),
+    )

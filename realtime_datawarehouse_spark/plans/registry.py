@@ -48,6 +48,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_connected_components_star",
     "ext_interval_overlap_pairs",
     "graph_kcore",
+    "olap_abtest_cuped",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",
