@@ -504,3 +504,83 @@ SELECT doc_id,
        CAST({lo} AS BIGINT) AS phash_lo
 FROM t
 """
+
+
+# --------------------------------------------------------------------------
+# Content-type sniffing by magic bytes — the first gate of any multimodal
+# ingest: route each opaque blob to the right decoder (or quarantine) by
+# inspecting leading bytes, BEFORE spending a Python worker on it. Runs
+# entirely JVM-side (binary substring + equality — whole-stage codegen,
+# zero Python), which is what makes it viable as a 100 TB pre-filter.
+# The fixture synthesizes payloads with real magic headers chosen by
+# doc_id % 4, so the oracle can mirror the rule arithmetically while the
+# engine must actually parse the bytes to agree.
+# --------------------------------------------------------------------------
+
+_PNG_MAGIC = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+_JPEG_MAGIC = bytes([0xFF, 0xD8, 0xFF, 0xE0])
+_RIFF = b"RIFF"
+_WAVE = b"WAVE"
+
+
+def attach_typed_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize (doc_id, payload) with a REAL magic header per doc:
+    doc_id % 4 → PNG / JPEG / RIFF-WAVE container / raw bytes. The WAVE
+    case exercises offset-field sniffing (format tag at bytes 9-12, after
+    the 4-byte chunk size)."""
+    body = F.encode(F.col(text_col), "UTF-8")
+    sel = F.col("doc_id") % 4
+    payload = (
+        F.when(sel == 0, F.concat(F.lit(_PNG_MAGIC), body))
+        .when(sel == 1, F.concat(F.lit(_JPEG_MAGIC), body))
+        .when(
+            sel == 2,
+            F.concat(
+                F.lit(_RIFF), F.lit(bytes([0, 0, 0, 0])), F.lit(_WAVE), body
+            ),
+        )
+        .otherwise(body)
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def content_sniff(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(content_type, n_files, total_bytes) by magic-byte inspection of the
+    binary payload column — binary substring/equality expressions only."""
+    p = attach_typed_payload(docs, text_col)
+    head = lambda off, n: F.substring(F.col("payload"), off, n)  # noqa: E731
+    ctype = (
+        F.when(head(1, 8) == F.lit(_PNG_MAGIC), "image/png")
+        .when(head(1, 4) == F.lit(_JPEG_MAGIC), "image/jpeg")
+        .when(
+            (head(1, 4) == F.lit(_RIFF)) & (head(9, 4) == F.lit(_WAVE)),
+            "audio/wav",
+        )
+        .otherwise("application/octet-stream")
+    )
+    return (
+        p.select(ctype.alias("content_type"), F.length("payload").alias("nb"))
+        .groupBy("content_type")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("nb").cast("bigint").alias("total_bytes"),
+        )
+    )
+
+
+# Oracle mirrors the synthesis rule arithmetically (octet length == char
+# length for the ASCII fixture corpus — asserted in tests): header sizes
+# 8 / 4 / 12 / 0 for doc_id % 4 = 0 / 1 / 2 / 3.
+CONTENT_SNIFF_ORACLE = """
+SELECT CASE doc_id % 4
+         WHEN 0 THEN 'image/png'
+         WHEN 1 THEN 'image/jpeg'
+         WHEN 2 THEN 'audio/wav'
+         ELSE 'application/octet-stream' END AS content_type,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(strlen(text) + CASE doc_id % 4
+              WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 12
+              ELSE 0 END) AS BIGINT) AS total_bytes
+FROM documents
+GROUP BY 1
+"""

@@ -265,6 +265,17 @@ def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_decode(_docs(spark, sf_dir))
 
 
+@query("mm_content_sniff", oracle=multimodal.CONTENT_SNIFF_ORACLE)
+def mm_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content-type routing over the binary payload column —
+    the JVM-only (codegen, zero Python) pre-filter that gates which blobs
+    reach a Python decode kernel at 100 TB. The fixture synthesizes REAL
+    PNG/JPEG/RIFF-WAVE headers; the engine must parse bytes (binary
+    substring + offset-field checks) to match the oracle's arithmetic
+    mirror of the synthesis rule."""
+    return multimodal.content_sniff(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Composed corpus-curation pipeline — the canonical training-data flow
 # (quality filter → exact dedup → near-dup removal) as ONE oracle-checked

@@ -49,6 +49,7 @@ DRIVER_PRIORITY: list[str] = [
     "ext_interval_overlap_pairs",
     "graph_kcore",
     "olap_abtest_cuped",
+    "mm_content_sniff",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",

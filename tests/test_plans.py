@@ -1294,3 +1294,12 @@ def test_kcore_cascade_on_constructed_graph(spark):
         r.u: r.core_deg for r in kcore_peel(sym, k=3, rounds=6).collect()
     }
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}, got
+
+
+def test_content_sniff_stays_jvm_side(spark):
+    """mm_content_sniff is the pre-filter that must NOT pay a Python
+    worker: no MapInPandas/ArrowEvalPython anywhere — binary magic-byte
+    checks compile into whole-stage codegen."""
+    plan = _explain(spark, "mm_content_sniff", "simple")
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
