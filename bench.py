@@ -112,6 +112,12 @@ BENCH_QUERIES = (
     "mm_phash_near_dup_pairs",      # banded Hamming pair join
     "olap_growth_accounting",       # DAU lifecycle decomposition
     "curate_cross_source_leakage",  # LSH pairs × source rollup
+    # round-4 fourth-wave additions
+    "text_bigram_logprob",          # conditional bigram LM scoring
+    "ext_interval_overlap_pairs",   # grid-bin interval overlap join
+    "olap_max_concurrent_intervals",  # sweep-line interval concurrency
+    "olap_abtest_cuped",            # CUPED variance-reduced readout
+    "mm_content_sniff",             # JVM-only magic-byte routing
 )
 
 

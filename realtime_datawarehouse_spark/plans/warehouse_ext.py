@@ -1264,8 +1264,10 @@ def binned_overlap_pairs(
         ),
     )
     a, b = binned.alias("a"), binned.alias("b")
+    # shuffle-HASH, not sort-merge: both sides are the same exploded
+    # high-cardinality set — the sort phase buys nothing (same exchange)
     pairs = a.join(
-        b,
+        b.hint("shuffle_hash"),
         (F.col("a.suppkey") == F.col("b.suppkey"))
         & (F.col("a.bin") == F.col("b.bin"))
         & (F.col("a.iid") < F.col("b.iid")),
