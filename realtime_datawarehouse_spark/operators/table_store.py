@@ -247,3 +247,36 @@ def merge_upsert(
             if attempt == attempts - 1:
                 raise
     raise AssertionError("unreachable")
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 8,
+    cluster_col: str | None = None,
+) -> str:
+    """OPTIMIZE for the versioned store: rewrite the current state into
+    ``target_files`` files, optionally range-clustered on ``cluster_col``
+    — the small-files maintenance every streaming-upsert table needs
+    (each micro-batch MERGE writes a shuffle's worth of small files; scan
+    cost and NameNode/listing pressure grow with file COUNT, not bytes).
+
+    With ``cluster_col``, files get DISJOINT value ranges
+    (``repartitionByRange`` + ``sortWithinPartitions``), so parquet
+    row-group min/max footers prune whole files for point/range reads on
+    that column — the same effect as Delta OPTIMIZE ZORDER on one
+    dimension, without the format. Runs as an ordinary optimistic commit:
+    readers are never blocked, a concurrent upsert wins the race and the
+    compaction retries on the next maintenance cycle (the caller catches
+    :class:`ConcurrentCommitError`); data content is byte-identical by
+    construction (pure re-layout, no row change).
+    """
+    expected = current_version(path)
+    cur = read_state(spark, path)
+    if cluster_col is not None:
+        laid = cur.repartitionByRange(
+            target_files, cluster_col
+        ).sortWithinPartitions(cluster_col)
+    else:
+        laid = cur.coalesce(target_files)
+    return commit(laid, path, expected_version=expected)

@@ -138,3 +138,53 @@ def test_tpch_refresh_streams_rf1_rf2(spark, duck, tmp_path):
     assert got.gmv_cents.tolist() == exp.gmv_cents.tolist()
     # three atomic versions: load, RF1, RF2 (GC keeps current+previous)
     assert len(table_store.list_versions(path)) >= 2
+
+
+def test_compact_shrinks_files_and_clusters_ranges(spark, tmp_path):
+    """OPTIMIZE maintenance: compaction must (1) leave the table content
+    bit-identical, (2) cut the data-file count to the target, (3) give the
+    files DISJOINT cluster-column ranges — the precondition for parquet
+    footer-based file pruning on point/range reads — and (4) run as an
+    ordinary optimistic commit (version advances, old state retained for
+    the reader grace period)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import table_store
+    from realtime_datawarehouse_spark.tables import table
+
+    path = str(tmp_path / "cust_store")
+    c = table(spark, SF_DIR, "customer")
+    # a micro-batch-shaped table: explicit repartition(24) survives AQE
+    # (only ENSURE_REQUIREMENTS exchanges coalesce), giving 24 small files
+    table_store.commit(c.repartition(24), path)
+    before_files = glob.glob(
+        f"{path}/{table_store.current_version(path)}/*.parquet"
+    )
+    assert len(before_files) > 4
+    before = sorted(
+        tuple(r) for r in table_store.read_state(spark, path).collect()
+    )
+
+    v = table_store.compact(spark, path, target_files=4, cluster_col="c_custkey")
+    assert table_store.current_version(path) == v
+    files = glob.glob(f"{path}/{v}/*.parquet")
+    assert 0 < len(files) <= 4, files
+    after = sorted(
+        tuple(r) for r in table_store.read_state(spark, path).collect()
+    )
+    assert after == before  # pure re-layout
+
+    # disjoint per-file key ranges = file-level pruning is possible
+    ranges = []
+    for f in files:
+        pf = spark.read.parquet(f).agg(
+            F.min("c_custkey"), F.max("c_custkey"), F.count("*")
+        ).collect()[0]
+        if pf[2]:
+            ranges.append((pf[0], pf[1]))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges
