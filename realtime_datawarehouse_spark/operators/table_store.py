@@ -280,3 +280,69 @@ def compact(
     else:
         laid = cur.coalesce(target_files)
     return commit(laid, path, expected_version=expected)
+
+
+def _morton_spread16(x):
+    """Spread the low 16 bits of x so bit i lands at position 2i —
+    the classic mask-and-shift interleave ladder, pure bigint bit ops."""
+    from pyspark.sql import functions as F
+
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    return x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+
+
+def compact_zorder(
+    spark: SparkSession,
+    path: str,
+    col_a: str,
+    col_b: str,
+    target_files: int = 8,
+) -> str:
+    """Two-dimensional OPTIMIZE ZORDER: rewrite the current state ordered
+    by the Morton interleave of two columns, so every output file covers a
+    SMALL RECTANGLE in (a, b) space — parquet footers then prune files for
+    predicates on EITHER column (a linear sort on one column clusters only
+    that column and leaves the other's per-file range at 100%).
+
+    Columns are affine-scaled to 16-bit grid cells against their min/max
+    (one tiny broadcast aggregate — the same stats a real lakehouse keeps
+    in its manifest), bits interleaved JVM-side (shift/mask ladder — no
+    UDF), and the layout is repartitionByRange + sortWithinPartitions on
+    the code; the helper column never reaches the files. Same optimistic
+    commit contract as :func:`compact`.
+    """
+    from pyspark.sql import functions as F
+
+    expected = current_version(path)
+    cur = read_state(spark, path)
+    bounds = cur.agg(
+        F.min(col_a).alias("a_lo"),
+        F.max(col_a).alias("a_hi"),
+        F.min(col_b).alias("b_lo"),
+        F.max(col_b).alias("b_hi"),
+    )
+
+    def cell(col, lo, hi):
+        span = F.greatest(
+            F.col(hi).cast("double") - F.col(lo).cast("double"), F.lit(1e-12)
+        )
+        frac = (F.col(col).cast("double") - F.col(lo).cast("double")) / span
+        return F.least(
+            F.floor(frac * 65536).cast("bigint"), F.lit(65535)
+        )
+
+    coded = cur.crossJoin(F.broadcast(bounds)).withColumn(
+        "_z",
+        _morton_spread16(cell(col_a, "a_lo", "a_hi")).bitwiseOR(
+            F.shiftleft(_morton_spread16(cell(col_b, "b_lo", "b_hi")), 1)
+        ),
+    )
+    laid = (
+        coded.repartitionByRange(target_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", "a_lo", "a_hi", "b_lo", "b_hi")
+    )
+    return commit(laid, path, expected_version=expected)

@@ -188,3 +188,51 @@ def test_compact_shrinks_files_and_clusters_ranges(spark, tmp_path):
     assert len(ranges) >= 2
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, ranges
+
+
+def test_zorder_compact_bounds_both_dimensions(spark, tmp_path):
+    """ZORDER layout: every output file must cover a small RECTANGLE in
+    (custkey, orderdate) space — both dimensions split — whereas a linear
+    sort on one column leaves the other's per-file range at ~100%.
+    Content stays identical and the commit contract holds."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import table_store
+    from realtime_datawarehouse_spark.tables import table
+
+    path = str(tmp_path / "orders_store")
+    o = table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.unix_date(F.to_date("o_orderdate")).alias("od")
+    )
+    table_store.commit(o.repartition(16), path)
+    before = sorted(tuple(r) for r in table_store.read_state(spark, path).collect())
+
+    v = table_store.compact_zorder(
+        spark, path, "o_custkey", "od", target_files=8
+    )
+    after = sorted(tuple(r) for r in table_store.read_state(spark, path).collect())
+    assert after == before
+
+    g = spark.read.parquet(f"{path}/{v}").agg(
+        F.max("o_custkey") - F.min("o_custkey"),
+        F.max("od") - F.min("od"),
+    ).collect()[0]
+    areas, yfrac = [], []
+    for f in glob.glob(f"{path}/{v}/*.parquet"):
+        r = spark.read.parquet(f).agg(
+            F.max("o_custkey") - F.min("o_custkey"),
+            F.max("od") - F.min("od"),
+            F.count("*"),
+        ).collect()[0]
+        if r[2]:
+            areas.append((r[0] / g[0]) * (r[1] / g[1]))
+            yfrac.append(r[1] / g[1])
+    assert len(areas) >= 4
+    # each file's bounding box is a fraction of the plane, on average well
+    # under the 1.0 a one-column sort would give the unsorted dimension
+    assert sum(areas) / len(areas) < 0.35, areas
+    # and the SECOND dimension is genuinely split too
+    assert sum(1 for y in yfrac if y < 0.8) >= len(yfrac) // 2, yfrac
