@@ -3056,3 +3056,100 @@ def olap_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theta"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Top user paths: the first 3 event types of each session, counted and
+# ranked — the "path sankey" readout beside funnels/retention (ClickHouse
+# sequenceMatch family territory). Steps are pivoted to columns (no
+# arrays/string-agg: deterministic, hash-friendly, and the driver's
+# canonicalizer requires scalar columns).
+# --------------------------------------------------------------------------
+
+TOP_PATHS_N = 20
+
+TOP_PATHS_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   >= {SESSION_GAP_S * 1_000_000} THEN 1
+              WHEN lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_seq
+  FROM seq
+), stepped AS (
+  SELECT user_id, session_seq, event_type,
+         row_number() OVER (
+           PARTITION BY user_id, session_seq ORDER BY ts, event_id
+         ) AS step
+  FROM tagged
+), paths AS (
+  SELECT user_id, session_seq,
+         max(CASE WHEN step = 1 THEN event_type END) AS s1,
+         max(CASE WHEN step = 2 THEN event_type END) AS s2,
+         max(CASE WHEN step = 3 THEN event_type END) AS s3
+  FROM stepped WHERE step <= 3
+  GROUP BY 1, 2
+)
+SELECT coalesce(s1, '-') AS s1, coalesce(s2, '-') AS s2,
+       coalesce(s3, '-') AS s3,
+       CAST(count(*) AS BIGINT) AS path_ct
+FROM paths
+GROUP BY 1, 2, 3
+ORDER BY path_ct DESC, s1, s2, s3
+LIMIT {TOP_PATHS_N}
+"""
+
+
+@query("olap_top_paths", oracle=TOP_PATHS_ORACLE)
+def olap_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{n} session-opening paths (first 3 event types per session,
+    sessions = the same >= gap rule as olap_sessionize): pivoted step
+    columns, one count per distinct path, global top-k.
+
+    Scale shape: sessionize's single user-keyed exchange also serves the
+    step ranking (same user-prefixed sort); the path pivot is a
+    map-combinable conditional-max aggregation on (user, session); the
+    final top-k is TakeOrderedAndProject over |distinct paths| rows —
+    never a global sort of sessions.""".format(n=TOP_PATHS_N)
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap_us = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap_us.isNull() | (gap_us >= SESSION_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_seq"),
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    stepped = tagged.withColumn("step", F.row_number().over(ws)).where(
+        F.col("step") <= 3
+    )
+    paths = stepped.groupBy("user_id", "session_seq").agg(
+        F.max(F.when(F.col("step") == 1, F.col("event_type"))).alias("s1"),
+        F.max(F.when(F.col("step") == 2, F.col("event_type"))).alias("s2"),
+        F.max(F.when(F.col("step") == 3, F.col("event_type"))).alias("s3"),
+    )
+    counted = paths.groupBy(
+        F.coalesce("s1", F.lit("-")).alias("s1"),
+        F.coalesce("s2", F.lit("-")).alias("s2"),
+        F.coalesce("s3", F.lit("-")).alias("s3"),
+    ).agg(F.count("*").cast("bigint").alias("path_ct"))
+    return counted.orderBy(
+        F.desc("path_ct"), "s1", "s2", "s3"
+    ).limit(TOP_PATHS_N)

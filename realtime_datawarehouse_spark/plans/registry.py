@@ -50,6 +50,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_kcore",
     "olap_abtest_cuped",
     "mm_content_sniff",
+    "olap_top_paths",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",

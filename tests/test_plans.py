@@ -1303,3 +1303,11 @@ def test_content_sniff_stays_jvm_side(spark):
     plan = _explain(spark, "mm_content_sniff", "simple")
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_top_paths_is_take_ordered(spark):
+    """olap_top_paths: the global top-k over distinct paths must compile
+    to TakeOrderedAndProject, and the step ranking must reuse the
+    sessionize partitioning (windows only over user-prefixed keys)."""
+    plan = _explain(spark, "olap_top_paths", "simple")
+    assert "TakeOrderedAndProject" in plan, plan
