@@ -2533,3 +2533,141 @@ def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall6"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF layout health + batching padding waste — the two capacity reports a
+# production vector store / training stack runs on a schedule.
+# --------------------------------------------------------------------------
+
+
+def _ivf_balance_oracle() -> str:
+    from realtime_datawarehouse_spark.operators.similarity import (
+        IVF_CENTROID_PRED_SQL,
+        _COS_VC,
+    )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE {IVF_CENTROID_PRED_SQL}
+), va AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+             ORDER BY {_COS_VC} DESC, centroid_id) AS rnk
+  FROM e v CROSS JOIN c
+), a AS (
+  SELECT vec_id, centroid_id FROM va WHERE rnk = 1
+), sz AS (
+  SELECT centroid_id, CAST(count(*) AS BIGINT) AS list_size FROM a GROUP BY 1
+), tot AS (
+  SELECT sum(list_size) AS n, count(*) AS k FROM sz
+)
+SELECT centroid_id, list_size,
+       CAST(floor(list_size * 1000000.0 / tot.n) AS BIGINT) AS share6,
+       CAST(floor(list_size * tot.k * 1000000.0 / tot.n) AS BIGINT)
+         AS balance6
+FROM sz CROSS JOIN tot
+"""
+
+
+@query("ann_ivf_balance_report", oracle=_ivf_balance_oracle())
+def ann_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list balance audit for the IVF layout: per-centroid list
+    size, corpus share, and balance factor (1e6 = perfectly even; ≫1e6 =
+    hot list). Probe latency and partition skew both track the largest
+    list, so this is the report that decides when to retrain the codebook
+    or split hot lists. One broadcast-centroid assignment (max_by argmax,
+    corpus never shuffles pre-agg) + a map-combinable count."""
+    emb = _emb(spark, sf_dir)
+    sz = (
+        similarity.ivf_assign(emb)
+        .groupBy("centroid_id")
+        .agg(F.count("*").cast("bigint").alias("list_size"))
+    )
+    tot = sz.agg(
+        F.sum("list_size").alias("n"), F.count("*").alias("k")
+    )
+    return sz.crossJoin(F.broadcast(tot)).select(
+        "centroid_id",
+        "list_size",
+        F.floor(
+            F.col("list_size") * F.lit(1_000_000.0) / F.col("n")
+        ).cast("bigint").alias("share6"),
+        F.floor(
+            F.col("list_size") * F.col("k") * F.lit(1_000_000.0) / F.col("n")
+        ).cast("bigint").alias("balance6"),
+    )
+
+
+# power-of-two sequence-length bins (the padded-batch regime: every doc in
+# a batch pays the bin's full length)
+LENGTH_BINS = (16, 32, 64, 128, 256)
+
+MIX_LENGTH_BUCKETING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS n
+  FROM documents
+), b AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+              WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+              ELSE 256 END AS bin
+  FROM t
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(count(*) * bin AS BIGINT) AS padded_tokens,
+       floor((1.0 - sum(n) * 1.0 / (count(*) * bin)) * 10000 + 0.5)
+         / 10000.0 AS pad_waste
+FROM b GROUP BY 1
+"""
+
+
+@query("mix_length_bucketing", oracle=MIX_LENGTH_BUCKETING_ORACLE)
+def mix_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report for length-bucketed batching: docs binned to
+    power-of-two sequence lengths, per-bin document count, real tokens,
+    padded capacity, and the fraction of compute the padding burns — the
+    report that tunes bucket boundaries before a training run (the
+    length-matched companion of mix_pack_sequences, which eliminates the
+    waste by concatenation instead). One map-side token count, one
+    |bins|-key aggregation."""
+    from realtime_datawarehouse_spark.operators.textops import tokenize
+
+    t = _docs(spark, sf_dir).select(
+        F.size(tokenize("text")).alias("n")
+    )
+    bin_col = (
+        F.when(F.col("n") <= 16, 16)
+        .when(F.col("n") <= 32, 32)
+        .when(F.col("n") <= 64, 64)
+        .when(F.col("n") <= 128, 128)
+        .otherwise(256)
+    )
+    g = t.select(bin_col.alias("bin"), "n").groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+    )
+    cap = F.col("n_docs") * F.col("bin")
+    return g.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        "n_docs",
+        "total_tokens",
+        cap.cast("bigint").alias("padded_tokens"),
+        (
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.col("total_tokens").cast("double")
+                    / cap.cast("double")
+                )
+                * 10_000
+                + F.lit(0.5)
+            )
+            / 10_000.0
+        ).alias("pad_waste"),
+    )

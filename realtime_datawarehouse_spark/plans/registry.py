@@ -51,6 +51,8 @@ DRIVER_PRIORITY: list[str] = [
     "olap_abtest_cuped",
     "mm_content_sniff",
     "olap_top_paths",
+    "ann_ivf_balance_report",
+    "mix_length_bucketing",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",
