@@ -3153,3 +3153,110 @@ def olap_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.orderBy(
         F.desc("path_ct"), "s1", "s2", "s3"
     ).limit(TOP_PATHS_N)
+
+
+# --------------------------------------------------------------------------
+# FIFO allocation: match sales to purchase lots in first-in-first-out
+# order — inventory costing / lot-tracking's core operator. The classic
+# set-based formulation: both sides get CUMULATIVE quantity ranges
+# [lo, hi) per part (a running sum in arrival order), and a sale consumes
+# exactly the lots whose cumulative range overlaps its own — allocation
+# quantity = overlap length. No loops, no per-row state: two windows and
+# one overlap join reproduce the sequential FIFO walk exactly.
+# --------------------------------------------------------------------------
+
+FIFO_PART_PRED = "l_partkey % 10 = 0"  # detail subset keeps output bounded
+
+FIFO_ORACLE = f"""
+WITH base AS (
+  SELECT l_partkey AS partkey,
+         l_orderkey * 16 + l_linenumber AS line_id,
+         CAST(l_quantity AS BIGINT) AS qty,
+         l_returnflag AS rf, l_shipdate AS d,
+         l_orderkey, l_linenumber
+  FROM lineitem WHERE {FIFO_PART_PRED}
+), lots AS (
+  SELECT partkey, line_id AS lot_id, qty,
+         sum(qty) OVER w AS hi, sum(qty) OVER w - qty AS lo
+  FROM base WHERE rf = 'A'
+  WINDOW w AS (PARTITION BY partkey ORDER BY d, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING)
+), sales AS (
+  SELECT partkey, line_id AS sale_id, qty,
+         sum(qty) OVER w AS hi, sum(qty) OVER w - qty AS lo
+  FROM base WHERE rf = 'R'
+  WINDOW w AS (PARTITION BY partkey ORDER BY d, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT s.partkey, s.sale_id, l.lot_id,
+       CAST(least(s.hi, l.hi) - greatest(s.lo, l.lo) AS BIGINT) AS alloc_qty
+FROM sales s JOIN lots l
+  ON l.partkey = s.partkey
+ AND s.lo < l.hi AND l.lo < s.hi
+"""
+
+
+@query("olap_fifo_allocation", oracle=FIFO_ORACLE)
+def olap_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO sale→lot allocation via cumulative-range overlap ('A' lines
+    are lots, 'R' lines are sales, arrival = shipdate order): each sale
+    splits across exactly the lots its cumulative quantity range overlaps,
+    which IS the sequential first-in-first-out walk, computed set-based.
+
+    Scale shape: ONE partkey-keyed exchange serves both running sums and
+    the overlap join (all partkey-prefixed); candidate pairs per part are
+    bounded by lots+sales per part (ranges are disjoint within a side, so
+    the overlap graph is a staircase — at most n_lots + n_sales − 1 true
+    matches per part, and the equi-join on partkey confines the filter to
+    within-part pairs). For parts with very deep histories the cumulative
+    axis bins exactly like ext_interval_overlap_pairs' grid."""
+    base = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.expr(FIFO_PART_PRED))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias(
+                "line_id"
+            ),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.col("l_returnflag").alias("rf"),
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    w = (
+        Window.partitionBy("partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def ranged(rf: str, id_name: str) -> DataFrame:
+        return (
+            base.where(F.col("rf") == rf)
+            .withColumn("hi", F.sum("qty").over(w))
+            .select(
+                "partkey",
+                F.col("line_id").alias(id_name),
+                (F.col("hi") - F.col("qty")).alias("lo"),
+                "hi",
+            )
+        )
+
+    lots = ranged("A", "lot_id")
+    sales = ranged("R", "sale_id")
+    j = sales.alias("s").join(
+        lots.alias("l"),
+        (F.col("s.partkey") == F.col("l.partkey"))
+        & (F.col("s.lo") < F.col("l.hi"))
+        & (F.col("l.lo") < F.col("s.hi")),
+    )
+    return j.select(
+        F.col("s.partkey").alias("partkey"),
+        "sale_id",
+        "lot_id",
+        (
+            F.least(F.col("s.hi"), F.col("l.hi"))
+            - F.greatest(F.col("s.lo"), F.col("l.lo"))
+        ).cast("bigint").alias("alloc_qty"),
+    )

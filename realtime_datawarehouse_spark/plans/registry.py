@@ -53,6 +53,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_top_paths",
     "ann_ivf_balance_report",
     "mix_length_bucketing",
+    "olap_fifo_allocation",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",

@@ -1311,3 +1311,61 @@ def test_top_paths_is_take_ordered(spark):
     sessionize partitioning (windows only over user-prefixed keys)."""
     plan = _explain(spark, "olap_top_paths", "simple")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_fifo_allocation_equals_sequential_walk(spark):
+    """The cumulative-range overlap identity must reproduce a literal
+    sequential FIFO walk (pointer simulation) — pinned on the fixture
+    subset, independent of the oracle mirroring the same construction."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.plans.analytic import FIFO_PART_PRED
+    from realtime_datawarehouse_spark.tables import table
+
+    got = {
+        (r.partkey, r.sale_id, r.lot_id): r.alloc_qty
+        for r in registry.get_queries()["olap_fifo_allocation"](
+            spark, SF_DIR
+        ).collect()
+    }
+
+    rows = (
+        table(spark, SF_DIR, "lineitem")
+        .where(F.expr(FIFO_PART_PRED))
+        .select(
+            "l_partkey", "l_orderkey", "l_linenumber", "l_quantity",
+            "l_returnflag", "l_shipdate",
+        )
+        .collect()
+    )
+    by_part = collections.defaultdict(lambda: {"A": [], "R": []})
+    for r in rows:
+        if r.l_returnflag in ("A", "R"):
+            by_part[r.l_partkey][r.l_returnflag].append(r)
+    want = {}
+    for pk, sides in by_part.items():
+        lots = sorted(
+            sides["A"],
+            key=lambda r: (r.l_shipdate, r.l_orderkey, r.l_linenumber),
+        )
+        sales = sorted(
+            sides["R"],
+            key=lambda r: (r.l_shipdate, r.l_orderkey, r.l_linenumber),
+        )
+        li, lot_left = 0, None
+        for s in sales:
+            need = int(s.l_quantity)
+            sid = s.l_orderkey * 16 + s.l_linenumber
+            while need > 0 and li < len(lots):
+                if lot_left is None:
+                    lot_left = int(lots[li].l_quantity)
+                take = min(need, lot_left)
+                lid = lots[li].l_orderkey * 16 + lots[li].l_linenumber
+                want[(pk, sid, lid)] = want.get((pk, sid, lid), 0) + take
+                need -= take
+                lot_left -= take
+                if lot_left == 0:
+                    li, lot_left = li + 1, None
+    assert got == want and len(want) > 50, (len(got), len(want))
