@@ -3260,3 +3260,84 @@ def olap_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.col("s.lo"), F.col("l.lo"))
         ).cast("bigint").alias("alloc_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling exact median over a trailing calendar window — the range-frame
+# percentile the OVER clause can't express (percentile isn't a Spark
+# window function): day-level pre-aggregation first, then a 30-day grid
+# self-join OVER THE DAILY AGGREGATE (dimension-sized — |days| × 30 rows,
+# never the fact table), then exact rank selection (lower median by
+# row_number — pure integers, no interpolation to disagree on).
+# --------------------------------------------------------------------------
+
+ROLLMED_DAYS = 30
+
+ROLLING_MEDIAN_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS gmv_cents
+  FROM orders GROUP BY 1
+), grid AS (
+  SELECT a.d AS d, b.gmv_cents,
+         row_number() OVER (PARTITION BY a.d ORDER BY b.gmv_cents, b.d)
+           AS rn,
+         count(*) OVER (PARTITION BY a.d) AS n
+  FROM daily a JOIN daily b
+    ON b.d BETWEEN a.d - {ROLLMED_DAYS - 1} AND a.d
+)
+SELECT strftime(d, '%Y-%m-%d') AS d,
+       CAST(n AS BIGINT) AS window_days,
+       gmv_cents AS p50_gmv_cents
+FROM grid
+WHERE rn = (n + 1) // 2
+"""
+
+
+@query("olap_rolling_median_gmv", oracle=ROLLING_MEDIAN_ORACLE)
+def olap_rolling_median_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-{n}-day median of daily GMV per day (lower median
+    at rank ⌈n/2⌉ — integer rank selection, no float interpolation).
+
+    Scale shape: the fact table is touched ONCE (map-combinable daily
+    cents sum); the trailing window materializes as a |days| × {n} grid
+    join over the DAILY aggregate — thousands of rows at any corpus
+    size — and the rank window runs on that grid. The naive alternative
+    (percentile over a fact-level range frame) would re-sort facts per
+    day; this shape is why rolling quantiles pre-aggregate first.""".format(
+        n=ROLLMED_DAYS
+    )
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("gmv_cents")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    grid = a.join(
+        b,
+        (F.col("b.d") >= F.date_sub(F.col("a.d"), ROLLMED_DAYS - 1))
+        & (F.col("b.d") <= F.col("a.d")),
+    ).select(
+        F.col("a.d").alias("d"),
+        F.col("b.gmv_cents").alias("gmv_cents"),
+        F.col("b.d").alias("bd"),
+    )
+    wrank = Window.partitionBy("d").orderBy("gmv_cents", "bd")
+    wall = Window.partitionBy("d")
+    ranked = grid.select(
+        "d",
+        "gmv_cents",
+        F.row_number().over(wrank).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+    return ranked.where(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select(
+        fmt_date("d").alias("d"),
+        F.col("n").cast("bigint").alias("window_days"),
+        F.col("gmv_cents").alias("p50_gmv_cents"),
+    )

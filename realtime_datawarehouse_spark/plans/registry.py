@@ -54,6 +54,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_ivf_balance_report",
     "mix_length_bucketing",
     "olap_fifo_allocation",
+    "olap_rolling_median_gmv",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",
