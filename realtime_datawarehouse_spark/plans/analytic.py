@@ -3341,3 +3341,88 @@ def olap_rolling_median_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("window_days"),
         F.col("gmv_cents").alias("p50_gmv_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Clamped running balance: balance_t = max(0, balance_{t-1} + delta_t) —
+# the stock-on-hand recursion (issues can't take inventory negative).
+# The clamp makes the fold NON-associative, so no direct window aggregate
+# computes it; the classic identity rescues it:
+#     balance_t = prefix_t − min(0, min_{s≤t} prefix_s)
+# (each time the raw prefix dips to a new low, the clamp has absorbed
+# exactly that dip). Two running window aggregates over one partkey sort.
+# --------------------------------------------------------------------------
+
+BALANCE_ORACLE = f"""
+WITH base AS (
+  SELECT l_partkey AS partkey,
+         l_shipdate AS d, l_orderkey, l_linenumber,
+         CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT)
+              WHEN l_returnflag = 'R' THEN -CAST(l_quantity AS BIGINT)
+              ELSE 0 END AS delta
+  FROM lineitem WHERE {FIFO_PART_PRED} AND l_returnflag IN ('A', 'R')
+), pfx AS (
+  SELECT partkey, d, l_orderkey, l_linenumber, delta,
+         sum(delta) OVER (PARTITION BY partkey
+             ORDER BY d, l_orderkey, l_linenumber
+             ROWS UNBOUNDED PRECEDING) AS p
+  FROM base
+), pre AS (
+  SELECT partkey, d, l_orderkey, l_linenumber, delta, p,
+         min(p) OVER (PARTITION BY partkey
+             ORDER BY d, l_orderkey, l_linenumber
+             ROWS UNBOUNDED PRECEDING) AS minp
+  FROM pfx
+)
+SELECT partkey,
+       CAST(l_orderkey * 16 + l_linenumber AS BIGINT) AS line_id,
+       delta,
+       CAST(p - least(CAST(0 AS BIGINT), minp) AS BIGINT) AS balance
+FROM pre
+"""
+
+
+@query("olap_clamped_running_balance", oracle=BALANCE_ORACLE)
+def olap_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock-on-hand after every movement ('A' receipts, 'R' issues,
+    issues clamped at zero stock) via the prefix − min(0, running-min)
+    identity — the non-associative clamp recursion computed with two
+    stacked running aggregates on ONE partkey-keyed sort (no per-row
+    state, no recursion). The identity itself is pinned by an
+    independent sequential-walk test."""
+    base = (
+        table(spark, sf_dir, "lineitem")
+        .where(
+            F.expr(FIFO_PART_PRED) & F.col("l_returnflag").isin("A", "R")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            F.when(
+                F.col("l_returnflag") == "A",
+                F.col("l_quantity").cast("bigint"),
+            )
+            .otherwise(-F.col("l_quantity").cast("bigint"))
+            .alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = base.withColumn("p", F.sum("delta").over(w)).withColumn(
+        "minp", F.min("p").over(w)
+    )
+    return pre.select(
+        "partkey",
+        (F.col("l_orderkey") * 16 + F.col("l_linenumber"))
+        .cast("bigint")
+        .alias("line_id"),
+        "delta",
+        (F.col("p") - F.least(F.lit(0).cast("bigint"), F.col("minp")))
+        .cast("bigint")
+        .alias("balance"),
+    )

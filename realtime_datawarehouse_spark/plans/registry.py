@@ -55,6 +55,7 @@ DRIVER_PRIORITY: list[str] = [
     "mix_length_bucketing",
     "olap_fifo_allocation",
     "olap_rolling_median_gmv",
+    "olap_clamped_running_balance",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",

@@ -1369,3 +1369,45 @@ def test_fifo_allocation_equals_sequential_walk(spark):
                 if lot_left == 0:
                     li, lot_left = li + 1, None
     assert got == want and len(want) > 50, (len(got), len(want))
+
+
+def test_clamped_balance_equals_sequential_walk(spark):
+    """The prefix − min(0, running-min) identity must reproduce a literal
+    max(0, prev + delta) walk — the clamp recursion is non-associative,
+    so this pin is what proves the window formulation correct
+    (the oracle mirrors the same identity)."""
+    import collections
+
+    got = {
+        (r.partkey, r.line_id): r.balance
+        for r in registry.get_queries()["olap_clamped_running_balance"](
+            spark, SF_DIR
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.plans.analytic import FIFO_PART_PRED
+    from realtime_datawarehouse_spark.tables import table
+
+    rows = (
+        table(spark, SF_DIR, "lineitem")
+        .where(F.expr(FIFO_PART_PRED) & F.col("l_returnflag").isin("A", "R"))
+        .select(
+            "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber",
+            "l_quantity", "l_returnflag",
+        )
+        .collect()
+    )
+    seqs = collections.defaultdict(list)
+    for r in rows:
+        seqs[r.l_partkey].append(r)
+    want = {}
+    for pk, rs in seqs.items():
+        bal = 0
+        for r in sorted(
+            rs, key=lambda x: (x.l_shipdate, x.l_orderkey, x.l_linenumber)
+        ):
+            delta = int(r.l_quantity) * (1 if r.l_returnflag == "A" else -1)
+            bal = max(0, bal + delta)
+            want[(pk, r.l_orderkey * 16 + r.l_linenumber)] = bal
+    assert got == want and len(want) > 100
