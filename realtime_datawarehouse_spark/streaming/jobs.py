@@ -1064,3 +1064,76 @@ def growth_accounting_stream(ev: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def clamped_balance_kernel_factory():
+    """Streaming twin of ``olap_clamped_running_balance``: per-part stock
+    on hand with the max(0, prev + delta) clamp. State is ONE int64 per
+    part (the balance itself); event-time arrival order is the contract,
+    enforced per batch by the okey sort — the streaming form runs the
+    literal recursion the batch plan computes via the reflection
+    identity, so parity doubles as an independent proof of that identity
+    across micro-batch boundaries.
+
+    Returns (kernel, output_schema, state_schema)."""
+    out_schema = StructType(
+        [
+            StructField("partkey", LongType()),
+            StructField("line_id", LongType()),
+            StructField("delta", LongType()),
+            StructField("balance", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("bal", LongType())])
+
+    def kernel(key: Any, pdfs, state: GroupState):
+        bal = state.get[0] if state.exists else 0
+        out_lid, out_d, out_b = [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("okey")
+            for lid, delta in zip(pdf["line_id"], pdf["delta"]):
+                bal = max(0, bal + int(delta))
+                out_lid.append(int(lid))
+                out_d.append(int(delta))
+                out_b.append(bal)
+        state.update((bal,))
+        yield pd.DataFrame(
+            {
+                "partkey": [int(key[0])] * len(out_lid),
+                "line_id": out_lid,
+                "delta": out_d,
+                "balance": out_b,
+            }
+        )
+
+    return kernel, out_schema, state_schema
+
+
+def clamped_balance_stream(li: DataFrame) -> DataFrame:
+    """Per-part streaming stock-on-hand over a lineitem-shaped stream
+    ('A' receives, 'R' issues, clamped at zero)."""
+    kernel, out_schema, state_schema = clamped_balance_kernel_factory()
+    okey = F.concat(
+        F.lpad(F.unix_micros(F.col("l_shipdate")).cast("string"), 20, "0"),
+        F.lpad(F.col("l_orderkey").cast("string"), 12, "0"),
+        F.lpad(F.col("l_linenumber").cast("string"), 4, "0"),
+    )
+    prepared = li.where(F.col("l_returnflag").isin("A", "R")).select(
+        F.col("l_partkey").alias("partkey"),
+        (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("line_id"),
+        okey.alias("okey"),
+        F.when(
+            F.col("l_returnflag") == "A", F.col("l_quantity").cast("bigint")
+        )
+        .otherwise(-F.col("l_quantity").cast("bigint"))
+        .alias("delta"),
+    )
+    return prepared.groupBy("partkey").applyInPandasWithState(
+        kernel,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

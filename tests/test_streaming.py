@@ -1032,3 +1032,40 @@ def test_session_window_streaming_parity(spark, events_stream_dir):
     assert (abs(merged.session_value_s - merged.session_value_b) < 1e-9).all()
     # ...and nearly all batch sessions were emitted (open tail withheld)
     assert len(got) >= len(batch) * 0.9, (len(got), len(batch))
+
+
+def test_clamped_balance_streaming_parity(spark, tmp_path):
+    """The streaming kernel runs the LITERAL max(0, prev+delta) recursion
+    with one int64 of state per part; the batch plan uses the reflection
+    identity — parity across micro-batch boundaries proves the identity
+    under state carry-over."""
+    from realtime_datawarehouse_spark.plans import registry
+
+    li = table(spark, SF_DIR, "lineitem").where(
+        F.expr("l_partkey % 10 = 0") & F.col("l_returnflag").isin("A", "R")
+    )
+    d = str(tmp_path / "li_stream")
+    # two ordered micro-batches split by shipdate (state carries across)
+    lo = li.where(F.col("l_shipdate") < "2000-01-01").sort(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    hi = li.where(F.col("l_shipdate") >= "2000-01-01").sort(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    lo.coalesce(1).write.mode("append").parquet(d)
+    hi.coalesce(1).write.mode("append").parquet(d)
+
+    stream = jobs.parquet_stream(spark, d, li.schema)
+    got = {
+        (r.partkey, r.line_id): r.balance
+        for r in _drain(
+            spark, jobs.clamped_balance_stream(stream), "t_clamp"
+        ).collect()
+    }
+    want = {
+        (r.partkey, r.line_id): r.balance
+        for r in registry.get_queries()["olap_clamped_running_balance"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == want and len(want) > 100
