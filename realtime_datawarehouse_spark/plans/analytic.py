@@ -3426,3 +3426,107 @@ def olap_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("balance"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interval UNION per key: total covered time after merging overlapping
+# intervals (active-time accounting — each event opens a 30-minute
+# activity window; overlaps must not double-count). Sweep-line again, but
+# the aggregate is the MEASURE of the union: sum segment lengths where
+# the open count is positive, plus the island count (0→1 transitions).
+# --------------------------------------------------------------------------
+
+ACTIVE_WINDOW_S = 30 * 60
+
+ACTIVE_TIME_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + {ACTIVE_WINDOW_S} * 1000000 AS e
+  FROM events
+), ev AS (
+  SELECT user_id, s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT user_id, e AS t, -1 AS delta FROM iv
+), agg AS (
+  SELECT user_id, t, sum(delta) AS net FROM ev GROUP BY 1, 2
+), sweep AS (
+  SELECT user_id, t,
+         sum(net) OVER w AS open_ct,
+         sum(net) OVER w - net AS prev_open,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nxt
+  FROM agg
+  WINDOW w AS (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN open_ct > 0 THEN nxt - t ELSE 0 END) // 1000000
+            AS BIGINT) AS active_s,
+       CAST(sum(CASE WHEN open_ct > 0 AND prev_open = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_islands
+FROM sweep
+GROUP BY 1
+"""
+
+
+@query("olap_active_time_union", oracle=ACTIVE_TIME_ORACLE)
+def olap_active_time_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total active time per user = measure of the UNION of per-event
+    30-minute activity intervals (overlaps counted once), plus the number
+    of merged activity islands. Sweep line over ±1 boundary events: a
+    timestamp's segment [t, next_t) is covered iff the running open count
+    is positive; an island starts where the count rises from zero.
+
+    Scale shape: one user-keyed exchange serves the boundary pre-agg,
+    the running sum, the lead, and the final aggregation (all
+    user-prefixed); state per user is its distinct boundary timestamps.
+    Never materializes merged intervals — the union's measure is computed
+    directly from the sweep."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    iv = ev.select(
+        "user_id",
+        us.alias("s"),
+        (us + F.lit(ACTIVE_WINDOW_S * 1_000_000)).alias("e"),
+    )
+    bnd = iv.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("b"),
+    ).select("user_id", "b.t", "b.delta")
+    agg = bnd.groupBy("user_id", "t").agg(F.sum("delta").alias("net"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("user_id").orderBy("t")
+    sweep = agg.select(
+        "user_id",
+        "t",
+        F.sum("net").over(w).alias("open_ct"),
+        (F.sum("net").over(w) - F.col("net")).alias("prev_open"),
+        F.lead("t").over(wl).alias("nxt"),
+    )
+    return sweep.groupBy("user_id").agg(
+        F.floor(
+            F.sum(
+                F.when(
+                    F.col("open_ct") > 0, F.col("nxt") - F.col("t")
+                ).otherwise(0)
+            )
+            / 1_000_000
+        )
+        .cast("bigint")
+        .alias("active_s"),
+        F.sum(
+            F.when(
+                (F.col("open_ct") > 0) & (F.col("prev_open") == 0), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_islands"),
+    )
