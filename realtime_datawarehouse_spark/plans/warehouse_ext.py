@@ -1321,3 +1321,119 @@ def ext_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return binned_overlap_pairs(iv)
+
+
+# ---------------------------------------------------------------------------
+# Table reconciliation: the audit every migration/backfill runs — full-outer
+# join two snapshots on the PK and classify every key as left-only /
+# right-only / value-mismatch / equal, with per-column mismatch counts.
+# The "restated" side derives deterministically from the fixture (price
+# restatement on one key slice, dropped keys on another, late-arriving keys
+# on a third) so the diff exercises all four classes.
+# ---------------------------------------------------------------------------
+
+RECON_ORACLE = """
+WITH restated AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 0.01
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 89 = 0 THEN '5-LOW'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 103 = 0
+), j AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+         a.o_orderkey IS NULL AS lmiss, b.o_orderkey IS NULL AS rmiss,
+         CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                   AND CAST(floor(a.o_totalprice * 100 + 0.5) AS BIGINT)
+                    <> CAST(floor(b.o_totalprice * 100 + 0.5) AS BIGINT)
+              THEN 1 ELSE 0 END AS price_ne,
+         CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                   AND a.o_orderpriority <> b.o_orderpriority
+              THEN 1 ELSE 0 END AS prio_ne
+  FROM orders a FULL OUTER JOIN restated b ON a.o_orderkey = b.o_orderkey
+)
+SELECT CASE WHEN rmiss THEN 'left_only'
+            WHEN lmiss THEN 'right_only'
+            WHEN price_ne = 1 OR prio_ne = 1 THEN 'mismatch'
+            ELSE 'equal' END AS status,
+       CAST(count(*) AS BIGINT) AS key_ct,
+       CAST(sum(price_ne) AS BIGINT) AS totalprice_ne_ct,
+       CAST(sum(prio_ne) AS BIGINT) AS orderpriority_ne_ct
+FROM j
+GROUP BY 1
+"""
+
+
+@query("olap_reconciliation_report", oracle=RECON_ORACLE)
+def olap_reconciliation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot reconciliation (migration/backfill audit): full-outer
+    join on the PK, every key classified left_only / right_only /
+    mismatch / equal, with per-column not-equal counts (money compared in
+    integer cents — float-format drift must not read as a diff).
+
+    Scale shape: ONE full-outer shuffle join on the PK (both sides fact-
+    sized — this is the one join class where sort-merge IS the right
+    physical choice) and a 4-key aggregation; per-column comparisons are
+    codegen'd conditionals, not per-column joins."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    restated = (
+        o.where(F.col("o_orderkey") % 101 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 0.01
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            F.when(F.col("o_orderkey") % 89 == 0, F.lit("5-LOW"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderpriority",
+            )
+        )
+    )
+    a, b = o.alias("a"), restated.alias("b")
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    j = a.join(
+        b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    ).select(
+        F.col("a.o_orderkey").isNull().alias("lmiss"),
+        F.col("b.o_orderkey").isNull().alias("rmiss"),
+        F.when(
+            F.col("a.o_orderkey").isNotNull()
+            & F.col("b.o_orderkey").isNotNull()
+            & (cents(F.col("a.o_totalprice")) != cents(F.col("b.o_totalprice"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("price_ne"),
+        F.when(
+            F.col("a.o_orderkey").isNotNull()
+            & F.col("b.o_orderkey").isNotNull()
+            & (F.col("a.o_orderpriority") != F.col("b.o_orderpriority")),
+            1,
+        )
+        .otherwise(0)
+        .alias("prio_ne"),
+    )
+    status = (
+        F.when(F.col("rmiss"), "left_only")
+        .when(F.col("lmiss"), "right_only")
+        .when((F.col("price_ne") == 1) | (F.col("prio_ne") == 1), "mismatch")
+        .otherwise("equal")
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count("*").cast("bigint").alias("key_ct"),
+        F.sum("price_ne").cast("bigint").alias("totalprice_ne_ct"),
+        F.sum("prio_ne").cast("bigint").alias("orderpriority_ne_ct"),
+    )
