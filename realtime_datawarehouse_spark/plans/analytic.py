@@ -3530,3 +3530,112 @@ def olap_active_time_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_islands"),
     )
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index — the distribution-drift metric model
+# monitoring runs between a baseline and a current window:
+# PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i). Baseline = first half of the
+# order-date range, current = second half; fixed equal-width price bins.
+# --------------------------------------------------------------------------
+
+PSI_BINS = 10
+
+PSI_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderdate AS d
+  FROM orders
+), rng AS (
+  SELECT min(cents) AS lo, max(cents) AS hi,
+         min(d) AS d0, max(d) AS d1 FROM b
+), tagged AS (
+  SELECT least(CAST((cents - rng.lo) * {PSI_BINS} // (rng.hi - rng.lo + 1)
+               AS BIGINT), {PSI_BINS - 1}) AS bin,
+         CASE WHEN epoch_us(d) - epoch_us(rng.d0)
+                   < (epoch_us(rng.d1) - epoch_us(rng.d0)) // 2
+              THEN 0 ELSE 1 END AS half
+  FROM b CROSS JOIN rng
+), cts AS (
+  SELECT bin,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1 AS base_ct,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1 AS cur_ct
+  FROM tagged GROUP BY 1
+), tot AS (
+  SELECT sum(base_ct) AS nb, sum(cur_ct) AS nc FROM cts
+), terms AS (
+  SELECT bin, base_ct, cur_ct,
+         CAST(floor((base_ct * 1.0 / tot.nb - cur_ct * 1.0 / tot.nc)
+                    * ln((base_ct * 1.0 / tot.nb)
+                         / (cur_ct * 1.0 / tot.nc))
+                    * 1000000 + 0.5) AS BIGINT) AS psi6
+  FROM cts CROSS JOIN tot
+)
+SELECT bin, CAST(base_ct AS BIGINT) AS base_ct,
+       CAST(cur_ct AS BIGINT) AS cur_ct, psi6,
+       CAST(sum(psi6) OVER () AS BIGINT) AS psi6_total
+FROM terms
+"""
+
+
+@query("olap_snapshot_drift_psi", oracle=PSI_ORACLE)
+def olap_snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the order history over fixed equal-width price bins (add-one
+    smoothing keeps empty bins finite) — per-bin contributions plus the
+    total, 1e-6-quantized after the ln (same libm-agreement caveat and
+    discipline as unigram_logprob).
+
+    Scale shape: one scan feeds the (bin, half) conditional counts
+    (map-combinable); the PSI arithmetic runs on {bins} rows."""
+    o = table(spark, sf_dir, "orders")
+    b = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderdate").alias("d"),
+    )
+    rng = b.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
+    )
+    tagged = b.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.expr(f"(cents - lo) * {PSI_BINS} div (hi - lo + 1)"),
+            F.lit(PSI_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        F.when(
+            F.unix_micros(F.col("d")) - F.unix_micros(F.col("d0"))
+            < F.expr("(unix_micros(d1) - unix_micros(d0)) div 2"),
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+    )
+    cts = tagged.groupBy("bin").agg(
+        (F.sum(F.when(F.col("half") == 0, 1).otherwise(0)) + 1).alias(
+            "base_ct"
+        ),
+        (F.sum(F.when(F.col("half") == 1, 1).otherwise(0)) + 1).alias(
+            "cur_ct"
+        ),
+    )
+    tot = cts.agg(
+        F.sum("base_ct").alias("nb"), F.sum("cur_ct").alias("nc")
+    )
+    p = F.col("base_ct").cast("double") / F.col("nb")
+    q = F.col("cur_ct").cast("double") / F.col("nc")
+    terms = cts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("base_ct").cast("bigint").alias("base_ct"),
+        F.col("cur_ct").cast("bigint").alias("cur_ct"),
+        F.floor((p - q) * F.log(p / q) * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("psi6"),
+    )
+    return terms.withColumn(
+        "psi6_total",
+        F.sum("psi6").over(Window.partitionBy()).cast("bigint"),
+    )
