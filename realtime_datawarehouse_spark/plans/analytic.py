@@ -3639,3 +3639,91 @@ def olap_snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "psi6_total",
         F.sum("psi6").over(Window.partitionBy()).cast("bigint"),
     )
+
+
+# --------------------------------------------------------------------------
+# Classical seasonal decomposition (moving-average flavor): daily GMV =
+# trend (centered 7-day mean) + day-of-week seasonal (mean detrended per
+# weekday) + residual. The additive STL-lite every ops dashboard shows;
+# all arithmetic integer cents + explicit floors, so both engines agree
+# bit-for-bit.
+# --------------------------------------------------------------------------
+
+SEASONAL_DECOMP_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS gmv
+  FROM orders GROUP BY 1
+), tr AS (
+  SELECT d, gmv,
+         CAST(floor(sum(gmv) OVER w * 1.0 / 7) AS BIGINT) AS trend,
+         count(*) OVER w AS wn
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT d, gmv, trend, gmv - trend AS detr,
+         CAST(dayofweek(d) AS BIGINT) AS dow
+  FROM tr WHERE wn = 7
+), seas AS (
+  SELECT dow,
+         CAST(floor(sum(detr) * 1.0 / count(*)) AS BIGINT) AS seasonal
+  FROM det GROUP BY 1
+)
+SELECT strftime(det.d, '%Y-%m-%d') AS d, det.gmv AS gmv_cents,
+       det.trend AS trend_cents, seas.seasonal AS seasonal_cents,
+       CAST(det.detr - seas.seasonal AS BIGINT) AS residual_cents
+FROM det JOIN seas ON seas.dow = det.dow
+"""
+
+
+@query("olap_seasonal_decompose", oracle=SEASONAL_DECOMP_ORACLE)
+def olap_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of daily GMV:
+    centered 7-day moving mean as trend (full windows only), day-of-week
+    mean of the detrended series as the seasonal component, remainder as
+    residual. Integer cents with explicit floor division throughout —
+    no float accumulation to disagree on.
+
+    Scale shape: facts collapse to the daily aggregate first; every
+    window and join after that runs on |days| rows (the single-partition
+    centered window is over ~2.4k rows — the pre-aggregation IS the
+    scale strategy, same as olap_rolling_median_gmv)."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("gmv")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "gmv",
+        F.floor(F.sum("gmv").over(w) * F.lit(1.0) / 7)
+        .cast("bigint")
+        .alias("trend"),
+        F.count("*").over(w).alias("wn"),
+    )
+    det = tr.where(F.col("wn") == 7).select(
+        "d",
+        "gmv",
+        "trend",
+        (F.col("gmv") - F.col("trend")).alias("detr"),
+        F.dayofweek("d").cast("bigint").alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.floor(F.sum("detr") * F.lit(1.0) / F.count("*"))
+        .cast("bigint")
+        .alias("seasonal")
+    )
+    return det.join(F.broadcast(seas), "dow").select(
+        fmt_date("d").alias("d"),
+        F.col("gmv").alias("gmv_cents"),
+        F.col("trend").alias("trend_cents"),
+        F.col("seasonal").alias("seasonal_cents"),
+        (F.col("detr") - F.col("seasonal"))
+        .cast("bigint")
+        .alias("residual_cents"),
+    )

@@ -59,6 +59,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_active_time_union",
     "olap_reconciliation_report",
     "olap_snapshot_drift_psi",
+    "olap_seasonal_decompose",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",
