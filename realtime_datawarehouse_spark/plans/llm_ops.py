@@ -2671,3 +2671,64 @@ def mix_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10_000.0
         ).alias("pad_waste"),
     )
+
+
+ENTITY_RESOLUTION_ORACLE = f"""
+WITH RECURSIVE fz AS (
+{FUZZY_NAME_ORACLE}
+), edges AS (
+  SELECT name_a AS src, name_b AS dst FROM fz
+  UNION ALL
+  SELECT name_b, name_a FROM fz
+), nodes AS (
+  SELECT DISTINCT p_name FROM part
+), reach AS (
+  SELECT p_name AS src, p_name AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), lab AS (
+  SELECT src AS name, min(dst) AS entity_id FROM reach GROUP BY 1
+), sz AS (
+  SELECT entity_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM lab GROUP BY 1
+)
+SELECT lab.name, lab.entity_id, sz.cluster_size
+FROM lab JOIN sz ON sz.entity_id = lab.entity_id
+"""
+
+
+@query("ext_entity_resolution", oracle=ENTITY_RESOLUTION_ORACLE)
+def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over part names: q-gram-blocked fuzzy
+    pairs (Levenshtein ≤ 2, the ext_fuzzy_name_join stage) fed into
+    large-star/small-star connected components → every name labeled with
+    its canonical entity (cluster min) and cluster size. The standard ER
+    pipeline — block → match → cluster → canonicalize — as ONE
+    oracle-checked composition of two audited operators; the oracle nests
+    the quadratic pair rule inside a recursive-CTE closure.
+
+    Scale shape: blocking bounds candidate pairs (integer multiset
+    count-filter before any edit-distance DP); the star alternation
+    contracts clusters in O(log² n) rounds; the size annotation is one
+    aggregate + one hash join on the label."""
+    from realtime_datawarehouse_spark.tables import table as _t
+
+    part = _t(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    pairs = dedup.fuzzy_name_pairs(
+        part, name_col="p_name", max_dist=2
+    ).select(
+        F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b")
+    )
+    labels = dedup.connected_components_star(
+        names, pairs, node_col="p_name"
+    ).select(
+        F.col("p_name").alias("name"),
+        F.col("component_id").alias("entity_id"),
+    )
+    sizes = labels.groupBy("entity_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return labels.join(sizes.hint("shuffle_hash"), "entity_id").select(
+        "name", "entity_id", "cluster_size"
+    )

@@ -60,6 +60,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_reconciliation_report",
     "olap_snapshot_drift_psi",
     "olap_seasonal_decompose",
+    "ext_entity_resolution",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",
