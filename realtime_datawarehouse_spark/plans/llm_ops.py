@@ -2732,3 +2732,85 @@ def ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(sizes.hint("shuffle_hash"), "entity_id").select(
         "name", "entity_id", "cluster_size"
     )
+
+
+EMB_CENTROID_DRIFT_ORACLE = """
+WITH x AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS vq
+  FROM embeddings
+), bylab AS (
+  SELECT label, dim, sum(vq) AS sl, count(*) AS nl FROM x GROUP BY 1, 2
+), gctr AS (
+  SELECT dim, sum(vq) AS sg, count(*) AS ng FROM x GROUP BY 1
+), m AS (
+  SELECT b.label, b.dim,
+         CAST(floor(b.sl * 1.0 / b.nl) AS BIGINT) AS ml,
+         CAST(floor(g.sg * 1.0 / g.ng) AS BIGINT) AS mg,
+         b.nl
+  FROM bylab b JOIN gctr g ON g.dim = b.dim
+)
+SELECT label, CAST(max(nl) AS BIGINT) AS n_vecs,
+       floor(sum(ml * mg) / (sqrt(sum(ml * ml)) * sqrt(sum(mg * mg)))
+             * 1000000 + 0.5) / 1000000.0 AS cos_to_global
+FROM m
+GROUP BY 1
+"""
+
+
+@query("embed_source_centroid_drift", oracle=EMB_CENTROID_DRIFT_ORACLE)
+def embed_source_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vs the corpus centroid (cosine): the embedding
+    drift audit that flags a cluster/source whose vectors wander from the
+    population (ingestion bug, model-version skew) before ANN recall
+    degrades. Centroids are compared as INTEGER mean vectors (1e-6
+    component quantization, floor(sum/n)) — dot products ≤ 64·10¹² stay
+    exactly representable, so the only float steps are two IEEE sqrts and
+    one division.
+
+    Scale shape: one posexplode feeds both the per-label and global sums
+    (map-side combined to |labels|×DIM and DIM rows); everything after
+    runs on centroid-sized data."""
+    em = _emb(spark, sf_dir)
+    x = em.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    bylab = x.groupBy("label", "dim").agg(
+        F.sum("vq").alias("sl"), F.count("*").alias("nl")
+    )
+    glob = x.groupBy("dim").agg(
+        F.sum("vq").alias("sg"), F.count("*").alias("ng")
+    )
+    m = bylab.join(F.broadcast(glob), "dim").select(
+        "label",
+        "nl",
+        F.floor(F.col("sl") * F.lit(1.0) / F.col("nl"))
+        .cast("bigint")
+        .alias("ml"),
+        F.floor(F.col("sg") * F.lit(1.0) / F.col("ng"))
+        .cast("bigint")
+        .alias("mg"),
+    )
+    return m.groupBy("label").agg(
+        F.max("nl").cast("bigint").alias("n_vecs"),
+        (
+            F.floor(
+                F.sum(F.col("ml") * F.col("mg"))
+                / (
+                    F.sqrt(F.sum(F.col("ml") * F.col("ml")))
+                    * F.sqrt(F.sum(F.col("mg") * F.col("mg")))
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("cos_to_global"),
+    )

@@ -61,6 +61,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_snapshot_drift_psi",
     "olap_seasonal_decompose",
     "ext_entity_resolution",
+    "embed_source_centroid_drift",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",
