@@ -2814,3 +2814,87 @@ def embed_source_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("cos_to_global"),
     )
+
+
+DATASET_CARD_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, source,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS tok,
+         md5(text) AS h
+  FROM documents
+), dup AS (
+  SELECT CAST(sum(ct - 1) AS BIGINT) AS dup_docs
+  FROM (SELECT count(*) AS ct FROM t GROUP BY h)
+)
+SELECT 'docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM t
+UNION ALL
+SELECT 'tokens', CAST(sum(tok) AS BIGINT) FROM t
+UNION ALL
+SELECT 'langs', CAST(count(DISTINCT lang) AS BIGINT) FROM t
+UNION ALL
+SELECT 'sources', CAST(count(DISTINCT source) AS BIGINT) FROM t
+UNION ALL
+SELECT 'exact_dup_docs', dup_docs FROM dup
+UNION ALL
+SELECT 'p50_tokens', CAST(v AS BIGINT) FROM (
+  SELECT tok AS v, row_number() OVER (ORDER BY tok, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM t
+) WHERE rn = (n + 1) // 2
+UNION ALL
+SELECT 'max_tokens', CAST(max(tok) AS BIGINT) FROM t
+"""
+
+
+@query("curate_dataset_card", oracle=DATASET_CARD_ORACLE)
+def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-query dataset card: corpus size, token count, language/source
+    diversity, exact-dup volume, and token-length quantiles — the summary
+    block every published training set ships. Each metric row is a cheap
+    aggregate of ONE shared tokenized scan (Catalyst reuses nothing
+    across UNION branches, but every branch is map-combinable; at 100 TB
+    materialize the per-doc stats table once and aggregate that).
+
+    (The exact median uses the same integer rank selection as
+    olap_rolling_median_gmv.)"""
+    from realtime_datawarehouse_spark.functions.text import tokenize
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tokenize("text")).alias("tok"),
+        F.md5("text").alias("h"),
+    )
+
+    def row(name, df):
+        return df.select(
+            F.lit(name).alias("metric"), F.col("value").cast("bigint")
+        )
+
+    docs = row("docs", t.agg(F.count("*").alias("value")))
+    toks = row("tokens", t.agg(F.sum("tok").alias("value")))
+    langs = row("langs", t.agg(F.countDistinct("lang").alias("value")))
+    srcs = row("sources", t.agg(F.countDistinct("source").alias("value")))
+    dup = row(
+        "exact_dup_docs",
+        t.groupBy("h")
+        .agg(F.count("*").alias("ct"))
+        .agg(F.sum(F.col("ct") - 1).alias("value")),
+    )
+    wrn = Window.orderBy("tok", "doc_id")
+    med = row(
+        "p50_tokens",
+        t.select(
+            "tok",
+            F.row_number().over(wrn).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("tok").alias("value")),
+    )
+    mx = row("max_tokens", t.agg(F.max("tok").alias("value")))
+    return docs.unionByName(toks).unionByName(langs).unionByName(
+        srcs
+    ).unionByName(dup).unionByName(med).unionByName(mx)

@@ -62,6 +62,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_seasonal_decompose",
     "ext_entity_resolution",
     "embed_source_centroid_drift",
+    "curate_dataset_card",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",
