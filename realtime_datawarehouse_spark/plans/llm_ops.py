@@ -2898,3 +2898,124 @@ def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(toks).unionByName(langs).unionByName(
         srcs
     ).unionByName(dup).unionByName(med).unionByName(mx)
+
+
+def _ann_ranking_metrics_oracle() -> str:
+    from realtime_datawarehouse_spark.operators.similarity import (
+        NUM_PROBE,
+        brute_topk_oracle,
+        ivf_topk_oracle,
+    )
+
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id, rnk AS tr FROM (
+{brute_topk_oracle(TOPK, ANN_QUERY_PRED_SQL)}
+  ) t
+),
+approx AS (
+  SELECT query_id, neighbor_id, rnk AS ar FROM (
+{ivf_topk_oracle(TOPK, NUM_PROBE, ANN_QUERY_PRED_SQL)}
+  ) t
+),
+scored AS (
+  SELECT a.query_id, a.ar, t.tr,
+         CASE WHEN t.tr IS NOT NULL THEN {TOPK} - t.tr + 1 ELSE 0 END AS rel
+  FROM approx a
+  LEFT JOIN truth t
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+),
+per_q AS (
+  SELECT query_id,
+         CAST(sum(CAST(floor(rel / log2(ar + 1) * 1000000 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS dcg6,
+         CAST(max(CASE WHEN tr = 1
+                       THEN CAST(floor(1000000.0 / ar) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS mrr6
+  FROM scored GROUP BY 1
+),
+ideal AS (
+  SELECT query_id,
+         CAST(sum(CAST(floor(({TOPK} - tr + 1) / log2(tr + 1) * 1000000
+                             + 0.5) AS BIGINT)) AS BIGINT) AS idcg6
+  FROM truth GROUP BY 1
+)
+SELECT p.query_id, p.mrr6,
+       CAST(floor(CAST(p.dcg6 AS DOUBLE) * 1000000.0 / i.idcg6)
+            AS BIGINT) AS ndcg6
+FROM per_q p JOIN ideal i ON i.query_id = p.query_id
+"""
+
+
+@query("ann_ranking_metrics", oracle=_ann_ranking_metrics_oracle())
+def ann_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR-metric audit of the IVF search against brute truth: per-query
+    MRR (reciprocal approx-rank of the true top-1) and nDCG@{TOPK}
+    (graded relevance = inverted truth rank, log2 discount) — the two
+    ranking metrics every retrieval eval reports beside recall
+    (ann_ivf_recall_eval). Per-term quantization before the int64 sums
+    keeps the discounted sums order-free; log2 carries the usual libm
+    caveat. Cost: the two audited ANN plans + |queries|·k-row joins."""
+    from realtime_datawarehouse_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.expr(ANN_QUERY_PRED_SQL)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    truth = similarity.brute_topk(emb, qs, TOPK).select(
+        "query_id", "neighbor_id", F.col("rnk").alias("tr")
+    )
+    approx = similarity.ivf_topk(emb, qs, TOPK).select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("a_nid"),
+        F.col("rnk").alias("ar"),
+    )
+    rel = F.when(
+        F.col("tr").isNotNull(), F.lit(TOPK) - F.col("tr") + 1
+    ).otherwise(0)
+    scored = approx.join(
+        F.broadcast(truth),
+        (F.col("aq") == F.col("query_id"))
+        & (F.col("a_nid") == F.col("neighbor_id")),
+        "left",
+    ).select(F.col("aq").alias("query_id"), "ar", "tr", rel.alias("rel"))
+    per_q = scored.groupBy("query_id").agg(
+        F.sum(
+            F.floor(
+                F.col("rel") / F.log2(F.col("ar") + 1) * 1_000_000
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("dcg6"),
+        F.max(
+            F.when(
+                F.col("tr") == 1,
+                F.floor(F.lit(1_000_000.0) / F.col("ar")).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("mrr6"),
+    )
+    ideal = truth.groupBy("query_id").agg(
+        F.sum(
+            F.floor(
+                (F.lit(TOPK) - F.col("tr") + 1)
+                / F.log2(F.col("tr") + 1)
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("idcg6")
+    )
+    return per_q.join(F.broadcast(ideal), "query_id").select(
+        "query_id",
+        "mrr6",
+        F.floor(
+            F.col("dcg6").cast("double") * F.lit(1_000_000.0) / F.col("idcg6")
+        )
+        .cast("bigint")
+        .alias("ndcg6"),
+    )

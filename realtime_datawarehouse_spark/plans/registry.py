@@ -63,6 +63,7 @@ DRIVER_PRIORITY: list[str] = [
     "ext_entity_resolution",
     "embed_source_centroid_drift",
     "curate_dataset_card",
+    "ann_ranking_metrics",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",
