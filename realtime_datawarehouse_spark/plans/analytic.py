@@ -3727,3 +3727,128 @@ def olap_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("residual_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival curve over customer reorder gaps: S(t) = Π_{u≤t}
+# (1 − d_u / n_u) with right-censoring at the observation horizon — the
+# churn-analysis estimator ("probability a customer has NOT reordered by
+# day t"). The product becomes exp(Σ ln(·)) with per-term 1e-6
+# quantization (order-free int64 cumsum), the same discipline as the LM
+# scorers.
+# --------------------------------------------------------------------------
+
+KM_ORACLE = """
+WITH o AS (
+  SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d FROM orders
+), horizon AS (
+  SELECT max(d) AS h FROM o
+), iv AS (
+  SELECT c, d,
+         lead(d) OVER (PARTITION BY c ORDER BY d) AS nd
+  FROM o
+), spans AS (
+  SELECT CASE WHEN nd IS NULL
+              THEN date_diff('day', d, horizon.h)
+              ELSE date_diff('day', d, nd) END AS dur,
+         CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+  FROM iv CROSS JOIN horizon
+), tot AS (
+  SELECT count(*) AS n FROM spans
+), dist AS (
+  SELECT dur, sum(ev) AS d_ct, count(*) AS all_ct
+  FROM spans GROUP BY 1
+), risk AS (
+  SELECT dur, d_ct,
+         tot.n - coalesce(sum(all_ct) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM dist CROSS JOIN tot
+), ev_t AS (
+  SELECT dur AS t, CAST(d_ct AS BIGINT) AS d_events,
+         CAST(n_risk AS BIGINT) AS n_risk,
+         CAST(floor(ln(1.0 - d_ct * 1.0 / n_risk) * 1000000
+                    - 0.5) AS BIGINT) * -1 AS negln6
+  FROM risk WHERE d_ct > 0 AND d_ct < n_risk
+)
+SELECT t, n_risk, d_events,
+       floor(exp(-CAST(sum(negln6) OVER (ORDER BY t
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000.0)
+             * 1000000 + 0.5) / 1000000.0 AS survival
+FROM ev_t
+"""
+
+
+@query("olap_survival_km", oracle=KM_ORACLE)
+def olap_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier reorder-survival curve: per distinct gap length, the
+    at-risk count, event count, and S(t) — last orders right-censored at
+    the horizon. Facts collapse to one row per order interval, then the
+    whole estimator runs on the |distinct durations| table; the running
+    product is exp of a quantized-ln cumulative sum (libm caveat as
+    documented for the LM scorers)."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"), F.to_date("o_orderdate").alias("d")
+    )
+    horizon = o.agg(F.max("d").alias("h"))
+    wc = Window.partitionBy("c").orderBy("d")
+    iv = o.withColumn("nd", F.lead("d").over(wc))
+    spans = iv.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("nd").isNull(), F.datediff(F.col("h"), F.col("d"))
+        )
+        .otherwise(F.datediff(F.col("nd"), F.col("d")))
+        .alias("dur"),
+        F.when(F.col("nd").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    tot = spans.agg(F.count("*").alias("n"))
+    dist = spans.groupBy("dur").agg(
+        F.sum("ev").alias("d_ct"), F.count("*").alias("all_ct")
+    )
+    wd = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = dist.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d_ct",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("all_ct").over(wd), F.lit(0))
+        ).alias("n_risk"),
+    )
+    # negln6 = round-half-up of -ln(1 - d/n) (positive); floor(x*1e6 - 0.5)
+    # * -1 on the negative ln reproduces the same rounding in both engines
+    ev_t = risk.where(
+        (F.col("d_ct") > 0) & (F.col("d_ct") < F.col("n_risk"))
+    ).select(
+        F.col("dur").alias("t"),
+        F.col("d_ct").cast("bigint").alias("d_events"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        (
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d_ct").cast("double") / F.col("n_risk")
+                )
+                * 1_000_000
+                - F.lit(0.5)
+            ).cast("bigint")
+            * -1
+        ).alias("negln6"),
+    )
+    wt = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev_t.select(
+        "t",
+        "n_risk",
+        "d_events",
+        (
+            F.floor(
+                F.exp(
+                    -F.sum("negln6").over(wt).cast("double") / 1_000_000.0
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("survival"),
+    )

@@ -64,6 +64,7 @@ DRIVER_PRIORITY: list[str] = [
     "embed_source_centroid_drift",
     "curate_dataset_card",
     "ann_ranking_metrics",
+    "olap_survival_km",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",
