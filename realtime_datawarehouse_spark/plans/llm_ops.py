@@ -3019,3 +3019,63 @@ def ann_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ndcg6"),
     )
+
+
+ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, count(*) AS f FROM toks GROUP BY 1
+), ranked AS (
+  SELECT CAST(floor(ln(row_number() OVER (ORDER BY f DESC, tok))
+                    * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(f) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM freq
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(floor((count(*) * sum(x * y) - sum(x) * sum(y)) * 1000000.0
+                  / (count(*) * sum(x * x) - sum(x) * sum(x)))
+            AS BIGINT) AS slope6
+FROM ranked
+"""
+
+
+@query("text_zipf_slope", oracle=ZIPF_ORACLE)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus frequency spectrum: OLS slope of
+    ln(freq) on ln(rank) — the scaling-law companion of text_vocab_growth
+    (Heaps). A natural corpus fits slope ≈ −1; a synthetic/near-uniform
+    one (this fixture) sits near 0, which is exactly the anomaly signal
+    the check exists to raise. Log terms are 1e-6-quantized ints, the
+    OLS moments exact int64 products (vocab-sized inputs).
+
+    Scale shape: one token explode → map-combined frequency table; the
+    rank window and the 1-row regression run on |vocab| rows."""
+    from realtime_datawarehouse_spark.functions.text import tokenize
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokenize("text")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
+    wr = Window.orderBy(F.desc("f"), F.asc("tok"))
+    ranked = freq.select(
+        F.floor(F.log(F.row_number().over(wr)) * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log("f") * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    n = F.count("*")
+    return ranked.agg(
+        n.cast("bigint").alias("n_terms"),
+        F.floor(
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            * F.lit(1_000_000.0)
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        )
+        .cast("bigint")
+        .alias("slope6"),
+    )

@@ -65,6 +65,7 @@ DRIVER_PRIORITY: list[str] = [
     "curate_dataset_card",
     "ann_ranking_metrics",
     "olap_survival_km",
+    "text_zipf_slope",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",
