@@ -118,6 +118,17 @@ BENCH_QUERIES = (
     "olap_max_concurrent_intervals",  # sweep-line interval concurrency
     "olap_abtest_cuped",            # CUPED variance-reduced readout
     "mm_content_sniff",             # JVM-only magic-byte routing
+    # round-4 fifth/sixth-wave additions
+    "olap_top_paths",               # session path pivot + top-k
+    "olap_fifo_allocation",         # cumulative-range FIFO matching
+    "olap_rolling_median_gmv",      # trailing-window exact median grid
+    "olap_clamped_running_balance",  # reflection-identity running clamp
+    "olap_active_time_union",       # interval-union sweep measure
+    "olap_reconciliation_report",   # full-outer snapshot diff
+    "olap_seasonal_decompose",      # trend/seasonal/residual split
+    "olap_survival_km",             # Kaplan-Meier survival curve
+    "ext_entity_resolution",        # fuzzy pairs → star CC entities
+    "ann_ivf_balance_report",       # inverted-list balance audit
 )
 
 
