@@ -3079,3 +3079,104 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope6"),
     )
+
+
+YIELD_TAUS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _yield_curve_oracle() -> str:
+    taus = ", ".join(str(t) for t in YIELD_TAUS)
+    return f"""
+WITH pr AS (
+{dedup.ngram_jaccard_oracle(0.3)}
+), th AS (
+  SELECT unnest([{taus}]) AS tau
+), tok AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS tok
+  FROM documents
+), tot AS (
+  SELECT sum(tok) AS t FROM tok
+), drops AS (
+  SELECT th.tau, p.doc_b
+  FROM th JOIN pr p ON p.jaccard >= th.tau
+  GROUP BY 1, 2
+), agg AS (
+  SELECT tau, CAST(count(*) AS BIGINT) AS docs_dropped,
+         CAST(sum(tok.tok) AS BIGINT) AS tokens_dropped
+  FROM drops JOIN tok ON tok.doc_id = drops.doc_b
+  GROUP BY 1
+)
+SELECT th.tau,
+       coalesce(agg.docs_dropped, 0) AS docs_dropped,
+       coalesce(agg.tokens_dropped, 0) AS tokens_dropped,
+       floor((1.0 - coalesce(agg.tokens_dropped, 0) * 1.0 / tot.t)
+             * 1000000 + 0.5) / 1000000.0 AS token_yield
+FROM th LEFT JOIN agg ON agg.tau = th.tau CROSS JOIN tot
+"""
+
+
+@query("dedup_threshold_yield_curve", oracle=_yield_curve_oracle())
+def dedup_threshold_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-yield curve across dedup aggressiveness: for each Jaccard
+    threshold τ, how many documents/tokens the keep-min-id near-dup rule
+    would drop and the surviving token fraction — the tuning input for
+    choosing τ before a full dedup run (the pair-level estimate; the
+    transitive-closure drop is bounded below by it).
+
+    Scale shape: ONE exact pair computation at the loosest τ (the same
+    inverted-index machinery as dedup_ngram_jaccard) reused by every
+    threshold via a 7-row broadcast explode — the curve costs one pair
+    stage, not |τ| of them."""
+    from realtime_datawarehouse_spark.functions.text import tokenize
+
+    docs = _docs(spark, sf_dir)
+    pr = dedup.ngram_jaccard_pairs(docs, threshold=min(YIELD_TAUS))
+    th = (
+        docs.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(t) for t in YIELD_TAUS])
+            ).alias("tau")
+        )
+    )
+    tok = docs.select(
+        "doc_id", F.size(tokenize("text")).alias("tok")
+    )
+    tot = tok.agg(F.sum("tok").alias("t"))
+    drops = (
+        F.broadcast(th)
+        .join(pr, F.col("jaccard") >= F.col("tau"))
+        .select("tau", "doc_b")
+        .distinct()
+    )
+    agg = drops.join(tok, F.col("doc_id") == F.col("doc_b")).groupBy(
+        "tau"
+    ).agg(
+        F.count("*").cast("bigint").alias("docs_dropped"),
+        F.sum("tok").cast("bigint").alias("tokens_dropped"),
+    )
+    return (
+        th.join(agg, "tau", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tau",
+            F.coalesce("docs_dropped", F.lit(0)).alias("docs_dropped"),
+            F.coalesce("tokens_dropped", F.lit(0)).alias("tokens_dropped"),
+            (
+                F.floor(
+                    (
+                        F.lit(1.0)
+                        - F.coalesce("tokens_dropped", F.lit(0)).cast(
+                            "double"
+                        )
+                        / F.col("t")
+                    )
+                    * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000.0
+            ).alias("token_yield"),
+        )
+    )

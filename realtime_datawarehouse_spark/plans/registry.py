@@ -66,6 +66,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_ranking_metrics",
     "olap_survival_km",
     "text_zipf_slope",
+    "dedup_threshold_yield_curve",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",
