@@ -3180,3 +3180,55 @@ def dedup_threshold_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_yield"),
         )
     )
+
+
+INTERLEAVE_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS BIGINT) AS sidx,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) - 1 AS rn
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(rn * 20 + sidx AS BIGINT) AS position
+FROM r
+"""
+
+
+@query("mix_interleave_positions", oracle=INTERLEAVE_ORACLE)
+def mix_interleave_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin source interleaving for training order:
+    each document's global position is CLOSED-FORM — (within-source
+    shuffled rank) × n_sources + source index — so sources alternate
+    evenly without any global sort or coordination; the within-source
+    order is a hash permutation (md5 of doc_id), reproducible anywhere.
+
+    Scale shape: one source-keyed window (sources are independent
+    partitions); the global order is never materialized — writers can
+    emit shards sorted by position per partition and readers merge
+    lazily. This is the streaming-friendly dual of mix_epoch_schedule's
+    per-epoch permutation."""
+    n_sources = 20  # fixture constant; a production build derives it once
+    r = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.substring("source", 4, 10).cast("bigint").alias("sidx"),
+        (
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), "doc_id"
+                )
+            )
+            - 1
+        ).alias("rn"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        (F.col("rn") * n_sources + F.col("sidx"))
+        .cast("bigint")
+        .alias("position"),
+    )
