@@ -3852,3 +3852,90 @@ def olap_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("survival"),
     )
+
+
+# --------------------------------------------------------------------------
+# ABC classification: rank parts by revenue, classify by cumulative share
+# (A ≤ 80%, B ≤ 95%, C rest) — the inventory-policy Pareto cut, computed
+# on integer cents with an exclusive-prefix rule so class boundaries are
+# exact.
+# --------------------------------------------------------------------------
+
+ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT sum(cents) AS t FROM rev
+), ranked AS (
+  SELECT partkey, cents,
+         sum(cents) OVER (ORDER BY cents DESC, partkey
+                          ROWS UNBOUNDED PRECEDING) - cents AS prefix_excl
+  FROM rev
+), classed AS (
+  SELECT partkey, cents,
+         CASE WHEN prefix_excl * 100 < tot.t * 80 THEN 'A'
+              WHEN prefix_excl * 100 < tot.t * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked CROSS JOIN tot
+)
+SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       floor(sum(cents) * 1000000.0 / tot.t + 0.5) / 10000.0
+         AS revenue_share_pct
+FROM classed CROSS JOIN tot
+GROUP BY abc, tot.t
+"""
+
+
+@query("olap_abc_classification", oracle=ABC_ORACLE)
+def olap_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classes by revenue: a part is 'A' while the
+    EXCLUSIVE cumulative share before it is under 80% (so the part
+    crossing the boundary still counts into the class), 'B' under 95%,
+    else 'C'. The boundary test is pure integer cross-multiplication
+    (prefix·100 < total·80) — no float thresholds to disagree on.
+
+    Scale shape: facts collapse to per-part cents first; the ranking
+    window and classification run on the |parts| aggregate (the
+    dimension-sized-window discipline of the Pareto/Gini family)."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").alias("t"))
+    w = Window.orderBy(F.desc("cents"), F.asc("partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        "partkey",
+        "cents",
+        (F.sum("cents").over(w) - F.col("cents")).alias("prefix_excl"),
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "t",
+        F.when(F.col("prefix_excl") * 100 < F.col("t") * 80, "A")
+        .when(F.col("prefix_excl") * 100 < F.col("t") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("abc", "t").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+        (
+            F.floor(
+                F.sum("cents") * F.lit(1_000_000.0) / F.first("t")
+                + F.lit(0.5)
+            )
+            / 10_000.0
+        ).alias("revenue_share_pct"),
+    ).drop("t")

@@ -68,6 +68,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_zipf_slope",
     "dedup_threshold_yield_curve",
     "mix_interleave_positions",
+    "olap_abc_classification",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",
