@@ -3151,14 +3151,18 @@ def dedup_threshold_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tau", "doc_b")
         .distinct()
     )
-    agg = drops.join(tok, F.col("doc_id") == F.col("doc_b")).groupBy(
+    agg = drops.join(
+        tok.hint("shuffle_hash"), F.col("doc_id") == F.col("doc_b")
+    ).groupBy(
         "tau"
     ).agg(
         F.count("*").cast("bigint").alias("docs_dropped"),
         F.sum("tok").cast("bigint").alias("tokens_dropped"),
     )
     return (
-        th.join(agg, "tau", "left")
+        # agg is ≤|taus| rows but sits atop a large subtree, so the planner
+        # can't see its size — force the broadcast for the final left join
+        th.join(agg.hint("broadcast"), "tau", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "tau",
