@@ -3236,3 +3236,73 @@ def mix_interleave_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("position"),
     )
+
+
+BURSTINESS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS tok
+  FROM documents
+), per_doc AS (
+  SELECT tok, doc_id, count(*) AS c FROM toks GROUP BY 1, 2
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM documents
+), m AS (
+  SELECT tok,
+         CAST(count(*) AS BIGINT) AS doc_ct,
+         CAST(sum(c) AS BIGINT) AS total_ct,
+         CAST(sum(c * c) AS BIGINT) AS sq_ct
+  FROM per_doc GROUP BY 1
+)
+SELECT tok,
+       total_ct,
+       doc_ct,
+       floor(((sq_ct * 1.0 / nd.n) - (total_ct * 1.0 / nd.n)
+              * (total_ct * 1.0 / nd.n))
+             / (total_ct * 1.0 / nd.n) * 10000 + 0.5) / 10000.0
+         AS burstiness
+FROM m CROSS JOIN nd
+"""
+
+
+@query("text_burstiness", oracle=BURSTINESS_ORACLE)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term burstiness (variance-to-mean ratio of the per-document
+    count, zeros included via the corpus doc total): ~1 for Poisson-
+    scattered function words, ≫1 for topical terms that clump — the
+    dispersion signal behind keyword extraction and stopword discovery.
+    Counts and squared counts are exact integers; the VMR is computed
+    from them with one deterministic float expression.
+
+    Scale shape: one explode → (term, doc) counts (map-side combined) →
+    per-term moment aggregation; output is vocabulary-sized."""
+    from realtime_datawarehouse_spark.functions.text import tokenize
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    per_doc = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("c"))
+    nd = docs.agg(F.countDistinct("doc_id").alias("n"))
+    m = per_doc.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("doc_ct"),
+        F.sum("c").cast("bigint").alias("total_ct"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sq_ct"),
+    )
+    mean = F.col("total_ct").cast("double") / F.col("n")
+    return m.crossJoin(F.broadcast(nd)).select(
+        "tok",
+        "total_ct",
+        "doc_ct",
+        (
+            F.floor(
+                (
+                    (F.col("sq_ct").cast("double") / F.col("n"))
+                    - mean * mean
+                )
+                / mean
+                * 10_000
+                + F.lit(0.5)
+            )
+            / 10_000.0
+        ).alias("burstiness"),
+    )

@@ -69,6 +69,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_threshold_yield_curve",
     "mix_interleave_positions",
     "olap_abc_classification",
+    "text_burstiness",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",
