@@ -1137,3 +1137,38 @@ def clamped_balance_stream(li: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def content_sniff_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of mm_content_sniff: the magic-byte router runs
+    unchanged on a document stream (pure stateless expressions + one
+    streaming aggregation — state is one row per content type). The
+    ingest gate pattern: counts by sniffed type feed a dashboard while
+    the typed payloads route to per-modality sinks."""
+    from realtime_datawarehouse_spark.operators.multimodal import (
+        _JPEG_MAGIC,
+        _PNG_MAGIC,
+        _RIFF,
+        _WAVE,
+        attach_typed_payload,
+    )
+
+    p = attach_typed_payload(docs)
+    head = lambda off, n: F.substring(F.col("payload"), off, n)  # noqa: E731
+    ctype = (
+        F.when(head(1, 8) == F.lit(_PNG_MAGIC), "image/png")
+        .when(head(1, 4) == F.lit(_JPEG_MAGIC), "image/jpeg")
+        .when(
+            (head(1, 4) == F.lit(_RIFF)) & (head(9, 4) == F.lit(_WAVE)),
+            "audio/wav",
+        )
+        .otherwise("application/octet-stream")
+    )
+    return (
+        p.select(ctype.alias("content_type"), F.length("payload").alias("nb"))
+        .groupBy("content_type")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("nb").cast("bigint").alias("total_bytes"),
+        )
+    )

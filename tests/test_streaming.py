@@ -1069,3 +1069,35 @@ def test_clamped_balance_streaming_parity(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 100
+
+
+def test_content_sniff_streaming_parity(spark, tmp_path):
+    """The magic-byte router's streaming aggregation must converge to the
+    batch mm_content_sniff result once all micro-batches are processed
+    (complete output mode; state = one row per content type)."""
+    from realtime_datawarehouse_spark.plans import registry
+
+    docs = table(spark, SF_DIR, "documents")
+    d = str(tmp_path / "docs_sniff_stream")
+    n = docs.count()
+    docs.orderBy("doc_id").limit(n // 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    docs.orderBy(F.desc("doc_id")).limit(n - n // 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = jobs.parquet_stream(spark, d, docs.schema)
+    got = {
+        r.content_type: (r.n_files, r.total_bytes)
+        for r in _drain(
+            spark, jobs.content_sniff_stream(stream), "t_sniff", "complete"
+        ).collect()
+    }
+    want = {
+        r.content_type: (r.n_files, r.total_bytes)
+        for r in registry.get_queries()["mm_content_sniff"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == want and len(want) == 4
