@@ -3939,3 +3939,120 @@ def olap_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10_000.0
         ).alias("revenue_share_pct"),
     ).drop("t")
+
+
+# --------------------------------------------------------------------------
+# Wald–Wolfowitz runs test: is the daily GMV sequence random around its
+# median, or does it trend/cluster? Signs vs the median, count runs R,
+# z = (R − E[R]) / sqrt(Var[R]) with E and Var exact rational functions of
+# the +/− counts — the randomness screen run on KPI series before anyone
+# trusts a trend story.
+# --------------------------------------------------------------------------
+
+RUNS_TEST_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS gmv
+  FROM orders GROUP BY 1
+), med AS (
+  SELECT gmv AS m FROM (
+    SELECT gmv, row_number() OVER (ORDER BY gmv, d) AS rn,
+           count(*) OVER () AS n
+    FROM daily
+  ) WHERE rn = (n + 1) // 2
+), signs AS (
+  SELECT d, CASE WHEN gmv > med.m THEN 1 ELSE 0 END AS s
+  FROM daily CROSS JOIN med
+  WHERE gmv <> med.m
+), runs AS (
+  SELECT s,
+         CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+                   OR lag(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END AS brk
+  FROM signs
+), agg AS (
+  SELECT CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(brk) AS BIGINT) AS r
+  FROM runs
+)
+SELECT n1, n2, r,
+       floor((r - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
+             * 10000 + 0.5) / 10000.0 AS z
+FROM agg
+"""
+
+
+@query("olap_runs_test", oracle=RUNS_TEST_ORACLE)
+def olap_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs test for randomness of the daily GMV series around its exact
+    median (lower-median rank selection; ties to the median excluded, the
+    standard treatment): run count via one lag window, the z-statistic
+    from exact integer counts with one sqrt — identically parenthesized
+    in both engines.
+
+    Scale shape: facts collapse to the daily aggregate; everything after
+    runs on |days| rows."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("gmv")
+    )
+    wrn = Window.orderBy("gmv", "d")
+    med = (
+        daily.select(
+            "gmv",
+            F.row_number().over(wrn).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("gmv").alias("m"))
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("gmv") != F.col("m"))
+        .select(
+            "d", F.when(F.col("gmv") > F.col("m"), 1).otherwise(0).alias("s")
+        )
+    )
+    wd = Window.orderBy("d")
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNull() | (F.lag("s").over(wd) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    agg = runs.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum("brk").cast("bigint").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    e = F.lit(2.0) * n1 * n2 / (n1 + n2) + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - F.lit(1.0)))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "r",
+        (
+            F.floor((r - e) / F.sqrt(var) * 10_000 + F.lit(0.5)) / 10_000.0
+        ).alias("z"),
+    )

@@ -71,6 +71,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_abc_classification",
     "text_burstiness",
     "graph_coreness",
+    "olap_runs_test",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",
