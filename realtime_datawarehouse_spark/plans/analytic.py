@@ -4056,3 +4056,113 @@ def olap_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((r - e) / F.sqrt(var) * 10_000 + F.lit(0.5)) / 10_000.0
         ).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mann–Kendall trend test — the nonparametric companion of the runs test:
+# S = Σ_{i<j} sign(gmv_j − gmv_i) over the day-ordered series, variance
+# with the exact tie correction, z with the ±1 continuity correction.
+# Pairwise by definition, but over the DAILY AGGREGATE (|days|² pairs ≈
+# millions at any corpus size — dimension-side work).
+# --------------------------------------------------------------------------
+
+MANN_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS gmv
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(sum(CASE WHEN b.gmv > a.gmv THEN 1
+                       WHEN b.gmv < a.gmv THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM daily a JOIN daily b ON b.d > a.d
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM daily
+), ties AS (
+  SELECT coalesce(CAST(sum(ct * (ct - 1) * (2 * ct + 5)) AS BIGINT), 0)
+           AS tie_term
+  FROM (SELECT count(*) AS ct FROM daily GROUP BY gmv HAVING count(*) > 1)
+)
+SELECT s.s_stat, nn.n,
+       floor((CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                   WHEN s.s_stat < 0 THEN s.s_stat + 1
+                   ELSE 0 END)
+             / sqrt((nn.n * (nn.n - 1.0) * (2.0 * nn.n + 5.0)
+                     - ties.tie_term) / 18.0)
+             * 10000 + 0.5) / 10000.0 AS z
+FROM s CROSS JOIN nn CROSS JOIN ties
+"""
+
+
+@query("olap_mann_kendall_trend", oracle=MANN_KENDALL_ORACLE)
+def olap_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test on daily GMV: exact integer S
+    over all day pairs, tie-corrected variance, continuity-corrected z.
+    All inputs to the one float expression are exact integers; sqrt is
+    IEEE-exact.
+
+    Scale shape: facts collapse to the daily aggregate; the pairwise
+    join is |days|×|days|/2 on dimension-sized data (a few million pairs
+    regardless of corpus size) — the one join here that is INHERENTLY
+    quadratic, priced on the aggregate precisely so it never touches
+    fact cardinality."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("gmv")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(b, F.col("b.d") > F.col("a.d"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.gmv") > F.col("a.gmv"), 1)
+                .when(F.col("b.gmv") < F.col("a.gmv"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.agg(F.count("*").cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("gmv")
+        .agg(F.count("*").alias("ct"))
+        .where(F.col("ct") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("ct")
+                    * (F.col("ct") - 1)
+                    * (2 * F.col("ct") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    sc = F.col("s_stat")
+    corrected = (
+        F.when(sc > 0, sc - 1).when(sc < 0, sc + 1).otherwise(0)
+    )
+    var = (
+        F.col("n") * (F.col("n") - F.lit(1.0)) * (F.lit(2.0) * F.col("n") + 5.0)
+        - F.col("tie_term")
+    ) / F.lit(18.0)
+    return (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "s_stat",
+            "n",
+            (
+                F.floor(corrected / F.sqrt(var) * 10_000 + F.lit(0.5))
+                / 10_000.0
+            ).alias("z"),
+        )
+    )

@@ -72,6 +72,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_burstiness",
     "graph_coreness",
     "olap_runs_test",
+    "olap_mann_kendall_trend",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",
