@@ -4166,3 +4166,81 @@ def olap_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen estimator — the robust trend SLOPE to Mann–Kendall's
+# significance: median of all pairwise slopes (gmv_j − gmv_i)/(d_j − d_i)
+# in cents/day. Slopes are 1e-6-quantized before the exact lower-median
+# rank selection, so both engines pick the identical element.
+# --------------------------------------------------------------------------
+
+THEIL_SEN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS dd,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS gmv
+  FROM orders GROUP BY 1, 2
+), slopes AS (
+  SELECT CAST(floor((b.gmv - a.gmv) * 1000000.0 / (b.dd - a.dd) + 0.5)
+              AS BIGINT) AS s6
+  FROM daily a JOIN daily b ON b.dd > a.dd
+), ranked AS (
+  SELECT s6, row_number() OVER (ORDER BY s6) AS rn, count(*) OVER () AS n
+  FROM slopes
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       floor(s6 / 100.0 + 0.5) / 10000.0 AS slope_cents_per_day
+FROM ranked WHERE rn = (n + 1) // 2
+"""
+
+
+@query("olap_theil_sen_slope", oracle=THEIL_SEN_ORACLE)
+def olap_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope of daily GMV (median of all pairwise
+    slopes — immune to outlier days that wreck OLS): quantized slopes,
+    exact lower-median rank selection.
+
+    Scale shape: the pairwise join and the rank window run on the DAILY
+    aggregate (same dimension-side quadratic as Mann–Kendall — millions
+    of pairs regardless of corpus size); facts are scanned once."""
+    o = table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("gmv")
+    ).select(
+        F.datediff("d", epoch).cast("bigint").alias("dd"), "gmv"
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("b.dd") > F.col("a.dd")).select(
+        F.floor(
+            (F.col("b.gmv") - F.col("a.gmv"))
+            * F.lit(1_000_000.0)
+            / (F.col("b.dd") - F.col("a.dd"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("s6")
+    )
+    wrn = Window.orderBy("s6")
+    ranked = slopes.select(
+        "s6",
+        F.row_number().over(wrn).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.where(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (F.floor(F.col("s6") / 100.0 + F.lit(0.5)) / 10_000.0).alias(
+            "slope_cents_per_day"
+        ),
+    )
