@@ -4244,3 +4244,195 @@ def olap_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_cents_per_day"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Price-volume-mix bridge: ΔGMV between two periods decomposed into price
+# effect ((p₂−p₁)·q₁), volume effect ((q₂−q₁)·p₁), a mix residual
+# (defined as Δ_common − price − volume, so the identity holds EXACTLY
+# under quantization), and new/dropped part contributions. The standard
+# finance bridge beside the month-over-month waterfall.
+# --------------------------------------------------------------------------
+
+PVM_ORACLE = """
+WITH b AS (
+  SELECT l_partkey AS pk,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         l_shipdate AS d
+  FROM lineitem
+), rng AS (
+  SELECT min(d) AS d0, max(d) AS d1 FROM b
+), per AS (
+  SELECT pk,
+         CASE WHEN epoch_us(d) - epoch_us(rng.d0)
+                   < (epoch_us(rng.d1) - epoch_us(rng.d0)) // 2
+              THEN 1 ELSE 2 END AS period,
+         q, cents
+  FROM b CROSS JOIN rng
+), agg AS (
+  SELECT pk, period, CAST(sum(q) AS BIGINT) AS qq,
+         CAST(sum(cents) AS BIGINT) AS rr
+  FROM per GROUP BY 1, 2
+), wide AS (
+  SELECT pk,
+         max(CASE WHEN period = 1 THEN qq END) AS q1,
+         max(CASE WHEN period = 1 THEN rr END) AS r1,
+         max(CASE WHEN period = 2 THEN qq END) AS q2,
+         max(CASE WHEN period = 2 THEN rr END) AS r2
+  FROM agg GROUP BY 1
+), common AS (
+  SELECT pk, q1, r1, q2, r2,
+         CAST(floor(r1 * 1000000.0 / q1) AS BIGINT) AS p1_6,
+         CAST(floor(r2 * 1000000.0 / q2) AS BIGINT) AS p2_6
+  FROM wide WHERE q1 IS NOT NULL AND q2 IS NOT NULL
+), eff AS (
+  SELECT
+    CAST(sum(CAST(floor((p2_6 - p1_6) * q1 / 1000000.0) AS BIGINT))
+         AS BIGINT) AS price_c,
+    CAST(sum(CAST(floor((q2 - q1) * p1_6 / 1000000.0) AS BIGINT))
+         AS BIGINT) AS volume_c,
+    CAST(sum(r2 - r1) AS BIGINT) AS delta_common
+  FROM common
+), extremes AS (
+  SELECT CAST(coalesce(sum(CASE WHEN q1 IS NULL THEN r2 END), 0) AS BIGINT)
+           AS new_c,
+         CAST(coalesce(sum(CASE WHEN q2 IS NULL THEN -r1 END), 0) AS BIGINT)
+           AS dropped_c
+  FROM wide
+)
+SELECT * FROM (
+  SELECT 'price' AS effect, price_c AS cents FROM eff
+  UNION ALL
+  SELECT 'volume', volume_c FROM eff
+  UNION ALL
+  SELECT 'mix_residual', delta_common - price_c - volume_c FROM eff
+  UNION ALL
+  SELECT 'new_parts', new_c FROM extremes
+  UNION ALL
+  SELECT 'dropped_parts', dropped_c FROM extremes
+  UNION ALL
+  SELECT 'total_delta', eff.delta_common + extremes.new_c
+                        + extremes.dropped_c
+  FROM eff CROSS JOIN extremes
+)
+"""
+
+
+@query("olap_price_volume_mix", oracle=PVM_ORACLE)
+def olap_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ΔGMV bridge between the two halves of the shipment history:
+    price / volume / mix-residual effects over parts sold in both
+    periods (unit prices as 1e-6-quantized rationals; the residual is
+    defined as the remainder so the bridge ties out EXACTLY), plus
+    new-part and dropped-part contributions and the total.
+
+    Scale shape: one fact scan → per-(part, period) integer sums →
+    per-part pivot → five scalar aggregates; every effect is computed on
+    the |parts| aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_shipdate").alias("d"),
+    )
+    rng = b.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    per = b.crossJoin(F.broadcast(rng)).select(
+        "pk",
+        "q",
+        "cents",
+        F.when(
+            F.unix_micros(F.col("d")) - F.unix_micros(F.col("d0"))
+            < F.expr("(unix_micros(d1) - unix_micros(d0)) div 2"),
+            1,
+        )
+        .otherwise(2)
+        .alias("period"),
+    )
+    agg = per.groupBy("pk", "period").agg(
+        F.sum("q").cast("bigint").alias("qq"),
+        F.sum("cents").cast("bigint").alias("rr"),
+    )
+    wide = agg.groupBy("pk").agg(
+        F.max(F.when(F.col("period") == 1, F.col("qq"))).alias("q1"),
+        F.max(F.when(F.col("period") == 1, F.col("rr"))).alias("r1"),
+        F.max(F.when(F.col("period") == 2, F.col("qq"))).alias("q2"),
+        F.max(F.when(F.col("period") == 2, F.col("rr"))).alias("r2"),
+    )
+    common = wide.where(
+        F.col("q1").isNotNull() & F.col("q2").isNotNull()
+    ).select(
+        "q1",
+        "r1",
+        "q2",
+        "r2",
+        F.floor(F.col("r1") * F.lit(1_000_000.0) / F.col("q1"))
+        .cast("bigint")
+        .alias("p1_6"),
+        F.floor(F.col("r2") * F.lit(1_000_000.0) / F.col("q2"))
+        .cast("bigint")
+        .alias("p2_6"),
+    )
+    eff = common.agg(
+        F.sum(
+            F.floor(
+                (F.col("p2_6") - F.col("p1_6"))
+                * F.col("q1")
+                / F.lit(1_000_000.0)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("price_c"),
+        F.sum(
+            F.floor(
+                (F.col("q2") - F.col("q1"))
+                * F.col("p1_6")
+                / F.lit(1_000_000.0)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("volume_c"),
+        F.sum(F.col("r2") - F.col("r1")).cast("bigint").alias("delta_common"),
+    )
+    extremes = wide.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("q1").isNull(), F.col("r2"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("new_c"),
+        F.coalesce(
+            F.sum(F.when(F.col("q2").isNull(), -F.col("r1"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("dropped_c"),
+    )
+    x = F.broadcast(extremes)
+
+    def row(name, col, df):
+        return df.select(
+            F.lit(name).alias("effect"), col.cast("bigint").alias("cents")
+        )
+
+    return (
+        row("price", F.col("price_c"), eff)
+        .unionByName(row("volume", F.col("volume_c"), eff))
+        .unionByName(
+            row(
+                "mix_residual",
+                F.col("delta_common") - F.col("price_c") - F.col("volume_c"),
+                eff,
+            )
+        )
+        .unionByName(row("new_parts", F.col("new_c"), extremes))
+        .unionByName(row("dropped_parts", F.col("dropped_c"), extremes))
+        .unionByName(
+            row(
+                "total_delta",
+                F.col("delta_common") + F.col("new_c") + F.col("dropped_c"),
+                eff.crossJoin(x),
+            )
+        )
+    )

@@ -74,6 +74,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_runs_test",
     "olap_mann_kendall_trend",
     "olap_theil_sen_slope",
+    "olap_price_volume_mix",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",
