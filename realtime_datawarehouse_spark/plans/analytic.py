@@ -4436,3 +4436,89 @@ def olap_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --------------------------------------------------------------------------
+# XmR (individuals / moving-range) control chart: limits = x̄ ± 2.66·mR̄
+# over the daily GMV series — the SPC chart for per-unit observations,
+# beside CUSUM (drift), Bollinger (rolling bands), and MAD (robust fence).
+# --------------------------------------------------------------------------
+
+XMR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS gmv
+  FROM orders GROUP BY 1
+), mr AS (
+  SELECT d, gmv,
+         abs(gmv - lag(gmv) OVER (ORDER BY d)) AS mrange
+  FROM daily
+), lim AS (
+  SELECT CAST(sum(gmv) AS BIGINT) AS sx, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(mrange) AS BIGINT) AS smr,
+         CAST(count(mrange) AS BIGINT) AS nmr
+  FROM mr
+), flagged AS (
+  SELECT d, gmv,
+         sx * 1.0 / n + 2.66 * (smr * 1.0 / nmr) AS ucl,
+         sx * 1.0 / n - 2.66 * (smr * 1.0 / nmr) AS lcl
+  FROM mr CROSS JOIN lim
+)
+SELECT strftime(d, '%Y-%m-%d') AS d, gmv,
+       CAST(floor(ucl + 0.5) AS BIGINT) AS ucl_cents,
+       CAST(floor(lcl + 0.5) AS BIGINT) AS lcl_cents,
+       CASE WHEN gmv > ucl OR gmv < lcl THEN 1 ELSE 0 END AS out_of_control
+FROM flagged
+WHERE gmv > ucl OR gmv < lcl
+"""
+
+
+@query("olap_xmr_control_chart", oracle=XMR_ORACLE)
+def olap_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-control days under the XmR individuals chart (x̄ ± 2.66·mR̄
+    from the moving range) — the SPC flagging query beside CUSUM and the
+    MAD fence. Exact integer sums feed one deterministic float
+    expression; only flagged days are emitted.
+
+    Scale shape: facts collapse to the daily series; the moving range is
+    one lag window and the limits one scalar aggregate on |days| rows."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("gmv")
+    )
+    wd = Window.orderBy("d")
+    mr = daily.withColumn(
+        "mrange", F.abs(F.col("gmv") - F.lag("gmv").over(wd))
+    )
+    lim = mr.agg(
+        F.sum("gmv").cast("bigint").alias("sx"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("mrange").cast("bigint").alias("smr"),
+        F.count("mrange").cast("bigint").alias("nmr"),
+    )
+    xbar = F.col("sx") * F.lit(1.0) / F.col("n")
+    mrbar = F.col("smr") * F.lit(1.0) / F.col("nmr")
+    flagged = mr.crossJoin(F.broadcast(lim)).select(
+        "d",
+        "gmv",
+        (xbar + F.lit(2.66) * mrbar).alias("ucl"),
+        (xbar - F.lit(2.66) * mrbar).alias("lcl"),
+    )
+    return flagged.where(
+        (F.col("gmv") > F.col("ucl")) | (F.col("gmv") < F.col("lcl"))
+    ).select(
+        fmt_date("d").alias("d"),
+        "gmv",
+        F.floor(F.col("ucl") + F.lit(0.5)).cast("bigint").alias("ucl_cents"),
+        F.floor(F.col("lcl") + F.lit(0.5)).cast("bigint").alias("lcl_cents"),
+        F.when(
+            (F.col("gmv") > F.col("ucl")) | (F.col("gmv") < F.col("lcl")), 1
+        )
+        .otherwise(0)
+        .alias("out_of_control"),
+    )

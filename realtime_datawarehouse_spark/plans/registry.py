@@ -75,6 +75,7 @@ DRIVER_PRIORITY: list[str] = [
     "olap_mann_kendall_trend",
     "olap_theil_sen_slope",
     "olap_price_volume_mix",
+    "olap_xmr_control_chart",
     "olap_scd2_intervals",
     "ext_scd2_point_in_time_join",
     "olap_gini_concentration",
