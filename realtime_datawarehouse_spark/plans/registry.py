@@ -26,186 +26,131 @@ ORACLES: dict[str, str] = {}
 
 # The external driver records correctness rows for only ~50 entries of
 # queries() per round, in emission order. Emission order therefore rotates
-# per round so every query accumulates a driver-recorded row. Round-4 head
-# (final): the 3 changed-oracle queries lead, then the ~26 continuation-
-# session queries (newest, never recorded), then the earlier round-4
-# cohort — the 50-row budget cuts somewhere inside that cohort, and
-# everything displaced (plus the r01/r02 tails listed below) rolls to
-# round 5's head. Every query in this list is verified green this round
-# by the local replication (tests/test_correctness.py) and the full
-# driver-contract sim at sf0.01 regardless of driver-row age.
+# per round so every query accumulates a driver-recorded row. Round-5
+# policy (VERDICT.md r4 item 1): surface growth is frozen; the head is the
+# never-driver-recorded backlog, alphabetical, so the ledger gap closes at
+# the driver's own budget rate.
 DRIVER_PRIORITY: list[str] = [
-    # oracle/implementation changed in r4 (sketch pins, trained-IVF
-    # assignment) — MUST re-record this round, so they lead
-    "sk_hll_daily_uv",
-    "sk_quantile_order_value",
-    "ann_ivf_trained_topk",
-    # new in r4 continuation session — never driver-recorded; lead so the
-    # freshest additions get their first driver row this round (the
-    # displaced tail below rolls to round 5's head)
-    "text_bigram_logprob",
-    "olap_max_concurrent_intervals",
-    "dedup_connected_components_star",
-    "ext_interval_overlap_pairs",
-    "graph_kcore",
-    "olap_abtest_cuped",
-    "mm_content_sniff",
-    "olap_top_paths",
-    "ann_ivf_balance_report",
-    "mix_length_bucketing",
-    "olap_fifo_allocation",
-    "olap_rolling_median_gmv",
-    "olap_clamped_running_balance",
-    "olap_active_time_union",
-    "olap_reconciliation_report",
-    "olap_snapshot_drift_psi",
-    "olap_seasonal_decompose",
-    "ext_entity_resolution",
-    "embed_source_centroid_drift",
-    "curate_dataset_card",
-    "ann_ranking_metrics",
-    "olap_survival_km",
-    "text_zipf_slope",
-    "dedup_threshold_yield_curve",
-    "mix_interleave_positions",
-    "olap_abc_classification",
-    "text_burstiness",
-    "graph_coreness",
-    "olap_runs_test",
-    "olap_mann_kendall_trend",
-    "olap_theil_sen_slope",
-    "olap_price_volume_mix",
-    "olap_xmr_control_chart",
-    "olap_scd2_intervals",
-    "ext_scd2_point_in_time_join",
-    "olap_gini_concentration",
-    "olap_new_vs_returning_gmv",
-    "olap_seasonal_naive_mape",
-    "olap_funnel_ttc",
-    "sk_kmv_distinct",
-    "sk_kmv_union",
-    "text_cooccur_pmi",
-    "text_winnowing_fingerprint",
-    "graph_link_prediction",
-    "graph_label_propagation",
-    "ext_asof_nearest",
-    "olap_bollinger_bands",
-    "mix_dup_aware_weights",
-    "olap_budget_allocation",
-    "olap_corr_matrix",
-    "graph_modularity",
-    "dedup_minhash_eval",
-    "sk_kmv_intersect",
-    "olap_model_lift_table",
-    "ann_mmr_diversify",
-    "mm_phash_near_dup_pairs",
-    "olap_growth_accounting",
-    "olap_abtest_srm_check",
-    "curate_cross_source_leakage",
-    "olap_window_functions_v2",
-    "olap_mad_outliers",
-    "olap_yoy_growth",
-    "text_tokenizer_fertility",
-    "graph_degree_distribution",
+    # ---- round-5 head: the 87 queries with NO driver CORRECTNESS row in
+    # any round (r01-r04), alphabetical. The driver records ~50 rows per
+    # round in emission order, so the first 50 below gain their first
+    # driver record this round (never-recorded count 87 -> 37); the
+    # remaining 37 lead round 6. Every name here is green in this
+    # session's local replication (tests/test_correctness.py + the full
+    # driver-contract sim at sf0.01) regardless of driver-row age.
     "ann_ivf_recall_eval",
-    "olap_join_skew_report",
-    "sql_top_customers_by_year",
-    # new in r4 (second half) — never driver-recorded; the head exceeds
-    # the driver's ~50-row budget by a few entries, so the LAST few below
-    # (simple single-agg queries with strong inline verification) roll to
-    # round 5
-    "olap_ohlc_bars",
-    "olap_window_funnel",
-    "olap_unpivot_metrics",
-    "olap_monthly_growth",
-    "ext_bm25_topk",
-    "ext_fuzzy_name_join",
-    "text_substring_dedup",
-    "ext_asof_forward_tol",
-    "olap_skyline_parts",
-    "olap_ewma_monthly_gmv",
-    "olap_ewma_user_value",
-    "olap_equidepth_histogram",
-    "mm_image_phash",
-    "graph_bfs_layers",
-    "olap_benford_check",
-    "olap_calendar_heatmap",
-    "text_ngram_novelty",
-    "text_bpe_train",
-    "text_bpe_encode",
-    "graph_clustering_coeff",
-    "olap_markov_transition_probs",
-    "olap_gmv_waterfall",
-    "olap_cohort_ltv",
-    "graph_doc_centrality",
-    "olap_session_attribution",
-    "text_vocab_growth",
-    "text_char_entropy",
-    "olap_order_interarrival",
-    "olap_dau_wau_stickiness",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "embed_pca_top_component",
-    "dedup_jaccard_prefix",
-    "embed_dimension_stats",
-    "text_quality_calibration",
-    "text_bpe_merge_pairs",
-    "text_dsir_weights",
     "ann_knn_graph",
-    "text_dup_ngram_coverage",
-    "sk_cms_heavy_hitters",
-    "olap_cusum_drift",
-    "olap_sequence_match",
-    "olap_incremental_gmv",
-    "olap_bitmap_uv_state",
-    "olap_bitmap_audience_overlap",
-    "olap_forecast_linear",
-    "text_shared_substring_runs",
-    # new in r4
-    "text_cdc_chunks",
+    "ann_mmr_diversify",
+    "ann_pq_rerank_topk",
+    "ann_pq_topk",
+    "curate_cross_source_leakage",
+    "dedup_jaccard_prefix",
     "dedup_minhash_cdc",
-    "mix_epoch_schedule",
-    "olap_sessionize",
-    "olap_event_transitions",
-    "olap_anomaly_outliers",
+    "dedup_minhash_eval",
     "dedup_ngram_containment",
     "dedup_semantic_lsh",
-    "pipeline_corpus_curation_v3",
-    "ann_pq_topk",
-    "ann_pq_rerank_topk",
-    "olap_timeseries_fill",
-    "olap_grouping_sets",
-    "olap_histogram",
-    "text_perplexity_buckets",
-    "olap_abtest_ztest",
-    "olap_basket_lift",
-    "olap_rfm_segmentation",
+    "embed_dimension_stats",
+    "embed_pca_top_component",
+    "ext_asof_forward_tol",
+    "ext_bm25_topk",
+    "ext_fuzzy_name_join",
     "ext_value_band_join",
+    "graph_bfs_layers",
+    "graph_clustering_coeff",
+    "graph_degree_distribution",
+    "graph_doc_centrality",
+    "graph_modularity",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "mix_dup_aware_weights",
+    "mix_epoch_schedule",
+    "mm_image_phash",
+    "mm_phash_near_dup_pairs",
+    "olap_abtest_srm_check",
+    "olap_abtest_ztest",
+    "olap_anomaly_outliers",
+    "olap_basket_lift",
+    "olap_benford_check",
+    "olap_bitmap_audience_overlap",
+    "olap_bitmap_uv_state",
+    "olap_budget_allocation",
+    "olap_calendar_heatmap",
+    "olap_cohort_ltv",
+    "olap_corr_matrix",
+    "olap_cusum_drift",
+    "olap_dau_wau_stickiness",
+    "olap_equidepth_histogram",
+    "olap_event_transitions",
+    "olap_ewma_monthly_gmv",
+    "olap_ewma_user_value",
+    "olap_forecast_linear",
+    "olap_gmv_waterfall",
+    "olap_grouping_sets",
+    "olap_growth_accounting",
+    "olap_histogram",
+    # ---- never-recorded remainder (rolls to round 6's head)
+    "olap_incremental_gmv",
+    "olap_join_skew_report",
+    "olap_mad_outliers",
+    "olap_markov_transition_probs",
+    "olap_model_lift_table",
+    "olap_monthly_growth",
+    "olap_ohlc_bars",
+    "olap_order_interarrival",
     "olap_pareto_segments",
-    # r01-recorded cohort (oldest driver rows)
-    "embed_near_dup_pairs",
-    "mm_decode_metadata",
-    "mm_resize_images",
-    "mm_frame_sample",
-    "mm_feature_extract",
-    "pipeline_corpus_curation",
-    "embed_near_dup_lsh",
-    "dedup_minhash_estimate",
-    "mix_stratified_sample",
-    "mix_upsample_repeat",
-    "mix_pack_sequences",
-    "tpch_q1_pricing_summary",
-    "ads_gmv_daily",
-    "ads_province_order_amount",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "p3_etl_filter",
-    "p4_json_map_projection",
-    "r1_demux_side_outputs",
-    "r3_union_same_type",
+    "olap_rfm_segmentation",
+    "olap_sequence_match",
+    "olap_session_attribution",
+    "olap_sessionize",
+    "olap_skyline_parts",
+    "olap_timeseries_fill",
+    "olap_unpivot_metrics",
+    "olap_window_functions_v2",
+    "olap_window_funnel",
+    "olap_yoy_growth",
+    "pipeline_corpus_curation_v3",
+    "sk_cms_heavy_hitters",
+    "sk_kmv_intersect",
+    "sql_top_customers_by_year",
+    "text_bpe_encode",
+    "text_bpe_merge_pairs",
+    "text_bpe_train",
+    "text_cdc_chunks",
+    "text_char_entropy",
+    "text_dsir_weights",
+    "text_dup_ngram_coverage",
+    "text_ngram_novelty",
+    "text_perplexity_buckets",
+    "text_quality_calibration",
+    "text_shared_substring_runs",
+    "text_substring_dedup",
+    "text_tokenizer_fertility",
+    "text_vocab_growth",
+    # ---- stale cohort: latest driver record is r01/r02 (71 queries);
+    # refresh after the never-recorded set is exhausted
     "a1_tumble_count_by_key",
     "a2_tumble_multi_metric",
     "a3_global_tumble_window",
+    "ads_gmv_daily",
+    "ads_province_order_amount",
+    "dedup_minhash_estimate",
+    "embed_near_dup_lsh",
+    "embed_near_dup_pairs",
+    "j8_interval_join",
+    "mix_pack_sequences",
+    "mix_stratified_sample",
+    "mix_upsample_repeat",
+    "mm_decode_metadata",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_resize_images",
+    "p3_etl_filter",
+    "p4_json_map_projection",
+    "p8_field_add_remove",
+    "p9_bean_mapping",
+    "pipeline_corpus_curation",
+    "r1_demux_side_outputs",
+    "r3_union_same_type",
     "st1_new_visitor_repair",
     "st2_daily_unique_visitor",
     "st3_page_uv_two_states",
@@ -213,10 +158,17 @@ DRIVER_PRIORITY: list[str] = [
     "st5_cart_add_uu",
     "st7_keep_latest_dedup",
     "st8_bounce_detection",
-    "j8_interval_join",
-    "p8_field_add_remove",
-    "p9_bean_mapping",
-    # r02 cohort, first slice (remainder → round 5)
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "a4_window_count_agg",
+    "a5_sku_order_count_distinct",
+    "a6_money_sums_coalesced",
+    "curate_decontaminate",
+    "ext_hop_window",
+    "ext_session_window",
+    "hh_top_parts_per_brand",
+    "j11_anti_join_never_ordered",
     "j1_order_detail_inner_join",
     "j2_left_outer_join_collapsed",
     "j3_lookup_join_dic",
@@ -225,9 +177,28 @@ DRIVER_PRIORITY: list[str] = [
     "j6_composite_key_join",
     "j7_dim_snowflake_enrich",
     "j9_full_outer_join",
-    "a4_window_count_agg",
-    "a5_sku_order_count_distinct",
-    "a6_money_sums_coalesced",
+    "mix_pack_sequences_sharded",
+    "mm_audio_decode",
+    "p5_conditional_delta",
+    "p7_config_driven_pruning",
+    "r2_array_unnest",
+    "text_paragraph_dedup",
+    "text_pii_redact",
+    "text_quality_classifier",
+    "tpch_q10_top_returners",
+    "tpch_q12_priority_class",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
 ]
 
 _LOADED = False
