@@ -151,6 +151,11 @@ def ngram_jaccard_pairs(
     pairs sharing dropped shingles (jaccard becomes a lower bound); the
     default exact run (cap=None) is the oracle-checked entry, the capped
     form is the 100 TB configuration (tested against a capped oracle).
+
+    DEPLOYMENT DEFAULT at 100 TB: the df-capped form (``max_doc_freq``
+    set; measured near-linear in SCALE.md §12 vs 13-16×/decade uncapped),
+    or ``dedup_minhash_lsh`` when a banded sketch is acceptable — this
+    uncapped exact form is the audit oracle (``dedup_minhash_eval``).
     """
     e = doc_shingle_hashes(docs)
     inv = e.groupBy("h").agg(

@@ -473,6 +473,11 @@ def near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     All-pairs formulation — correct but quadratic; the LSH bucketing above is
     the blocking strategy at scale (join within bucket instead of cross).
     Fixture cosines top out ≈0.48, so 0.4 exercises a non-empty result.
+
+    DEPLOYMENT DEFAULT at 100 TB: ``near_dup_pairs_lsh`` (registered as
+    ``embed_near_dup_lsh``, measured 13×/decade here vs 1.3×/decade for
+    the bucketed form at bench sf0.1). This exact form is the recall
+    oracle the LSH path is audited against.
     """
     a = emb.select(
         F.col("vec_id").alias("vec_a"), _as_double(F.col("embedding")).alias("va")
@@ -534,6 +539,12 @@ def semdedup(
     the pair join shuffles each cluster's members to one place — on a
     cluster-partitioned layout it's a co-located self-join. Pair scoring
     reuses the per-row norms computed below the join.
+
+    DEPLOYMENT DEFAULT at 100 TB: ``semdedup_lsh`` (registered as
+    ``dedup_semantic_lsh``). This flat-clustering form is Θ(n^1.5) at its
+    optimal k (measured 36.8×/decade, SCALE.md §12) and serves as the
+    labeled oracle/baseline; the adaptive-plane LSH form is near-linear
+    (4.6×/decade) with recall audited by ``dedup_semantic_eval``.
     """
     assigned = ivf_assign(emb, centroids)  # (vec_id, v, vn, centroid_id)
     # alias-based self-join (NOT two renamed projections): both sides
@@ -742,6 +753,128 @@ WITH e AS (
 SELECT b.vec_id, b.bucket_id AS cluster_id,
        CASE WHEN dup.dup_id IS NULL THEN 0 ELSE 1 END AS is_dup
 FROM b LEFT JOIN dup ON dup.dup_id = b.vec_id
+"""
+
+
+def semdedup_eval(
+    emb: DataFrame, threshold: float = SEMDEDUP_COSINE
+) -> DataFrame:
+    """(method, truth_pairs, found_pairs, recall6): pair recall of each
+    semantic-dedup blocking strategy against the EXACT all-pairs cosine
+    ground truth — the audit that justifies replacing the quadratic scan
+    with a blocked form at 100 TB (mirrors ``dedup_minhash_eval`` for the
+    MinHash family; VERDICT.md r4 item 5).
+
+    Both blockings score candidate pairs with the same rounded cosine and
+    threshold as the ground truth, so their pair sets are strict subsets:
+    precision is 1 by construction and the single quality number is
+    recall — found/truth, floor-scaled to an integer so the hash is
+    portable. ``ivf_kmeans`` = within-centroid pairs (the ``semdedup``
+    form); ``lsh_adaptive`` = within-adaptive-plane-bucket pairs (the
+    ``semdedup_lsh`` deployment form, whose expected recall per pair is
+    the hyperplane-collision law (1-θ/π)^planes).
+
+    Scale shape: the ground-truth side is O(n²) BY DESIGN — in production
+    this audit runs on a bounded sample split (the standard way to monitor
+    sketch quality) while the blocked forms run on the full corpus; the
+    three branches here are scalar-aggregate counts, so nothing wide ever
+    reaches the driver."""
+    truth_n = near_dup_pairs(emb, threshold).agg(
+        F.count("*").alias("truth_pairs")
+    )
+
+    def _found(assigned: DataFrame, key: str) -> DataFrame:
+        a, b = assigned.alias("a"), assigned.alias("b")
+        return (
+            a.join(
+                b.hint("shuffle_hash"),
+                (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .where(
+                pround(
+                    _cos(
+                        F.col("a.v"),
+                        F.col("b.v"),
+                        F.col("a.vn"),
+                        F.col("b.vn"),
+                    ),
+                    4,
+                )
+                >= threshold
+            )
+            .agg(F.count("*").alias("found_pairs"))
+        )
+
+    k = _found(ivf_assign(emb), "centroid_id").select(
+        F.lit("ivf_kmeans").alias("method"), "found_pairs"
+    )
+    ll = _found(sem_lsh_assign(emb), "bucket_id").select(
+        F.lit("lsh_adaptive").alias("method"), "found_pairs"
+    )
+    return (
+        k.unionByName(ll)
+        .crossJoin(F.broadcast(truth_n))
+        .select(
+            "method",
+            "truth_pairs",
+            "found_pairs",
+            F.when(
+                F.col("truth_pairs") == 0, F.lit(1000000).cast("bigint")
+            )
+            .otherwise(
+                F.floor(
+                    F.col("found_pairs")
+                    * F.lit(1000000.0)
+                    / F.col("truth_pairs")
+                ).cast("bigint")
+            )
+            .alias("recall6"),
+        )
+    )
+
+
+def semdedup_eval_oracle(threshold: float = SEMDEDUP_COSINE) -> str:
+    cos_ab = pround_sql(_COS_AB_SEM, 4)
+    cos_ay = pround_sql(
+        "list_dot_product(a.v, y.v) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(y.v, y.v)))",
+        4,
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE {IVF_CENTROID_PRED_SQL}
+), vassign AS (
+  SELECT vec_id, v, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+             ORDER BY {_COS_VC} DESC, centroid_id) AS rnk
+  FROM e v CROSS JOIN c
+), a0 AS (
+  SELECT vec_id, v, centroid_id FROM vassign WHERE rnk = 1
+), {sem_lsh_bucket_ctes()}, t AS (
+  SELECT CAST(count(*) AS BIGINT) AS truth_pairs
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {cos_ab} >= {threshold}
+), m AS (
+  SELECT 'ivf_kmeans' AS method,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM a0 a JOIN a0 b ON a.centroid_id = b.centroid_id
+                AND a.vec_id < b.vec_id
+          WHERE {cos_ab} >= {threshold}) AS found_pairs
+  UNION ALL
+  SELECT 'lsh_adaptive' AS method,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM b a JOIN b y ON a.bucket_id = y.bucket_id
+                AND a.vec_id < y.vec_id
+          WHERE {cos_ay} >= {threshold}) AS found_pairs
+)
+SELECT method, truth_pairs, found_pairs,
+       CAST(CASE WHEN truth_pairs = 0 THEN 1000000
+                 ELSE floor(found_pairs * 1000000.0 / truth_pairs)
+            END AS BIGINT) AS recall6
+FROM m, t
 """
 
 

@@ -728,6 +728,18 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_lsh(_emb(spark, sf_dir))
 
 
+@query("dedup_semantic_eval", oracle=similarity.semdedup_eval_oracle())
+def dedup_semantic_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality audit for the semantic-dedup family: pair
+    recall of the k-means-cluster blocking (dedup_semantic) and the
+    adaptive-plane LSH blocking (dedup_semantic_lsh, the 100 TB deployment
+    form) against the exact all-pairs cosine ground truth — the semantic
+    counterpart of dedup_minhash_eval, turning SCALE.md §12's collision-law
+    recall claim into a measured, registered number. At scale this audit
+    runs on a sample split; the exact side here doubles as the oracle."""
+    return similarity.semdedup_eval(_emb(spark, sf_dir))
+
+
 @query("curate_bloom_decontaminate", oracle=dedup.bloom_decontaminate_oracle())
 def curate_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter benchmark decontamination — constant-memory scale path

@@ -126,6 +126,11 @@ DRIVER_PRIORITY: list[str] = [
     "text_substring_dedup",
     "text_tokenizer_fertility",
     "text_vocab_growth",
+    # ---- new in r5 (the round's one registered addition, VERDICT.md r4
+    # item 5); queued behind the never-recorded backlog so it doesn't
+    # displace a first-record slot — pinned by a pytest recall floor
+    # (tests/test_plans.py::test_semdedup_eval_recall_floors) meanwhile
+    "dedup_semantic_eval",
     # ---- stale cohort: latest driver record is r01/r02 (71 queries);
     # refresh after the never-recorded set is exhausted
     "a1_tumble_count_by_key",

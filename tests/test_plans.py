@@ -572,6 +572,30 @@ def test_knn_graph_structure_and_recall(spark):
     assert recall >= 0.08, f"multiprobe recall {recall:.3f} below floor"
 
 
+def test_semdedup_eval_recall_floors(spark):
+    """dedup_semantic_eval (VERDICT.md r4 item 5): both blockings' pair
+    sets are strict subsets of the exact truth (precision 1 by
+    construction), and their recalls clear floors tied to the mechanism —
+    k-means clustering recovers the within-cluster share of true pairs
+    (measured 0.364 at sf0.001, 0.356 at sf0.01), and the adaptive-plane
+    LSH recall tracks the hyperplane-collision law (1-θ/π)^planes, which
+    at the fixture's weak-signal cosines (≈0.4-0.48 → θ≈60°) predicts
+    (2/3)^planes ≈ 0.20/0.06 at sf0.001/sf0.01 — measured 0.091/0.051.
+    Real near-dup corpora sit at cosine ≥0.9 where the same law gives
+    ≥0.8; the floor guards the mechanism, not fixture luck."""
+    rows = {
+        r.method: r
+        for r in registry.get_queries()["dedup_semantic_eval"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(rows) == {"ivf_kmeans", "lsh_adaptive"}
+    for r in rows.values():
+        assert 0 < r.found_pairs <= r.truth_pairs, r
+    assert rows["ivf_kmeans"].recall6 >= 250_000
+    assert rows["lsh_adaptive"].recall6 >= 40_000
+
+
 def test_cusum_finds_injected_mean_shift(spark, tmp_path):
     """A series with a clean mean shift (10/day for days 1-10, 50/day
     after) must put the max-|CUSUM| changepoint exactly at the shift
