@@ -41,12 +41,24 @@ def pagerank(
     d_num: int = 85,
     d_den: int = 100,
     scale: int = SCALE,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Integer fixed-point PageRank over ``edges(src, dst)``.
 
     Returns (node, rank_q) with rank_q = rank × ``scale`` as int64.
     r₀ = ⌊S/N⌋;  rᵢ₊₁(v) = ⌊S·(1−d)/(den·N)⌋ + Σ_{u→v} ⌊rᵢ(u)·num/(den·od(u))⌋.
-    """
+
+    ``checkpoint_every``: lineage-cut the rank table every N iterations
+    (values unchanged). The default (None) keeps the whole unroll
+    declarative — right for the registered 3-iteration query, where one
+    optimizable plan beats two materialization barriers. DEEP-ITERATION
+    DEPLOYMENTS (convergence runs, 20+ rounds) should set 1: each
+    iteration re-plans the full accumulated chain, so the per-iteration
+    marginal cost GROWS with depth without the cut (measured at sf1:
+    0.43 s/iter at depth 4 → 0.97 at depth 8 lazy, flat ~0.6 with
+    checkpoint_every=1 — tools/probe_sf1_r5_graph.py, SCALE.md §19;
+    same per-round materialization rule as bfs_layers / kcore_peel /
+    coreness)."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -62,7 +74,7 @@ def pagerank(
     base_term = F.expr(
         f"CAST({scale * (d_den - d_num)} AS BIGINT) div ({d_den} * n_nodes)"
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = r.join(ej.hint("shuffle_hash"), r["node"] == ej["src"]).select(
             F.col("dst").alias("node"),
             F.expr(f"(rq * {d_num}) div ({d_den} * od)").alias("c"),
@@ -75,6 +87,12 @@ def pagerank(
                 (base_term + F.coalesce(F.col("infl"), F.lit(0))).alias("rq"),
             )
         )
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and i + 1 < iters
+        ):
+            r = r.localCheckpoint(eager=True)
     return r.select("node", F.col("rq").alias("rank_q"))
 
 

@@ -361,6 +361,7 @@ def traffic_stream_graph(
     raw: DataFrame,
     work_dir: str,
     memory_table: str = "t_traffic_dws",
+    store_path: str | None = None,
 ) -> list:
     """The §3.4 traffic dataflow as one running set of THREE chained
     streaming queries over shared storage boundaries:
@@ -369,7 +370,10 @@ def traffic_stream_graph(
         → ``{work_dir}/dwd_traffic_page_log``   (append boundary)
       boundary ── q2: dwd_unique_visitor_detail
         → ``{work_dir}/dwd_traffic_uv``         (append boundary)
-      boundary ── q3: dws_traffic_channel_window → memory sink
+      boundary ── q3: dws_traffic_channel_window → memory sink, or (with
+        ``store_path``) foreachBatch MERGE into the versioned table store
+        — the reference's ClickHouse-sink shape, shared with the trade
+        column in :func:`full_stream_topology`.
 
     Every boundary is replayable and keyed exactly like the reference's
     intermediate Kafka topics; each query owns its checkpoint, so any stage
@@ -402,8 +406,28 @@ def traffic_stream_graph(
     )
 
     uv = jobs.parquet_stream(spark, uv_dir, _uv_boundary_schema())
-    q3 = jobs.run_to_memory_continuous(
-        dws_traffic_channel_window(uv), memory_table
+    dws = dws_traffic_channel_window(uv)
+    if store_path is None:
+        q3 = jobs.run_to_memory_continuous(dws, memory_table)
+        return [q1, q2, q3]
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table_store.merge_upsert(
+            batch_df.sparkSession,
+            batch_df.withColumn(
+                "pk",
+                F.concat_ws("|", "stt", "vc", "ch", "ar", "is_new"),
+            ).withColumn("ver", F.lit(batch_id)),
+            store_path,
+            pk="pk",
+            version_col="ver",
+        )
+
+    q3 = (
+        dws.writeStream.outputMode("append")
+        .foreachBatch(upsert_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "ck3"))
+        .start()
     )
     return [q1, q2, q3]
 
@@ -536,3 +560,42 @@ def trade_stream_graph(
         .start()
     )
     return [q1, q2, q3]
+
+
+def full_stream_topology(
+    spark: SparkSession,
+    log_raw: DataFrame,
+    db_raw: DataFrame,
+    work_dir: str,
+    store_root: str,
+) -> dict[str, list]:
+    """SURVEY §3.4's COMPLETE picture in one checkpointed run: the traffic
+    column (topic_log → log split → UV detail → channel DWS) and the trade
+    column (topic_db → Maxwell cart facts → UU window → ADS daily) running
+    CONCURRENTLY as six streaming queries, both columns' final outputs
+    MERGE-upserted into the same versioned table store root — the role the
+    reference's single ClickHouse instance plays for every DWS job
+    (rt/app/dws/*.java → MyClickhouseUtil):
+
+        {store_root}/dws_traffic_channel   (PK stt|vc|ch|ar|is_new)
+        {store_root}/ads_cart_daily        (PK dt)
+
+    Each query owns its checkpoint under ``work_dir`` so any stage of
+    either column can crash/restart independently while the rest keep
+    running. Returns {"traffic": [q1,q2,q3], "trade": [q1,q2,q3]}; drain
+    each column in topological order (interleaving columns is fine — they
+    share nothing but the store, whose optimistic commits serialize
+    concurrent writers)."""
+    traffic = traffic_stream_graph(
+        spark,
+        log_raw,
+        os.path.join(work_dir, "traffic"),
+        store_path=os.path.join(store_root, "dws_traffic_channel"),
+    )
+    trade = trade_stream_graph(
+        spark,
+        db_raw,
+        os.path.join(work_dir, "trade"),
+        store_path=os.path.join(store_root, "ads_cart_daily"),
+    )
+    return {"traffic": traffic, "trade": trade}

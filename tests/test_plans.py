@@ -572,6 +572,24 @@ def test_knn_graph_structure_and_recall(spark):
     assert recall >= 0.08, f"multiprobe recall {recall:.3f} below floor"
 
 
+def test_pagerank_checkpoint_every_is_value_identical(spark):
+    """The checkpoint_every lineage cut (deep-iteration deployment knob,
+    SCALE.md §19) must not change a single rank: same integer fixed-point
+    values as the lazy unroll at a depth where the plans diverge."""
+    from realtime_datawarehouse_spark.operators.graph import pagerank
+    from realtime_datawarehouse_spark.plans.graph_ops import _ring_edges
+
+    edges = _ring_edges(spark, SF_DIR)
+    lazy = {
+        r.node: r.rank_q for r in pagerank(edges, iters=5).collect()
+    }
+    cut = {
+        r.node: r.rank_q
+        for r in pagerank(edges, iters=5, checkpoint_every=1).collect()
+    }
+    assert lazy == cut
+
+
 def test_semdedup_eval_recall_floors(spark):
     """dedup_semantic_eval (VERDICT.md r4 item 5): both blockings' pair
     sets are strict subsets of the exact truth (precision 1 by

@@ -492,6 +492,123 @@ def test_traffic_stream_graph_three_hop_parity(spark, tmp_path):
     assert sum(c for (_, _, _, _, _, c) in got) == 3  # m1, m2, m4
 
 
+def test_full_stream_topology_both_columns_shared_store(spark, tmp_path):
+    """VERDICT r04 item 8: SURVEY §3.4's COMPLETE picture — the traffic
+    and trade columns running CONCURRENTLY as six checkpointed streaming
+    queries in one run, both columns' DWS/ADS outputs MERGE-upserted into
+    the SAME versioned table store root, with batch parity asserted at
+    both served tables."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import table_store as ts
+    from realtime_datawarehouse_spark.sources import log_events
+    from realtime_datawarehouse_spark.sources import maxwell as mx
+
+    log_raw = _stream_of_lines(
+        spark,
+        tmp_path / "in_log",
+        [GRAPH_LINES_B1, GRAPH_LINES_B2] + GRAPH_HEARTBEATS,
+    )
+    db_raw = _stream_of_lines(
+        spark,
+        tmp_path / "in_db",
+        [CART_LINES_B1, CART_LINES_B2] + CART_HEARTBEATS,
+    )
+    store = str(tmp_path / "store")
+    cols = pipelines.full_stream_topology(
+        spark, log_raw, db_raw, str(tmp_path / "work"), store
+    )
+    qs = cols["traffic"] + cols["trade"]
+    assert len(qs) == 6 and all(q.isActive for q in qs)
+    try:
+        # drain the two columns INTERLEAVED (t1, d1, t2, d2, t3, d3): every
+        # stage still only consumes what its upstream committed, but both
+        # columns make progress concurrently within each pass
+        for pair in zip(cols["traffic"], cols["trade"]):
+            for q in pair:
+                q.processAllAvailable()
+        # second pass so stage N+1 sees what stage N committed in pass 1
+        for pair in zip(cols["traffic"], cols["trade"]):
+            for q in pair:
+                q.processAllAvailable()
+    finally:
+        for q in qs:
+            q.stop()
+
+    # --- traffic parity: served DWS table vs the batch composition
+    traffic_served = {
+        (r.stt, r.vc, r.ch, r.ar, r.is_new, r.uv_ct)
+        for r in ts.read_state(
+            spark, f"{store}/dws_traffic_channel"
+        ).collect()
+        if r.stt.startswith("2024-01-01")
+    }
+    all_lines = GRAPH_LINES_B1 + GRAPH_LINES_B2 + sum(GRAPH_HEARTBEATS, [])
+    raw_b = spark.createDataFrame([(s,) for s in all_lines], "value string")
+    clean, _ = log_events.parse_with_dirty_routing(raw_b)
+    page = clean.where(~F.col("start").isNotNull())
+    entry = page.where(F.col("page.last_page_id").isNull())
+    uv = (
+        entry.select(
+            F.col("common.mid").alias("mid"),
+            F.col("common.vc").alias("vc"),
+            F.col("common.ch").alias("ch"),
+            F.col("common.ar").alias("ar"),
+            F.col("common.is_new").alias("is_new"),
+            F.timestamp_millis(F.col("ts")).alias("event_time"),
+        )
+        .withColumn("visit_date", F.to_date("event_time"))
+        .groupBy("mid", "visit_date")
+        .agg(
+            F.min_by(
+                F.struct("vc", "ch", "ar", "is_new", "event_time"),
+                "event_time",
+            ).alias("f")
+        )
+        .select("mid", "visit_date", "f.*")
+    )
+    traffic_want = {
+        (r.stt, r.vc, r.ch, r.ar, r.is_new, r.uv_ct)
+        for r in uv.groupBy(
+            F.window("event_time", "10 seconds"), "vc", "ch", "ar", "is_new"
+        )
+        .agg(F.count("*").alias("uv_ct"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            "vc", "ch", "ar", "is_new", "uv_ct",
+        )
+        .collect()
+        if r.stt.startswith("2024-01-01")
+    }
+    assert traffic_want, "fixture must produce closed day-1 windows"
+    assert traffic_served == traffic_want
+
+    # --- trade parity: served ADS daily vs batch distinct users
+    trade_served = {
+        r.dt: r.cart_add_uu
+        for r in ts.read_state(spark, f"{store}/ads_cart_daily").collect()
+    }
+    all_db = CART_LINES_B1 + CART_LINES_B2 + sum(CART_HEARTBEATS, [])
+    env = mx.etl_filter(
+        mx.parse_envelope(
+            spark.createDataFrame([(s,) for s in all_db], "value string")
+        )
+    ).withColumn("event_time", F.timestamp_seconds(F.col("ts").cast("long")))
+    facts = mx.cart_add_delta(env, extra_cols=("event_time",))
+    trade_want = {
+        r.dt: r.uu
+        for r in facts.select(
+            F.date_format("event_time", "yyyy-MM-dd").alias("dt"), "user_id"
+        )
+        .groupBy("dt")
+        .agg(F.countDistinct("user_id").alias("uu"))
+        .collect()
+    }
+    assert trade_served["2024-01-01"] == trade_want["2024-01-01"] == 3
+    for dt, uu in trade_served.items():
+        assert uu <= trade_want[dt]
+
+
 def test_trade_stream_graph_three_hop_parity(spark, tmp_path):
     """§3.4's TRADE column as one running set of three chained streaming
     queries over storage boundaries — Maxwell facts → UU window → ADS
