@@ -129,7 +129,12 @@ def _acquire_lock(path: str) -> str:
             time.sleep(0.02)
 
 
-def commit(df: DataFrame, path: str, expected_version: str | None = ...) -> str:
+def commit(
+    df: DataFrame,
+    path: str,
+    expected_version: str | None = ...,
+    retain: int = 2,
+) -> str:
     """Write ``df`` as the next version (executor-parallel) and atomically
     flip the pointer to it. Returns the committed version name.
 
@@ -146,6 +151,13 @@ def commit(df: DataFrame, path: str, expected_version: str | None = ...) -> str:
     the loser of the name just claims the next number. The check-and-flip
     runs under a short lock so a concurrent flip cannot interleave between
     the check and the rename.
+
+    ``retain`` is the retention window (Delta's log-retention knob): GC
+    keeps the newest ``retain`` flipped snapshots, so a concurrent
+    writer's pinned base survives ``retain - 1`` commit cycles. The
+    default 2 (current + predecessor) suits single-writer streams; size
+    it to the expected writer concurrency for multi-writer tables
+    (``merge_upsert`` forwards it).
     """
     import shutil
 
@@ -183,11 +195,20 @@ def commit(df: DataFrame, path: str, expected_version: str | None = ...) -> str:
             except FileNotFoundError:
                 pass
 
-    # GC: drop everything except the new current and its immediate
-    # predecessor (grace period for readers holding the old pointer value).
-    keep = {version, previous}
-    for d in os.listdir(path):
-        if d.startswith("v-") and d not in keep:
+    # GC: keep the newest ``retain`` FLIPPED snapshots (grace period for
+    # readers/writers pinned to older pointer values). Unflipped claim
+    # dirs newer than current (in-flight writers) are never touched.
+    flipped = sorted(
+        (
+            d
+            for d in os.listdir(path)
+            if d.startswith("v-") and d[2:].isdigit() and d <= version
+        ),
+        reverse=True,
+    )
+    keep = set(flipped[: max(retain, 1)]) | {version, previous or version}
+    for d in flipped:
+        if d not in keep:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return version
 
@@ -200,6 +221,8 @@ def merge_upsert(
     version_col: str,
     delete_when=None,
     evolve_schema: bool = False,
+    retain: int = 2,
+    attempts: int = 5,
 ) -> str:
     """MERGE ``incoming`` into the table at ``path``: newest ``version_col``
     per ``pk`` wins across stored state and the batch; if the winning row
@@ -223,12 +246,17 @@ def merge_upsert(
     Both writers' rows survive, in ``version_col`` order — the lost-update
     anomaly of a naive last-flip-wins pointer cannot occur. This is the
     MERGE-serialization contract Delta provides via its commit log.
-    (Retention caveat: GC keeps current+previous, so a writer's pinned
-    base survives ONE concurrent commit cycle; under heavier write
-    concurrency raise the retention window so slow writers' snapshots
-    outlive their read — same knob as Delta's log retention.)
+
+    ``retain``/``attempts`` size the contract to the writer concurrency
+    (Delta's log-retention / maxRetries knobs): GC keeps the newest
+    ``retain`` snapshots, so a writer's pinned base survives
+    ``retain - 1`` concurrent commit cycles; if the base is nonetheless
+    GC'd (or the snapshot dir raced) while the table MOVED, the failure
+    is classified as a conflict and retried against the new current —
+    only a failure with an UNMOVED table propagates (a real bug, not
+    concurrency). Proven live by
+    tests/test_sinks_serving.py::test_threaded_concurrent_writers.
     """
-    attempts = 5
     for attempt in range(attempts):
         base = current_version(path)
         current = read_state(spark, path, base) if base else None
@@ -242,9 +270,15 @@ def merge_upsert(
         if delete_when is not None:
             merged = merged.where(~delete_when)
         try:
-            return commit(merged, path, expected_version=base)
+            return commit(merged, path, expected_version=base, retain=retain)
         except ConcurrentCommitError:
             if attempt == attempts - 1:
+                raise
+        except Exception:
+            # A read/write failure while the table concurrently moved is
+            # a GC/claim race (base snapshot deleted mid-plan), not a
+            # correctness bug — recompute against the new current.
+            if current_version(path) == base or attempt == attempts - 1:
                 raise
     raise AssertionError("unreachable")
 
