@@ -22,9 +22,12 @@ with ``os.replace`` (an atomic POSIX rename). Consequences:
   metadata-only parquet file for an empty DataFrame), so a batch whose
   deletes remove every PK truncates the table instead of leaving stale
   state on disk (ADVICE r01 #5).
-- Old versions are garbage-collected after the pointer flip; the newly
-  superseded one is kept for one commit cycle so in-flight readers of the
-  previous pointer value still resolve their files.
+- Old versions are garbage-collected after the pointer flip. Retention is
+  the ``retain`` knob on :func:`commit` / :func:`merge_upsert` (default 2
+  = current + predecessor): GC keeps the newest ``retain`` FLIPPED
+  snapshots, identified via the tiny ``_FLIPS`` append-only log (the
+  ``_delta_log`` analog), and never touches an unflipped claim directory
+  (an in-flight writer) younger than the orphan grace period.
 
 On Delta/Iceberg the ``merge_upsert`` body becomes a single MERGE INTO and
 the collapse expression is identical (SURVEY.md §1.4 K2/K4/K5).
@@ -40,8 +43,11 @@ from realtime_datawarehouse_spark.sources.kafka import latest_by_key
 
 _POINTER = "_CURRENT"
 _LOCK = "_COMMIT_LOCK"
+_FLIPS = "_FLIPS"  # append-only log of flipped version names (_delta_log analog)
 # a crashed committer's lock goes stale; breakable after this many seconds
 _LOCK_STALE_S = 30.0
+# an unflipped claim dir older than this is a crashed writer's orphan
+_ORPHAN_GRACE_S = 600.0
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -68,10 +74,11 @@ def read_state(
 ) -> DataFrame | None:
     """The committed table as a DataFrame (None before the first commit).
 
-    ``version`` time-travels to a specific retained snapshot (the GC keeps
-    the current version plus its immediate predecessor — the bounded
-    analog of Delta's VERSION AS OF; raise the retention for deeper
-    history by keeping more versions in ``commit``'s GC set)."""
+    ``version`` time-travels to a specific retained snapshot — the
+    bounded analog of Delta's VERSION AS OF. How deep history reaches is
+    the ``retain`` argument of :func:`commit` / :func:`merge_upsert`
+    (default 2 = current + immediate predecessor); pass a larger value
+    there for deeper time travel or heavier writer concurrency."""
     version = version or current_version(path)
     if version is None:
         return None
@@ -174,7 +181,7 @@ def commit(
             continue
     df.write.mode("overwrite").parquet(os.path.join(path, version))
 
-    lock = _acquire_lock(path) if check else None
+    lock = _acquire_lock(path)
     try:
         if check and current_version(path) != expected_version:
             shutil.rmtree(os.path.join(path, version), ignore_errors=True)
@@ -188,28 +195,46 @@ def commit(
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, _pointer_path(path))  # atomic: readers see old or new
+        # record the flip (under the same lock, so the log is ordered) —
+        # GC's ground truth for "was ever the pointer value"
+        with open(os.path.join(path, _FLIPS), "a", encoding="utf-8") as f:
+            f.write(version + "\n")
     finally:
-        if lock is not None:
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
 
-    # GC: keep the newest ``retain`` FLIPPED snapshots (grace period for
-    # readers/writers pinned to older pointer values). Unflipped claim
-    # dirs newer than current (in-flight writers) are never touched.
-    flipped = sorted(
-        (
-            d
-            for d in os.listdir(path)
-            if d.startswith("v-") and d[2:].isdigit() and d <= version
-        ),
-        reverse=True,
-    )
-    keep = set(flipped[: max(retain, 1)]) | {version, previous or version}
-    for d in flipped:
-        if d not in keep:
+    # GC: keep the newest ``retain`` FLIPPED snapshots (plus the direct
+    # predecessor — a grace period for readers holding the old pointer
+    # value). Only versions in the flip log are ever deleted: an UNFLIPPED
+    # claim directory is an in-flight writer and is left alone unless it
+    # is older than the orphan grace period (a crashed writer).
+    try:
+        with open(os.path.join(path, _FLIPS), encoding="utf-8") as f:
+            flipped = [ln.strip() for ln in f if ln.strip()]
+    except FileNotFoundError:
+        flipped = [version]
+    existing = {
+        d
+        for d in os.listdir(path)
+        if d.startswith("v-") and d[2:].isdigit()
+    }
+    flipped_set = set(flipped) & existing
+    newest_flipped = sorted(flipped_set, reverse=True)[: max(retain, 1)]
+    keep = set(newest_flipped) | {version, previous or version}
+    import time as _time
+
+    for d in existing - keep:
+        if d in flipped_set:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        else:  # unflipped claim: only a crashed writer's orphan is pruned
+            try:
+                age = _time.time() - os.path.getmtime(os.path.join(path, d))
+            except OSError:
+                continue
+            if age > _ORPHAN_GRACE_S:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return version
 
 
@@ -259,25 +284,28 @@ def merge_upsert(
     """
     for attempt in range(attempts):
         base = current_version(path)
-        current = read_state(spark, path, base) if base else None
-        if current is None:
-            union = incoming
-        elif evolve_schema:
-            union = current.unionByName(incoming, allowMissingColumns=True)
-        else:
-            union = current.unionByName(incoming)
-        merged = latest_by_key(union, pk, version_col)
-        if delete_when is not None:
-            merged = merged.where(~delete_when)
         try:
+            current = read_state(spark, path, base) if base else None
+            if current is None:
+                union = incoming
+            elif evolve_schema:
+                union = current.unionByName(
+                    incoming, allowMissingColumns=True
+                )
+            else:
+                union = current.unionByName(incoming)
+            merged = latest_by_key(union, pk, version_col)
+            if delete_when is not None:
+                merged = merged.where(~delete_when)
             return commit(merged, path, expected_version=base, retain=retain)
         except ConcurrentCommitError:
             if attempt == attempts - 1:
                 raise
         except Exception:
-            # A read/write failure while the table concurrently moved is
-            # a GC/claim race (base snapshot deleted mid-plan), not a
-            # correctness bug — recompute against the new current.
+            # A read/plan/write failure while the table concurrently
+            # moved is a GC/claim race (base snapshot deleted between the
+            # pointer read and plan execution), not a correctness bug —
+            # recompute against the new current.
             if current_version(path) == base or attempt == attempts - 1:
                 raise
     raise AssertionError("unreachable")

@@ -412,11 +412,17 @@ def traffic_stream_graph(
         return [q1, q2, q3]
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # injective composite PK: JSON keeps nulls and escapes separators,
+        # so distinct dimension tuples can never collapse to one key
+        # (concat_ws would drop NULL dims and collide on '|' in values)
         table_store.merge_upsert(
             batch_df.sparkSession,
             batch_df.withColumn(
                 "pk",
-                F.concat_ws("|", "stt", "vc", "ch", "ar", "is_new"),
+                F.to_json(
+                    F.struct("stt", "vc", "ch", "ar", "is_new"),
+                    {"ignoreNullFields": "false"},
+                ),
             ).withColumn("ver", F.lit(batch_id)),
             store_path,
             pk="pk",
@@ -577,7 +583,7 @@ def full_stream_topology(
     reference's single ClickHouse instance plays for every DWS job
     (rt/app/dws/*.java → MyClickhouseUtil):
 
-        {store_root}/dws_traffic_channel   (PK stt|vc|ch|ar|is_new)
+        {store_root}/dws_traffic_channel   (PK = JSON of (stt,vc,ch,ar,is_new))
         {store_root}/ads_cart_daily        (PK dt)
 
     Each query owns its checkpoint under ``work_dir`` so any stage of

@@ -352,26 +352,31 @@ def test_threaded_concurrent_writers(spark, tmp_path):
 
     from realtime_datawarehouse_spark.operators import table_store as ts
 
-    path = str(tmp_path / "t")
     n = 8
+    # both retention regimes: sized-to-concurrency (clean conflicts) AND
+    # the default window, which forces the GC-race classification path
+    # (a writer's pinned base deleted mid-plan must retry, not raise)
+    for label, retain in (("wide", n + 1), ("default", 2)):
+        path = str(tmp_path / f"t_{label}")
 
-    def write(i: int) -> None:
-        df = spark.createDataFrame(
-            [(i, f"w{i}", 1)], "pk int, val string, ver int"
-        )
-        ts.merge_upsert(
-            spark, df, path, pk="pk", version_col="ver",
-            retain=n + 1, attempts=4 * n,
-        )
+        def write(i: int) -> None:
+            df = spark.createDataFrame(
+                [(i, f"w{i}", 1)], "pk int, val string, ver int"
+            )
+            ts.merge_upsert(
+                spark, df, path, pk="pk", version_col="ver",
+                retain=retain, attempts=8 * n,
+            )
 
-    with ThreadPoolExecutor(n) as ex:
-        for r in ex.map(write, range(n)):
-            pass  # re-raise any writer failure
+        with ThreadPoolExecutor(n) as ex:
+            for r in ex.map(write, range(n)):
+                pass  # re-raise any writer failure
 
-    rows = {(r.pk, r.val) for r in ts.read_state(spark, path).collect()}
-    assert rows == {(i, f"w{i}") for i in range(n)}
-    # retention honored: at most retain snapshots remain, newest readable
-    assert len(ts.list_versions(path)) <= n + 1
+        rows = {(r.pk, r.val) for r in ts.read_state(spark, path).collect()}
+        assert rows == {(i, f"w{i}") for i in range(n)}, label
+        # retention honored: flipped snapshots on disk stay bounded (an
+        # in-flight claim dir may transiently add one)
+        assert len(ts.list_versions(path)) <= retain + 1, label
 
 
 def test_commit_retain_window_keeps_slow_writers_base_readable(

@@ -36,7 +36,7 @@ def main() -> None:
     duck.execute(
         f"""
         COPY (
-          SELECT * REPLACE (c_custkey + i.range * {off} AS c_custkey)
+          SELECT c.* REPLACE (c_custkey + i.range * {off} AS c_custkey)
           FROM c CROSS JOIN range({COPIES}) i
           ORDER BY c_custkey
         ) TO '{dst}' (FORMAT PARQUET)
