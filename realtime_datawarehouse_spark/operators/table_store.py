@@ -48,6 +48,11 @@ _FLIPS = "_FLIPS"  # append-only log of flipped version names (_delta_log analog
 _LOCK_STALE_S = 30.0
 # an unflipped claim dir older than this is a crashed writer's orphan
 _ORPHAN_GRACE_S = 600.0
+# compact the flip log past this size, keeping the newest tail (entries
+# older than the retention window only matter for GC of dirs that were
+# removed long ago — a pre-tail dir degrades safely to the orphan path)
+_FLIPS_COMPACT_BYTES = 64 * 1024
+_FLIPS_KEEP_LINES = 1024
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -196,8 +201,22 @@ def commit(
             os.fsync(f.fileno())
         os.replace(tmp, _pointer_path(path))  # atomic: readers see old or new
         # record the flip (under the same lock, so the log is ordered) —
-        # GC's ground truth for "was ever the pointer value"
-        with open(os.path.join(path, _FLIPS), "a", encoding="utf-8") as f:
+        # GC's ground truth for "was ever the pointer value". Compact the
+        # log once it outgrows the bound: only the newest tail can still
+        # name a retained dir, so truncation never un-protects anything
+        # (a pre-tail straggler degrades to the orphan-grace path).
+        flips_path = os.path.join(path, _FLIPS)
+        try:
+            if os.path.getsize(flips_path) > _FLIPS_COMPACT_BYTES:
+                with open(flips_path, encoding="utf-8") as f:
+                    tail = f.readlines()[-_FLIPS_KEEP_LINES:]
+                ftmp = flips_path + f".tmp.{os.getpid()}"
+                with open(ftmp, "w", encoding="utf-8") as f:
+                    f.writelines(tail)
+                os.replace(ftmp, flips_path)
+        except FileNotFoundError:
+            pass
+        with open(flips_path, "a", encoding="utf-8") as f:
             f.write(version + "\n")
     finally:
         try:

@@ -404,6 +404,27 @@ def test_commit_retain_window_keeps_slow_writers_base_readable(
         ts.read_state(spark, narrow, v1)
 
 
+def test_flip_log_compacts_and_gc_still_correct(spark, tmp_path, monkeypatch):
+    """The _FLIPS log must stay bounded on long-running streams (compacted
+    to its newest tail once oversized) without weakening GC: retained
+    snapshots stay readable, older flipped dirs still get collected."""
+    import os
+
+    from realtime_datawarehouse_spark.operators import table_store as ts
+
+    monkeypatch.setattr(ts, "_FLIPS_COMPACT_BYTES", 64)
+    monkeypatch.setattr(ts, "_FLIPS_KEEP_LINES", 3)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1)], "pk int, ver int")
+    for _ in range(10):
+        v = ts.commit(df, path, retain=2)
+    log = open(os.path.join(path, ts._FLIPS), encoding="utf-8").read()
+    assert len(log.splitlines()) <= 4  # tail + the newest append
+    assert ts.current_version(path) == v
+    assert ts.read_state(spark, path).count() == 1
+    assert len(ts.list_versions(path)) <= 3  # retain + grace predecessor
+
+
 def test_commit_claim_directories_never_collide(spark, tmp_path):
     """The version directory is the claim token: sequential commits claim
     strictly increasing names even when a stale empty claim dir exists

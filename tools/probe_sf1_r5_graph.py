@@ -58,13 +58,12 @@ def _time_built(fn) -> float:
     return best
 
 
-def _coreness_rounds(spark, sf_dir: str, rounds: int):
-    """graph_coreness's exact loop body with a rounds parameter (the
-    registered query pins CORENESS_ROUNDS; the probe varies it to
-    measure the marginal per-round cost)."""
-    sym = graph_ops._copurchase_sym_edges(spark, sf_dir).localCheckpoint(
-        eager=True
-    )
+def _coreness_rounds(spark, sym, rounds: int):
+    """graph_coreness's exact loop body with a rounds parameter over a
+    PRE-BUILT symmetric edge set (the registered query pins
+    CORENESS_ROUNDS and builds its own edges; the probe pre-checkpoints
+    the 96.7×-densified edge set OUTSIDE the timed region so the
+    marginal isolates per-round cost — ADVICE r5 #2)."""
     vals = (
         sym.groupBy("u")
         .agg(F.count("*").cast("bigint").alias("val"))
@@ -184,8 +183,11 @@ def main() -> None:
         "per_hop_4_8": round((t[8] - t[4]) / 4, 3),
         "totals": {str(k): round(s, 3) for k, s in t.items()},
     }
+    sym1 = graph_ops._copurchase_sym_edges(spark, SF1).localCheckpoint(
+        eager=True
+    )
     t = {
-        k: _time_built(lambda k=k: _coreness_rounds(spark, SF1, k))
+        k: _time_built(lambda k=k: _coreness_rounds(spark, sym1, k))
         for k in (4, 8, 16)
     }
     out["marginal_sf1"]["coreness_per_round"] = {
