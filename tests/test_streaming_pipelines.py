@@ -609,6 +609,92 @@ def test_full_stream_topology_both_columns_shared_store(spark, tmp_path):
         assert uu <= trade_want[dt]
 
 
+def test_full_stream_topology_restarts_from_checkpoints(spark, tmp_path):
+    """Crash/restart resilience for the §3.4 full topology: all six
+    queries are STOPPED after consuming only the first micro-batches,
+    then relaunched against the same checkpoints/store — the file-source
+    metadata logs, stateful-dedup state, and MERGE versions must resume
+    so the final served tables equal the single-run batch parity (the
+    reference's commented-out restart-strategy story, done for real)."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import table_store as ts
+    from realtime_datawarehouse_spark.sources import maxwell as mx
+
+    log_dir, db_dir = str(tmp_path / "in_log"), str(tmp_path / "in_db")
+    work, store = str(tmp_path / "work"), str(tmp_path / "store")
+
+    def write_batch(d, batch):
+        spark.createDataFrame(
+            [(s,) for s in batch], "value string"
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    def lines_stream(d):
+        return (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+
+    def run_pass(n_drains: int = 2):
+        cols = pipelines.full_stream_topology(
+            spark, lines_stream(log_dir), lines_stream(db_dir), work, store
+        )
+        qs = cols["traffic"] + cols["trade"]
+        try:
+            for _ in range(n_drains):
+                for pair in zip(cols["traffic"], cols["trade"]):
+                    for q in pair:
+                        q.processAllAvailable()
+        finally:
+            for q in qs:
+                q.stop()
+
+    # phase 1: only the first micro-batch of each column, then STOP
+    write_batch(log_dir, GRAPH_LINES_B1)
+    write_batch(db_dir, CART_LINES_B1)
+    run_pass()
+
+    # phase 2: the rest arrives while the topology is DOWN; relaunch
+    for b in [GRAPH_LINES_B2, *GRAPH_HEARTBEATS]:
+        write_batch(log_dir, b)
+    for b in [CART_LINES_B2, *CART_HEARTBEATS]:
+        write_batch(db_dir, b)
+    run_pass()
+
+    # parity must equal the uninterrupted run's: traffic day-1 windows
+    served = {
+        (r.stt, r.vc, r.ch, r.ar, r.is_new, r.uv_ct)
+        for r in ts.read_state(
+            spark, f"{store}/dws_traffic_channel"
+        ).collect()
+        if r.stt.startswith("2024-01-01")
+    }
+    assert sum(c for *_, c in served) == 3  # m1, m2, m4 exactly once
+    # trade day-1 distinct users, replayed-file dedup included
+    trade = {
+        r.dt: r.cart_add_uu
+        for r in ts.read_state(spark, f"{store}/ads_cart_daily").collect()
+    }
+    all_db = CART_LINES_B1 + CART_LINES_B2 + sum(CART_HEARTBEATS, [])
+    env = mx.etl_filter(
+        mx.parse_envelope(
+            spark.createDataFrame([(s,) for s in all_db], "value string")
+        )
+    ).withColumn("event_time", F.timestamp_seconds(F.col("ts").cast("long")))
+    want = {
+        r.dt: r.uu
+        for r in mx.cart_add_delta(env, extra_cols=("event_time",))
+        .select(
+            F.date_format("event_time", "yyyy-MM-dd").alias("dt"), "user_id"
+        )
+        .groupBy("dt")
+        .agg(F.countDistinct("user_id").alias("uu"))
+        .collect()
+    }
+    assert trade["2024-01-01"] == want["2024-01-01"] == 3
+
+
 def test_trade_stream_graph_three_hop_parity(spark, tmp_path):
     """§3.4's TRADE column as one running set of three chained streaming
     queries over storage boundaries — Maxwell facts → UU window → ADS
