@@ -39,13 +39,14 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from realtime_datawarehouse_spark.sources.kafka import latest_by_key
-
 _POINTER = "_CURRENT"
 _LOCK = "_COMMIT_LOCK"
 _FLIPS = "_FLIPS"  # append-only log of flipped version names (_delta_log analog)
 # a crashed committer's lock goes stale; breakable after this many seconds
 _LOCK_STALE_S = 30.0
+# a waiter gives up (raises) after this long against a FRESH lock — a live
+# holder is never preempted, unlike the stale break above
+_LOCK_TIMEOUT_S = 120.0
 # an unflipped claim dir older than this is a crashed writer's orphan
 _ORPHAN_GRACE_S = 600.0
 # compact the flip log past this size, keeping the newest tail (entries
@@ -84,46 +85,73 @@ def read_state(
     the ``retain`` argument of :func:`commit` / :func:`merge_upsert`
     (default 2 = current + immediate predecessor); pass a larger value
     there for deeper time travel or heavier writer concurrency."""
+    explicit = version is not None
     version = version or current_version(path)
     if version is None:
         return None
     vdir = os.path.join(path, version)
-    if not os.path.isdir(vdir):
+    flipped = _flipped_versions(path)
+    committed = flipped is None or version in flipped
+    if not os.path.isdir(vdir) or (explicit and not committed):
         raise FileNotFoundError(
-            f"version {version!r} not retained at {path} "
-            f"(available: {list_versions(path)})"
+            f"version {version!r} not retained as a committed snapshot at "
+            f"{path} (available: {list_versions(path)})"
         )
     return spark.read.parquet(vdir)
 
 
-def list_versions(path: str) -> list[str]:
-    """Retained snapshot names, oldest first."""
+def _version_dirs(path: str) -> list[str]:
+    """ALL v-* directories — committed snapshots AND in-flight/orphan
+    claims. Naming and GC share this one filter."""
     if not os.path.isdir(path):
         return []
-    return sorted(
+    return [
         d for d in os.listdir(path) if d.startswith("v-") and d[2:].isdigit()
-    )
+    ]
+
+
+def _flipped_versions(path: str) -> set[str] | None:
+    """Version names that were ever the committed pointer value (the
+    ``_FLIPS`` log), or None for a pre-log store (treat all dirs as
+    committed)."""
+    try:
+        with open(os.path.join(path, _FLIPS), encoding="utf-8") as f:
+            return {ln.strip() for ln in f if ln.strip()}
+    except FileNotFoundError:
+        return None
+
+
+def list_versions(path: str) -> list[str]:
+    """Retained COMMITTED snapshot names, oldest first (an in-flight
+    writer's claim directory is not a snapshot and is excluded)."""
+    dirs = _version_dirs(path)
+    flipped = _flipped_versions(path)
+    if flipped is not None:
+        dirs = [d for d in dirs if d in flipped]
+    return sorted(dirs)
 
 
 def _next_version_name(path: str) -> str:
-    versions = [
-        d for d in os.listdir(path) if d.startswith("v-") and d[2:].isdigit()
-    ] if os.path.isdir(path) else []
-    n = max((int(d[2:]) for d in versions), default=0) + 1
+    n = max((int(d[2:]) for d in _version_dirs(path)), default=0) + 1
     return f"v-{n:010d}"
 
 
 def _acquire_lock(path: str) -> str:
     """Tiny mutex guarding ONLY the check-and-flip step (never the write:
     snapshot writes run fully parallel outside it). O_EXCL creation is the
-    atomic primitive; a lock older than ``_LOCK_STALE_S`` (crashed
-    committer) is broken. On an object store this maps to a conditional
-    PUT / DynamoDB-style commit arbiter — the same shape Delta uses on
-    S3."""
+    atomic primitive. A lock older than ``_LOCK_STALE_S`` (crashed
+    committer) is broken by RENAME-ASIDE — ``os.replace`` is atomic, so
+    of N concurrent breakers exactly one wins (a bare unlink would
+    TOCTOU-delete the fresh lock a faster breaker just re-created). A
+    FRESH lock is never preempted: a waiter that cannot acquire within
+    ``_LOCK_TIMEOUT_S`` raises instead of stealing, preserving mutual
+    exclusion under arbitrary contention. On an object store this maps to
+    a conditional PUT / DynamoDB-style commit arbiter — the same shape
+    Delta uses on S3."""
     import time
 
     lock = os.path.join(path, _LOCK)
-    deadline = time.monotonic() + _LOCK_STALE_S
+    deadline = time.monotonic() + _LOCK_TIMEOUT_S
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -131,13 +159,30 @@ def _acquire_lock(path: str) -> str:
             return lock
         except FileExistsError:
             try:
-                if time.monotonic() > deadline or (
+                stale = (
                     time.time() - os.path.getmtime(lock) > _LOCK_STALE_S
-                ):
-                    os.unlink(lock)  # break stale lock
-                    continue
+                )
             except FileNotFoundError:
                 continue
+            if stale:
+                broken = (
+                    lock + f".broken.{os.getpid()}.{time.monotonic_ns()}"
+                )
+                try:
+                    os.replace(lock, broken)
+                except FileNotFoundError:
+                    continue  # another breaker won the rename race
+                try:
+                    os.unlink(broken)
+                except FileNotFoundError:
+                    pass
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"commit lock at {path} held fresh for more than "
+                    f"{_LOCK_TIMEOUT_S}s — raise _LOCK_TIMEOUT_S for "
+                    "very high writer concurrency"
+                )
             time.sleep(0.02)
 
 
@@ -184,7 +229,11 @@ def commit(
             break
         except FileExistsError:
             continue
-    df.write.mode("overwrite").parquet(os.path.join(path, version))
+    # APPEND into the freshly-claimed empty dir: overwrite would delete
+    # and recreate it, transiently destroying the mkdir claim token — a
+    # racing writer could then claim the same name and two writers would
+    # share one snapshot directory
+    df.write.mode("append").parquet(os.path.join(path, version))
 
     lock = _acquire_lock(path)
     try:
@@ -194,17 +243,13 @@ def commit(
                 f"table at {path} moved from {expected_version!r} to "
                 f"{current_version(path)!r} during commit"
             )
-        tmp = _pointer_path(path) + f".tmp.{os.getpid()}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(version)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, _pointer_path(path))  # atomic: readers see old or new
-        # record the flip (under the same lock, so the log is ordered) —
-        # GC's ground truth for "was ever the pointer value". Compact the
-        # log once it outgrows the bound: only the newest tail can still
-        # name a retained dir, so truncation never un-protects anything
-        # (a pre-tail straggler degrades to the orphan-grace path).
+        # record the flip BEFORE the pointer replace (same lock, so the
+        # log is ordered): a reader must never observe a current version
+        # absent from the log; the converse (a crash leaving a logged but
+        # never-current entry) degrades to a soon-GC'd orphan. The log is
+        # GC's ground truth for "was ever the pointer value". Compact it
+        # once it outgrows the bound: only the newest tail can still name
+        # a retained dir, so truncation never un-protects anything.
         flips_path = os.path.join(path, _FLIPS)
         try:
             if os.path.getsize(flips_path) > _FLIPS_COMPACT_BYTES:
@@ -218,6 +263,14 @@ def commit(
             pass
         with open(flips_path, "a", encoding="utf-8") as f:
             f.write(version + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = _pointer_path(path) + f".tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(version)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, _pointer_path(path))  # atomic: readers see old or new
     finally:
         try:
             os.unlink(lock)
@@ -229,17 +282,8 @@ def commit(
     # value). Only versions in the flip log are ever deleted: an UNFLIPPED
     # claim directory is an in-flight writer and is left alone unless it
     # is older than the orphan grace period (a crashed writer).
-    try:
-        with open(os.path.join(path, _FLIPS), encoding="utf-8") as f:
-            flipped = [ln.strip() for ln in f if ln.strip()]
-    except FileNotFoundError:
-        flipped = [version]
-    existing = {
-        d
-        for d in os.listdir(path)
-        if d.startswith("v-") and d[2:].isdigit()
-    }
-    flipped_set = set(flipped) & existing
+    existing = set(_version_dirs(path))
+    flipped_set = (_flipped_versions(path) or {version}) & existing
     newest_flipped = sorted(flipped_set, reverse=True)[: max(retain, 1)]
     keep = set(newest_flipped) | {version, previous or version}
     import time as _time
@@ -301,21 +345,42 @@ def merge_upsert(
     concurrency). Proven live by
     tests/test_sinks_serving.py::test_threaded_concurrent_writers.
     """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     for attempt in range(attempts):
         base = current_version(path)
         try:
             current = read_state(spark, path, base) if base else None
+            # deterministic tie-break: on equal version_col the INCOMING
+            # row wins (a replayed foreachBatch batch must replace its
+            # earlier attempt, never nondeterministically lose to it)
+            inc = incoming.withColumn("__pref", F.lit(1))
             if current is None:
-                union = incoming
+                union = inc
             elif evolve_schema:
-                union = current.unionByName(
-                    incoming, allowMissingColumns=True
+                union = current.withColumn("__pref", F.lit(0)).unionByName(
+                    inc, allowMissingColumns=True
                 )
             else:
-                union = current.unionByName(incoming)
-            merged = latest_by_key(union, pk, version_col)
+                union = current.withColumn("__pref", F.lit(0)).unionByName(
+                    inc
+                )
+            w = Window.partitionBy(pk).orderBy(
+                F.col(version_col).desc(), F.col("__pref").desc()
+            )
+            merged = (
+                union.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn", "__pref")
+            )
             if delete_when is not None:
-                merged = merged.where(~delete_when)
+                # NULL-safe: a predicate over a column only one side
+                # carries is NULL for the other side's rows — those rows
+                # are KEPT (three-valued ~NULL would silently drop them)
+                merged = merged.where(
+                    ~F.coalesce(delete_when, F.lit(False))
+                )
             return commit(merged, path, expected_version=base, retain=retain)
         except ConcurrentCommitError:
             if attempt == attempts - 1:
@@ -335,6 +400,7 @@ def compact(
     path: str,
     target_files: int = 8,
     cluster_col: str | None = None,
+    retain: int = 2,
 ) -> str:
     """OPTIMIZE for the versioned store: rewrite the current state into
     ``target_files`` files, optionally range-clustered on ``cluster_col``
@@ -353,14 +419,16 @@ def compact(
     construction (pure re-layout, no row change).
     """
     expected = current_version(path)
-    cur = read_state(spark, path)
+    if expected is None:
+        raise FileNotFoundError(f"nothing to compact: no commits at {path}")
+    cur = read_state(spark, path, expected)  # pin to the checked version
     if cluster_col is not None:
         laid = cur.repartitionByRange(
             target_files, cluster_col
         ).sortWithinPartitions(cluster_col)
     else:
         laid = cur.coalesce(target_files)
-    return commit(laid, path, expected_version=expected)
+    return commit(laid, path, expected_version=expected, retain=retain)
 
 
 def _morton_spread16(x):
@@ -381,6 +449,7 @@ def compact_zorder(
     col_a: str,
     col_b: str,
     target_files: int = 8,
+    retain: int = 2,
 ) -> str:
     """Two-dimensional OPTIMIZE ZORDER: rewrite the current state ordered
     by the Morton interleave of two columns, so every output file covers a
@@ -398,12 +467,16 @@ def compact_zorder(
     from pyspark.sql import functions as F
 
     expected = current_version(path)
-    cur = read_state(spark, path)
+    if expected is None:
+        raise FileNotFoundError(f"nothing to compact: no commits at {path}")
+    cur = read_state(spark, path, expected)  # pin to the checked version
+    # helper columns carry a reserved prefix so a user table with e.g. a
+    # real "a_lo" column can never collide or get dropped
     bounds = cur.agg(
-        F.min(col_a).alias("a_lo"),
-        F.max(col_a).alias("a_hi"),
-        F.min(col_b).alias("b_lo"),
-        F.max(col_b).alias("b_hi"),
+        F.min(col_a).alias("__zx_a_lo"),
+        F.max(col_a).alias("__zx_a_hi"),
+        F.min(col_b).alias("__zx_b_lo"),
+        F.max(col_b).alias("__zx_b_hi"),
     )
 
     def cell(col, lo, hi):
@@ -416,14 +489,16 @@ def compact_zorder(
         )
 
     coded = cur.crossJoin(F.broadcast(bounds)).withColumn(
-        "_z",
-        _morton_spread16(cell(col_a, "a_lo", "a_hi")).bitwiseOR(
-            F.shiftleft(_morton_spread16(cell(col_b, "b_lo", "b_hi")), 1)
+        "__zx_code",
+        _morton_spread16(cell(col_a, "__zx_a_lo", "__zx_a_hi")).bitwiseOR(
+            F.shiftleft(
+                _morton_spread16(cell(col_b, "__zx_b_lo", "__zx_b_hi")), 1
+            )
         ),
     )
     laid = (
-        coded.repartitionByRange(target_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z", "a_lo", "a_hi", "b_lo", "b_hi")
+        coded.repartitionByRange(target_files, "__zx_code")
+        .sortWithinPartitions("__zx_code")
+        .drop("__zx_code", "__zx_a_lo", "__zx_a_hi", "__zx_b_lo", "__zx_b_hi")
     )
-    return commit(laid, path, expected_version=expected)
+    return commit(laid, path, expected_version=expected, retain=retain)

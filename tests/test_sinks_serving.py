@@ -340,6 +340,49 @@ def test_concurrent_merge_upsert_no_lost_update(spark, tmp_path):
     assert rows == {(1, "A"), (2, "B")}
 
 
+def test_delete_when_null_predicate_keeps_rows(spark, tmp_path):
+    """Regression (round-5 review): with evolve_schema=True and a
+    delete_when over a column only the NEW batch carries, the stored
+    rows' predicate is NULL — three-valued ~NULL would silently delete
+    the whole pre-existing table; they must be KEPT. Ties on version_col
+    must also deterministically favor the incoming row."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [("1", 1, "keep-me"), ("2", 1, "also-keep")],
+        "pk string, ts long, val string",
+    )
+    table_store.merge_upsert(spark, b1, path, pk="pk", version_col="ts")
+    # new batch introduces the 'type' column and deletes pk=2
+    b2 = spark.createDataFrame(
+        [("2", 2, "x", "delete"), ("3", 2, "new", "insert")],
+        "pk string, ts long, val string, type string",
+    )
+    table_store.merge_upsert(
+        spark, b2, path, pk="pk", version_col="ts",
+        delete_when=F.col("type") == "delete", evolve_schema=True,
+    )
+    rows = {
+        r.pk: r.val for r in table_store.read_state(spark, path).collect()
+    }
+    assert rows == {"1": "keep-me", "3": "new"}
+
+    # version tie: replayed batch (same ts) must replace, not lose
+    b3 = spark.createDataFrame(
+        [("3", 2, "replayed", "insert")],
+        "pk string, ts long, val string, type string",
+    )
+    table_store.merge_upsert(
+        spark, b3, path, pk="pk", version_col="ts",
+        delete_when=F.col("type") == "delete", evolve_schema=True,
+    )
+    rows = {
+        r.pk: r.val for r in table_store.read_state(spark, path).collect()
+    }
+    assert rows["3"] == "replayed"
+
+
 def test_threaded_concurrent_writers(spark, tmp_path):
     """TRUE thread-level write concurrency (not an interleaved
     simulation): 8 writers MERGE disjoint PKs into the same table
