@@ -772,7 +772,12 @@ def semdedup_eval(
     portable. ``ivf_kmeans`` = within-centroid pairs (the ``semdedup``
     form); ``lsh_adaptive`` = within-adaptive-plane-bucket pairs (the
     ``semdedup_lsh`` deployment form, whose expected recall per pair is
-    the hyperplane-collision law (1-θ/π)^planes).
+    the hyperplane-collision law (1-θ/π)^planes). The law — not the
+    fixture — is the pinned contract:
+    tests/test_plans.py::test_semdedup_eval_recall_on_planted_near_dups
+    re-runs this audit on planted cosine-0.98+ pairs (the regime real
+    near-dup corpora live in) with the floor derived from the law at the
+    planted angles (ADVICE r5 #2).
 
     Scale shape: the ground-truth side is O(n²) BY DESIGN — in production
     this audit runs on a bounded sample split (the standard way to monitor

@@ -47,7 +47,12 @@ _LOCK_STALE_S = 30.0
 # a waiter gives up (raises) after this long against a FRESH lock — a live
 # holder is never preempted, unlike the stale break above
 _LOCK_TIMEOUT_S = 120.0
-# an unflipped claim dir older than this is a crashed writer's orphan
+# an unflipped claim dir older than this is a crashed writer's orphan.
+# Default for the ``orphan_grace_s`` knob on commit/merge_upsert: it must
+# exceed the longest legitimate SINGLE-snapshot write, or a slow writer's
+# claim dir can be pruned mid-write by a concurrent committer (it heals
+# via the merge retry, but the work is lost). Size it with the expected
+# snapshot write duration on very large multi-writer tables.
 _ORPHAN_GRACE_S = 600.0
 # compact the flip log past this size, keeping the newest tail (entries
 # older than the retention window only matter for GC of dirs that were
@@ -191,6 +196,7 @@ def commit(
     path: str,
     expected_version: str | None = ...,
     retain: int = 2,
+    orphan_grace_s: float = _ORPHAN_GRACE_S,
 ) -> str:
     """Write ``df`` as the next version (executor-parallel) and atomically
     flip the pointer to it. Returns the committed version name.
@@ -215,6 +221,14 @@ def commit(
     default 2 (current + predecessor) suits single-writer streams; size
     it to the expected writer concurrency for multi-writer tables
     (``merge_upsert`` forwards it).
+
+    ``orphan_grace_s`` bounds how long an UNFLIPPED claim directory (an
+    in-flight writer's snapshot-in-progress) is spared from GC. It must
+    exceed the longest legitimate single-snapshot write: a writer slower
+    than the grace can have its claim pruned mid-write by a concurrent
+    committer (healing via the merge retry, at the cost of redoing the
+    write). Raise it alongside expected write duration for tables whose
+    snapshots take many minutes (ADVICE r5 #3).
     """
     import shutil
 
@@ -296,7 +310,7 @@ def commit(
                 age = _time.time() - os.path.getmtime(os.path.join(path, d))
             except OSError:
                 continue
-            if age > _ORPHAN_GRACE_S:
+            if age > orphan_grace_s:
                 shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return version
 
@@ -311,6 +325,7 @@ def merge_upsert(
     evolve_schema: bool = False,
     retain: int = 2,
     attempts: int = 5,
+    orphan_grace_s: float = _ORPHAN_GRACE_S,
 ) -> str:
     """MERGE ``incoming`` into the table at ``path``: newest ``version_col``
     per ``pk`` wins across stored state and the batch; if the winning row
@@ -344,6 +359,8 @@ def merge_upsert(
     only a failure with an UNMOVED table propagates (a real bug, not
     concurrency). Proven live by
     tests/test_sinks_serving.py::test_threaded_concurrent_writers.
+    ``orphan_grace_s`` (forwarded to :func:`commit`) must exceed the
+    longest single-snapshot write on this table — see :func:`commit`.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -381,7 +398,13 @@ def merge_upsert(
                 merged = merged.where(
                     ~F.coalesce(delete_when, F.lit(False))
                 )
-            return commit(merged, path, expected_version=base, retain=retain)
+            return commit(
+                merged,
+                path,
+                expected_version=base,
+                retain=retain,
+                orphan_grace_s=orphan_grace_s,
+            )
         except ConcurrentCommitError:
             if attempt == attempts - 1:
                 raise

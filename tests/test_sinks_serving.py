@@ -74,6 +74,51 @@ def test_table_store_crash_safety(spark, tmp_path):
     assert got == {2: "b"}
 
 
+def test_orphan_grace_is_sizeable(spark, tmp_path):
+    """ADVICE r5 #3: ``orphan_grace_s`` is a knob. A slow writer's
+    unflipped claim dir must survive GC while younger than the grace and
+    be pruned once older — so tables with very long snapshot writes can
+    raise the grace instead of risking a mid-write prune."""
+    import os
+    import time
+
+    path = str(tmp_path / "versioned")
+    table_store.commit(
+        spark.createDataFrame([(1, "a")], "id int, v string"), path
+    )
+    # a writer mid-snapshot: claim dir exists, pointer never flipped
+    claim = os.path.join(path, "v-0000000099")
+    spark.createDataFrame([(9, "wip")], "id int, v string").write.parquet(claim)
+    two_min_ago = time.time() - 120
+    os.utime(claim, (two_min_ago, two_min_ago))
+    # grace above the claim's age: commit GC must spare it
+    table_store.commit(
+        spark.createDataFrame([(2, "b")], "id int, v string"),
+        path,
+        orphan_grace_s=600.0,
+    )
+    assert os.path.isdir(claim)
+    # grace below the claim's age: now it is a crashed writer's orphan
+    table_store.commit(
+        spark.createDataFrame([(3, "c")], "id int, v string"),
+        path,
+        orphan_grace_s=60.0,
+    )
+    assert not os.path.isdir(claim)
+    got = {r.id: r.v for r in table_store.read_state(spark, path).collect()}
+    assert got == {3: "c"}
+
+
+def test_merge_upsert_forwards_orphan_grace():
+    """The multi-writer path must plumb the knob through to commit()."""
+    import inspect
+
+    from realtime_datawarehouse_spark.operators import table_store as ts
+
+    for fn in (ts.commit, ts.merge_upsert):
+        assert "orphan_grace_s" in inspect.signature(fn).parameters
+
+
 def test_merge_upsert_empty_result_truncates(spark, tmp_path):
     """ADVICE r01 #5: a batch whose deletes remove every PK must commit an
     empty table, not leave the previous rows on disk."""
