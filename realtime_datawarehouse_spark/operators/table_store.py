@@ -358,7 +358,10 @@ def merge_upsert(
     is classified as a conflict and retried against the new current —
     only a failure with an UNMOVED table propagates (a real bug, not
     concurrency). Proven live by
-    tests/test_sinks_serving.py::test_threaded_concurrent_writers.
+    tests/test_sinks_serving.py::test_threaded_concurrent_writers (8
+    writers, one process) and test_multiprocess_concurrent_writers
+    (3 writers in SEPARATE OS processes/JVMs — the real multi-writer
+    shape; the lock/claim/flip primitives serialize at kernel level).
     ``orphan_grace_s`` (forwarded to :func:`commit`) must exceed the
     longest single-snapshot write on this table — see :func:`commit`.
     """

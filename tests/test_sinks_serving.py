@@ -467,6 +467,55 @@ def test_threaded_concurrent_writers(spark, tmp_path):
         assert len(ts.list_versions(path)) <= retain + 1, label
 
 
+def test_multiprocess_concurrent_writers(spark, tmp_path):
+    """CROSS-PROCESS write concurrency: 3 separate OS processes — each
+    with its own JVM and SparkSession (tools/mp_writer.py) — MERGE into
+    the same table path simultaneously. The threaded test above shares
+    one process; real lakehouse multi-writer concurrency does not. The
+    O_EXCL lock file, mkdir claim token, and atomic pointer rename are
+    kernel primitives, so the serialization contract must hold here too:
+    every writer's disjoint PKs survive, and the PK contended by all
+    three resolves to deterministic last-write-wins by version."""
+    import os
+    import subprocess
+    import sys
+
+    from realtime_datawarehouse_spark.operators import table_store as ts
+
+    path = str(tmp_path / "mp_table")
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "mp_writer.py",
+    )
+    n_writers, n_batches = 3, 2
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, path, str(i), str(n_batches)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for i in range(n_writers)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out.decode(errors="replace")[-2000:]
+
+    state = {
+        r.pk: (r.val, r.ver)
+        for r in ts.read_state(spark, path).collect()
+    }
+    for i in range(n_writers):
+        for b in range(n_batches):
+            assert state[f"w{i}-b{b}"] == (f"w{i}", i * 1000 + b)
+    top_writer, top_batch = n_writers - 1, n_batches - 1
+    assert state["shared"] == (
+        f"w{top_writer}b{top_batch}",
+        top_writer * 1000 + top_batch,
+    )
+    assert len(state) == n_writers * n_batches + 1
+
+
 def test_commit_retain_window_keeps_slow_writers_base_readable(
     spark, tmp_path
 ):
