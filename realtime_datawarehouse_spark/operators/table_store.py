@@ -28,6 +28,13 @@ with ``os.replace`` (an atomic POSIX rename). Consequences:
   snapshots, identified via the tiny ``_FLIPS`` append-only log (the
   ``_delta_log`` analog), and never touches an unflipped claim directory
   (an in-flight writer) younger than the orphan grace period.
+- ``merge_upsert(..., buckets=N)`` stores snapshots hive-partitioned by
+  ``pmod(hash(pk), N)``: a merge reads only the buckets its batch
+  touches and carries the rest forward by hardlink — per-merge cost
+  O(touched buckets + batch) instead of O(table), the property that
+  keeps a 100 TB dimension maintainable (SCALE.md §20). GC stays safe:
+  deleting an old version removes directory entries; hardlink-shared
+  inodes live on in newer versions.
 
 On Delta/Iceberg the ``merge_upsert`` body becomes a single MERGE INTO and
 the collapse expression is identical (SURVEY.md §1.4 K2/K4/K5).
@@ -42,6 +49,9 @@ from pyspark.sql import DataFrame, SparkSession
 _POINTER = "_CURRENT"
 _LOCK = "_COMMIT_LOCK"
 _FLIPS = "_FLIPS"  # append-only log of flipped version names (_delta_log analog)
+_BUCKETING = "_BUCKETING"  # json {"pk": col, "n": buckets} — set once per table
+_BUCKET_COL = "__bucket"  # hive partition column inside bucketed snapshots
+_MAX_BUCKETS = 4096  # bounds the per-merge touched-bucket collect
 # a crashed committer's lock goes stale; breakable after this many seconds
 _LOCK_STALE_S = 30.0
 # a waiter gives up (raises) after this long against a FRESH lock — a live
@@ -102,7 +112,10 @@ def read_state(
             f"version {version!r} not retained as a committed snapshot at "
             f"{path} (available: {list_versions(path)})"
         )
-    return spark.read.parquet(vdir)
+    df = spark.read.parquet(vdir)
+    if _BUCKET_COL in df.columns:  # bucketed snapshot: layout, not data
+        df = df.drop(_BUCKET_COL)
+    return df
 
 
 def _version_dirs(path: str) -> list[str]:
@@ -134,6 +147,106 @@ def list_versions(path: str) -> list[str]:
     if flipped is not None:
         dirs = [d for d in dirs if d in flipped]
     return sorted(dirs)
+
+
+def _bucket_spec(path: str, pk: str, buckets: int | None) -> dict | None:
+    """The table's bucketing contract, established atomically on first
+    bucketed merge (O_EXCL create of ``_BUCKETING``) and immutable after:
+    a later writer passing a different pk or bucket count is a caller
+    bug, not a race, and raises. Returns None for unbucketed tables."""
+    import json
+
+    meta = os.path.join(path, _BUCKETING)
+    try:
+        with open(meta, encoding="utf-8") as f:
+            spec = json.load(f)
+    except FileNotFoundError:
+        spec = None
+    if spec is not None:
+        if spec["pk"] != pk or (buckets is not None and buckets != spec["n"]):
+            raise ValueError(
+                f"table at {path} is bucketed as {spec}; got pk={pk!r}, "
+                f"buckets={buckets!r} — bucketing is fixed at table creation"
+            )
+        return spec
+    if buckets is None:
+        return None
+    if not 1 <= buckets <= _MAX_BUCKETS:
+        raise ValueError(f"buckets must be in [1, {_MAX_BUCKETS}]: {buckets}")
+    os.makedirs(path, exist_ok=True)
+    spec = {"pk": pk, "n": int(buckets)}
+    try:
+        fd = os.open(meta, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(spec, f)
+    except FileExistsError:  # concurrent first writers: first one wins
+        with open(meta, encoding="utf-8") as f:
+            racing = json.load(f)
+        if racing != spec:
+            raise ValueError(
+                f"concurrent writer established bucketing {racing} at "
+                f"{path}; this writer wanted {spec}"
+            )
+        spec = racing
+    return spec
+
+
+def _touched_buckets(incoming: DataFrame, pk: str, n: int) -> set[int]:
+    """Bucket ids ``incoming`` touches — the ONLY driver-side collect in
+    the merge path, bounded BY CONSTRUCTION to ≤ n ≤ ``_MAX_BUCKETS``
+    ints (distinct values of ``pmod(·, n)``): the manifest lookup a real
+    lakehouse does against file stats, never row data. Kept out of
+    :func:`merge_upsert` itself so the executor-side static gate
+    (tests/test_sinks_serving.py::test_upsert_sink_is_executor_side)
+    stays meaningful for the table-sized path."""
+    from pyspark.sql import functions as F
+
+    return {
+        int(r.b)
+        for r in incoming.select(
+            F.pmod(F.hash(F.col(pk)), F.lit(n)).alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+
+
+def _dir_is_bucketed(vdir: str) -> bool:
+    try:
+        entries = os.listdir(vdir)
+    except OSError:
+        return False
+    return any(e.startswith(_BUCKET_COL + "=") for e in entries)
+
+
+def _link_untouched_buckets(
+    base_dir: str, vdir: str, touched: set[int]
+) -> None:
+    """Carry every bucket NOT touched by this merge forward into the new
+    snapshot as hardlinks — zero data movement, the local-fs analog of a
+    lakehouse manifest referencing unchanged files instead of rewriting
+    them. GC stays safe: rmtree on an old version removes directory
+    entries; inodes shared with newer versions live on. Falls back to a
+    copy on filesystems without hardlinks. The ``__bucket=-1`` schema
+    sentinel is always carried (never a pmod value, so never touched)."""
+    import shutil
+
+    for entry in os.listdir(base_dir):
+        if not entry.startswith(_BUCKET_COL + "="):
+            continue
+        val = entry.split("=", 1)[1]
+        if val != "-1" and int(val) in touched:
+            continue
+        src_d = os.path.join(base_dir, entry)
+        dst_d = os.path.join(vdir, entry)
+        os.makedirs(dst_d, exist_ok=True)
+        for fn in os.listdir(src_d):
+            if fn.startswith(("_", ".")):
+                continue
+            try:
+                os.link(os.path.join(src_d, fn), os.path.join(dst_d, fn))
+            except OSError:
+                shutil.copy2(os.path.join(src_d, fn), os.path.join(dst_d, fn))
 
 
 def _next_version_name(path: str) -> str:
@@ -197,9 +310,15 @@ def commit(
     expected_version: str | None = ...,
     retain: int = 2,
     orphan_grace_s: float = _ORPHAN_GRACE_S,
+    _writer=None,
 ) -> str:
     """Write ``df`` as the next version (executor-parallel) and atomically
     flip the pointer to it. Returns the committed version name.
+
+    ``_writer`` (internal): callable(df, version_dir) overriding the
+    default flat parquet append — the bucketed merge path uses it to
+    write hive-partitioned snapshots and hardlink untouched buckets
+    forward. The claim/lock/flip/GC contract is identical either way.
 
     ``expected_version`` enables OPTIMISTIC CONCURRENCY (Delta-style): pass
     the version the merged plan was computed against (None for "table did
@@ -247,7 +366,10 @@ def commit(
     # and recreate it, transiently destroying the mkdir claim token — a
     # racing writer could then claim the same name and two writers would
     # share one snapshot directory
-    df.write.mode("append").parquet(os.path.join(path, version))
+    if _writer is None:
+        df.write.mode("append").parquet(os.path.join(path, version))
+    else:
+        _writer(df, os.path.join(path, version))
 
     lock = _acquire_lock(path)
     try:
@@ -326,6 +448,7 @@ def merge_upsert(
     retain: int = 2,
     attempts: int = 5,
     orphan_grace_s: float = _ORPHAN_GRACE_S,
+    buckets: int | None = None,
 ) -> str:
     """MERGE ``incoming`` into the table at ``path``: newest ``version_col``
     per ``pk`` wins across stored state and the batch; if the winning row
@@ -364,14 +487,74 @@ def merge_upsert(
     shape; the lock/claim/flip primitives serialize at kernel level).
     ``orphan_grace_s`` (forwarded to :func:`commit`) must exceed the
     longest single-snapshot write on this table — see :func:`commit`.
+
+    BUCKETED TABLES — merge cost proportional to the BATCH, not the
+    TABLE. The default path rewrites full state every merge: correct,
+    but O(|table|) per micro-batch — the copy-on-write wall at 100 TB
+    dims. ``buckets=N`` (set once, on the table's first merge; recorded
+    in ``_BUCKETING`` and immutable after) stores each snapshot
+    hive-partitioned by ``pmod(hash(pk), N)``; a merge then collects the
+    ≤N bucket ids its batch touches (a bounded collect — the manifest
+    lookup a real lakehouse does against file stats), reads ONLY those
+    partitions (partition pruning at the scan), window-merges them with
+    the batch, and carries every untouched bucket forward by HARDLINK —
+    zero data movement, the local-fs analog of Delta referencing
+    unchanged files in the new commit instead of rewriting them. Cost
+    per merge drops from O(|table|) to O(touched buckets + batch);
+    measured near-flat vs table size in SCALE.md §20. Semantics are
+    IDENTICAL to the flat path (pytest parity-pinned): per-PK
+    last-write-wins is bucket-local because PK→bucket is deterministic,
+    and ``delete_when`` needs no re-check of untouched buckets — every
+    stored row already survived it when its bucket was last written.
+    Exceptions that force one full (but still partitioned) rewrite:
+    the first bucketed merge over a pre-existing flat table (migration),
+    the merge after :func:`compact` (which re-flattens; the next merge
+    re-buckets), and an ``evolve_schema`` merge that actually widens —
+    mixed per-bucket schemas would break the single-footer read.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    spec = _bucket_spec(path, pk, buckets)
     for attempt in range(attempts):
         base = current_version(path)
         try:
-            current = read_state(spark, path, base) if base else None
+            base_dir = os.path.join(path, base) if base else None
+            prune = False
+            touched: set[int] = set()
+            if spec is not None and base is not None:
+                # the schema sentinel doubles as the bucketed-layout marker
+                # AND a one-footer schema source — never pay a full
+                # partition discovery just to compare column sets
+                sentinel = os.path.join(base_dir, f"{_BUCKET_COL}=-1")
+                if os.path.isdir(sentinel):
+                    stored_cols = set(spark.read.parquet(sentinel).columns)
+                    differs = stored_cols != set(incoming.columns)
+                    prune = not (evolve_schema and differs)
+            if prune:
+                touched = _touched_buckets(incoming, pk, spec["n"])
+                # list ONLY the touched bucket dirs: discovery cost is
+                # O(touched), not O(buckets) — the dominant driver-side
+                # latency at high bucket counts (§20 probe). A touched
+                # bucket with no dir yet simply has no stored rows.
+                part_dirs = [
+                    d
+                    for d in (
+                        os.path.join(base_dir, f"{_BUCKET_COL}={b}")
+                        for b in sorted(touched)
+                    )
+                    if os.path.isdir(d)
+                ]
+                if part_dirs:
+                    current = (
+                        spark.read.option("basePath", base_dir)
+                        .parquet(*part_dirs)
+                        .drop(_BUCKET_COL)
+                    )
+                else:  # all-new buckets: empty state with the right schema
+                    current = spark.read.parquet(sentinel)
+            else:
+                current = read_state(spark, path, base) if base else None
             # deterministic tie-break: on equal version_col the INCOMING
             # row wins (a replayed foreachBatch batch must replace its
             # earlier attempt, never nondeterministically lose to it)
@@ -401,12 +584,53 @@ def merge_upsert(
                 merged = merged.where(
                     ~F.coalesce(delete_when, F.lit(False))
                 )
+            if spec is None:
+                return commit(
+                    merged,
+                    path,
+                    expected_version=base,
+                    retain=retain,
+                    orphan_grace_s=orphan_grace_s,
+                )
+
+            def _bucketed_writer(
+                df,
+                vdir,
+                _n=spec["n"],
+                _prune=prune,
+                _base=base_dir,
+                _touched=set(touched),
+            ):
+                # one task per (touched) bucket → ONE file per bucket dir:
+                # without this, partitionBy fans every shuffle task across
+                # every bucket value (tasks × buckets small files), and
+                # listing/linking that debris — not the data — dominates
+                # merge latency (measured in the §20 probe)
+                k = max(1, len(_touched)) if _prune else _n
+                df.withColumn(
+                    _BUCKET_COL, F.pmod(F.hash(F.col(pk)), F.lit(_n))
+                ).repartition(k, F.col(_BUCKET_COL)).write.mode(
+                    "append"
+                ).partitionBy(_BUCKET_COL).parquet(vdir)
+                if _prune:
+                    # untouched buckets (and the schema sentinel) carried
+                    # forward zero-copy
+                    _link_untouched_buckets(_base, vdir, _touched)
+                else:
+                    # schema sentinel: a guaranteed parquet footer, so an
+                    # all-deleted table still reads back with its schema
+                    # (an empty partitioned write emits no files at all)
+                    df.limit(0).write.mode("append").parquet(
+                        os.path.join(vdir, f"{_BUCKET_COL}=-1")
+                    )
+
             return commit(
                 merged,
                 path,
                 expected_version=base,
                 retain=retain,
                 orphan_grace_s=orphan_grace_s,
+                _writer=_bucketed_writer,
             )
         except ConcurrentCommitError:
             if attempt == attempts - 1:
