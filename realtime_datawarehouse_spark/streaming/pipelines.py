@@ -164,7 +164,12 @@ def dws_keyword_window(
     )
 
 
-def _merge_dim(spark: SparkSession, incoming: DataFrame, path: str) -> None:
+def _merge_dim(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    buckets: int | None = None,
+) -> None:
     """MERGE one micro-batch into a versioned dim table: newest (ts) row per
     pk wins across stored state + batch; a newest delete removes the pk.
     Executors write the merged snapshot as the next version directory and
@@ -175,7 +180,12 @@ def _merge_dim(spark: SparkSession, incoming: DataFrame, path: str) -> None:
     is identical (SURVEY.md §1.4 K4/K5 — the writer creates the table on
     first use, and ``table_store.merge_upsert(evolve_schema=True)`` widens
     the stored schema in the same atomic commit when a batch carries new
-    columns: the full dynamic-DDL analog)."""
+    columns: the full dynamic-DDL analog).
+
+    ``buckets``: at deployment scale pass a bucket count so each
+    micro-batch merge rewrites only the buckets it touches instead of the
+    full dim table (SCALE.md §20); the default keeps the flat layout for
+    small dims."""
     table_store.merge_upsert(
         spark,
         incoming,
@@ -183,6 +193,7 @@ def _merge_dim(spark: SparkSession, incoming: DataFrame, path: str) -> None:
         pk="pk",
         version_col="ts",
         delete_when=F.col("type") == "delete",
+        buckets=buckets,
     )
 
 
@@ -190,6 +201,7 @@ def dim_router_stream(
     env_stream: DataFrame,
     config_provider: Callable[[SparkSession], DataFrame],
     out_dir: str,
+    buckets: int | None = None,
 ):
     """DimApp as a streaming query with per-micro-batch config hot-reload
     (rt/app/dim/DimApp.java:146-171: the broadcast config stream means new
@@ -214,7 +226,7 @@ def dim_router_stream(
                 "type",
                 "data",
             )
-            _merge_dim(spark, rows, os.path.join(out_dir, sink))
+            _merge_dim(spark, rows, os.path.join(out_dir, sink), buckets)
 
     return env_stream.writeStream.foreachBatch(process_batch)
 

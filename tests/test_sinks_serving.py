@@ -470,7 +470,11 @@ def test_threaded_concurrent_writers(spark, tmp_path):
         assert len(ts.list_versions(path)) <= retain + 1, label
 
 
-def test_multiprocess_concurrent_writers(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("buckets", [None, 8], ids=["flat", "bucketed"])
+def test_multiprocess_concurrent_writers(spark, tmp_path, buckets):
     """CROSS-PROCESS write concurrency: 3 separate OS processes — each
     with its own JVM and SparkSession (tools/mp_writer.py) — MERGE into
     the same table path simultaneously. The threaded test above shares
@@ -478,7 +482,9 @@ def test_multiprocess_concurrent_writers(spark, tmp_path):
     O_EXCL lock file, mkdir claim token, and atomic pointer rename are
     kernel primitives, so the serialization contract must hold here too:
     every writer's disjoint PKs survive, and the PK contended by all
-    three resolves to deterministic last-write-wins by version."""
+    three resolves to deterministic last-write-wins by version. The
+    bucketed variant additionally races the zero-copy hardlink
+    carry-forward against concurrent commits and GC."""
     import os
     import subprocess
     import sys
@@ -492,9 +498,10 @@ def test_multiprocess_concurrent_writers(spark, tmp_path):
         "mp_writer.py",
     )
     n_writers, n_batches = 3, 2
+    extra = [] if buckets is None else [str(buckets)]
     procs = [
         subprocess.Popen(
-            [sys.executable, script, path, str(i), str(n_batches)],
+            [sys.executable, script, path, str(i), str(n_batches)] + extra,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
         )

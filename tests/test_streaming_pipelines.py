@@ -265,6 +265,65 @@ def test_dim_router_stream_hot_reload(spark, tmp_path):
     assert sup_state == {"20": "S-late"}
 
 
+def test_dim_router_stream_bucketed_parity(spark, tmp_path):
+    """The deployment-scale dim layout (``buckets=N``, SCALE.md §20) must
+    be a drop-in for the streaming dim router: identical final state
+    across insert/update/delete micro-batches, with the sink snapshots
+    actually hive-bucketed so each micro-batch MERGE rewrites only the
+    buckets it touches instead of the whole dim table."""
+    import os
+
+    from realtime_datawarehouse_spark.operators import table_store
+    from realtime_datawarehouse_spark.sources.debezium import config_from_rows
+    from realtime_datawarehouse_spark.sources.maxwell import MAXWELL_SCHEMA
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    def env_rows(rows):
+        return spark.createDataFrame(
+            [("gmall", t, typ, str(ts), None, d) for t, typ, ts, d in rows],
+            MAXWELL_SCHEMA,
+        )
+
+    in_dir, out_dir = str(tmp_path / "envs"), str(tmp_path / "dims")
+    env_rows(
+        [("part", "insert", 1, {"p_partkey": "1", "p_brand": "B1"}),
+         ("part", "insert", 1, {"p_partkey": "2", "p_brand": "B2"})]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    env_rows(
+        [("part", "update", 2, {"p_partkey": "1", "p_brand": "B1v2"}),
+         ("part", "delete", 2, {"p_partkey": "2", "p_brand": "B2"})]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    cfg = [{
+        "source_table": "part", "sink_table": "dim_part",
+        "sink_columns": "p_partkey,p_brand", "sink_pk": "p_partkey",
+        "sink_extend": None,
+    }]
+    stream = (
+        spark.readStream.schema(MAXWELL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        pipelines.dim_router_stream(
+            stream, lambda s: config_from_rows(s, cfg), out_dir, buckets=8
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dim = f"{out_dir}/dim_part"
+    state = {
+        r.pk: r.data["p_brand"]
+        for r in table_store.read_state(spark, dim).collect()
+    }
+    assert state == {"1": "B1v2"}  # same as the flat-layout tests above
+    vdir = os.path.join(dim, table_store.current_version(dim))
+    assert table_store._dir_is_bucketed(vdir)
+
+
 def test_dim_router_restart_resumes_merge_state(spark, tmp_path):
     """Kill/restart the dim-router stream between micro-batches: the
     checkpoint must resume at the next unprocessed file, re-MERGE nothing

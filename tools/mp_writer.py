@@ -8,12 +8,13 @@ Flink job per JVM writing Phoenix/ClickHouse, rt/util/MyClickhouseUtil.java
 thread-level tests cannot prove: O_EXCL lock files, mkdir claim tokens and
 the atomic pointer rename must serialize at the KERNEL level).
 
-Usage: mp_writer.py <table_path> <writer_id> <n_batches>
+Usage: mp_writer.py <table_path> <writer_id> <n_batches> [buckets]
 
 Each batch merges one disjoint PK (``w<id>-b<batch>``) plus one PK
 contended by every writer (``shared``) whose version encodes
 (writer, batch) so the parent can assert deterministic last-write-wins.
-Exits non-zero on any unabsorbed conflict.
+``buckets`` exercises the hive-bucketed layout (zero-copy carry-forward
+racing GC across processes). Exits non-zero on any unabsorbed conflict.
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ import sys
 
 def main() -> int:
     path, writer_id, n_batches = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    buckets = int(sys.argv[4]) if len(sys.argv) > 4 else None
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
     from pyspark.sql import SparkSession
@@ -55,6 +57,7 @@ def main() -> int:
                 version_col="ver",
                 retain=8,
                 attempts=64,
+                buckets=buckets,
             )
     finally:
         spark.stop()
