@@ -195,7 +195,7 @@ def main() -> None:
         out["floor_regressions"] = {
             n: round(warm[n] / floor[n], 2)
             for n in warm
-            if n in floor and warm[n] > 2.0 * floor[n]
+            if floor.get(n) and warm[n] > 2.0 * floor[n]
         }
     print(json.dumps(out))
     # The driver keeps only the TAIL of stdout; in the full blob above the
@@ -214,16 +214,23 @@ def main() -> None:
         "queries": warm,
     }
     if "floor_regressions" in out:
-        ratios = sorted(
-            (round(warm[n] / floor[n], 2), n) for n in warm if n in floor
-        )
         summary["floor_regressions"] = out["floor_regressions"]
-        summary["floor_ratio_overall"] = round(
-            sum(warm[n] for n in warm if n in floor)
-            / sum(floor[n] for n in warm if n in floor),
-            3,
+        # guard the ratio fields: a floor file whose names no longer
+        # overlap the run (or a zero floor entry) must not crash here —
+        # that would kill this final line and resurrect the exact
+        # truncation misread it exists to prevent
+        ratios = sorted(
+            (round(warm[n] / floor[n], 2), n)
+            for n in warm
+            if floor.get(n)
         )
-        summary["floor_ratio_worst"] = {ratios[-1][1]: ratios[-1][0]}
+        floor_sum = sum(floor[n] for n in warm if floor.get(n))
+        if ratios and floor_sum:
+            summary["floor_ratio_overall"] = round(
+                sum(warm[n] for n in warm if floor.get(n)) / floor_sum,
+                3,
+            )
+            summary["floor_ratio_worst"] = {ratios[-1][1]: ratios[-1][0]}
     print(json.dumps(summary))
 
 

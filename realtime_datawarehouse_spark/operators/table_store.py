@@ -254,18 +254,24 @@ def _next_version_name(path: str) -> str:
     return f"v-{n:010d}"
 
 
-def _acquire_lock(path: str) -> str:
+def _acquire_lock(path: str) -> tuple[str, int]:
     """Tiny mutex guarding ONLY the check-and-flip step (never the write:
     snapshot writes run fully parallel outside it). O_EXCL creation is the
-    atomic primitive. A lock older than ``_LOCK_STALE_S`` (crashed
-    committer) is broken by RENAME-ASIDE — ``os.replace`` is atomic, so
-    of N concurrent breakers exactly one wins (a bare unlink would
-    TOCTOU-delete the fresh lock a faster breaker just re-created). A
-    FRESH lock is never preempted: a waiter that cannot acquire within
-    ``_LOCK_TIMEOUT_S`` raises instead of stealing, preserving mutual
-    exclusion under arbitrary contention. On an object store this maps to
-    a conditional PUT / DynamoDB-style commit arbiter — the same shape
-    Delta uses on S3."""
+    atomic primitive; returns ``(lock_path, inode)`` so release can verify
+    OWNERSHIP before unlinking (a blind unlink would delete the fresh lock
+    a breaker re-created after stealing ours). A lock older than
+    ``_LOCK_STALE_S`` (crashed committer) is broken by RENAME-ASIDE —
+    ``os.replace`` is atomic, so of N concurrent breakers exactly one wins
+    (a bare unlink would TOCTOU-delete the fresh lock a faster breaker
+    just re-created) — and the staleness is RE-VERIFIED on the renamed
+    file: a breaker preempted between its staleness check and its rename
+    can steal a fresh lock another breaker just re-created, in which case
+    it is restored atomically (``os.link`` preserves the victim's inode)
+    instead of acquired over. A FRESH lock is never preempted: a waiter
+    that cannot acquire within ``_LOCK_TIMEOUT_S`` raises instead of
+    stealing, preserving mutual exclusion under arbitrary contention. On
+    an object store this maps to a conditional PUT / DynamoDB-style
+    commit arbiter — the same shape Delta uses on S3."""
     import time
 
     lock = os.path.join(path, _LOCK)
@@ -273,8 +279,11 @@ def _acquire_lock(path: str) -> str:
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            return lock
+            try:
+                ino = os.fstat(fd).st_ino
+            finally:
+                os.close(fd)
+            return lock, ino
         except FileExistsError:
             try:
                 stale = (
@@ -290,6 +299,23 @@ def _acquire_lock(path: str) -> str:
                     os.replace(lock, broken)
                 except FileNotFoundError:
                     continue  # another breaker won the rename race
+                try:
+                    # re-verify on the renamed-aside file: if it is in
+                    # fact FRESH we stole a live lock (re-created between
+                    # our staleness check and our rename) — restore it
+                    # atomically; os.link fails if a newer lock already
+                    # took the slot, and keeps the victim's inode so its
+                    # ownership-checked release still matches
+                    if (
+                        time.time() - os.path.getmtime(broken)
+                        <= _LOCK_STALE_S
+                    ):
+                        try:
+                            os.link(broken, lock)
+                        except FileExistsError:
+                            pass
+                except FileNotFoundError:
+                    pass
                 try:
                     os.unlink(broken)
                 except FileNotFoundError:
@@ -371,7 +397,7 @@ def commit(
     else:
         _writer(df, os.path.join(path, version))
 
-    lock = _acquire_lock(path)
+    lock, lock_ino = _acquire_lock(path)
     try:
         if check and current_version(path) != expected_version:
             shutil.rmtree(os.path.join(path, version), ignore_errors=True)
@@ -389,8 +415,13 @@ def commit(
         flips_path = os.path.join(path, _FLIPS)
         try:
             if os.path.getsize(flips_path) > _FLIPS_COMPACT_BYTES:
+                # the tail must cover the retention window: truncating an
+                # entry that still names a retained dir would demote that
+                # committed snapshot to the orphan path (pruned after the
+                # grace) and break explicit-version read_state on it
+                keep_lines = max(_FLIPS_KEEP_LINES, retain + 1)
                 with open(flips_path, encoding="utf-8") as f:
-                    tail = f.readlines()[-_FLIPS_KEEP_LINES:]
+                    tail = f.readlines()[-keep_lines:]
                 ftmp = flips_path + f".tmp.{os.getpid()}"
                 with open(ftmp, "w", encoding="utf-8") as f:
                     f.writelines(tail)
@@ -409,7 +440,12 @@ def commit(
         os.replace(tmp, _pointer_path(path))  # atomic: readers see old or new
     finally:
         try:
-            os.unlink(lock)
+            # ownership-checked release: unlink only OUR lock file. If a
+            # breaker stole this lock mid-section (a >_LOCK_STALE_S stall)
+            # and another writer re-created it, the inode differs and the
+            # new holder's lock is left alone.
+            if os.stat(lock).st_ino == lock_ino:
+                os.unlink(lock)
         except FileNotFoundError:
             pass
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from realtime_datawarehouse_spark import serving
@@ -470,9 +471,6 @@ def test_threaded_concurrent_writers(spark, tmp_path):
         assert len(ts.list_versions(path)) <= retain + 1, label
 
 
-import pytest
-
-
 @pytest.mark.parametrize("buckets", [None, 8], ids=["flat", "bucketed"])
 def test_multiprocess_concurrent_writers(spark, tmp_path, buckets):
     """CROSS-PROCESS write concurrency: 3 separate OS processes — each
@@ -756,6 +754,25 @@ def test_flip_log_compacts_and_gc_still_correct(spark, tmp_path, monkeypatch):
     assert ts.current_version(path) == v
     assert ts.read_state(spark, path).count() == 1
     assert len(ts.list_versions(path)) <= 3  # retain + grace predecessor
+
+
+def test_flip_log_tail_covers_retention(spark, tmp_path, monkeypatch):
+    """Round-5 review: compaction keeps ``max(_FLIPS_KEEP_LINES,
+    retain + 1)`` lines — a retention window wider than the static tail
+    must never demote a still-retained snapshot to the orphan path or
+    break explicit-version time travel on it."""
+    from realtime_datawarehouse_spark.operators import table_store as ts
+
+    monkeypatch.setattr(ts, "_FLIPS_COMPACT_BYTES", 16)
+    monkeypatch.setattr(ts, "_FLIPS_KEEP_LINES", 2)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1)], "pk int, ver int")
+    vs = [ts.commit(df, path, retain=5) for _ in range(8)]
+    # every snapshot inside the retention window stays committed AND
+    # readable by explicit version despite aggressive log compaction
+    for v in vs[-5:]:
+        assert ts.read_state(spark, path, v).count() == 1
+    assert len(ts.list_versions(path)) >= 5
 
 
 def test_commit_claim_directories_never_collide(spark, tmp_path):
