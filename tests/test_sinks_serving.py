@@ -756,6 +756,72 @@ def test_flip_log_compacts_and_gc_still_correct(spark, tmp_path, monkeypatch):
     assert len(ts.list_versions(path)) <= 3  # retain + grace predecessor
 
 
+@pytest.mark.parametrize("buckets", [None, 8], ids=["flat", "bucketed"])
+def test_concurrent_readers_see_whole_snapshots(spark, tmp_path, buckets):
+    """The reader guarantee the atomic pointer flip exists for: while a
+    writer churns commits (and GC deletes old versions, and — bucketed —
+    hardlinks carry untouched buckets forward), every successful
+    read_state must observe ONE complete committed snapshot, never a mix
+    of two versions or a partial write. A read racing GC past the
+    retention grace may fail (documented retain contract) — what it may
+    never do is succeed with torn data."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from realtime_datawarehouse_spark.operators import table_store as ts
+
+    path = str(tmp_path / "t")
+    pks = 100
+    n_commits = 8
+    done = {"flag": False}
+    torn: list[tuple] = []
+    clean = {"n": 0}
+
+    def write() -> None:
+        try:
+            for i in range(1, n_commits + 1):
+                batch = spark.range(pks).select(
+                    F.col("id").cast("string").alias("pk"),
+                    F.lit(f"c{i}").alias("val"),
+                    F.lit(i).alias("ver"),
+                )
+                ts.merge_upsert(
+                    spark, batch, path, pk="pk", version_col="ver",
+                    retain=4, buckets=buckets,
+                )
+        finally:
+            done["flag"] = True
+
+    def read() -> None:
+        while not done["flag"] or clean["n"] < 3:
+            try:
+                df = ts.read_state(spark, path)
+                if df is None:
+                    continue
+                rows = df.collect()
+            except Exception:
+                continue  # GC'd mid-read past the grace: allowed to fail
+            if not rows:
+                continue
+            vals = {r.val for r in rows}
+            if len(vals) != 1 or len(rows) != pks:
+                torn.append((sorted(vals), len(rows)))
+            else:
+                clean["n"] += 1
+            if done["flag"] and clean["n"] >= 3 and torn:
+                break
+
+    with ThreadPoolExecutor(3) as ex:
+        futures = [ex.submit(write), ex.submit(read), ex.submit(read)]
+        for f in futures:
+            f.result(timeout=300)
+
+    assert not torn, torn[:5]
+    assert clean["n"] >= 3
+    # final state is the last commit, whole
+    final = {r.pk: r.val for r in ts.read_state(spark, path).collect()}
+    assert set(final.values()) == {f"c{n_commits}"} and len(final) == pks
+
+
 def test_flip_log_tail_covers_retention(spark, tmp_path, monkeypatch):
     """Round-5 review: compaction keeps ``max(_FLIPS_KEEP_LINES,
     retain + 1)`` lines — a retention window wider than the static tail
