@@ -678,13 +678,114 @@ def sem_lsh_assign(emb: DataFrame) -> DataFrame:
     return withn.select("vec_id", "v", "vn", bucket.alias("bucket_id"))
 
 
+def sem_lsh_assign_probed(emb: DataFrame, probes: int = 2) -> DataFrame:
+    """(vec_id, v, vn, bucket_id) with up to ``probes + 1`` rows per
+    vector: the home bucket plus single-bit flips of the ``probes``
+    lowest-|margin| ACTIVE planes — standard multiprobe LSH. A near-dup
+    pair that one plane splits has, on both sides, a tiny |dot(v, plane)|
+    for exactly that plane, so flipping the smallest margins first
+    recovers most single-split misses: per-pair recall rises from
+    q^planes (q = 1-θ/π) toward P(≤1 split) = q^p + p·q^(p-1)(1-q),
+    measured on planted pairs in
+    tests/test_plans.py::test_semdedup_lsh_multiprobe_recall_lift.
+    Cost is a bounded fan-out of the ASSIGNMENT (≤ probes+1 rows/vector,
+    candidate pairs grow ≤ (probes+1)² per bucket) — still near-linear,
+    the standard recall/cost dial at 100 TB."""
+    assigned = sem_lsh_assign(emb)
+    margins = None
+    for p, plane in enumerate(hyperplanes(SEM_LSH_MAX_PLANES)):
+        lit_plane = F.array(*[F.lit(c) for c in plane])
+        d = F.aggregate(
+            F.zip_with(F.col("v"), lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        # only planes the adaptive count actually uses can be flipped;
+        # an inactive plane's bit is not part of the bucket id. Active =
+        # the bit could have been set by assignment for SOME sign, i.e.
+        # p < needed — recover it from the home bucket's bit width is
+        # wrong (high bits may be 0); re-derive from the corpus count.
+        m = F.struct(
+            F.abs(d).alias("margin"), F.lit(1 << p).alias("bit"),
+            F.lit(p).alias("p"),
+        )
+        margins = [m] if margins is None else margins + [m]
+    n1 = (
+        emb.agg(F.count("*").alias("n"))
+        .select(_sem_lsh_needed_planes_col(F.col("n")).alias("needed"))
+    )
+    flips = F.slice(
+        F.array_sort(
+            F.filter(
+                F.array(*margins), lambda s: s.getField("p") < F.col("needed")
+            )
+        ),
+        1,
+        probes,
+    )
+    buckets = F.array_union(
+        F.array(F.col("bucket_id")),
+        F.transform(
+            flips,
+            lambda s: F.col("bucket_id").bitwiseXOR(s.getField("bit")),
+        ),
+    )
+    return (
+        assigned.crossJoin(F.broadcast(n1))
+        .select(
+            "vec_id", "v", "vn", F.explode(buckets).alias("bucket_id")
+        )
+    )
+
+
+def semdedup_lsh_probed(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_COSINE,
+    probes: int = 2,
+) -> DataFrame:
+    """Multiprobe :func:`semdedup_lsh`: same (vec_id, cluster_id, is_dup)
+    contract and greedy keep-smallest rule, but candidate pairs form
+    within ANY shared probed bucket — the recall dial (docstring above)
+    with the home bucket kept as the reported cluster_id."""
+    probed = sem_lsh_assign_probed(emb, probes)
+    home = sem_lsh_assign(emb).select(
+        "vec_id", F.col("bucket_id").alias("home_bucket")
+    )
+    a, b = probed.alias("a"), probed.alias("b")
+    dup_ids = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.bucket_id") == F.col("b.bucket_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            pround(
+                _cos(
+                    F.col("a.v"), F.col("b.v"), F.col("a.vn"), F.col("b.vn")
+                ),
+                4,
+            )
+            >= threshold
+        )
+        .select(F.col("b.vec_id").alias("dup_id"))
+        .distinct()
+    )
+    return home.join(
+        F.broadcast(dup_ids), home.vec_id == dup_ids.dup_id, "left"
+    ).select(
+        "vec_id",
+        F.col("home_bucket").alias("cluster_id"),
+        F.when(F.col("dup_id").isNotNull(), 1).otherwise(0).alias("is_dup"),
+    )
+
+
 def semdedup_lsh(
     emb: DataFrame, threshold: float = SEMDEDUP_COSINE
 ) -> DataFrame:
     """(vec_id, cluster_id, is_dup) with adaptive-plane LSH buckets as the
     cluster key: is_dup=1 iff a same-bucket vector with a smaller id is
     cosine-similar above ``threshold`` (same greedy keep-smallest rule as
-    :func:`semdedup`)."""
+    :func:`semdedup`). Recall dial: :func:`semdedup_lsh_probed`."""
     assigned = sem_lsh_assign(emb)
     a, b = assigned.alias("a"), assigned.alias("b")
     dup_ids = (

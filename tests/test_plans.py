@@ -630,20 +630,7 @@ def test_semdedup_eval_recall_on_planted_near_dups(spark):
 
     from realtime_datawarehouse_spark.operators import similarity as sim
 
-    rng = np.random.RandomState(7)
-    n_pairs = 128
-    base = rng.randn(n_pairs, sim.DIM)
-    base /= np.linalg.norm(base, axis=1, keepdims=True)
-    noise = rng.randn(n_pairs, sim.DIM)
-    noise -= (noise * base).sum(axis=1, keepdims=True) * base
-    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
-    eps = rng.uniform(0.10, 0.20, size=n_pairs)
-    dup = base + eps[:, None] * noise
-    vecs = np.concatenate([base, dup])
-    emb = spark.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
-        "vec_id bigint, embedding array<double>",
-    )
+    emb, n_pairs, eps = _planted_emb(spark)
 
     out = {
         r.method: r
@@ -670,6 +657,73 @@ def test_semdedup_eval_recall_on_planted_near_dups(spark):
     assert measured >= 0.6, measured  # the ≥0.8-law regime, far from 0.05
     # a cosine-0.98+ pair almost always shares its nearest coarse centroid
     assert out["ivf_kmeans"].recall6 >= 700_000, out["ivf_kmeans"]
+
+
+def _planted_emb(spark):
+    import numpy as np
+
+    from realtime_datawarehouse_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(7)
+    n_pairs = 128
+    base = rng.randn(n_pairs, sim.DIM)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.randn(n_pairs, sim.DIM)
+    noise -= (noise * base).sum(axis=1, keepdims=True) * base
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    eps = rng.uniform(0.10, 0.20, size=n_pairs)
+    vecs = np.concatenate([base, base + eps[:, None] * noise])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    return emb, n_pairs, eps
+
+
+def test_semdedup_lsh_multiprobe_recall_lift(spark):
+    """Multiprobe is the recall dial the LSH docstrings promise — this
+    measures it against the collision law on the planted corpus. With
+    plane count p=5 and q=1-θ/π per pair: probes=0 must equal the
+    single-probe form exactly (same pair set); probes=1 must rescue
+    single-split misses, recall ≥ P(≤1 split)=q^5+5q^4(1-q) minus 4σ
+    (measured 0.992 vs law 0.98); more probes only add recall.
+    Each planted dup has exactly one (smaller-id) partner, so recall =
+    mean(is_dup) over the dup half."""
+    import math
+
+    import numpy as np
+
+    from realtime_datawarehouse_spark.operators import similarity as sim
+
+    emb, n_pairs, eps = _planted_emb(spark)
+
+    from pyspark.sql import functions as F
+
+    def recall(df):
+        return (
+            df.agg(F.sum("is_dup").alias("s")).collect()[0].s / n_pairs
+        )
+
+    base_rows = {
+        (r.vec_id, r.cluster_id, r.is_dup)
+        for r in sim.semdedup_lsh(emb, threshold=0.9).collect()
+    }
+    p0_rows = {
+        (r.vec_id, r.cluster_id, r.is_dup)
+        for r in sim.semdedup_lsh_probed(
+            emb, threshold=0.9, probes=0
+        ).collect()
+    }
+    assert p0_rows == base_rows  # probes=0 degenerates to the home bucket
+
+    r1 = recall(sim.semdedup_lsh_probed(emb, threshold=0.9, probes=1))
+    r4 = recall(sim.semdedup_lsh_probed(emb, threshold=0.9, probes=4))
+    q = 1.0 - np.arccos(1.0 / np.sqrt(1.0 + eps**2)) / math.pi
+    law_le1 = float(np.mean(q**5 + 5 * q**4 * (1 - q)))
+    slack = 4.0 * math.sqrt(law_le1 * (1.0 - law_le1) / n_pairs)
+    r0 = recall(sim.semdedup_lsh(emb, threshold=0.9))
+    assert r1 >= law_le1 - slack, (r1, law_le1)
+    assert r1 > r0 and r4 >= r1, (r0, r1, r4)
 
 
 def test_cusum_finds_injected_mean_shift(spark, tmp_path):
