@@ -405,7 +405,9 @@ def near_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     pair at cosine c is (1 − θ(c)/π)^NUM_PLANES — high for true near-dups
     (c≥0.9 → ~0.7 at 8 planes) and intentionally low in the fixture's weak-
     signal regime (c≈0.4 → ~0.03); multiprobe or multiple hash tables raise
-    it. Both engines compute the identical approximation so the result stays
+    it (implemented and law-pinned for the semantic family:
+    :func:`semdedup_lsh_probed` — the same flip-lowest-margin trick slots
+    in here unchanged). Both engines compute the identical approximation so the result stays
     oracle-exact. Complexity drops from O(n²) to Σ_bucket |b|² (measured
     21s → 1.6s vs the exact all-pairs scan at bench sf0.1).
     """
