@@ -710,6 +710,71 @@ def test_bucketed_evolve_schema_full_rewrite(spark, tmp_path):
     assert got == {"1": "a2", "2": "b"}
 
 
+def test_multiprocess_writer_killed_mid_merge_heals(spark, tmp_path):
+    """SIGKILL a real writer JVM mid-MERGE — wherever it happens to be:
+    mid parquet write, mid flip-log append, between claim and flip, or
+    holding the commit lock. The kill fires only after the victim has
+    committed at least two versions (so it is past startup and actively
+    merging). Afterwards the table must read back consistent (every row
+    one the victim legitimately wrote), a fresh writer must heal past any
+    debris — including a dead writer's stale lock — and commit normally."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from realtime_datawarehouse_spark.operators import table_store as ts
+
+    path = str(tmp_path / "t")
+    seed = spark.createDataFrame(
+        [("seed", "seed", 0)], "pk string, val string, ver long"
+    )
+    ts.merge_upsert(spark, seed, path, pk="pk", version_col="ver")
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "mp_writer.py",
+    )
+    victim = subprocess.Popen(
+        [sys.executable, script, path, "7", "200"],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        base = ts.current_version(path)
+        deadline = time.monotonic() + 240
+        commits = 0
+        while commits < 3:  # seed + at least 2 victim commits
+            assert time.monotonic() < deadline, "victim never progressed"
+            assert victim.poll() is None, "victim exited early"
+            time.sleep(0.05)
+            cur = ts.current_version(path)
+            if cur != base:
+                base, commits = cur, commits + 1
+        victim.send_signal(signal.SIGKILL)
+    finally:
+        if victim.poll() is None:
+            victim.kill()
+        victim.wait(timeout=60)
+
+    # consistency: every surviving row is one the victim legitimately wrote
+    rows = ts.read_state(spark, path).collect()
+    for r in rows:
+        assert r.pk == "seed" or r.pk.startswith(("w7-b", "shared")), r
+        if r.pk.startswith("w7-b"):
+            assert r.val == "w7" and r.pk == f"w7-b{r.ver - 7000}", r
+
+    # heal: a fresh writer commits past any debris (incl. a stale lock)
+    healer = spark.createDataFrame(
+        [("healed", "ok", 99_999)], "pk string, val string, ver long"
+    )
+    ts.merge_upsert(spark, healer, path, pk="pk", version_col="ver")
+    final = {r.pk: r.val for r in ts.read_state(spark, path).collect()}
+    assert final["healed"] == "ok" and final["seed"] == "seed"
+
+
 def test_commit_retain_window_keeps_slow_writers_base_readable(
     spark, tmp_path
 ):
