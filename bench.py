@@ -129,6 +129,8 @@ BENCH_QUERIES = (
     "olap_survival_km",             # Kaplan-Meier survival curve
     "ext_entity_resolution",        # fuzzy pairs → star CC entities
     "ann_ivf_balance_report",       # inverted-list balance audit
+    # round-6 additions (floors recorded from their first r06 measurement)
+    "dedup_semantic_probed",        # multiprobe LSH semantic dedup (recall dial)
 )
 
 

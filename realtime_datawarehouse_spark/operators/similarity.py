@@ -707,8 +707,12 @@ def sem_lsh_assign_probed(emb: DataFrame, probes: int = 2) -> DataFrame:
         # the bit could have been set by assignment for SOME sign, i.e.
         # p < needed — recover it from the home bucket's bit width is
         # wrong (high bits may be 0); re-derive from the corpus count.
+        # margin rounded to 6 dp before the sort: the flip ORDER must be
+        # engine-portable, and a last-ulp summation-order difference between
+        # Spark's fold and DuckDB's list_dot_product could otherwise swap
+        # two near-equal margins (ties break on bit, identically both sides)
         m = F.struct(
-            F.abs(d).alias("margin"), F.lit(1 << p).alias("bit"),
+            pround(F.abs(d), 6).alias("margin"), F.lit(1 << p).alias("bit"),
             F.lit(p).alias("p"),
         )
         margins = [m] if margins is None else margins + [m]
@@ -849,6 +853,47 @@ WITH e AS (
 ), {sem_lsh_bucket_ctes()}, dup AS (
   SELECT DISTINCT y.vec_id AS dup_id
   FROM b a JOIN b y ON a.bucket_id = y.bucket_id AND a.vec_id < y.vec_id
+  WHERE {pround_sql(
+      "list_dot_product(a.v, y.v) / (sqrt(list_dot_product(a.v, a.v))"
+      " * sqrt(list_dot_product(y.v, y.v)))", 4)} >= {threshold}
+)
+SELECT b.vec_id, b.bucket_id AS cluster_id,
+       CASE WHEN dup.dup_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM b LEFT JOIN dup ON dup.dup_id = b.vec_id
+"""
+
+
+def semdedup_lsh_probed_oracle(
+    threshold: float = SEMDEDUP_COSINE, probes: int = 2
+) -> str:
+    """Oracle for :func:`semdedup_lsh_probed`: the ``semdedup_lsh_oracle``
+    bucket CTEs plus the multiprobe expansion — per vector, the ``probes``
+    lowest-|margin| ACTIVE planes are bit-flipped into extra probe buckets
+    (margins rounded to 6 dp before sorting, mirroring the Spark side's
+    portability rounding; ties break on the plane bit in both engines)."""
+    margin_structs = ", ".join(
+        "{'margin': round(abs(list_dot_product(v, ["
+        + ", ".join(repr(c) for c in plane)
+        + f"])), 6), 'bit': {1 << p}, 'p': {p}}}"
+        for p, plane in enumerate(hyperplanes(SEM_LSH_MAX_PLANES))
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), {sem_lsh_bucket_ctes()}, pm AS (
+  SELECT b.vec_id, b.v, b.bucket_id,
+         list_transform(
+           list_sort(list_filter([{margin_structs}],
+                                 s -> s.p < nn.needed))[1:{probes}],
+           s -> xor(b.bucket_id, s.bit)) AS flips
+  FROM b, nn
+), probed AS (
+  SELECT vec_id, v, unnest(list_prepend(bucket_id, flips)) AS bucket_id
+  FROM pm
+), dup AS (
+  SELECT DISTINCT y.vec_id AS dup_id
+  FROM probed a JOIN probed y
+    ON a.bucket_id = y.bucket_id AND a.vec_id < y.vec_id
   WHERE {pround_sql(
       "list_dot_product(a.v, y.v) / (sqrt(list_dot_product(a.v, a.v))"
       " * sqrt(list_dot_product(y.v, y.v)))", 4)} >= {threshold}

@@ -254,12 +254,15 @@ def _next_version_name(path: str) -> str:
     return f"v-{n:010d}"
 
 
-def _acquire_lock(path: str) -> tuple[str, int]:
+def _acquire_lock(path: str) -> tuple[str, str]:
     """Tiny mutex guarding ONLY the check-and-flip step (never the write:
     snapshot writes run fully parallel outside it). O_EXCL creation is the
-    atomic primitive; returns ``(lock_path, inode)`` so release can verify
-    OWNERSHIP before unlinking (a blind unlink would delete the fresh lock
-    a breaker re-created after stealing ours). A lock older than
+    atomic primitive; returns ``(lock_path, token)`` — a unique token
+    written INTO the lock file — so release can verify OWNERSHIP before
+    unlinking (a blind unlink would delete the fresh lock a breaker
+    re-created after stealing ours; a content token survives even inode
+    REUSE, where a recycled inode number would make an inode check
+    false-positive on a foreign lock). A lock older than
     ``_LOCK_STALE_S`` (crashed committer) is broken by RENAME-ASIDE —
     ``os.replace`` is atomic, so of N concurrent breakers exactly one wins
     (a bare unlink would TOCTOU-delete the fresh lock a faster breaker
@@ -279,11 +282,12 @@ def _acquire_lock(path: str) -> tuple[str, int]:
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            token = f"{os.getpid()}:{time.monotonic_ns()}"
             try:
-                ino = os.fstat(fd).st_ino
+                os.write(fd, token.encode("utf-8"))
             finally:
                 os.close(fd)
-            return lock, ino
+            return lock, token
         except FileExistsError:
             try:
                 stale = (
@@ -296,15 +300,21 @@ def _acquire_lock(path: str) -> tuple[str, int]:
                     lock + f".broken.{os.getpid()}.{time.monotonic_ns()}"
                 )
                 try:
+                    # re-stat IMMEDIATELY before the rename (ADVICE r5 #1):
+                    # if the lock was re-created fresh since the staleness
+                    # check above, skip the break entirely — the restore
+                    # path below stays as the last-resort guard, not the
+                    # primary defense
+                    if time.time() - os.path.getmtime(lock) <= _LOCK_STALE_S:
+                        continue
                     os.replace(lock, broken)
                 except FileNotFoundError:
                     continue  # another breaker won the rename race
                 try:
                     # re-verify on the renamed-aside file: if it is in
                     # fact FRESH we stole a live lock (re-created between
-                    # our staleness check and our rename) — restore it
-                    # atomically; os.link fails if a newer lock already
-                    # took the slot, and keeps the victim's inode so its
+                    # our re-stat and our rename) — restore it atomically;
+                    # os.link keeps the victim's inode so its
                     # ownership-checked release still matches
                     if (
                         time.time() - os.path.getmtime(broken)
@@ -313,7 +323,22 @@ def _acquire_lock(path: str) -> tuple[str, int]:
                         try:
                             os.link(broken, lock)
                         except FileExistsError:
-                            pass
+                            # a third waiter acquired while the fresh
+                            # holder was displaced: the displaced holder
+                            # and the new acquirer are BOTH inside the
+                            # critical section — mutual exclusion is
+                            # already breached, so surface it loudly
+                            # instead of silently proceeding (the broken
+                            # file is left aside as forensic evidence)
+                            raise RuntimeError(
+                                f"lock breaker at {path} displaced a "
+                                f"fresh lock ({broken}) and a new lock "
+                                "was created before it could be restored"
+                                " — two writers may be in the commit "
+                                "critical section; see INTEGRATIONS.md "
+                                "§4 for the object-store arbiter that "
+                                "closes this window"
+                            )
                 except FileNotFoundError:
                     pass
                 try:
@@ -328,6 +353,44 @@ def _acquire_lock(path: str) -> tuple[str, int]:
                     "very high writer concurrency"
                 )
             time.sleep(0.02)
+
+
+def _release_lock(lock: str, token: str) -> None:
+    """Release by RENAME-ASIDE and verify the ownership TOKEN on the
+    renamed file — the same atomic pattern as the breaker (ADVICE r5 #2: a
+    stat-then-unlink release could TOCTOU-delete a lock re-created between
+    the stat and the unlink; and a recycled inode number could
+    false-positive, so the check reads the token written at acquisition).
+    If the renamed file is ours, unlink it; otherwise a breaker stole our
+    lock mid-section and another writer re-created it — restore the new
+    holder atomically via ``os.link`` (content and inode preserved so its
+    own release still matches), and surface loudly if yet another lock
+    appeared meanwhile (mutual exclusion already breached)."""
+    import time
+
+    probe = lock + f".rel.{os.getpid()}.{time.monotonic_ns()}"
+    try:
+        os.replace(lock, probe)
+    except FileNotFoundError:
+        return  # a breaker already removed ours; nothing to release
+    try:
+        with open(probe, encoding="utf-8") as f:
+            ours = f.read() == token
+    except OSError:
+        ours = False
+    if ours:
+        os.unlink(probe)
+        return
+    try:
+        os.link(probe, lock)
+    except FileExistsError:
+        os.unlink(probe)
+        raise RuntimeError(
+            f"releasing {lock}: displaced a foreign lock and a third "
+            "lock appeared before it could be restored — two writers may "
+            "be in the commit critical section (see INTEGRATIONS.md §4)"
+        ) from None
+    os.unlink(probe)
 
 
 def commit(
@@ -376,6 +439,7 @@ def commit(
     snapshots take many minutes (ADVICE r5 #3).
     """
     import shutil
+    import time as _time
 
     os.makedirs(path, exist_ok=True)
     check = expected_version is not ...
@@ -397,7 +461,7 @@ def commit(
     else:
         _writer(df, os.path.join(path, version))
 
-    lock, lock_ino = _acquire_lock(path)
+    lock, lock_token = _acquire_lock(path)
     try:
         if check and current_version(path) != expected_version:
             shutil.rmtree(os.path.join(path, version), ignore_errors=True)
@@ -413,6 +477,30 @@ def commit(
         # once it outgrows the bound: only the newest tail can still name
         # a retained dir, so truncation never un-protects anything.
         flips_path = os.path.join(path, _FLIPS)
+        if not os.path.exists(flips_path):
+            # upgrade boundary (ADVICE r5 #5): first new-code commit on a
+            # pre-flip-log table. Pre-log semantics treated every on-disk
+            # snapshot as committed, so seed the new log with them (the
+            # current pointer value and its retained predecessors
+            # included) — otherwise explicit-version read_state on a
+            # still-on-disk pre-log snapshot would raise FileNotFoundError
+            # and GC would demote it to the orphan path across the
+            # upgrade. Runs under the flip lock; our own claim dir is
+            # excluded (it is appended below, after the flip decision).
+            # bound the seed by the CURRENT POINTER: a dir numbered
+            # above it can be a concurrent writer's in-flight claim (this
+            # commit's own included), and seeding one as "flipped" would
+            # let GC delete it mid-write
+            seed = (
+                [d for d in sorted(_version_dirs(path)) if d <= previous]
+                if previous is not None
+                else []
+            )
+            if seed:
+                with open(flips_path, "a", encoding="utf-8") as f:
+                    f.writelines(d + "\n" for d in seed)
+                    f.flush()
+                    os.fsync(f.fileno())
         try:
             if os.path.getsize(flips_path) > _FLIPS_COMPACT_BYTES:
                 # the tail must cover the retention window: truncating an
@@ -422,7 +510,10 @@ def commit(
                 keep_lines = max(_FLIPS_KEEP_LINES, retain + 1)
                 with open(flips_path, encoding="utf-8") as f:
                     tail = f.readlines()[-keep_lines:]
-                ftmp = flips_path + f".tmp.{os.getpid()}"
+                ftmp = (
+                    flips_path
+                    + f".tmp.{os.getpid()}.{_time.monotonic_ns()}"
+                )
                 with open(ftmp, "w", encoding="utf-8") as f:
                     f.writelines(tail)
                 os.replace(ftmp, flips_path)
@@ -432,22 +523,22 @@ def commit(
             f.write(version + "\n")
             f.flush()
             os.fsync(f.fileno())
-        tmp = _pointer_path(path) + f".tmp.{os.getpid()}"
+        # unique per writer INCLUDING same-process threads: under a
+        # stolen-lock overlap two writers in one PID would otherwise race
+        # the same tmp name (write/replace interleave -> FileNotFoundError)
+        tmp = _pointer_path(path) + f".tmp.{os.getpid()}.{_time.monotonic_ns()}"
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(version)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, _pointer_path(path))  # atomic: readers see old or new
     finally:
-        try:
-            # ownership-checked release: unlink only OUR lock file. If a
-            # breaker stole this lock mid-section (a >_LOCK_STALE_S stall)
-            # and another writer re-created it, the inode differs and the
-            # new holder's lock is left alone.
-            if os.stat(lock).st_ino == lock_ino:
-                os.unlink(lock)
-        except FileNotFoundError:
-            pass
+        # ownership-checked release: remove only OUR lock file. If a
+        # breaker stole this lock mid-section (a >_LOCK_STALE_S stall)
+        # and another writer re-created it, the new holder's lock is
+        # restored atomically (rename-aside + inode check, not
+        # stat-then-unlink — ADVICE r5 #2).
+        _release_lock(lock, lock_token)
 
     # GC: keep the newest ``retain`` FLIPPED snapshots (plus the direct
     # predecessor — a grace period for readers holding the old pointer
@@ -458,8 +549,6 @@ def commit(
     flipped_set = (_flipped_versions(path) or {version}) & existing
     newest_flipped = sorted(flipped_set, reverse=True)[: max(retain, 1)]
     keep = set(newest_flipped) | {version, previous or version}
-    import time as _time
-
     for d in existing - keep:
         if d in flipped_set:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
@@ -471,6 +560,60 @@ def commit(
             if age > orphan_grace_s:
                 shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return version
+
+
+# SCALE.md §20 measured on this host: below ~2-3 M stored rows the flat
+# full-rewrite merge is CHEAPER than the bucketed one (fixed per-merge
+# overheads — touched-bucket collect, sentinel read, per-bucket write
+# tasks — exceed the cost of just rewriting a small table); above it the
+# flat path grows linearly with the table while bucketed stays flat.
+BUCKET_CROSSOVER_ROWS = 3_000_000
+# deployment rule: one bucket ≈ one executor task's worth of state
+# (~1 M rows ≈ 100 MB at typical dim-row width) — small enough that a
+# touched bucket's read+rewrite is one task, large enough that file
+# count doesn't explode
+BUCKET_TARGET_ROWS = 1_000_000
+
+
+def auto_buckets(expected_rows: int | None) -> int | None:
+    """The §20 sizing rule as code (VERDICT r5 item 7), so a deployment
+    doesn't rediscover the crossover: None (flat layout) below
+    ``BUCKET_CROSSOVER_ROWS`` expected rows; above it, the power-of-two
+    bucket count that puts ~``BUCKET_TARGET_ROWS`` in each bucket,
+    clamped to [8, _MAX_BUCKETS]. ``expected_rows`` is the table's
+    expected steady-state cardinality — it must be chosen at CREATION
+    time because bucketing is immutable per table (``_BUCKETING``);
+    when unknown, leave None and migrate via one full rewrite later
+    (the first bucketed merge over a flat table re-partitions it)."""
+    if expected_rows is None or expected_rows < BUCKET_CROSSOVER_ROWS:
+        return None
+    n = 8
+    while n < _MAX_BUCKETS and expected_rows > BUCKET_TARGET_ROWS * n:
+        n *= 2
+    return n
+
+
+def _is_gc_race(exc: Exception) -> bool:
+    """True iff ``exc`` is a failure shape a concurrent-GC/claim race can
+    produce: a vanished input file/directory between the pointer read and
+    plan execution. Spark surfaces these as AnalysisException
+    [PATH_NOT_FOUND] at plan time or a wrapped java FileNotFoundException /
+    FileReadException at execution time; plain ``os`` probes raise
+    FileNotFoundError. Anything else (schema mismatch, bad expression,
+    OOM) is deterministic and must propagate."""
+    if isinstance(exc, FileNotFoundError):
+        return True
+    s = f"{type(exc).__name__}: {exc}"
+    return any(
+        marker in s
+        for marker in (
+            "FileNotFoundException",
+            "PATH_NOT_FOUND",
+            "FileReadException",
+            "Path does not exist",
+            "No such file or directory",
+        )
+    )
 
 
 def merge_upsert(
@@ -565,8 +708,17 @@ def merge_upsert(
                 sentinel = os.path.join(base_dir, f"{_BUCKET_COL}=-1")
                 if os.path.isdir(sentinel):
                     stored_cols = set(spark.read.parquet(sentinel).columns)
-                    differs = stored_cols != set(incoming.columns)
-                    prune = not (evolve_schema and differs)
+                    # only a batch that actually WIDENS the stored schema
+                    # forces the full partitioned rewrite (mixed per-bucket
+                    # schemas would break the single-footer sentinel read).
+                    # A batch merely MISSING stored columns — the common
+                    # sparse dim update — takes the pruned path via
+                    # unionByName(allowMissingColumns=True); treating it
+                    # as "differs" would silently reintroduce the
+                    # O(table) copy-on-write wall on every such batch
+                    # (ADVICE r5 #4).
+                    widens = not set(incoming.columns) <= stored_cols
+                    prune = not (evolve_schema and widens)
             if prune:
                 touched = _touched_buckets(incoming, pk, spec["n"])
                 # list ONLY the touched bucket dirs: discovery cost is
@@ -671,12 +823,21 @@ def merge_upsert(
         except ConcurrentCommitError:
             if attempt == attempts - 1:
                 raise
-        except Exception:
-            # A read/plan/write failure while the table concurrently
-            # moved is a GC/claim race (base snapshot deleted between the
+        except Exception as exc:
+            # A MISSING-INPUT failure while the table concurrently moved
+            # is a GC/claim race (base snapshot deleted between the
             # pointer read and plan execution), not a correctness bug —
-            # recompute against the new current.
-            if current_version(path) == base or attempt == attempts - 1:
+            # recompute against the new current. Only failure types a GC
+            # race can actually produce are retried (ADVICE r5 #3): a
+            # deterministic error (schema mismatch, bad delete_when
+            # expression) must surface on the FIRST attempt, not after
+            # ``attempts`` recomputes that each leave a claim dir for
+            # orphan GC to sweep.
+            if (
+                not _is_gc_race(exc)
+                or current_version(path) == base
+                or attempt == attempts - 1
+            ):
                 raise
     raise AssertionError("unreachable")
 

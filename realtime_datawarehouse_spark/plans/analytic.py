@@ -514,10 +514,10 @@ WITH seq AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), tagged AS (
   SELECT user_id, ts, value,
-         sum(is_new) OVER (
+         CAST(sum(is_new) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS UNBOUNDED PRECEDING
-         ) AS session_seq
+         ) AS BIGINT) AS session_seq
   FROM seq
 )
 SELECT user_id, session_seq,
@@ -632,8 +632,8 @@ WITH stats AS (
 )
 SELECT e.event_type,
        s.n AS total_ct,
-       sum(CASE WHEN CAST(floor(e.value * 100 + 0.5) AS BIGINT) * s.n
-                     > 2 * s.sum_c THEN 1 ELSE 0 END) AS outlier_ct,
+       CAST(sum(CASE WHEN CAST(floor(e.value * 100 + 0.5) AS BIGINT) * s.n
+                     > 2 * s.sum_c THEN 1 ELSE 0 END) AS BIGINT) AS outlier_ct,
        CAST(sum(CASE WHEN CAST(floor(e.value * 100 + 0.5) AS BIGINT) * s.n
                      > 2 * s.sum_c THEN 1 ELSE 0 END)
          * 1000000 // s.n AS BIGINT) AS outlier_micro
@@ -2556,8 +2556,9 @@ WITH seq AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), tagged AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS session_seq
   FROM seq
 ), entry AS (
   SELECT user_id, session_seq,
@@ -3078,10 +3079,10 @@ WITH seq AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), tagged AS (
   SELECT user_id, ts, event_id, event_type,
-         sum(is_new) OVER (
+         CAST(sum(is_new) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS UNBOUNDED PRECEDING
-         ) AS session_seq
+         ) AS BIGINT) AS session_seq
   FROM seq
 ), stepped AS (
   SELECT user_id, session_seq, event_type,

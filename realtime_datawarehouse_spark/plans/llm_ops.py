@@ -728,6 +728,23 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_lsh(_emb(spark, sf_dir))
 
 
+@query(
+    "dedup_semantic_probed",
+    oracle=similarity.semdedup_lsh_probed_oracle(),
+)
+def dedup_semantic_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe adaptive-plane LSH semantic dedup — dedup_semantic_lsh's
+    recall dial (VERDICT.md r5 item 3): each vector additionally probes the
+    buckets reached by flipping its ``probes`` lowest-|margin| active
+    planes, recovering most single-plane-split near-dup pairs. Measured on
+    planted cosine-0.98 pairs: recall 0.805 → 0.992 at probes=1
+    (tests/test_plans.py::test_semdedup_lsh_multiprobe_recall_lift), per
+    the collision law P(≤1 split) = q^p + p·q^(p-1)(1-q). Cost stays
+    near-linear — assignment fan-out ≤ probes+1 rows/vector, candidate
+    pairs ≤ (probes+1)² per bucket — the standard 100 TB recall/cost dial."""
+    return similarity.semdedup_lsh_probed(_emb(spark, sf_dir))
+
+
 @query("dedup_semantic_eval", oracle=similarity.semdedup_eval_oracle())
 def dedup_semantic_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximation-quality audit for the semantic-dedup family: pair
@@ -3102,7 +3119,7 @@ def _yield_curve_oracle() -> str:
 WITH pr AS (
 {dedup.ngram_jaccard_oracle(0.3)}
 ), th AS (
-  SELECT unnest([{taus}]) AS tau
+  SELECT CAST(unnest([{taus}]) AS DOUBLE) AS tau
 ), tok AS (
   SELECT doc_id,
          len(list_filter(string_split(lower(text), ' '), x -> x <> ''))

@@ -15,7 +15,11 @@ Conventions (driver contract, see repo README / __spark_entry__.py):
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import glob
+import json
+import os
+import re
+from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -24,195 +28,76 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-# The external driver records correctness rows for only ~50 entries of
-# queries() per round, in emission order. Emission order therefore rotates
-# per round so every query accumulates a driver-recorded row. Round-5
-# policy (VERDICT.md r4 item 1): surface growth is frozen; the head is the
-# never-driver-recorded backlog, alphabetical, so the ledger gap closes at
-# the driver's own budget rate.
-DRIVER_PRIORITY: list[str] = [
-    # ---- round-5 head: the 87 queries with NO driver CORRECTNESS row in
-    # any round (r01-r04), alphabetical. The driver records ~50 rows per
-    # round in emission order, so the first 50 below gain their first
-    # driver record this round (never-recorded count 87 -> 37); the
-    # remaining 37 lead round 6. Every name here is green in this
-    # session's local replication (tests/test_correctness.py + the full
-    # driver-contract sim at sf0.01) regardless of driver-row age.
-    "ann_ivf_recall_eval",
-    "ann_knn_graph",
-    "ann_mmr_diversify",
-    "ann_pq_rerank_topk",
-    "ann_pq_topk",
-    "curate_cross_source_leakage",
-    "dedup_jaccard_prefix",
-    "dedup_minhash_cdc",
-    "dedup_minhash_eval",
-    "dedup_ngram_containment",
-    "dedup_semantic_lsh",
-    "embed_dimension_stats",
-    "embed_pca_top_component",
-    "ext_asof_forward_tol",
-    "ext_bm25_topk",
-    "ext_fuzzy_name_join",
-    "ext_value_band_join",
-    "graph_bfs_layers",
-    "graph_clustering_coeff",
-    "graph_degree_distribution",
-    "graph_doc_centrality",
-    "graph_modularity",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "mix_dup_aware_weights",
-    "mix_epoch_schedule",
-    "mm_image_phash",
-    "mm_phash_near_dup_pairs",
-    "olap_abtest_srm_check",
-    "olap_abtest_ztest",
-    "olap_anomaly_outliers",
-    "olap_basket_lift",
-    "olap_benford_check",
-    "olap_bitmap_audience_overlap",
-    "olap_bitmap_uv_state",
-    "olap_budget_allocation",
-    "olap_calendar_heatmap",
-    "olap_cohort_ltv",
-    "olap_corr_matrix",
-    "olap_cusum_drift",
-    "olap_dau_wau_stickiness",
-    "olap_equidepth_histogram",
-    "olap_event_transitions",
-    "olap_ewma_monthly_gmv",
-    "olap_ewma_user_value",
-    "olap_forecast_linear",
-    "olap_gmv_waterfall",
-    "olap_grouping_sets",
-    "olap_growth_accounting",
-    "olap_histogram",
-    # ---- never-recorded remainder (rolls to round 6's head)
-    "olap_incremental_gmv",
-    "olap_join_skew_report",
-    "olap_mad_outliers",
-    "olap_markov_transition_probs",
-    "olap_model_lift_table",
-    "olap_monthly_growth",
-    "olap_ohlc_bars",
-    "olap_order_interarrival",
-    "olap_pareto_segments",
-    "olap_rfm_segmentation",
-    "olap_sequence_match",
-    "olap_session_attribution",
-    "olap_sessionize",
-    "olap_skyline_parts",
-    "olap_timeseries_fill",
-    "olap_unpivot_metrics",
-    "olap_window_functions_v2",
-    "olap_window_funnel",
-    "olap_yoy_growth",
-    "pipeline_corpus_curation_v3",
-    "sk_cms_heavy_hitters",
-    "sk_kmv_intersect",
-    "sql_top_customers_by_year",
-    "text_bpe_encode",
-    "text_bpe_merge_pairs",
-    "text_bpe_train",
-    "text_cdc_chunks",
-    "text_char_entropy",
-    "text_dsir_weights",
-    "text_dup_ngram_coverage",
-    "text_ngram_novelty",
-    "text_perplexity_buckets",
-    "text_quality_calibration",
-    "text_shared_substring_runs",
-    "text_substring_dedup",
-    "text_tokenizer_fertility",
-    "text_vocab_growth",
-    # ---- new in r5 (the round's one registered addition, VERDICT.md r4
-    # item 5); queued behind the never-recorded backlog so it doesn't
-    # displace a first-record slot — pinned by a pytest recall floor
-    # (tests/test_plans.py::test_semdedup_eval_recall_floors) meanwhile
-    "dedup_semantic_eval",
-    # ---- stale cohort: latest driver record is r01/r02 (71 queries);
-    # refresh after the never-recorded set is exhausted
-    "a1_tumble_count_by_key",
-    "a2_tumble_multi_metric",
-    "a3_global_tumble_window",
-    "ads_gmv_daily",
-    "ads_province_order_amount",
-    "dedup_minhash_estimate",
-    "embed_near_dup_lsh",
-    "embed_near_dup_pairs",
-    "j8_interval_join",
-    "mix_pack_sequences",
-    "mix_stratified_sample",
-    "mix_upsample_repeat",
-    "mm_decode_metadata",
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "mm_resize_images",
-    "p3_etl_filter",
-    "p4_json_map_projection",
-    "p8_field_add_remove",
-    "p9_bean_mapping",
-    "pipeline_corpus_curation",
-    "r1_demux_side_outputs",
-    "r3_union_same_type",
-    "st1_new_visitor_repair",
-    "st2_daily_unique_visitor",
-    "st3_page_uv_two_states",
-    "st4_login_uu_and_back",
-    "st5_cart_add_uu",
-    "st7_keep_latest_dedup",
-    "st8_bounce_detection",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "a4_window_count_agg",
-    "a5_sku_order_count_distinct",
-    "a6_money_sums_coalesced",
-    "curate_decontaminate",
-    "ext_hop_window",
-    "ext_session_window",
-    "hh_top_parts_per_brand",
-    "j11_anti_join_never_ordered",
-    "j1_order_detail_inner_join",
-    "j2_left_outer_join_collapsed",
-    "j3_lookup_join_dic",
-    "j4_double_lookup_same_dim",
-    "j5_five_table_mixed_join",
-    "j6_composite_key_join",
-    "j7_dim_snowflake_enrich",
-    "j9_full_outer_join",
-    "mix_pack_sequences_sharded",
-    "mm_audio_decode",
-    "p5_conditional_delta",
-    "p7_config_driven_pruning",
-    "r2_array_unnest",
-    "text_paragraph_dedup",
-    "text_pii_redact",
-    "text_quality_classifier",
-    "tpch_q10_top_returners",
-    "tpch_q12_priority_class",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_dormant_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-]
+# --------------------------------------------------------------------------
+# Driver-rotation policy (VERDICT r5 items 2 + 4). The external driver
+# records correctness rows for only the first ~50 entries of queries() per
+# round, in emission order, so emission order must rotate for every query to
+# accumulate a driver-recorded row. Through round 5 the order was a
+# hand-maintained list; a stale head would silently re-record the same 50
+# queries and starve the backlog (it nearly did — VERDICT r5 "wrong" #2).
+# The order is now COMPUTED from the committed CORRECTNESS_r*.json ledgers:
+#
+#   tier 0 — never driver-recorded, alphabetical (close the ledger gap
+#            first; a newly registered query lands here automatically);
+#   tier 1 — latest record NOT fully green (re-record a fixed query ASAP);
+#   tier 2 — fully green, STALEST latest-record round first, then name.
+#
+# A rows-only record (err == "no_oracle") is that query's best achievable
+# record and counts as green. Each new round's committed ledger re-derives
+# the head, so the stale-head failure mode is structurally impossible and
+# tier 2 cycles every query on a ~(total/50)-round cadence.
+# --------------------------------------------------------------------------
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def record_ledger(repo_root: str = _REPO_ROOT) -> dict[str, tuple[int, bool]]:
+    """name -> (latest driver-recorded round, that record was fully green),
+    from the committed ``CORRECTNESS_r*.json`` files (absent files → empty
+    ledger → pure-alphabetical rotation, e.g. in a deployed package)."""
+    by_round: list[tuple[int, dict]] = []
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        with open(path, encoding="utf-8") as f:
+            by_round.append((int(m.group(1)), json.load(f)))
+    ledger: dict[str, tuple[int, bool]] = {}
+    for rnd, rows in sorted(by_round):  # numeric order — r10 after r09
+        for name, row in rows.items():
+            green = row.get("err") in (None, "no_oracle") and not any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            ledger[name] = (rnd, green)
+    return ledger
+
+
+def driver_priority(
+    names: Iterable[str] | None = None, repo_root: str = _REPO_ROOT
+) -> list[str]:
+    """Emission order per the rotation policy above."""
+    if names is None:
+        load()
+        names = QUERIES
+    ledger = record_ledger(repo_root)
+
+    def key(n: str) -> tuple[int, int, str]:
+        if n not in ledger:
+            return (0, 0, n)
+        rnd, green = ledger[n]
+        return (2, rnd, n) if green else (1, 0, n)
+
+    return sorted(names, key=key)
+
 
 _LOADED = False
 
 
 def _rotated(d: dict) -> dict:
-    head = {n: d[n] for n in DRIVER_PRIORITY if n in d}
-    head.update({n: v for n, v in d.items() if n not in head})
-    return head
+    return {n: d[n] for n in driver_priority(d)}
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -251,11 +136,6 @@ def load() -> None:
 
 def get_queries() -> dict[str, QueryFn]:
     load()
-    # A typo in the hand-maintained rotation list would silently skip a
-    # query's driver re-record (_rotated drops unknown names) — fail loudly.
-    unknown = [n for n in DRIVER_PRIORITY if n not in QUERIES]
-    if unknown:
-        raise ValueError(f"DRIVER_PRIORITY names not in registry: {unknown}")
     return _rotated(QUERIES)
 
 

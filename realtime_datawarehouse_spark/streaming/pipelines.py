@@ -202,6 +202,7 @@ def dim_router_stream(
     config_provider: Callable[[SparkSession], DataFrame],
     out_dir: str,
     buckets: int | None = None,
+    expected_rows: int | None = None,
 ):
     """DimApp as a streaming query with per-micro-batch config hot-reload
     (rt/app/dim/DimApp.java:146-171: the broadcast config stream means new
@@ -212,7 +213,18 @@ def dim_router_stream(
 
     Returns a started-query builder: caller does ``.start()`` after setting
     trigger/checkpoint options.
+
+    Bucketed-layout sizing (VERDICT r5 item 7): pass ``expected_rows`` —
+    the dims' expected steady-state cardinality — and the router applies
+    the measured SCALE.md §20 rule via ``table_store.auto_buckets``: flat
+    below the ~3 M-row crossover (fixed bucketed-merge overheads dominate
+    there), else ~1 M rows per bucket (≈ one executor task's state),
+    power-of-two, clamped to the bucket cap. An explicit ``buckets``
+    overrides the rule. Bucketing is fixed at each table's creation, so
+    choose at deployment time, not after the dims have grown.
     """
+    if buckets is None:
+        buckets = table_store.auto_buckets(expected_rows)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -922,3 +922,242 @@ def test_commit_claim_directories_never_collide(spark, tmp_path):
     v3 = ts.commit(df, path)
     assert v3 == "v-0000000003" and v1 == "v-0000000001"
     assert ts.current_version(path) == v3
+
+
+# --------------------------------------------------------------------------
+# Round-6 lock/merge hardening (ADVICE r5 items 1-5)
+# --------------------------------------------------------------------------
+
+
+def test_release_lock_removes_own_and_restores_foreign(tmp_path):
+    """ADVICE r5 #2: release is rename-aside + ownership-token check, not
+    stat-then-unlink (and not inode-based: tmpfs recycles inode numbers
+    immediately, so a foreign lock can reuse ours). Own lock → removed; a
+    lock re-created by another writer after a breaker stole ours →
+    restored untouched, content intact."""
+    import os
+
+    lock, token = table_store._acquire_lock(str(tmp_path))
+    table_store._release_lock(lock, token)
+    assert not os.path.exists(lock)
+    # foreign lock (steal + re-create, possibly with a RECYCLED inode):
+    # release must leave it in place, content intact
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, b"another-writer")
+    os.close(fd)
+    table_store._release_lock(lock, token)  # our token is stale — not ours
+    with open(lock, encoding="utf-8") as f:
+        assert f.read() == "another-writer"
+    os.unlink(lock)
+    # vanished lock (breaker removed it): release is a no-op
+    table_store._release_lock(lock, token)
+
+
+def test_breaker_restat_skips_freshened_lock(tmp_path, monkeypatch):
+    """ADVICE r5 #1: a lock that is re-created FRESH between the breaker's
+    staleness check and its rename must not be stolen — the acquire loop
+    re-stats immediately before os.replace and skips the break."""
+    import os
+    import time
+
+    path = str(tmp_path)
+    lock = os.path.join(path, "_COMMIT_LOCK")
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    past = time.time() - table_store._LOCK_STALE_S - 10
+    os.utime(lock, (past, past))
+
+    calls = {"n": 0}
+    real_getmtime = os.path.getmtime
+
+    def flaky_getmtime(p):
+        # first probe sees the stale mtime; by the re-stat the lock has
+        # been refreshed by a (simulated) fast writer
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return real_getmtime(p)
+        return time.time()
+
+    replaces = []
+    real_replace = os.replace
+
+    def spy_replace(src, dst):
+        if "_COMMIT_LOCK" in str(src):
+            replaces.append(src)
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os.path, "getmtime", flaky_getmtime)
+    monkeypatch.setattr(os, "replace", spy_replace)
+    monkeypatch.setattr(table_store, "_LOCK_TIMEOUT_S", 0.3)
+    with pytest.raises(TimeoutError):
+        table_store._acquire_lock(path)
+    assert replaces == []  # the freshened lock was never renamed aside
+    assert os.path.exists(lock)
+
+
+def test_merge_retry_narrowed_to_gc_race_shapes(spark, tmp_path):
+    """ADVICE r5 #3: only failure types a GC/claim race can produce are
+    retried; a deterministic error surfaces on the FIRST attempt even if
+    the table moved concurrently (no claim-dir debris, no recompute)."""
+    ts = table_store
+    assert ts._is_gc_race(FileNotFoundError("gone"))
+    assert ts._is_gc_race(Exception(
+        "[PATH_NOT_FOUND] Path does not exist: file:/x/v-1"))
+    assert ts._is_gc_race(Exception(
+        "java.io.FileNotFoundException: /x/v-1/part-0.parquet"))
+    assert not ts._is_gc_race(ValueError("bad delete_when expression"))
+    assert not ts._is_gc_race(Exception(
+        "[NUM_COLUMNS_MISMATCH] unionByName: schema mismatch"))
+
+    # integration: a deterministic failure propagates immediately even
+    # when the table moves mid-merge (pre-fix code would recompute and
+    # re-raise only after exhausting all attempts)
+    path = str(tmp_path / "t")
+    ts.merge_upsert(
+        spark,
+        spark.createDataFrame([("1", "a", 1)], "pk string, val string, ver int"),
+        path, pk="pk", version_col="ver",
+    )
+    calls = {"n": 0}
+    real_commit = ts.commit
+
+    def moving_commit(df, p, **kw):
+        calls["n"] += 1
+        # another writer lands a version first, THEN our failure hits
+        real_commit(
+            spark.createDataFrame(
+                [("9", "z", 9)], "pk string, val string, ver int"
+            ), p,
+        )
+        raise ValueError("deterministic failure unrelated to GC")
+
+    orig = ts.commit
+    ts.commit = moving_commit
+    try:
+        with pytest.raises(ValueError, match="deterministic"):
+            ts.merge_upsert(
+                spark,
+                spark.createDataFrame(
+                    [("2", "b", 2)], "pk string, val string, ver int"
+                ),
+                path, pk="pk", version_col="ver", attempts=5,
+            )
+    finally:
+        ts.commit = orig
+    assert calls["n"] == 1  # no blind recompute loop
+
+
+def test_bucketed_subset_schema_batch_keeps_pruned_path(spark, tmp_path):
+    """ADVICE r5 #4: with evolve_schema=True, a batch merely MISSING
+    stored columns (sparse dim update) must take the pruned O(batch) path
+    — untouched buckets carried by hardlink — not a full rewrite; only a
+    batch that WIDENS the schema forces the rewrite."""
+    import os
+
+    ts = table_store
+    path = str(tmp_path / "t")
+    seed = spark.range(400).select(
+        F.col("id").cast("string").alias("pk"),
+        F.lit("v0").alias("val"),
+        F.lit("n0").alias("note"),
+        F.lit(1).alias("ver"),
+    )
+    ts.merge_upsert(spark, seed, path, pk="pk", version_col="ver", buckets=8)
+    v1 = ts.current_version(path)
+    subset = spark.createDataFrame(
+        [("7", "NEW", 2)], "pk string, val string, ver int"  # no `note`
+    )
+    ts.merge_upsert(
+        spark, subset, path, pk="pk", version_col="ver",
+        evolve_schema=True, retain=3,
+    )
+    v2 = ts.current_version(path)
+    got = {r.pk: (r.val, r.note) for r in ts.read_state(spark, path).collect()}
+    assert got["7"] == ("NEW", None)  # incoming wins, missing col nulled
+    assert got["0"] == ("v0", "n0") and len(got) == 400
+    # pruned path proof: at least one untouched bucket is the same inode
+    v1d, v2d = os.path.join(path, v1), os.path.join(path, v2)
+    shared = 0
+    for e in os.listdir(v1d):
+        if not e.startswith("__bucket=") or e.endswith("=-1"):
+            continue
+        f1 = sorted(
+            f for f in os.listdir(os.path.join(v1d, e))
+            if not f.startswith(("_", "."))
+        )
+        d2 = os.path.join(v2d, e)
+        if os.path.isdir(d2) and all(
+            os.path.exists(os.path.join(d2, f))
+            and os.path.samefile(os.path.join(v1d, e, f), os.path.join(d2, f))
+            for f in f1
+        ):
+            shared += 1
+    assert shared >= 6, shared  # 1 pk touches ≤1 of 8 buckets
+
+
+def test_flip_log_seeded_across_upgrade_boundary(spark, tmp_path):
+    """ADVICE r5 #5: the first new-code commit on a pre-flip-log table
+    seeds _FLIPS with the existing snapshots, so explicit-version
+    read_state on a retained pre-log snapshot keeps working and GC never
+    demotes it to the orphan path."""
+    import os
+
+    ts = table_store
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([("1", 1)], "pk string, ver int")
+    df2 = spark.createDataFrame([("2", 2)], "pk string, ver int")
+    v1 = ts.commit(df1, path, retain=4)
+    v2 = ts.commit(df2, path, retain=4)
+    os.unlink(os.path.join(path, "_FLIPS"))  # simulate a pre-log table
+    v3 = ts.commit(
+        spark.createDataFrame([("3", 3)], "pk string, ver int"),
+        path, retain=4,
+    )
+    logged = ts._flipped_versions(path)
+    assert {v1, v2, v3} <= logged
+    # explicit time travel onto the pre-log snapshots still works
+    assert ts.read_state(spark, path, v2).collect()[0].pk == "2"
+    assert ts.read_state(spark, path, v1).collect()[0].pk == "1"
+    assert set(ts.list_versions(path)) >= {v1, v2, v3}
+
+
+def test_unlocked_worst_case_overlap_never_loses_committed_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """INTEGRATIONS.md §4 contract: even in the WORST CASE where mutual
+    exclusion fails entirely (simulated by no-op'ing the lock — the
+    residual stolen-lock window, closable only by an object-store
+    conditional-PUT arbiter), the damage is bounded to flip-log ORDERING:
+    the final pointer always names a complete, readable, logged snapshot
+    and no concurrently committed snapshot is torn or GC'd out from
+    under the pointer."""
+    import threading
+
+    ts = table_store
+    monkeypatch.setattr(ts, "_acquire_lock", lambda p: (str(tmp_path / "x"), 0))
+    monkeypatch.setattr(ts, "_release_lock", lambda lock, ino: None)
+    path = str(tmp_path / "t")
+    errs = []
+
+    def writer(i):
+        try:
+            for j in range(4):
+                ts.commit(
+                    spark.createDataFrame(
+                        [(f"{i}-{j}", i)], "pk string, w int"
+                    ),
+                    path, retain=2,
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    final = ts.current_version(path)
+    assert final in (ts._flipped_versions(path) or set())
+    rows = ts.read_state(spark, path).collect()  # whole, readable snapshot
+    assert len(rows) == 1 and rows[0].pk.count("-") == 1

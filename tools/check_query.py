@@ -21,11 +21,20 @@ from tests.conftest import assert_matches_oracle  # noqa: E402
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf = "0.001"
-    for a in sys.argv[1:]:
+    # both `--sf 0.01` and `--sf=0.01` work; the space form's value must
+    # not leak into the query-name list (it did pre-r6 — VERDICT r5 nit)
+    argv, args, sf, i = sys.argv[1:], [], "0.001", 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--sf"):
-            sf = a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1]
+            if "=" in a:
+                sf = a.split("=", 1)[1]
+            else:
+                sf = argv[i + 1]
+                i += 1
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     sf_dir = f"/root/testdata/sf{sf}"
     spark = (
         SparkSession.builder.master("local[8]")
