@@ -131,6 +131,7 @@ BENCH_QUERIES = (
     "ann_ivf_balance_report",       # inverted-list balance audit
     # round-6 additions (floors recorded from their first r06 measurement)
     "dedup_semantic_probed",        # multiprobe LSH semantic dedup (recall dial)
+    "dedup_incremental_batch",      # batch-vs-corpus broadcast LSH (ingest shape)
 )
 
 

@@ -379,6 +379,223 @@ JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
     )
 
 
+# incremental (batch-vs-corpus) dedup: the daily-ingest shape. A new batch
+# is deduped AGAINST the standing corpus — never corpus×corpus — so the
+# per-run cost is O(|batch| × band-collision fanout) regardless of corpus
+# size. The deterministic split below stands in for "today's arrivals".
+INCR_BATCH_MOD = 10
+INCR_BATCH_REMAINDER = 7
+# signature-estimated Jaccard gate: matching permutations out of NUM_PERM
+# (8/16 ≈ ĵ 0.5) — an integer, so the verdict is engine-portable with no
+# float threshold to disagree on
+INCR_MIN_MATCH_BITS = 8
+
+
+def _sig_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) banded view of a signature table."""
+    band_structs = []
+    for b in range(BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws("_", *cols).alias("band_key"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+
+def incremental_flags_vs_signatures(
+    batch_docs: DataFrame, corpus_sig: DataFrame
+) -> DataFrame:
+    """(doc_id, dup_of, match_bits): flag ``batch_docs`` against an
+    ALREADY-MATERIALIZED corpus signature table — the deployment entry
+    point of :func:`incremental_lsh_flags` (which recomputes both sides
+    from one table for its SQL oracle). ``corpus_sig`` is
+    (doc_id, mh0..mh{NUM_PERM-1}), e.g. the current version of a
+    signature table maintained by ``table_store.merge_upsert`` — so the
+    per-ingest cost is O(|batch| + corpus band-collision fanout) with NO
+    per-ingest recomputation of corpus signatures (measured flat vs
+    corpus size in SCALE.md §23). The batch side of the band join is
+    broadcast; the corpus side streams map-side."""
+    batch_sig = minhash_signatures(batch_docs)
+    batch_bands = _sig_bands(batch_sig).alias("nb")
+    corpus_bands = _sig_bands(corpus_sig).alias("cb")
+    cands = (
+        corpus_bands.join(
+            F.broadcast(batch_bands),
+            (F.col("cb.band_idx") == F.col("nb.band_idx"))
+            & (F.col("cb.band_key") == F.col("nb.band_key")),
+        )
+        .select(
+            F.col("nb.doc_id").alias("doc_id"),
+            F.col("cb.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    sa, sb = batch_sig.alias("sa"), corpus_sig.alias("sb")
+    match_bits = None
+    for i in range(NUM_PERM):
+        t = F.when(
+            F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1
+        ).otherwise(0)
+        match_bits = t if match_bits is None else match_bits + t
+    scored = (
+        cands.join(F.broadcast(sa), cands.doc_id == F.col("sa.doc_id"))
+        .join(sb, cands.corpus_doc == F.col("sb.doc_id"))
+        .select(
+            cands.doc_id.alias("doc_id"),
+            cands.corpus_doc.alias("corpus_doc"),
+            match_bits.alias("match_bits"),
+        )
+        .where(F.col("match_bits") >= INCR_MIN_MATCH_BITS)
+    )
+    best = scored.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("match_bits"),
+                (-F.col("corpus_doc")).alias("neg_doc"),
+            )
+        ).alias("best")
+    )
+    return best.select(
+        "doc_id",
+        (-F.col("best.neg_doc")).alias("dup_of"),
+        F.col("best.match_bits").alias("match_bits"),
+    )
+
+
+def incremental_lsh_flags(docs: DataFrame) -> DataFrame:
+    """(doc_id, dup_of, match_bits): each INCOMING-batch document flagged
+    against the EXISTING corpus via banded MinHash — the incremental form
+    every production dedup actually runs day-to-day (a full-corpus pair
+    pass per ingest would be quadratic over time; this never pairs corpus
+    docs with each other).
+
+    ``dup_of`` is the corpus document with the highest signature agreement
+    (ties broken toward the smallest doc_id — deterministic), reported
+    with its ``match_bits`` (matching MinHash permutations, 0..NUM_PERM;
+    gated at ``INCR_MIN_MATCH_BITS``).
+
+    Scale shape: ONE signature aggregation over the table (alias-reused on
+    three sides — bands, batch signatures, corpus signatures — so the
+    shuffle is computed once and ReusedExchange feeds the rest); candidate
+    generation is a band-key equi-join whose BATCH side is broadcast
+    (|batch| ≪ |corpus| by construction), so the corpus streams through
+    map-side. At 100 TB the corpus signatures are not recomputed at all:
+    they live in a signature table maintained by the versioned store
+    (operators/table_store.py — the same bucketed-MERGE dim shape), and
+    only the batch side of this plan runs per ingest. The final per-doc
+    argmax is a map-combinable max(struct) — no window over candidates."""
+    sig = minhash_signatures(docs)
+    bands = _sig_bands(sig)
+    is_batch = F.pmod(F.col("doc_id"), F.lit(INCR_BATCH_MOD)) == F.lit(
+        INCR_BATCH_REMAINDER
+    )
+    batch_bands = bands.where(is_batch).alias("nb")
+    corpus_bands = bands.where(~is_batch).alias("cb")
+    cands = (
+        corpus_bands.join(
+            F.broadcast(batch_bands),
+            (F.col("cb.band_idx") == F.col("nb.band_idx"))
+            & (F.col("cb.band_key") == F.col("nb.band_key")),
+        )
+        .select(
+            F.col("nb.doc_id").alias("doc_id"),
+            F.col("cb.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    match_bits = None
+    for i in range(NUM_PERM):
+        t = F.when(
+            F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1
+        ).otherwise(0)
+        match_bits = t if match_bits is None else match_bits + t
+    scored = (
+        cands.join(sa, cands.doc_id == F.col("sa.doc_id"))
+        .join(sb, cands.corpus_doc == F.col("sb.doc_id"))
+        .select(
+            cands.doc_id.alias("doc_id"),
+            cands.corpus_doc.alias("corpus_doc"),
+            match_bits.alias("match_bits"),
+        )
+        .where(F.col("match_bits") >= INCR_MIN_MATCH_BITS)
+    )
+    best = scored.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("match_bits"),
+                (-F.col("corpus_doc")).alias("neg_doc"),
+            )
+        ).alias("best")
+    )
+    return best.select(
+        "doc_id",
+        (-F.col("best.neg_doc")).alias("dup_of"),
+        F.col("best.match_bits").alias("match_bits"),
+    )
+
+
+def incremental_lsh_flags_oracle() -> str:
+    params = permutation_params(NUM_PERM)
+    min_exprs = ",\n         ".join(
+        f"min({minhash_perm_sql('h', a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sig"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    bits = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_PERM)
+    )
+    return (
+        SHINGLE_CTE
+        + f"""
+, h AS (
+  SELECT doc_id, {hash64_sql('s')} AS h FROM e
+), sig AS (
+  SELECT doc_id,
+         {min_exprs}
+  FROM h GROUP BY doc_id
+), bands AS (
+  {bands_sql}
+), cand AS (
+  SELECT DISTINCT nb.doc_id AS doc_id, cb.doc_id AS corpus_doc
+  FROM bands cb
+  JOIN bands nb ON cb.band_idx = nb.band_idx
+               AND cb.band_key = nb.band_key
+  WHERE nb.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REMAINDER}
+    AND cb.doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REMAINDER}
+), scored AS (
+  SELECT cand.doc_id, cand.corpus_doc, {bits} AS match_bits
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_id
+  JOIN sig sb ON sb.doc_id = cand.corpus_doc
+), gated AS (
+  SELECT * FROM scored WHERE match_bits >= {INCR_MIN_MATCH_BITS}
+), best AS (
+  SELECT doc_id,
+         max({{'match_bits': match_bits, 'neg_doc': -corpus_doc}}) AS b
+  FROM gated GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(-(b.neg_doc) AS BIGINT) AS dup_of,
+       CAST(b.match_bits AS BIGINT) AS match_bits
+FROM best
+"""
+    )
+
+
 def cdc_minhash_pairs(docs: DataFrame) -> DataFrame:
     """Document-level MinHash over CONTENT-DEFINED chunks: the chunk hashes
     (operators/textops.cdc_chunks) replace word shingles as the set whose

@@ -729,6 +729,23 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_batch",
+    oracle=dedup.incremental_lsh_flags_oracle(),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) MinHash dedup — the daily-ingest
+    shape: today's arrivals (a deterministic doc_id split standing in for
+    the ingest partition) are flagged against the standing corpus via
+    banded LSH, with the batch side BROADCAST so the corpus streams
+    map-side and is never self-paired. Per-run cost is O(|batch| ×
+    collision fanout) independent of corpus size; at 100 TB the corpus
+    signatures come from a signature table maintained by the versioned
+    store rather than being recomputed (operators/dedup.py::
+    incremental_lsh_flags docstring)."""
+    return dedup.incremental_lsh_flags(_docs(spark, sf_dir))
+
+
+@query(
     "dedup_semantic_probed",
     oracle=similarity.semdedup_lsh_probed_oracle(),
 )

@@ -243,6 +243,78 @@ def dim_router_stream(
     return env_stream.writeStream.foreachBatch(process_batch)
 
 
+def streaming_incremental_dedup(
+    doc_stream: DataFrame,
+    sig_path: str,
+    flags_path: str,
+    buckets: int | None = None,
+    expected_rows: int | None = None,
+):
+    """The production ingest-dedup LOOP: every micro-batch of documents is
+    flagged against the STANDING corpus signature table, the flags are
+    committed, and the batch's own signatures are merged in — so the next
+    batch sees this one as corpus. This is the streaming twin of
+    ``dedup_incremental_batch`` (plans/llm_ops.py) with the corpus side
+    materialized the way the 100 TB deployment keeps it: a versioned
+    signature table (``operators/table_store.py``), never recomputed per
+    ingest.
+
+    ``doc_stream``: (doc_id long, text string). Two store tables result:
+    ``sig_path`` (pk=doc_id, MinHash signature columns) and ``flags_path``
+    (pk=doc_id → dup_of, match_bits, batch_id). Both writes go through
+    ``merge_upsert`` keyed by doc_id with the micro-batch id as the
+    version, so a foreachBatch REPLAY after a crash re-merges the same
+    rows idempotently (the exactly-once recipe every store sink here
+    uses). Docs within one micro-batch are by design not paired with each
+    other — same-batch dups are the upstream
+    ``streaming_corpus_ingest`` exact-dedup's job; this stage's contract
+    is batch-vs-corpus.
+
+    ``buckets``/``expected_rows``: bucketed-layout knobs for the
+    signature table, sized by ``table_store.auto_buckets`` exactly as in
+    :func:`dim_router_stream` — at deployment scale the signature table
+    is the hot dim this loop maintains, and per-merge cost must stay
+    O(batch), not O(corpus).
+
+    Returns a writeStream builder: caller sets checkpoint/trigger and
+    ``.start()``.
+    """
+    from realtime_datawarehouse_spark.operators import dedup
+
+    if buckets is None:
+        buckets = table_store.auto_buckets(expected_rows)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        corpus_sig = table_store.read_state(spark, sig_path)
+        if corpus_sig is not None:
+            flags = dedup.incremental_flags_vs_signatures(
+                batch_df, corpus_sig.drop("ver")
+            )
+            table_store.merge_upsert(
+                spark,
+                flags.withColumn("batch_id", F.lit(batch_id)).withColumn(
+                    "ver", F.lit(batch_id)
+                ),
+                flags_path,
+                pk="doc_id",
+                version_col="ver",
+            )
+        batch_sig = dedup.minhash_signatures(batch_df).withColumn(
+            "ver", F.lit(batch_id)
+        )
+        table_store.merge_upsert(
+            spark,
+            batch_sig,
+            sig_path,
+            pk="doc_id",
+            version_col="ver",
+            buckets=buckets,
+        )
+
+    return doc_stream.writeStream.foreachBatch(process_batch)
+
+
 def streaming_corpus_ingest(
     raw: DataFrame, dedup_watermark: str = "26 hours"
 ) -> DataFrame:

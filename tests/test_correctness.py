@@ -277,3 +277,65 @@ def test_cdc_chunks_sentinel_contract(spark):
     a = sorted((r.chunk_id, r.chunk_hash) for r in ch if r.doc_id == 1)
     b = sorted((r.chunk_id, r.chunk_hash) for r in ch if r.doc_id == 2)
     assert a == b
+
+
+def test_incremental_dedup_flags_batch_against_corpus_only(spark):
+    """The incremental-dedup contract: an incoming-batch document that
+    duplicates a corpus document is flagged (dup_of = smallest best-match
+    corpus doc), corpus-corpus duplicates are NOT re-reported (that pass
+    already ran when those docs ingested), and unique batch docs are
+    absent. Plan: the batch side of the band join is broadcast so the
+    corpus never self-pairs."""
+    from realtime_datawarehouse_spark.operators import dedup
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"alt{i}" for i in range(40))
+    rows = [
+        (1, base),            # corpus
+        (2, base + " tail"),  # corpus near-dup of 1 — must NOT be reported
+        (17, base),           # batch (17 % 10 == 7): dup of corpus 1 and 2
+        (27, other),          # batch: unique — must be absent
+        (3, other),           # corpus twin of 27's content? no — identical
+    ]
+    # make 27 a real dup of corpus doc 3 to also check a second flag
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dup_of, r.match_bits)
+        for r in dedup.incremental_lsh_flags(docs).collect()
+    }
+    assert set(got) == {17, 27}
+    assert got[17][0] == 1  # ties toward the SMALLEST corpus doc id
+    assert got[17][1] == dedup.NUM_PERM  # identical text -> all perms match
+    assert got[27] == (3, dedup.NUM_PERM)
+
+    plan = (
+        dedup.incremental_lsh_flags(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_flags_signature_table_form_parity(spark):
+    """The deployment entry point (flags vs a MATERIALIZED signature
+    table) must produce exactly the registered single-table form's
+    verdicts — the refactor guarantee that lets the production loop skip
+    per-ingest corpus recomputation (SCALE.md §23)."""
+    from realtime_datawarehouse_spark.operators import dedup
+    from realtime_datawarehouse_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus_sig = dedup.minhash_signatures(docs.where("doc_id % 10 <> 7"))
+    got = {
+        (r.doc_id, r.dup_of, r.match_bits)
+        for r in dedup.incremental_flags_vs_signatures(
+            docs.where("doc_id % 10 = 7"), corpus_sig
+        ).collect()
+    }
+    expected = {
+        (r.doc_id, r.dup_of, r.match_bits)
+        for r in dedup.incremental_lsh_flags(docs).collect()
+    }
+    assert got == expected and len(got) > 0

@@ -875,3 +875,59 @@ def test_auto_buckets_rule_and_router_autosizing(spark, tmp_path):
     vdir = os.path.join(dim, table_store.current_version(dim))
     assert table_store._dir_is_bucketed(vdir)
     assert table_store._bucket_spec(dim, "pk", None)["n"] == 8
+
+
+def test_streaming_incremental_dedup_loop_parity(spark, tmp_path):
+    """The ingest-dedup loop (flag batch vs standing signature table, then
+    merge the batch's signatures in) must reproduce the registered
+    batch query's verdicts when fed the same corpus/batch split as two
+    micro-batches: batch 2's flags == dedup_incremental_batch on the full
+    table, and the signature table ends holding every document (so batch
+    3 would see batches 1+2 as corpus). Also pins the bootstrap case:
+    batch 1 (empty corpus) produces no flags."""
+    import os
+    import time
+
+    from realtime_datawarehouse_spark.operators import dedup, table_store
+    from realtime_datawarehouse_spark.streaming import pipelines
+    from realtime_datawarehouse_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    is_batch = "doc_id % 10 = 7"
+    in_dir = str(tmp_path / "in")
+    docs.where(f"NOT ({is_batch})").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    time.sleep(1.1)  # file source orders micro-batches by mod time
+    docs.where(is_batch).coalesce(1).write.mode("append").parquet(in_dir)
+
+    sig_path = str(tmp_path / "sigs")
+    flags_path = str(tmp_path / "flags")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        pipelines.streaming_incremental_dedup(stream, sig_path, flags_path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    expected = {
+        (r.doc_id, r.dup_of, r.match_bits)
+        for r in dedup.incremental_lsh_flags(docs).collect()
+    }
+    flags = table_store.read_state(spark, flags_path)
+    got = {
+        (r.doc_id, r.dup_of, r.match_bits) for r in flags.collect()
+    }
+    assert got == expected and len(got) > 0
+    # every flag came from batch 2 (batch 1 bootstraps an empty corpus)
+    assert {r.batch_id for r in flags.collect()} == {1}
+    # the signature table now covers the WHOLE corpus for the next batch
+    n_sig = table_store.read_state(spark, sig_path).count()
+    assert n_sig == docs.count()
