@@ -320,20 +320,11 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
 
 def _band_pairs(sig: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh{NUM_PERM-1}) signatures → distinct banded candidate
-    pairs (shared by the shingle and CDC-chunk MinHash variants)."""
-    band_structs = []
-    for b in range(BANDS):
-        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws("_", *cols).alias("band_key"),
-            )
-        )
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    )
-    buckets = bands.groupBy("band.band_idx", "band.band_key").agg(
+    pairs (shared by the shingle and CDC-chunk MinHash variants; the
+    banded view itself is :func:`_sig_bands`, shared with the incremental
+    path so the band-key format can never diverge)."""
+    bands = _sig_bands(sig)
+    buckets = bands.groupBy("band_idx", "band_key").agg(
         F.sort_array(F.collect_list(F.struct(F.col("doc_id")))).alias("members")
     )
     pair = buckets.where(F.size("members") > 1).select(
@@ -407,27 +398,30 @@ def _sig_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_idx", "band.band_key")
 
 
-def incremental_flags_vs_signatures(
-    batch_docs: DataFrame, corpus_sig: DataFrame
+def _incremental_flags(
+    batch_bands: DataFrame,
+    corpus_bands: DataFrame,
+    sa: DataFrame,
+    sb: DataFrame,
+    broadcast_batch_sig: bool,
 ) -> DataFrame:
-    """(doc_id, dup_of, match_bits): flag ``batch_docs`` against an
-    ALREADY-MATERIALIZED corpus signature table — the deployment entry
-    point of :func:`incremental_lsh_flags` (which recomputes both sides
-    from one table for its SQL oracle). ``corpus_sig`` is
-    (doc_id, mh0..mh{NUM_PERM-1}), e.g. the current version of a
-    signature table maintained by ``table_store.merge_upsert`` — so the
-    per-ingest cost is O(|batch| + corpus band-collision fanout) with NO
-    per-ingest recomputation of corpus signatures (measured flat vs
-    corpus size in SCALE.md §23). The batch side of the band join is
-    broadcast; the corpus side streams map-side."""
-    batch_sig = minhash_signatures(batch_docs)
-    batch_bands = _sig_bands(batch_sig).alias("nb")
-    corpus_bands = _sig_bands(corpus_sig).alias("cb")
+    """Shared core of the two incremental-dedup entry points: band-collide
+    ``batch_bands`` (aliased nb, broadcast) against ``corpus_bands``
+    (aliased cb), score candidates by matching MinHash permutations from
+    the ``sa`` (batch) / ``sb`` (corpus) signature sides, gate at
+    ``INCR_MIN_MATCH_BITS``, and pick per batch doc the corpus doc with
+    the highest agreement (ties toward the smallest doc_id) via a
+    map-combinable max(struct) — no window over candidates. A self-pair
+    guard (``cb.doc_id != nb.doc_id``) keeps a document whose own
+    signature already reached the corpus side — a foreachBatch REPLAY
+    after a mid-loop crash, or a re-ingest of an existing doc_id — from
+    flagging itself as its own duplicate."""
     cands = (
         corpus_bands.join(
             F.broadcast(batch_bands),
             (F.col("cb.band_idx") == F.col("nb.band_idx"))
-            & (F.col("cb.band_key") == F.col("nb.band_key")),
+            & (F.col("cb.band_key") == F.col("nb.band_key"))
+            & (F.col("cb.doc_id") != F.col("nb.doc_id")),
         )
         .select(
             F.col("nb.doc_id").alias("doc_id"),
@@ -435,15 +429,15 @@ def incremental_flags_vs_signatures(
         )
         .distinct()
     )
-    sa, sb = batch_sig.alias("sa"), corpus_sig.alias("sb")
     match_bits = None
     for i in range(NUM_PERM):
         t = F.when(
             F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1
         ).otherwise(0)
         match_bits = t if match_bits is None else match_bits + t
+    sa_side = F.broadcast(sa) if broadcast_batch_sig else sa
     scored = (
-        cands.join(F.broadcast(sa), cands.doc_id == F.col("sa.doc_id"))
+        cands.join(sa_side, cands.doc_id == F.col("sa.doc_id"))
         .join(sb, cands.corpus_doc == F.col("sb.doc_id"))
         .select(
             cands.doc_id.alias("doc_id"),
@@ -464,6 +458,31 @@ def incremental_flags_vs_signatures(
         "doc_id",
         (-F.col("best.neg_doc")).alias("dup_of"),
         F.col("best.match_bits").alias("match_bits"),
+    )
+
+
+def incremental_flags_vs_signatures(
+    batch_docs: DataFrame, corpus_sig: DataFrame
+) -> DataFrame:
+    """(doc_id, dup_of, match_bits): flag ``batch_docs`` against an
+    ALREADY-MATERIALIZED corpus signature table — the deployment entry
+    point of :func:`incremental_lsh_flags` (which recomputes both sides
+    from one table for its SQL oracle). ``corpus_sig`` is
+    (doc_id, mh0..mh{NUM_PERM-1}), e.g. the current version of a
+    signature table maintained by ``table_store.merge_upsert`` — so the
+    per-ingest cost is O(|batch| + corpus band-collision fanout) with NO
+    per-ingest recomputation of corpus signatures (measured flat vs
+    corpus size in SCALE.md §23). The batch side of the band join is
+    broadcast; the corpus side streams map-side. A replayed or re-ingested
+    document whose own signature already reached ``corpus_sig`` never
+    flags itself (self-pair guard in the shared core)."""
+    batch_sig = minhash_signatures(batch_docs)
+    return _incremental_flags(
+        _sig_bands(batch_sig).alias("nb"),
+        _sig_bands(corpus_sig).alias("cb"),
+        batch_sig.alias("sa"),
+        corpus_sig.alias("sb"),
+        broadcast_batch_sig=True,
     )
 
 
@@ -494,49 +513,12 @@ def incremental_lsh_flags(docs: DataFrame) -> DataFrame:
     is_batch = F.pmod(F.col("doc_id"), F.lit(INCR_BATCH_MOD)) == F.lit(
         INCR_BATCH_REMAINDER
     )
-    batch_bands = bands.where(is_batch).alias("nb")
-    corpus_bands = bands.where(~is_batch).alias("cb")
-    cands = (
-        corpus_bands.join(
-            F.broadcast(batch_bands),
-            (F.col("cb.band_idx") == F.col("nb.band_idx"))
-            & (F.col("cb.band_key") == F.col("nb.band_key")),
-        )
-        .select(
-            F.col("nb.doc_id").alias("doc_id"),
-            F.col("cb.doc_id").alias("corpus_doc"),
-        )
-        .distinct()
-    )
-    sa, sb = sig.alias("sa"), sig.alias("sb")
-    match_bits = None
-    for i in range(NUM_PERM):
-        t = F.when(
-            F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1
-        ).otherwise(0)
-        match_bits = t if match_bits is None else match_bits + t
-    scored = (
-        cands.join(sa, cands.doc_id == F.col("sa.doc_id"))
-        .join(sb, cands.corpus_doc == F.col("sb.doc_id"))
-        .select(
-            cands.doc_id.alias("doc_id"),
-            cands.corpus_doc.alias("corpus_doc"),
-            match_bits.alias("match_bits"),
-        )
-        .where(F.col("match_bits") >= INCR_MIN_MATCH_BITS)
-    )
-    best = scored.groupBy("doc_id").agg(
-        F.max(
-            F.struct(
-                F.col("match_bits"),
-                (-F.col("corpus_doc")).alias("neg_doc"),
-            )
-        ).alias("best")
-    )
-    return best.select(
-        "doc_id",
-        (-F.col("best.neg_doc")).alias("dup_of"),
-        F.col("best.match_bits").alias("match_bits"),
+    return _incremental_flags(
+        bands.where(is_batch).alias("nb"),
+        bands.where(~is_batch).alias("cb"),
+        sig.alias("sa"),
+        sig.alias("sb"),
+        broadcast_batch_sig=False,
     )
 
 

@@ -487,15 +487,27 @@ def commit(
             # and GC would demote it to the orphan path across the
             # upgrade. Runs under the flip lock; our own claim dir is
             # excluded (it is appended below, after the flip decision).
-            # bound the seed by the CURRENT POINTER: a dir numbered
-            # above it can be a concurrent writer's in-flight claim (this
-            # commit's own included), and seeding one as "flipped" would
-            # let GC delete it mid-write
-            seed = (
-                [d for d in sorted(_version_dirs(path)) if d <= previous]
-                if previous is not None
-                else []
-            )
+            # bound the seed by the CURRENT POINTER — re-read under the
+            # lock, not the stale pre-write `previous` (old-code writers
+            # may have committed during our snapshot write) — and skip
+            # dirs younger than the orphan grace: a dir numbered at or
+            # below the pointer can still be a concurrent writer's
+            # in-flight claim, and seeding one as "flipped" would let GC
+            # delete it mid-write without the grace protection
+            now_ptr = current_version(path)
+            seed = []
+            if now_ptr is not None:
+                for d in sorted(_version_dirs(path)):
+                    if d > now_ptr or d == version:
+                        continue
+                    try:
+                        age = _time.time() - os.path.getmtime(
+                            os.path.join(path, d)
+                        )
+                    except OSError:
+                        continue
+                    if d == now_ptr or age > orphan_grace_s:
+                        seed.append(d)
             if seed:
                 with open(flips_path, "a", encoding="utf-8") as f:
                     f.writelines(d + "\n" for d in seed)
@@ -612,6 +624,11 @@ def _is_gc_race(exc: Exception) -> bool:
             "FileReadException",
             "Path does not exist",
             "No such file or directory",
+            # a GC mid-rmtree leaves the dir present but empty of part
+            # files for an instant; a scan planned in that window fails
+            # schema inference rather than path resolution
+            "UNABLE_TO_INFER_SCHEMA",
+            "Unable to infer schema",
         )
     )
 

@@ -43,7 +43,13 @@ def test_no_oracle_emits_driver_hostile_dtypes(duck):
     only red row (olap_anomaly_outliers, VERDICT r5 item 1). Kill the class
     permanently: DESCRIBE every registered oracle and reject any output
     column whose type Spark can't emit (HUGEINT/UHUGEINT/DECIMAL — Spark
-    sides here emit BIGINT/DOUBLE/VARCHAR; cast the oracle)."""
+    sides here emit BIGINT/DOUBLE/VARCHAR; cast the oracle).
+
+    Deliberately NOT flagged: int32↔BIGINT width differences. Measured
+    r6: 32 such columns exist across queries whose latest driver record
+    is fully GREEN (e.g. text_ngram_topk.rank int vs BIGINT), so the
+    driver hash is robust to integer width — only representation changes
+    (HUGEINT→Decimal objects) break it. Don't re-litigate."""
     offenders = []
     for name, sql in registry.ORACLES.items():
         for col, typ, *_ in duck.execute("DESCRIBE " + sql).fetchall():
@@ -339,3 +345,35 @@ def test_incremental_flags_signature_table_form_parity(spark):
         for r in dedup.incremental_lsh_flags(docs).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_incremental_dedup_replay_never_self_flags(spark):
+    """Replay safety (round-6 review find): when a batch's OWN signatures
+    already reached the corpus table — a foreachBatch replay after a
+    mid-loop crash, or a re-ingest of an existing doc_id — a document
+    must not flag itself as its own duplicate; its verdicts must equal
+    the clean first run's."""
+    from realtime_datawarehouse_spark.operators import dedup
+    from realtime_datawarehouse_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    batch = docs.where("doc_id % 10 = 7")
+    corpus_sig = dedup.minhash_signatures(docs.where("doc_id % 10 <> 7"))
+    clean = {
+        (r.doc_id, r.dup_of, r.match_bits)
+        for r in dedup.incremental_flags_vs_signatures(
+            batch, corpus_sig
+        ).collect()
+    }
+    # replay: the corpus side now ALSO contains the batch's signatures
+    replay_corpus = dedup.minhash_signatures(docs)
+    replay = {
+        (r.doc_id, r.dup_of, r.match_bits)
+        for r in dedup.incremental_flags_vs_signatures(
+            batch, replay_corpus
+        ).collect()
+    }
+    assert all(d != dup for d, dup, _ in replay)  # no self-flags
+    # every clean verdict survives the replay (self-pairs only ADD noise
+    # the guard removes; the guard must not lose true duplicates)
+    assert clean <= replay

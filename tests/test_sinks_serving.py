@@ -1104,17 +1104,32 @@ def test_flip_log_seeded_across_upgrade_boundary(spark, tmp_path):
 
     ts = table_store
     path = str(tmp_path / "t")
+    import time
+
     df1 = spark.createDataFrame([("1", 1)], "pk string, ver int")
     df2 = spark.createDataFrame([("2", 2)], "pk string, ver int")
     v1 = ts.commit(df1, path, retain=4)
     v2 = ts.commit(df2, path, retain=4)
     os.unlink(os.path.join(path, "_FLIPS"))  # simulate a pre-log table
+    # a real pre-log table's snapshots predate the upgrade by far more
+    # than the orphan grace — the seed's age guard (which exists so a
+    # concurrent writer's YOUNG in-flight claim is never marked flipped)
+    # must not exclude them
+    past = time.time() - ts._ORPHAN_GRACE_S - 60
+    for d in (v1, v2):
+        os.utime(os.path.join(path, d), (past, past))
+    # a young unflipped claim below the pointer (a stalled pre-upgrade
+    # writer) must NOT be seeded — it keeps its orphan-grace protection
+    stalled = os.path.join(path, "v-0000000000")
+    os.mkdir(stalled)
     v3 = ts.commit(
         spark.createDataFrame([("3", 3)], "pk string, ver int"),
         path, retain=4,
     )
     logged = ts._flipped_versions(path)
     assert {v1, v2, v3} <= logged
+    assert "v-0000000000" not in logged  # in-flight claim left unflipped
+    assert os.path.isdir(stalled)  # and not GC'd
     # explicit time travel onto the pre-log snapshots still works
     assert ts.read_state(spark, path, v2).collect()[0].pk == "2"
     assert ts.read_state(spark, path, v1).collect()[0].pk == "1"

@@ -29,9 +29,11 @@ def main() -> None:
         if a.startswith("--sf"):
             if "=" in a:
                 sf = a.split("=", 1)[1]
-            else:
+            elif i + 1 < len(argv):
                 sf = argv[i + 1]
                 i += 1
+            else:
+                sys.exit("usage: check_query.py name... [--sf 0.01 | --sf=0.01]")
         elif not a.startswith("--"):
             args.append(a)
         i += 1
