@@ -132,6 +132,8 @@ BENCH_QUERIES = (
     # round-6 additions (floors recorded from their first r06 measurement)
     "dedup_semantic_probed",        # multiprobe LSH semantic dedup (recall dial)
     "dedup_incremental_batch",      # batch-vs-corpus broadcast LSH (ingest shape)
+    "ann_range_search",             # similarity-floor retrieval (map-only)
+    "embed_int8_quantize_eval",     # int8 storage audit (two map-side passes)
 )
 
 

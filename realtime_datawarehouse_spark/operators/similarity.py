@@ -122,6 +122,56 @@ SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= {k}
 """
 
 
+def range_search(
+    emb: DataFrame, queries: DataFrame, threshold: float
+) -> DataFrame:
+    """All corpus vectors with cosine ≥ ``threshold`` per query — the
+    RANGE form of similarity search (retrieval by similarity floor rather
+    than a fixed k; the primitive under "pull everything semantically
+    close to these probes" corpus audits).
+
+    Scale shape: strictly better than top-k — broadcast the query side,
+    score, filter; NO per-query window at all, so the plan is map-only
+    after the broadcast join and partial results never re-shuffle. At
+    100 TB the same plan runs partition-parallel over the corpus with the
+    IVF/LSH bucket prune slotted below the scorer exactly as in
+    ``ivf_topk``."""
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    ).select("neighbor_id", "v", l2_norm(F.col("v")).alias("vn"))
+    q = queries.select(
+        "query_id", _as_double(F.col("query_vec")).alias("qv")
+    ).select("query_id", "qv", l2_norm(F.col("qv")).alias("qn"))
+    return (
+        cand.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(
+                _cos(F.col("qv"), F.col("v"), F.col("qn"), F.col("vn")), 4
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def range_search_oracle(
+    threshold: float, query_pred: str = "vec_id < 8"
+) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE {query_pred}
+)
+SELECT q.query_id, e.vec_id AS neighbor_id,
+       {pround_sql(_COS_QE, 4)} AS sim
+FROM q JOIN e ON e.vec_id <> q.query_id
+WHERE {pround_sql(_COS_QE, 4)} >= {threshold}
+"""
+
+
 def lsh_buckets(emb: DataFrame) -> DataFrame:
     """Random-hyperplane LSH bucket assignment: (vec_id, bucket_id).
 

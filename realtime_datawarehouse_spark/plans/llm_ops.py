@@ -137,6 +137,113 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_topk(emb, queries, TOPK)
 
 
+RANGE_SEARCH_TAU = 0.3
+
+
+@query(
+    "ann_range_search",
+    oracle=similarity.range_search_oracle(RANGE_SEARCH_TAU, ANN_QUERY_PRED_SQL),
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE similarity search: every corpus vector with cosine ≥ τ of
+    each probe — retrieval by similarity floor rather than fixed k (the
+    primitive under "pull everything semantically close to these probes"
+    corpus audits, e.g. targeted decontamination sweeps). Strictly
+    better scale shape than top-k: broadcast probes, score, filter —
+    map-only, no per-query window, nothing re-shuffles."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return similarity.range_search(emb, queries, RANGE_SEARCH_TAU)
+
+
+INT8_QUANT_ORACLE = """
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), s AS (
+  SELECT dim, max(abs(v)) AS scale FROM x GROUP BY 1
+), q AS (
+  SELECT x.dim, x.v, s.scale,
+         GREATEST(-127, LEAST(127,
+             CAST(floor(x.v * 127.0 / s.scale + 0.5) AS BIGINT))) AS qv
+  FROM x JOIN s USING (dim)
+), e AS (
+  SELECT dim, scale,
+         CAST(floor(abs(qv * scale / 127.0 - v) * 1000000000 + 0.5)
+              AS BIGINT) AS err_nano
+  FROM q
+)
+SELECT dim,
+       CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_micro,
+       CAST(count(*) AS BIGINT) AS n_vals,
+       CAST(sum(err_nano) // count(*) AS BIGINT) AS mean_abs_err_nano,
+       CAST(max(err_nano) AS BIGINT) AS max_abs_err_nano
+FROM e GROUP BY 1, 2
+"""
+
+
+@query("embed_int8_quantize_eval", oracle=INT8_QUANT_ORACLE)
+def embed_int8_quantize_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding-quantization audit: symmetric per-dimension scales
+    (max|v| per dim), round-half-up encode clamped to [-127, 127], and
+    the reconstruction-error profile per dimension — the storage audit
+    run before an embedding table is kept int8 at rest (4× smaller scans
+    for the ANN/dedup family; acceptable iff the max error stays well
+    under the similarity threshold granularity).
+
+    Scale shape: one posexplode + map-combinable per-dim max for the
+    scales (DIM partials per partition, like embed_dimension_stats), the
+    64-row scale table broadcast back, then a second map-side pass
+    aggregates the error profile — the corpus never shuffles. Error sums
+    cross engines in the 1e-9-quantized integer domain (values ≤
+    scale/254, so nano resolution keeps 5+ significant digits while the
+    bigint sum is order-free)."""
+    em = _emb(spark, sf_dir)
+    x = em.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v")
+    )
+    s = x.groupBy("dim").agg(F.max(F.abs(F.col("v"))).alias("scale"))
+    q = x.join(F.broadcast(s), "dim").select(
+        "dim",
+        "scale",
+        F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(F.col("v") * 127.0 / F.col("scale") + 0.5).cast(
+                    "bigint"
+                ),
+            ),
+        ).alias("qv"),
+        "v",
+    )
+    e = q.select(
+        "dim",
+        "scale",
+        F.floor(
+            F.abs(F.col("qv") * F.col("scale") / 127.0 - F.col("v"))
+            * 1_000_000_000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("err_nano"),
+    )
+    return e.groupBy(
+        "dim",
+        F.floor(F.col("scale") * 1_000_000 + 0.5)
+        .cast("bigint")
+        .alias("scale_micro"),
+    ).agg(
+        F.count("*").alias("n_vals"),
+        F.expr("sum(err_nano) div count(*)").alias("mean_abs_err_nano"),
+        F.max("err_nano").alias("max_abs_err_nano"),
+    )
+
+
 @query(
     "ann_ivf_topk",
     oracle=similarity.ivf_topk_oracle(TOPK, similarity.NUM_PROBE, ANN_QUERY_PRED_SQL),
