@@ -1599,3 +1599,181 @@ def pca_top_component(
         .select(F.explode(F.array(*out)).alias("r"))
         .select("r.dim", "r.loading", "r.eigval_cov")
     )
+
+
+# --------------------------------------------------------------------------
+# Companion eval queries for the two rows-only members of this module
+# (VERDICT r6 item 2): the trained-IVF and power-iteration PCA queries are
+# iterative-float and register ``oracle=None``; these audits give each a
+# driver-hash-checkable row by oracling the EVAL, not the internals — the
+# data-dependent columns (brute-force truth set, variance totals) are
+# computed EXACTLY by both engines, while the approximation-quality verdict
+# is a pass-flag whose expected value the oracle states and whose
+# non-vacuity a pytest pins (same labeled-fixture pattern as semdedup_eval).
+# --------------------------------------------------------------------------
+
+# Trained-IVF overall recall@k floor, 1e-6-quantized. Measured: 475000 /
+# 350000 / 375000 at sf0.001/0.01/0.1 (k=16, iters=2, nprobe=2) vs ~12500
+# for random probing — 0.25 leaves 4 neighbors of slack at the driver SF
+# against float-order jitter in the distributed mean updates while staying
+# an order of magnitude above broken.
+IVF_TRAINED_RECALL_FLOOR6 = 250_000
+
+
+def ivf_trained_recall_eval(
+    emb: DataFrame,
+    k: int = 5,
+    query_pred=None,
+    floor6: int = IVF_TRAINED_RECALL_FLOOR6,
+) -> DataFrame:
+    """(n_queries, k, truth_rows, recall_ge_floor): recall@k audit of the
+    TRAINED IVF codebook (``train_centroids`` + ``ivf_topk``) against the
+    exact ``brute_topk`` ground truth — the driver-visible companion of
+    ``ann_ivf_trained_topk`` (rows-only since r2; pinned until now only by
+    tests/test_correctness.py::test_ivf_trained_codebook_recall_floor,
+    which the driver can't see).
+
+    ``truth_rows`` and ``n_queries`` are oracle-exact (the brute-force side
+    IS SQL); ``recall_ge_floor`` asserts hits/truth ≥ IVF_TRAINED_RECALL_
+    FLOOR6 — if k-means training degrades, the flag drops to 0 and the
+    driver hash breaks. Scale shape: the truth side is O(|q|·n) BY DESIGN —
+    in production this audit runs on a bounded query sample (the standard
+    recall monitor for an ANN index) while the IVF side serves traffic.
+    """
+    if query_pred is None:
+        query_pred = F.col("vec_id") < 8
+    queries = emb.where(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    truth = brute_topk(emb, queries, k).select("query_id", "neighbor_id")
+    cents = train_centroids(emb, k=16, iters=2)
+    approx = ivf_topk(emb, queries, k, centroids=cents).select(
+        "query_id", "neighbor_id"
+    )
+    hits = truth.join(
+        F.broadcast(approx), ["query_id", "neighbor_id"]
+    ).agg(F.count("*").alias("hits"))
+    tstats = truth.agg(
+        F.count("*").alias("truth_rows"),
+        F.countDistinct("query_id").alias("n_queries"),
+    )
+    return (
+        tstats.crossJoin(F.broadcast(hits))
+        .select(
+            "n_queries",
+            F.lit(k).cast("bigint").alias("k"),
+            "truth_rows",
+            F.when(
+                F.col("hits") * F.lit(1_000_000)
+                >= F.lit(floor6) * F.col("truth_rows"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("recall_ge_floor"),
+        )
+    )
+
+
+def ivf_trained_recall_eval_oracle(
+    k: int = 5, query_pred: str = "vec_id < 8"
+) -> str:
+    """The truth-side columns are the brute-force CTE (identical to
+    brute_topk_oracle's); the recall verdict is the stated expectation."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE {query_pred}
+), s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {pround_sql(_COS_QE, 4)} AS sim
+  FROM q JOIN e ON e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM s
+), t AS (SELECT * FROM r WHERE rnk <= {k})
+SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       CAST({k} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS truth_rows,
+       CAST(1 AS BIGINT) AS recall_ge_floor
+FROM t
+"""
+
+
+# |eigval_cov − Var(x·v)| / eigval_cov tolerance: measured ≤ 6.8e-3 across
+# SFs (the residual is the one extra half-step the returned eigenvalue is
+# ahead of the returned direction); 0.02 is 3× slack.
+PCA_EIG_CONSISTENCY_TOL = 0.02
+
+
+def pca_residual_eval(emb: DataFrame, iters: int = 12) -> DataFrame:
+    """(n_vecs, totvar4, best_axis_var4, rayleigh_ge_axis, eig_consistent):
+    quality audit of ``pca_top_component`` — the driver-visible companion
+    of ``embed_pca_top_component`` (rows-only; pinned until now only by the
+    numpy-eigenvector pytest).
+
+    Exact columns (both engines compute them independently): ``n_vecs``,
+    ``totvar4`` = trace of the covariance (Σ_d Var_pop(x_d), 4 dp) and
+    ``best_axis_var4`` = max_d Var_pop(x_d). Verdict flags: ``rayleigh_ge_
+    axis`` — the trained direction's Rayleigh quotient Var_pop(x·v) must
+    reach at least the best coordinate axis's variance (λ1 ≥ max_d C_dd is
+    a theorem; a converged power iteration clears it with measured 1.17–
+    1.51× margin on this corpus, while a random direction sits at the
+    trace/dim mean ≈ 0.85× of it) — and ``eig_consistent`` — the returned
+    eigenvalue must match the returned direction's measured variance to
+    PCA_EIG_CONSISTENCY_TOL. Breaking the power iteration flips a flag and
+    the driver hash. One extra DIM-wide aggregate pass beyond the trainer;
+    Var(x·v) centers algebraically (Var(s) over s = x·v) so the corpus is
+    never materialized centered."""
+    pc = sorted(pca_top_component(emb, iters=iters).collect(), key=lambda r: r.dim)
+    v = [float(r.loading) for r in pc]
+    eig = float(pc[0].eigval_cov)
+    dim = len(v)
+    vlit = F.array(*[F.lit(x) for x in v])
+    vd = emb.select(_as_double(F.col("embedding")).alias("x"))
+    row = vd.select(
+        dot(F.col("x"), vlit).alias("s"), "x"
+    ).agg(
+        F.var_pop("s").alias("vs"),
+        F.count("*").alias("n"),
+        *[F.var_pop(F.col("x")[d]).alias(f"v{d}") for d in range(dim)],
+    )
+    totvar = sum(F.col(f"v{d}") for d in range(dim))
+    best = F.greatest(*[F.col(f"v{d}") for d in range(dim)])
+    return row.select(
+        F.col("n").cast("bigint").alias("n_vecs"),
+        pround(totvar, 4).alias("totvar4"),
+        pround(best, 4).alias("best_axis_var4"),
+        F.when(F.col("vs") >= best, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rayleigh_ge_axis"),
+        F.when(
+            F.abs(F.col("vs") - F.lit(eig))
+            <= F.lit(PCA_EIG_CONSISTENCY_TOL * eig),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("eig_consistent"),
+    )
+
+
+def pca_residual_eval_oracle(dim: int = DIM) -> str:
+    return f"""
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), u AS (SELECT unnest(range(1, {dim + 1})) AS d),
+vp AS (SELECT d, var_pop(v[d]) AS vp FROM e, u GROUP BY d),
+n AS (SELECT count(*) AS n_vecs FROM e)
+SELECT CAST(n.n_vecs AS BIGINT) AS n_vecs,
+       {pround_sql("(SELECT sum(vp) FROM vp)", 4)} AS totvar4,
+       {pround_sql("(SELECT max(vp) FROM vp)", 4)} AS best_axis_var4,
+       CAST(1 AS BIGINT) AS rayleigh_ge_axis,
+       CAST(1 AS BIGINT) AS eig_consistent
+FROM n
+"""

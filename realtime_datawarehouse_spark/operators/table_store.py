@@ -6,16 +6,25 @@ BASELINE.md's stated Spark mapping is Delta/Iceberg MERGE; this container has
 neither, so this module provides the same contract over plain parquet with
 NOTHING materialized on the driver:
 
-    <path>/_CURRENT          text file naming the live version directory
+    <path>/_commits/NNN      arbiter log: sequence NNN → committed version
     <path>/v-0000000001/     immutable parquet snapshot written by executors
+    <path>/_CURRENT          derived cache of the head (pre-arbiter compat)
 
-A writer computes the merged result as a DataFrame (reading the CURRENT
+A writer computes the merged result as a DataFrame (reading the current
 version — a different directory than the one it writes), writes the next
-version directory with full executor parallelism, then flips the pointer
-with ``os.replace`` (an atomic POSIX rename). Consequences:
+version directory with full executor parallelism, then commits with ONE
+conditional PUT of the next arbiter sequence file (atomic
+create-with-content ``os.link``; the same protocol as S3 conditional PUT —
+INTEGRATIONS.md §4). The live version is DERIVED: the version named by the
+max committed sequence. Consequences:
 
 - A crash at ANY point leaves the previous committed version intact: the
-  pointer is the only mutable object and its update is atomic.
+  only commit-visible mutation is the sequence-file PUT and it is atomic
+  (nothing exists, or the complete record does — never a torn commit).
+- No lock, so nothing can go stale, be broken, or be stolen: a writer
+  stalled for ANY duration before its PUT simply has not committed; a
+  conflicting PUT after the stall fails the CAS and surfaces as an
+  ordinary :class:`ConcurrentCommitError` retry.
 - No ``collect()`` / ``createDataFrame(rows)`` round-trip: state size is
   bounded by the cluster, not driver memory (VERDICT r01 "What's wrong" #1).
 - An empty merged result is a real committed version (Spark writes a
@@ -46,17 +55,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-_POINTER = "_CURRENT"
-_LOCK = "_COMMIT_LOCK"
+_POINTER = "_CURRENT"  # derived cache of the arbiter head (legacy pointer)
 _FLIPS = "_FLIPS"  # append-only log of flipped version names (_delta_log analog)
+_COMMITS = "_commits"  # arbiter sequence files: NNN → committed version name
 _BUCKETING = "_BUCKETING"  # json {"pk": col, "n": buckets} — set once per table
 _BUCKET_COL = "__bucket"  # hive partition column inside bucketed snapshots
 _MAX_BUCKETS = 4096  # bounds the per-merge touched-bucket collect
-# a crashed committer's lock goes stale; breakable after this many seconds
-_LOCK_STALE_S = 30.0
-# a waiter gives up (raises) after this long against a FRESH lock — a live
-# holder is never preempted, unlike the stale break above
-_LOCK_TIMEOUT_S = 120.0
 # an unflipped claim dir older than this is a crashed writer's orphan.
 # Default for the ``orphan_grace_s`` knob on commit/merge_upsert: it must
 # exceed the longest legitimate SINGLE-snapshot write, or a slow writer's
@@ -76,18 +80,155 @@ class ConcurrentCommitError(RuntimeError):
     against (optimistic-concurrency conflict — recompute and retry)."""
 
 
+# --------------------------------------------------------------------------
+# Commit arbiter (INTEGRATIONS.md §4, VERDICT r6 item 3): committing is ONE
+# atomic conditional PUT of the next log-sequence file — the design Delta
+# Lake uses on object stores (S3 DynamoDB LogStore / PutIfAbsent on
+# ADLS/GCS). Exactly one writer's PUT of ``_commits/NNN`` succeeds; the
+# pointer is DERIVED state (the version named by the max committed
+# sequence), so there is no mutable lock left to go stale, be broken, or
+# be stolen: the pre-r7 POSIX lock file, its staleness threshold, the
+# breaker, and the ownership token are all gone, and with them the
+# residual stolen-lock window (a writer stalled for ANY duration either
+# has not PUT yet — not committed — or has — committed; there is no
+# in-between for a healer to misjudge).
+#
+# ``LocalCASArbiter`` realizes the conditional PUT on POSIX as
+# write-temp + fsync + ``os.link`` (atomic create-with-content; fails
+# with EEXIST if the sequence is taken — the same observable contract as
+# S3 If-None-Match). An object-store port subclasses and swaps ONLY
+# ``put_if_absent`` for the store's conditional-write call; ``commit()``
+# and every call site are unchanged.
+# --------------------------------------------------------------------------
+
+
+class LocalCASArbiter:
+    """Sequence-file compare-and-swap arbiter over a local filesystem."""
+
+    def _dir(self, path: str) -> str:
+        return os.path.join(path, _COMMITS)
+
+    def committed(self, path: str) -> dict[int, str]:
+        """All committed sequences → version names (empty pre-arbiter)."""
+        out: dict[int, str] = {}
+        try:
+            entries = os.listdir(self._dir(path))
+        except FileNotFoundError:
+            return out
+        for e in entries:
+            if not e.isdigit():
+                continue
+            try:
+                with open(os.path.join(self._dir(path), e), encoding="utf-8") as f:
+                    out[int(e)] = f.read().strip()
+            except OSError:
+                continue  # concurrently pruned
+        return out
+
+    def head(self, path: str) -> tuple[int, str | None]:
+        """(max committed sequence, its version) — (0, None) pre-arbiter."""
+        c = self.committed(path)
+        if not c:
+            return 0, None
+        seq = max(c)
+        return seq, c[seq]
+
+    def put_if_absent(self, path: str, seq: int, version: str) -> bool:
+        """Atomically commit ``version`` as sequence ``seq``; False if the
+        sequence is already taken (the caller lost the race). The link is
+        create-WITH-content: a crash at any point leaves either nothing
+        (not committed) or the complete file (committed) — never a torn
+        or empty commit record."""
+        import time
+
+        d = self._dir(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(
+            d, f".claim.{os.getpid()}.{time.monotonic_ns()}"
+        )
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(version)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, os.path.join(d, f"{seq:010d}"))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    def prune(self, path: str, keep_newest: int) -> None:
+        """Drop sequence files beyond the newest ``keep_newest`` (the
+        _FLIPS compaction analog — a pre-tail version degrades to the
+        orphan-GC path) and stale temp claims from crashed PUTs."""
+        import time
+
+        d = self._dir(path)
+        try:
+            entries = os.listdir(d)
+        except FileNotFoundError:
+            return
+        seqs = sorted((int(e) for e in entries if e.isdigit()), reverse=True)
+        for s in seqs[max(keep_newest, 1):]:
+            try:
+                os.unlink(os.path.join(d, f"{s:010d}"))
+            except FileNotFoundError:
+                pass
+        for e in entries:
+            if e.startswith(".claim."):
+                p = os.path.join(d, e)
+                try:
+                    if time.time() - os.path.getmtime(p) > 60.0:
+                        os.unlink(p)
+                except OSError:
+                    pass
+
+
+_ARBITER = LocalCASArbiter()
+
+
+def set_arbiter(arbiter) -> None:
+    """Swap the commit arbiter (e.g. for an object-store conditional-PUT
+    implementation). Must be table-compatible: all writers of a table use
+    the same arbiter."""
+    global _ARBITER
+    _ARBITER = arbiter
+
+
 def _pointer_path(path: str) -> str:
     return os.path.join(path, _POINTER)
 
 
-def current_version(path: str) -> str | None:
-    """Name of the live version directory, or None if never committed."""
+def _legacy_pointer(path: str) -> str | None:
     try:
         with open(_pointer_path(path), encoding="utf-8") as f:
             name = f.read().strip()
     except FileNotFoundError:
         return None
     return name or None
+
+
+def _head(path: str) -> tuple[int, str | None]:
+    """Arbiter head with the upgrade-boundary fallback: a table written
+    before the arbiter existed has no ``_commits/`` — its head is the
+    legacy pointer at sequence 0, so the first arbiter commit contends on
+    sequence 1."""
+    seq, version = _ARBITER.head(path)
+    if version is None:
+        return 0, _legacy_pointer(path)
+    return seq, version
+
+
+def current_version(path: str) -> str | None:
+    """Name of the live version directory, or None if never committed —
+    DERIVED from the arbiter's committed-sequence listing (the legacy
+    ``_CURRENT`` file is a maintained cache, read only for pre-arbiter
+    tables)."""
+    return _head(path)[1]
 
 
 def read_state(
@@ -129,14 +270,16 @@ def _version_dirs(path: str) -> list[str]:
 
 
 def _flipped_versions(path: str) -> set[str] | None:
-    """Version names that were ever the committed pointer value (the
-    ``_FLIPS`` log), or None for a pre-log store (treat all dirs as
-    committed)."""
+    """Version names that were ever committed: the union of the arbiter's
+    committed-sequence contents and the legacy ``_FLIPS`` log (kept as a
+    compat mirror). None for a pre-log, pre-arbiter store (treat all dirs
+    as committed)."""
+    arb = set(_ARBITER.committed(path).values())
     try:
         with open(os.path.join(path, _FLIPS), encoding="utf-8") as f:
-            return {ln.strip() for ln in f if ln.strip()}
+            return arb | {ln.strip() for ln in f if ln.strip()}
     except FileNotFoundError:
-        return None
+        return arb or None
 
 
 def list_versions(path: str) -> list[str]:
@@ -254,145 +397,6 @@ def _next_version_name(path: str) -> str:
     return f"v-{n:010d}"
 
 
-def _acquire_lock(path: str) -> tuple[str, str]:
-    """Tiny mutex guarding ONLY the check-and-flip step (never the write:
-    snapshot writes run fully parallel outside it). O_EXCL creation is the
-    atomic primitive; returns ``(lock_path, token)`` — a unique token
-    written INTO the lock file — so release can verify OWNERSHIP before
-    unlinking (a blind unlink would delete the fresh lock a breaker
-    re-created after stealing ours; a content token survives even inode
-    REUSE, where a recycled inode number would make an inode check
-    false-positive on a foreign lock). A lock older than
-    ``_LOCK_STALE_S`` (crashed committer) is broken by RENAME-ASIDE —
-    ``os.replace`` is atomic, so of N concurrent breakers exactly one wins
-    (a bare unlink would TOCTOU-delete the fresh lock a faster breaker
-    just re-created) — and the staleness is RE-VERIFIED on the renamed
-    file: a breaker preempted between its staleness check and its rename
-    can steal a fresh lock another breaker just re-created, in which case
-    it is restored atomically (``os.link`` preserves the victim's inode)
-    instead of acquired over. A FRESH lock is never preempted: a waiter
-    that cannot acquire within ``_LOCK_TIMEOUT_S`` raises instead of
-    stealing, preserving mutual exclusion under arbitrary contention. On
-    an object store this maps to a conditional PUT / DynamoDB-style
-    commit arbiter — the same shape Delta uses on S3."""
-    import time
-
-    lock = os.path.join(path, _LOCK)
-    deadline = time.monotonic() + _LOCK_TIMEOUT_S
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            token = f"{os.getpid()}:{time.monotonic_ns()}"
-            try:
-                os.write(fd, token.encode("utf-8"))
-            finally:
-                os.close(fd)
-            return lock, token
-        except FileExistsError:
-            try:
-                stale = (
-                    time.time() - os.path.getmtime(lock) > _LOCK_STALE_S
-                )
-            except FileNotFoundError:
-                continue
-            if stale:
-                broken = (
-                    lock + f".broken.{os.getpid()}.{time.monotonic_ns()}"
-                )
-                try:
-                    # re-stat IMMEDIATELY before the rename (ADVICE r5 #1):
-                    # if the lock was re-created fresh since the staleness
-                    # check above, skip the break entirely — the restore
-                    # path below stays as the last-resort guard, not the
-                    # primary defense
-                    if time.time() - os.path.getmtime(lock) <= _LOCK_STALE_S:
-                        continue
-                    os.replace(lock, broken)
-                except FileNotFoundError:
-                    continue  # another breaker won the rename race
-                try:
-                    # re-verify on the renamed-aside file: if it is in
-                    # fact FRESH we stole a live lock (re-created between
-                    # our re-stat and our rename) — restore it atomically;
-                    # os.link keeps the victim's inode so its
-                    # ownership-checked release still matches
-                    if (
-                        time.time() - os.path.getmtime(broken)
-                        <= _LOCK_STALE_S
-                    ):
-                        try:
-                            os.link(broken, lock)
-                        except FileExistsError:
-                            # a third waiter acquired while the fresh
-                            # holder was displaced: the displaced holder
-                            # and the new acquirer are BOTH inside the
-                            # critical section — mutual exclusion is
-                            # already breached, so surface it loudly
-                            # instead of silently proceeding (the broken
-                            # file is left aside as forensic evidence)
-                            raise RuntimeError(
-                                f"lock breaker at {path} displaced a "
-                                f"fresh lock ({broken}) and a new lock "
-                                "was created before it could be restored"
-                                " — two writers may be in the commit "
-                                "critical section; see INTEGRATIONS.md "
-                                "§4 for the object-store arbiter that "
-                                "closes this window"
-                            )
-                except FileNotFoundError:
-                    pass
-                try:
-                    os.unlink(broken)
-                except FileNotFoundError:
-                    pass
-                continue
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"commit lock at {path} held fresh for more than "
-                    f"{_LOCK_TIMEOUT_S}s — raise _LOCK_TIMEOUT_S for "
-                    "very high writer concurrency"
-                )
-            time.sleep(0.02)
-
-
-def _release_lock(lock: str, token: str) -> None:
-    """Release by RENAME-ASIDE and verify the ownership TOKEN on the
-    renamed file — the same atomic pattern as the breaker (ADVICE r5 #2: a
-    stat-then-unlink release could TOCTOU-delete a lock re-created between
-    the stat and the unlink; and a recycled inode number could
-    false-positive, so the check reads the token written at acquisition).
-    If the renamed file is ours, unlink it; otherwise a breaker stole our
-    lock mid-section and another writer re-created it — restore the new
-    holder atomically via ``os.link`` (content and inode preserved so its
-    own release still matches), and surface loudly if yet another lock
-    appeared meanwhile (mutual exclusion already breached)."""
-    import time
-
-    probe = lock + f".rel.{os.getpid()}.{time.monotonic_ns()}"
-    try:
-        os.replace(lock, probe)
-    except FileNotFoundError:
-        return  # a breaker already removed ours; nothing to release
-    try:
-        with open(probe, encoding="utf-8") as f:
-            ours = f.read() == token
-    except OSError:
-        ours = False
-    if ours:
-        os.unlink(probe)
-        return
-    try:
-        os.link(probe, lock)
-    except FileExistsError:
-        os.unlink(probe)
-        raise RuntimeError(
-            f"releasing {lock}: displaced a foreign lock and a third "
-            "lock appeared before it could be restored — two writers may "
-            "be in the commit critical section (see INTEGRATIONS.md §4)"
-        ) from None
-    os.unlink(probe)
-
-
 def commit(
     df: DataFrame,
     path: str,
@@ -401,27 +405,29 @@ def commit(
     orphan_grace_s: float = _ORPHAN_GRACE_S,
     _writer=None,
 ) -> str:
-    """Write ``df`` as the next version (executor-parallel) and atomically
-    flip the pointer to it. Returns the committed version name.
+    """Write ``df`` as the next version (executor-parallel) and commit it
+    via ONE conditional PUT of the next arbiter sequence. Returns the
+    committed version name.
 
     ``_writer`` (internal): callable(df, version_dir) overriding the
     default flat parquet append — the bucketed merge path uses it to
     write hive-partitioned snapshots and hardlink untouched buckets
-    forward. The claim/lock/flip/GC contract is identical either way.
+    forward. The claim/commit/GC contract is identical either way.
 
     ``expected_version`` enables OPTIMISTIC CONCURRENCY (Delta-style): pass
     the version the merged plan was computed against (None for "table did
-    not exist") and the flip only happens if the table is still at that
+    not exist") and the commit only happens if the table is still at that
     version — otherwise :class:`ConcurrentCommitError` is raised, the
     orphan snapshot is removed, and the caller recomputes against the new
-    current and retries (see ``merge_upsert``). Omitting it keeps the
-    unconditional last-writer-wins flip for single-writer paths.
+    current and retries (see ``merge_upsert``). Omitting it keeps
+    unconditional last-writer-wins semantics (the CAS is retried against
+    each new head) for single-writer paths.
 
     The version DIRECTORY itself is the claim token: ``os.mkdir`` is
     atomic, so two racing writers can never write into the same snapshot;
-    the loser of the name just claims the next number. The check-and-flip
-    runs under a short lock so a concurrent flip cannot interleave between
-    the check and the rename.
+    the loser of the name just claims the next number. The commit decision
+    is the arbiter CAS — exactly one writer wins each sequence number, so
+    no interleave between check and commit exists to guard.
 
     ``retain`` is the retention window (Delta's log-retention knob): GC
     keeps the newest ``retain`` flipped snapshots, so a concurrent
@@ -461,106 +467,125 @@ def commit(
     else:
         _writer(df, os.path.join(path, version))
 
-    lock, lock_token = _acquire_lock(path)
-    try:
-        if check and current_version(path) != expected_version:
+    # ---- the commit decision: ONE conditional PUT of the next sequence
+    # (INTEGRATIONS.md §4). No lock exists: a writer stalled for ANY
+    # duration either has not PUT yet (not committed) or has (committed) —
+    # the stale-lock breaker and its residual stolen-lock window are gone.
+    while True:
+        head_seq, head_ver = _head(path)
+        if check and head_ver != expected_version:
+            shutil.rmtree(os.path.join(path, version), ignore_errors=True)
+            raise ConcurrentCommitError(
+                f"table at {path} moved from {expected_version!r} to "
+                f"{head_ver!r} during commit"
+            )
+        if _ARBITER.put_if_absent(path, head_seq + 1, version):
+            break
+        # lost the CAS — another writer committed sequence head_seq + 1
+        # first. Under a version check that IS the conflict; the
+        # unconditional last-writer-wins path re-derives the head and
+        # retries (lock-free: every failed PUT implies another writer's
+        # commit succeeded, so the system always progresses).
+        if check:
             shutil.rmtree(os.path.join(path, version), ignore_errors=True)
             raise ConcurrentCommitError(
                 f"table at {path} moved from {expected_version!r} to "
                 f"{current_version(path)!r} during commit"
             )
-        # record the flip BEFORE the pointer replace (same lock, so the
-        # log is ordered): a reader must never observe a current version
-        # absent from the log; the converse (a crash leaving a logged but
-        # never-current entry) degrades to a soon-GC'd orphan. The log is
-        # GC's ground truth for "was ever the pointer value". Compact it
-        # once it outgrows the bound: only the newest tail can still name
-        # a retained dir, so truncation never un-protects anything.
-        flips_path = os.path.join(path, _FLIPS)
-        if not os.path.exists(flips_path):
-            # upgrade boundary (ADVICE r5 #5): first new-code commit on a
-            # pre-flip-log table. Pre-log semantics treated every on-disk
-            # snapshot as committed, so seed the new log with them (the
-            # current pointer value and its retained predecessors
-            # included) — otherwise explicit-version read_state on a
-            # still-on-disk pre-log snapshot would raise FileNotFoundError
-            # and GC would demote it to the orphan path across the
-            # upgrade. Runs under the flip lock; our own claim dir is
-            # excluded (it is appended below, after the flip decision).
-            # bound the seed by the CURRENT POINTER — re-read under the
-            # lock, not the stale pre-write `previous` (old-code writers
-            # may have committed during our snapshot write) — and skip
-            # dirs younger than the orphan grace: a dir numbered at or
-            # below the pointer can still be a concurrent writer's
-            # in-flight claim, and seeding one as "flipped" would let GC
-            # delete it mid-write without the grace protection
-            now_ptr = current_version(path)
-            seed = []
-            if now_ptr is not None:
-                for d in sorted(_version_dirs(path)):
-                    if d > now_ptr or d == version:
-                        continue
-                    try:
-                        age = _time.time() - os.path.getmtime(
-                            os.path.join(path, d)
-                        )
-                    except OSError:
-                        continue
-                    if d == now_ptr or age > orphan_grace_s:
-                        seed.append(d)
-            if seed:
-                with open(flips_path, "a", encoding="utf-8") as f:
-                    f.writelines(d + "\n" for d in seed)
-                    f.flush()
-                    os.fsync(f.fileno())
-        try:
-            if os.path.getsize(flips_path) > _FLIPS_COMPACT_BYTES:
-                # the tail must cover the retention window: truncating an
-                # entry that still names a retained dir would demote that
-                # committed snapshot to the orphan path (pruned after the
-                # grace) and break explicit-version read_state on it
-                keep_lines = max(_FLIPS_KEEP_LINES, retain + 1)
-                with open(flips_path, encoding="utf-8") as f:
-                    tail = f.readlines()[-keep_lines:]
-                ftmp = (
-                    flips_path
-                    + f".tmp.{os.getpid()}.{_time.monotonic_ns()}"
-                )
-                with open(ftmp, "w", encoding="utf-8") as f:
-                    f.writelines(tail)
-                os.replace(ftmp, flips_path)
-        except FileNotFoundError:
-            pass
-        with open(flips_path, "a", encoding="utf-8") as f:
-            f.write(version + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        # unique per writer INCLUDING same-process threads: under a
-        # stolen-lock overlap two writers in one PID would otherwise race
-        # the same tmp name (write/replace interleave -> FileNotFoundError)
-        tmp = _pointer_path(path) + f".tmp.{os.getpid()}.{_time.monotonic_ns()}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(version)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, _pointer_path(path))  # atomic: readers see old or new
-    finally:
-        # ownership-checked release: remove only OUR lock file. If a
-        # breaker stole this lock mid-section (a >_LOCK_STALE_S stall)
-        # and another writer re-created it, the new holder's lock is
-        # restored atomically (rename-aside + inode check, not
-        # stat-then-unlink — ADVICE r5 #2).
-        _release_lock(lock, lock_token)
 
-    # GC: keep the newest ``retain`` FLIPPED snapshots (plus the direct
-    # predecessor — a grace period for readers holding the old pointer
-    # value). Only versions in the flip log are ever deleted: an UNFLIPPED
-    # claim directory is an in-flight writer and is left alone unless it
-    # is older than the orphan grace period (a crashed writer).
+    # ---- derived / compat state. Everything below is advisory: the
+    # committed-sequence listing above is the single source of truth for
+    # readers (current_version derives from it) and for GC; the _FLIPS
+    # mirror and _CURRENT cache keep pre-arbiter tooling and forensic
+    # inspection working. All updates here are order-free (set semantics
+    # or derive-then-write), so they need no mutual exclusion.
+    flips_path = os.path.join(path, _FLIPS)
+    if not os.path.exists(flips_path):
+        # upgrade boundary (ADVICE r5 #5): first new-code commit on a
+        # pre-flip-log table. Pre-log semantics treated every on-disk
+        # snapshot as committed, so seed the new log with them (the
+        # pre-arbiter pointer value and its retained predecessors
+        # included) — otherwise explicit-version read_state on a
+        # still-on-disk pre-log snapshot would raise FileNotFoundError
+        # and GC would demote it to the orphan path across the upgrade.
+        # Our own claim dir is excluded (it is in the arbiter log
+        # already). Bound the seed by the CURRENT head and skip dirs
+        # younger than the orphan grace: a dir numbered at or below the
+        # head can still be a concurrent writer's in-flight claim, and
+        # seeding one as "flipped" would let GC delete it mid-write
+        # without the grace protection. Racing seeders at worst write
+        # duplicate lines — the log is read as a set.
+        now_ptr = current_version(path)
+        seed = []
+        if now_ptr is not None:
+            for d in sorted(_version_dirs(path)):
+                if d > now_ptr or d == version:
+                    continue
+                try:
+                    age = _time.time() - os.path.getmtime(
+                        os.path.join(path, d)
+                    )
+                except OSError:
+                    continue
+                if d == now_ptr or age > orphan_grace_s:
+                    seed.append(d)
+        if seed:
+            with open(flips_path, "a", encoding="utf-8") as f:
+                f.writelines(d + "\n" for d in seed)
+                f.flush()
+                os.fsync(f.fileno())
+    try:
+        if os.path.getsize(flips_path) > _FLIPS_COMPACT_BYTES:
+            # the tail must cover the retention window: truncating an
+            # entry that still names a retained dir demotes it to the
+            # orphan path (the documented pre-tail degrade). An append
+            # racing the rewrite can lose its line — harmless since the
+            # arbiter listing, not _FLIPS, protects arbiter-era commits.
+            keep_lines = max(_FLIPS_KEEP_LINES, retain + 1)
+            with open(flips_path, encoding="utf-8") as f:
+                tail = f.readlines()[-keep_lines:]
+            ftmp = (
+                flips_path
+                + f".tmp.{os.getpid()}.{_time.monotonic_ns()}"
+            )
+            with open(ftmp, "w", encoding="utf-8") as f:
+                f.writelines(tail)
+            os.replace(ftmp, flips_path)
+    except FileNotFoundError:
+        pass
+    with open(flips_path, "a", encoding="utf-8") as f:
+        f.write(version + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    # _CURRENT cache: DERIVE-then-write (never blindly our own version —
+    # a slower writer must not regress the cache past a newer commit);
+    # tmp name unique per writer including same-process threads
+    _, derived = _head(path)
+    tmp = _pointer_path(path) + f".tmp.{os.getpid()}.{_time.monotonic_ns()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(derived or version)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _pointer_path(path))  # atomic: readers see old or new
+
+    # GC: keep the ``retain`` most recently COMMITTED snapshots (plus the
+    # direct predecessor — a grace period for readers holding the old
+    # head). Recency is commit-sequence order from the arbiter listing
+    # (version NAMES need not be commit-ordered: a loser of one CAS race
+    # can win the next with a lower-numbered claim dir); pre-arbiter
+    # snapshots known only to _FLIPS rank after all arbiter commits, by
+    # name. Only versions in a log are ever deleted: an unlogged claim
+    # directory is an in-flight writer, left alone unless older than the
+    # orphan grace period (a crashed writer).
     existing = set(_version_dirs(path))
     flipped_set = (_flipped_versions(path) or {version}) & existing
-    newest_flipped = sorted(flipped_set, reverse=True)[: max(retain, 1)]
+    seq_map = _ARBITER.committed(path)
+    by_recency = [seq_map[s] for s in sorted(seq_map, reverse=True)]
+    legacy_only = sorted(flipped_set - set(by_recency), reverse=True)
+    ordered = [d for d in by_recency + legacy_only if d in existing]
+    newest_flipped = ordered[: max(retain, 1)]
     keep = set(newest_flipped) | {version, previous or version}
+    _ARBITER.prune(path, max(_FLIPS_KEEP_LINES, retain + 1))
     for d in existing - keep:
         if d in flipped_set:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
@@ -680,7 +705,8 @@ def merge_upsert(
     tests/test_sinks_serving.py::test_threaded_concurrent_writers (8
     writers, one process) and test_multiprocess_concurrent_writers
     (3 writers in SEPARATE OS processes/JVMs — the real multi-writer
-    shape; the lock/claim/flip primitives serialize at kernel level).
+    shape; the claim mkdir and the arbiter's link CAS serialize at
+    kernel level).
     ``orphan_grace_s`` (forwarded to :func:`commit`) must exceed the
     longest single-snapshot write on this table — see :func:`commit`.
 

@@ -2268,3 +2268,216 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents) d
 LEFT JOIN agg a USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# Companion eval queries for this module's rows-only members (VERDICT r6
+# item 2): bpe_train / bpe_encode / compression_ratio register
+# ``oracle=None`` (N-step merge recursion and DEFLATE have no SQL
+# rendering), so their driver records are rows-only. The audits below give
+# each a hash-checkable row: data-dependent columns (the step-1 argmax
+# pair, corpus token/byte totals) are computed EXACTLY by both engines;
+# invariants the algorithms guarantee (lossless roundtrip, monotone token
+# counts, deflate's worst-case bound) are pass-flags whose expected value
+# the oracle states and whose non-vacuity pytests pin.
+# --------------------------------------------------------------------------
+
+
+def bpe_train_contract_eval(
+    docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """(step1_left, step1_right, step1_pair_ct, n_merges_learned): the
+    driver-visible companion of ``text_bpe_train``. The FIRST merge of BPE
+    is non-recursive — the plain argmax over adjacent character pairs of
+    the initial segmentation, weighted by word frequency — so it IS
+    SQL-expressible and the oracle recomputes it exactly (pair string,
+    deterministic count-desc/lexicographic tie-break, and count). A wrong
+    pair counter, tokenizer, or tie-break in the trainer breaks the hash;
+    the remaining ``n_merges − 1`` recursive steps stay pinned exactly by
+    tests/test_plans.py::test_bpe_train_matches_reference.
+    ``n_merges_learned`` asserts the loop ran to completion (the corpus
+    has far more than ``n_merges`` repeating pairs)."""
+    merges = bpe_train(docs, n_merges, text_col)
+    return merges.agg(
+        F.min_by(F.struct("left", "right", "pair_ct"), "step").alias("s1"),
+        F.count("*").alias("n_merges_learned"),
+    ).select(
+        F.col("s1.left").alias("step1_left"),
+        F.col("s1.right").alias("step1_right"),
+        F.col("s1.pair_ct").alias("step1_pair_ct"),
+        "n_merges_learned",
+    )
+
+
+def bpe_train_contract_eval_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    return f"""
+WITH w0 AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS w
+  FROM documents
+), wf AS (SELECT w, count(*) AS ct FROM w0 GROUP BY 1),
+p AS (
+  SELECT unnest(list_transform(range(1, strlen(w)),
+         i -> {{'l': substr(w, CAST(i AS INT), 1),
+                'r': substr(w, CAST(i AS INT) + 1, 1)}})) AS pr, ct
+  FROM wf
+), top AS (
+  SELECT pr.l AS step1_left, pr.r AS step1_right,
+         CAST(sum(ct) AS BIGINT) AS step1_pair_ct
+  FROM p GROUP BY 1, 2
+  ORDER BY step1_pair_ct DESC, step1_left, step1_right LIMIT 1
+)
+SELECT step1_left, step1_right, step1_pair_ct,
+       CAST({n_merges} AS BIGINT) AS n_merges_learned
+FROM top
+"""
+
+
+def bpe_encode_roundtrip_eval(
+    docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """(n_docs, n_roundtrip_ok, n_monotone_ok, total_tokens_before,
+    corpus_reduced): the driver-visible companion of ``text_bpe_encode``.
+    BPE is lossless by construction — concatenating a word's encoded
+    symbols must reproduce the word exactly — and merging can only shrink
+    a word's token count; both invariants are re-verified per document
+    against the corpus-trained merge table and must hold for ALL docs
+    (expected counts = n_docs, which the oracle computes). ``total_tokens_
+    before`` (Σ characters over whitespace tokens) is oracle-exact;
+    ``corpus_reduced`` asserts the 8 learned merges actually compressed
+    the corpus. A dropped/duplicated symbol in the ``_apply_merge`` fold
+    or a corrupt merge table flips a count and the driver hash. Same
+    one-scan, fold-per-merge plan as bpe_encode — no joins, no shuffle
+    before the final single-row rollup."""
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(docs, n_merges, text_col).orderBy("step").collect()
+    ]
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    chars = lambda w: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+    )
+
+    def encode_word(w):
+        sym = chars(w)
+        for left, right in merges:
+            sym = _apply_merge(sym, left, right)
+        return sym
+
+    enc = F.transform(words, lambda w: encode_word(w))
+    before = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, b: a + b
+    )
+    after = F.aggregate(
+        F.transform(enc, lambda s: F.size(s)), F.lit(0), lambda a, b: a + b
+    )
+    roundtrip = F.forall(
+        F.zip_with(
+            words, enc, lambda w, s: F.concat_ws("", s) == w
+        ),
+        lambda ok: ok,
+    )
+    per = docs.select(
+        F.coalesce(before, F.lit(0)).alias("b"),
+        F.coalesce(after, F.lit(0)).alias("a"),
+        F.coalesce(roundtrip, F.lit(True)).alias("rt"),
+    )
+    return per.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("rt"), 1).otherwise(0)).alias("n_roundtrip_ok"),
+        F.sum(F.when(F.col("a") <= F.col("b"), 1).otherwise(0)).alias(
+            "n_monotone_ok"
+        ),
+        F.sum("b").cast("bigint").alias("total_tokens_before"),
+        F.when(F.sum("a") < F.sum("b"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("corpus_reduced"),
+    ).select(
+        "n_docs",
+        F.col("n_roundtrip_ok").cast("bigint").alias("n_roundtrip_ok"),
+        F.col("n_monotone_ok").cast("bigint").alias("n_monotone_ok"),
+        "total_tokens_before",
+        "corpus_reduced",
+    )
+
+
+BPE_ENCODE_ROUNDTRIP_ORACLE = """
+WITH w0 AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS w
+  FROM documents
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_roundtrip_ok,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_monotone_ok,
+       CAST(coalesce((SELECT sum(strlen(w)) FROM w0), 0) AS BIGINT)
+           AS total_tokens_before,
+       CAST(1 AS BIGINT) AS corpus_reduced
+"""
+
+
+def compression_roundtrip_eval(
+    docs: DataFrame, text_col: str = "text", level: int = COMPRESS_LEVEL
+) -> DataFrame:
+    """(n_docs, n_roundtrip_ok, n_bound_ok, total_raw_bytes): the
+    driver-visible companion of ``text_compression_ratio``. DEFLATE is
+    lossless — ``decompress(compress(x)) == x`` must hold per document —
+    and its framed output is bounded by raw + 5 B/16 KiB block + header
+    slack; both are re-verified per doc in the same Arrow-batched
+    ``mapInPandas`` kernel shape as the ratio query (expected counts =
+    n_docs, oracle-computed). ``total_raw_bytes`` (Σ utf-8 octets) is
+    oracle-exact via octet_length. Map-only until the single-row rollup."""
+
+    def kernel(batches):
+        import zlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            raws = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            n = len(raws)
+            rt = 0
+            bound = 0
+            total = 0
+            for b in raws:
+                c = zlib.compress(b, level)
+                total += len(b)
+                if zlib.decompress(c) == b:
+                    rt += 1
+                # deflate worst case: stored blocks add 5 B / 16 KiB plus
+                # 11 B of zlib header/checksum/EOB slack — over-covered.
+                if len(c) <= len(b) + 64 + len(b) // 1000:
+                    bound += 1
+            yield _pd.DataFrame(
+                {
+                    "n_docs": [n],
+                    "n_roundtrip_ok": [rt],
+                    "n_bound_ok": [bound],
+                    "total_raw_bytes": [total],
+                }
+            )
+
+    partials = docs.select(text_col).mapInPandas(
+        kernel,
+        schema="n_docs long, n_roundtrip_ok long, n_bound_ok long,"
+        " total_raw_bytes long",
+    )
+    return partials.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_roundtrip_ok").cast("bigint").alias("n_roundtrip_ok"),
+        F.sum("n_bound_ok").cast("bigint").alias("n_bound_ok"),
+        F.sum("total_raw_bytes").cast("bigint").alias("total_raw_bytes"),
+    )
+
+
+COMPRESSION_ROUNDTRIP_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+       CAST(count(*) AS BIGINT) AS n_bound_ok,
+       CAST(coalesce(sum(octet_length(encode(text))), 0) AS BIGINT)
+           AS total_raw_bytes
+FROM documents
+"""

@@ -3459,3 +3459,74 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10_000.0
         ).alias("burstiness"),
     )
+
+
+# --------------------------------------------------------------------------
+# Companion eval queries for the 5 rows-only registrations (VERDICT r6
+# item 2): ann_ivf_trained_topk, embed_pca_top_component, text_bpe_train,
+# text_bpe_encode and text_compression_ratio are iterative-float / DEFLATE
+# and register oracle=None; each now gets a hash-checkable driver row via
+# the labeled-eval pattern (oracle the EVAL, not the internals — see the
+# operator docstrings for the exact/flag column split).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ann_ivf_trained_recall_eval",
+    oracle=similarity.ivf_trained_recall_eval_oracle(TOPK, ANN_QUERY_PRED_SQL),
+)
+def ann_ivf_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the TRAINED IVF codebook vs brute-force exact
+    truth — the driver-visible companion of ann_ivf_trained_topk: truth
+    columns oracle-exact, recall verdict a pinned pass-flag
+    (operators/similarity.py::ivf_trained_recall_eval)."""
+    return similarity.ivf_trained_recall_eval(_emb(spark, sf_dir), TOPK)
+
+
+@query("embed_pca_residual_eval", oracle=similarity.pca_residual_eval_oracle())
+def embed_pca_residual_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rayleigh-quotient audit of the power-iteration top component — the
+    driver-visible companion of embed_pca_top_component: covariance trace
+    and best-axis variance oracle-exact, trained-direction quality and
+    eigenvalue consistency as pinned pass-flags
+    (operators/similarity.py::pca_residual_eval)."""
+    return similarity.pca_residual_eval(_emb(spark, sf_dir))
+
+
+@query(
+    "text_bpe_train_contract_eval",
+    oracle=textops.bpe_train_contract_eval_oracle(),
+)
+def text_bpe_train_contract_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-1 argmax of BPE training recomputed exactly by the oracle
+    (the first merge is non-recursive) + merge-loop completion — the
+    driver-visible companion of text_bpe_train
+    (operators/textops.py::bpe_train_contract_eval)."""
+    return textops.bpe_train_contract_eval(_docs(spark, sf_dir))
+
+
+@query(
+    "text_bpe_encode_roundtrip_eval",
+    oracle=textops.BPE_ENCODE_ROUNDTRIP_ORACLE,
+)
+def text_bpe_encode_roundtrip_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Losslessness + token-monotonicity of the corpus-trained BPE encoder
+    verified per document — the driver-visible companion of
+    text_bpe_encode (operators/textops.py::bpe_encode_roundtrip_eval)."""
+    return textops.bpe_encode_roundtrip_eval(_docs(spark, sf_dir))
+
+
+@query(
+    "text_compression_roundtrip_eval",
+    oracle=textops.COMPRESSION_ROUNDTRIP_ORACLE,
+)
+def text_compression_roundtrip_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """zlib roundtrip + deflate worst-case-bound verified per document in
+    the same Arrow-batched kernel shape as the ratio query — the
+    driver-visible companion of text_compression_ratio
+    (operators/textops.py::compression_roundtrip_eval)."""
+    return textops.compression_roundtrip_eval(_docs(spark, sf_dir))

@@ -1624,3 +1624,65 @@ def test_coreness_fixpoint_and_matches_peeling(spark):
     want = py_coreness(sym)
     assert all(want[n] == 4 for n in range(1, 6))
     assert want[12] == 1
+
+
+# --- companion-eval non-vacuity (VERDICT r6 item 2) ------------------------
+# The five new *_eval queries hash-check pass-flags whose expected value the
+# oracle states; these tests pin that each flag actually derives from the
+# measured quantity (it flips when the audited computation is degraded), so
+# the oracle rows are evidence, not tautology.
+
+
+def test_ivf_trained_recall_eval_flag_is_measured(spark):
+    from realtime_datawarehouse_spark.operators import similarity
+    from realtime_datawarehouse_spark.tables import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    ok = similarity.ivf_trained_recall_eval(emb).collect()[0]
+    assert ok.recall_ge_floor == 1 and ok.truth_rows == ok.n_queries * ok.k
+    # an unreachable floor flips the verdict — the flag is computed from
+    # the actual hit count, not stated
+    hard = similarity.ivf_trained_recall_eval(emb, floor6=990_000).collect()[0]
+    assert hard.recall_ge_floor == 0
+
+
+def test_pca_residual_eval_flags_flip_without_training(spark):
+    from realtime_datawarehouse_spark.operators import similarity
+    from realtime_datawarehouse_spark.tables import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    ok = similarity.pca_residual_eval(emb).collect()[0]
+    assert ok.rayleigh_ge_axis == 1 and ok.eig_consistent == 1
+    # iters=0 returns the (centered, normalized) first corpus vector with
+    # eigval 0 — an untrained direction must fail BOTH flags: its Rayleigh
+    # quotient sits near trace/dim (below the best axis) and no positive
+    # measured variance is consistent with eigval 0
+    bad = similarity.pca_residual_eval(emb, iters=0).collect()[0]
+    assert bad.rayleigh_ge_axis == 0 and bad.eig_consistent == 0
+    assert bad.totvar4 == ok.totvar4  # exact columns don't depend on v
+
+
+def test_bpe_eval_flags_are_measured(spark):
+    from realtime_datawarehouse_spark.operators import textops
+    from realtime_datawarehouse_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents")
+    ok = textops.bpe_encode_roundtrip_eval(docs).collect()[0]
+    assert ok.n_roundtrip_ok == ok.n_docs == ok.n_monotone_ok
+    assert ok.corpus_reduced == 1
+    # zero merges → encoder is the identity segmentation: roundtrip still
+    # holds but no compression can have happened
+    none = textops.bpe_encode_roundtrip_eval(docs, n_merges=0).collect()[0]
+    assert none.corpus_reduced == 0 and none.n_roundtrip_ok == none.n_docs
+
+
+def test_compression_roundtrip_eval_counts_real_bytes(spark):
+    from realtime_datawarehouse_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "café au lait"), (2, "plain ascii")], "doc_id long, text string"
+    )
+    row = textops.compression_roundtrip_eval(docs).collect()[0]
+    assert row.n_docs == 2 == row.n_roundtrip_ok == row.n_bound_ok
+    # é is 2 utf-8 octets: byte total exceeds character total by exactly 1
+    assert row.total_raw_bytes == len("café au lait") + len("plain ascii") + 1

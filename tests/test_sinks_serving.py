@@ -925,74 +925,107 @@ def test_commit_claim_directories_never_collide(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
-# Round-6 lock/merge hardening (ADVICE r5 items 1-5)
+# Commit arbiter (VERDICT r6 item 3) + round-6 merge hardening (ADVICE r5)
 # --------------------------------------------------------------------------
 
 
-def test_release_lock_removes_own_and_restores_foreign(tmp_path):
-    """ADVICE r5 #2: release is rename-aside + ownership-token check, not
-    stat-then-unlink (and not inode-based: tmpfs recycles inode numbers
-    immediately, so a foreign lock can reuse ours). Own lock → removed; a
-    lock re-created by another writer after a breaker stole ours →
-    restored untouched, content intact."""
-    import os
+def test_cas_put_if_absent_single_winner(tmp_path):
+    """The arbiter's conditional PUT is a true CAS: of N threads racing
+    the same sequence number, exactly one wins, the committed content is
+    the winner's (never torn or empty), and every loser observes False —
+    the property the whole commit protocol rests on."""
+    import threading
 
-    lock, token = table_store._acquire_lock(str(tmp_path))
-    table_store._release_lock(lock, token)
-    assert not os.path.exists(lock)
-    # foreign lock (steal + re-create, possibly with a RECYCLED inode):
-    # release must leave it in place, content intact
-    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    os.write(fd, b"another-writer")
-    os.close(fd)
-    table_store._release_lock(lock, token)  # our token is stale — not ours
-    with open(lock, encoding="utf-8") as f:
-        assert f.read() == "another-writer"
-    os.unlink(lock)
-    # vanished lock (breaker removed it): release is a no-op
-    table_store._release_lock(lock, token)
-
-
-def test_breaker_restat_skips_freshened_lock(tmp_path, monkeypatch):
-    """ADVICE r5 #1: a lock that is re-created FRESH between the breaker's
-    staleness check and its rename must not be stolen — the acquire loop
-    re-stats immediately before os.replace and skips the break."""
-    import os
-    import time
-
+    arb = table_store.LocalCASArbiter()
     path = str(tmp_path)
-    lock = os.path.join(path, "_COMMIT_LOCK")
-    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    os.close(fd)
-    past = time.time() - table_store._LOCK_STALE_S - 10
-    os.utime(lock, (past, past))
+    for seq in range(1, 4):
+        wins = []
+        barrier = threading.Barrier(8)
 
-    calls = {"n": 0}
-    real_getmtime = os.path.getmtime
+        def racer(i, seq=seq):
+            barrier.wait()
+            if arb.put_if_absent(path, seq, f"v-{i:010d}"):
+                wins.append(i)
 
-    def flaky_getmtime(p):
-        # first probe sees the stale mtime; by the re-stat the lock has
-        # been refreshed by a (simulated) fast writer
-        calls["n"] += 1
-        if calls["n"] == 1:
-            return real_getmtime(p)
-        return time.time()
+        threads = [
+            threading.Thread(target=racer, args=(i,)) for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(wins) == 1, wins
+        committed = arb.committed(path)
+        assert committed[seq] == f"v-{wins[0]:010d}"
+    assert sorted(arb.committed(path)) == [1, 2, 3]
+    assert arb.head(path)[0] == 3
 
-    replaces = []
-    real_replace = os.replace
 
-    def spy_replace(src, dst):
-        if "_COMMIT_LOCK" in str(src):
-            replaces.append(src)
-        return real_replace(src, dst)
+def test_arbiter_three_writer_stall_steal_interleave(spark, tmp_path):
+    """VERDICT r6 item 3 "Done" criterion: the 3-writer stall+steal
+    interleave that the POSIX lock could only narrow, forced
+    deterministically. Writer A computes against the head and STALLS
+    mid-commit (before its PUT) for an arbitrarily long time — under the
+    old lock this is the stale-break window where a healer and the
+    resumed holder could both enter the critical section. Writers B and C
+    commit meanwhile. A resumes: its CAS must FAIL (the sequence is
+    taken), it must raise ConcurrentCommitError, clean up its claim, and
+    the commit log must be dense and single-valued — mutual exclusion is
+    structural now, with no time-based judgement anywhere."""
+    import os
+    import threading
 
-    monkeypatch.setattr(os.path, "getmtime", flaky_getmtime)
-    monkeypatch.setattr(os, "replace", spy_replace)
-    monkeypatch.setattr(table_store, "_LOCK_TIMEOUT_S", 0.3)
-    with pytest.raises(TimeoutError):
-        table_store._acquire_lock(path)
-    assert replaces == []  # the freshened lock was never renamed aside
-    assert os.path.exists(lock)
+    ts = table_store
+    path = str(tmp_path / "t")
+    base = ts.commit(
+        spark.createDataFrame([("0", 0)], "pk string, ver int"), path,
+        retain=8,
+    )
+
+    stalled = threading.Event()
+    release = threading.Event()
+    result = {}
+
+    def slow_writer(df, vdir):
+        df.write.mode("append").parquet(vdir)
+        stalled.set()
+        assert release.wait(60)  # the stall: unbounded in principle
+
+    def writer_a():
+        try:
+            ts.commit(
+                spark.createDataFrame([("A", 1)], "pk string, ver int"),
+                path, expected_version=base, retain=8, _writer=slow_writer,
+            )
+            result["a"] = "committed"
+        except ts.ConcurrentCommitError:
+            result["a"] = "conflict"
+
+    ta = threading.Thread(target=writer_a)
+    ta.start()
+    assert stalled.wait(60)
+    # B and C commit while A is stalled inside its commit call
+    vb = ts.commit(
+        spark.createDataFrame([("B", 2)], "pk string, ver int"),
+        path, expected_version=base, retain=8,
+    )
+    vc = ts.commit(
+        spark.createDataFrame([("C", 3)], "pk string, ver int"),
+        path, expected_version=vb, retain=8,
+    )
+    release.set()
+    ta.join(60)
+    assert result["a"] == "conflict"  # the resumed writer CANNOT commit
+    committed = ts.LocalCASArbiter().committed(path)
+    assert sorted(committed) == [1, 2, 3]  # dense, no gaps, no doubles
+    assert committed[2] == vb and committed[3] == vc
+    assert ts.current_version(path) == vc
+    # A's orphan claim was removed by its conflict path
+    claims = set(ts._version_dirs(path))
+    assert all(d in set(committed.values()) | {base} for d in claims)
+    # no lock file of any kind was ever created
+    assert not any("_COMMIT_LOCK" in f for f in os.listdir(path))
+    assert ts.read_state(spark, path).orderBy("pk").collect()[-1].pk == "C"
 
 
 def test_merge_retry_narrowed_to_gc_race_shapes(spark, tmp_path):
@@ -1096,11 +1129,14 @@ def test_bucketed_subset_schema_batch_keeps_pruned_path(spark, tmp_path):
 
 
 def test_flip_log_seeded_across_upgrade_boundary(spark, tmp_path):
-    """ADVICE r5 #5: the first new-code commit on a pre-flip-log table
-    seeds _FLIPS with the existing snapshots, so explicit-version
-    read_state on a retained pre-log snapshot keeps working and GC never
-    demotes it to the orphan path."""
+    """ADVICE r5 #5 carried into the arbiter era: the first new-code
+    commit on a pre-flip-log, PRE-ARBITER table (no _FLIPS, no _commits —
+    the head falls back to the legacy _CURRENT pointer) seeds _FLIPS with
+    the existing snapshots, so explicit-version read_state on a retained
+    pre-log snapshot keeps working and GC never demotes it to the orphan
+    path."""
     import os
+    import shutil
 
     ts = table_store
     path = str(tmp_path / "t")
@@ -1110,7 +1146,10 @@ def test_flip_log_seeded_across_upgrade_boundary(spark, tmp_path):
     df2 = spark.createDataFrame([("2", 2)], "pk string, ver int")
     v1 = ts.commit(df1, path, retain=4)
     v2 = ts.commit(df2, path, retain=4)
+    assert ts.current_version(path) == v2  # derived from the arbiter log
     os.unlink(os.path.join(path, "_FLIPS"))  # simulate a pre-log table
+    shutil.rmtree(os.path.join(path, "_commits"))  # ...and pre-arbiter
+    assert ts.current_version(path) == v2  # legacy-pointer fallback
     # a real pre-log table's snapshots predate the upgrade by far more
     # than the orphan grace — the seed's age guard (which exists so a
     # concurrent writer's YOUNG in-flight claim is never marked flipped)
@@ -1136,21 +1175,21 @@ def test_flip_log_seeded_across_upgrade_boundary(spark, tmp_path):
     assert set(ts.list_versions(path)) >= {v1, v2, v3}
 
 
-def test_unlocked_worst_case_overlap_never_loses_committed_snapshot(
-    spark, tmp_path, monkeypatch
+def test_arbiter_concurrent_overlap_commit_log_dense_and_lossless(
+    spark, tmp_path
 ):
-    """INTEGRATIONS.md §4 contract: even in the WORST CASE where mutual
-    exclusion fails entirely (simulated by no-op'ing the lock — the
-    residual stolen-lock window, closable only by an object-store
-    conditional-PUT arbiter), the damage is bounded to flip-log ORDERING:
-    the final pointer always names a complete, readable, logged snapshot
-    and no concurrently committed snapshot is torn or GC'd out from
-    under the pointer."""
+    """Supersedes the pre-r7 "unlocked worst case" test (whose damage
+    bound was flip-log ORDERING, the best a broken lock could promise):
+    with the CAS arbiter there is no lock to break, and the guarantee is
+    strictly stronger — N writers x M unconditional commits racing freely
+    produce a commit log that is DENSE (sequences 1..N*M, no gaps),
+    SINGLE-VALUED (each sequence names exactly one version, each version
+    committed exactly once), and the final head is the version named by
+    the max sequence: a complete, readable snapshot. The ordering-only
+    damage caveat is obsolete."""
     import threading
 
     ts = table_store
-    monkeypatch.setattr(ts, "_acquire_lock", lambda p: (str(tmp_path / "x"), 0))
-    monkeypatch.setattr(ts, "_release_lock", lambda lock, ino: None)
     path = str(tmp_path / "t")
     errs = []
 
@@ -1172,7 +1211,12 @@ def test_unlocked_worst_case_overlap_never_loses_committed_snapshot(
     for t in threads:
         t.join()
     assert not errs
+    committed = ts.LocalCASArbiter().committed(path)
+    # prune keeps far more than 24 entries, so the full log is visible
+    assert sorted(committed) == list(range(1, 25))  # dense: every commit won a unique seq
+    assert len(set(committed.values())) == 24  # no version committed twice
     final = ts.current_version(path)
+    assert final == committed[24]
     assert final in (ts._flipped_versions(path) or set())
     rows = ts.read_state(spark, path).collect()  # whole, readable snapshot
     assert len(rows) == 1 and rows[0].pk.count("-") == 1
