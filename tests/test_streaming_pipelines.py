@@ -931,3 +931,76 @@ def test_streaming_incremental_dedup_loop_parity(spark, tmp_path):
     # the signature table now covers the WHOLE corpus for the next batch
     n_sig = table_store.read_state(spark, sig_path).count()
     assert n_sig == docs.count()
+
+
+def test_incremental_ingest_loop_n_steps_cumulative_parity_flat_cost(
+    spark, tmp_path
+):
+    """VERDICT r6 item 5: the suite owns the SCALE.md §23 production
+    ingest loop, not just the probe. Five successive ingests run the
+    deployment read side (``incremental_flags_vs_signatures`` against the
+    MAINTAINED signature table) and write side (``merge_upsert`` of the
+    batch's signatures); after the loop:
+
+    - cumulative flags equal a full recompute — every step's verdicts
+      re-derived from scratch (batch vs signatures recomputed from the
+      union of all prior batches' TEXT), so the incrementally-maintained
+      table is proven equivalent to the from-text truth at every step;
+    - the signature table covers the whole corpus (step N+1 would see
+      steps 1..N);
+    - per-ingest read-side wall stays flat while the standing corpus
+      grows 4x across the loop (loose 3x bound — the §23 probe measures
+      the precise decade ratio of 0.94; this pins the SHAPE in-suite so
+      an accidental O(corpus) recompute on the read side fails CI)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import dedup, table_store
+    from realtime_datawarehouse_spark.tables import table
+    from tests.conftest import SF_DIR_MID
+
+    docs = table(spark, SF_DIR_MID, "documents").select("doc_id", "text")
+    n_steps = 5
+    sig_path = str(tmp_path / "sigs")
+    walls: list[float] = []
+    got: dict[int, tuple[int, int]] = {}
+    for i in range(n_steps):
+        batch = docs.where(f"doc_id % {n_steps} = {i}")
+        corpus_sig = table_store.read_state(spark, sig_path)
+        t0 = time.perf_counter()
+        rows = (
+            []
+            if corpus_sig is None
+            else dedup.incremental_flags_vs_signatures(
+                batch, corpus_sig.drop("ver")
+            ).collect()
+        )
+        walls.append(time.perf_counter() - t0)
+        assert (corpus_sig is None) == (i == 0)  # bootstrap only once
+        for r in rows:
+            got[r.doc_id] = (r.dup_of, r.match_bits)
+        table_store.merge_upsert(
+            spark,
+            dedup.minhash_signatures(batch).withColumn("ver", F.lit(i)),
+            sig_path,
+            pk="doc_id",
+            version_col="ver",
+        )
+
+    expected: dict[int, tuple[int, int]] = {}
+    for i in range(1, n_steps):
+        truth = dedup.incremental_flags_vs_signatures(
+            docs.where(f"doc_id % {n_steps} = {i}"),
+            dedup.minhash_signatures(
+                docs.where(f"doc_id % {n_steps} < {i}")
+            ),
+        )
+        for r in truth.collect():
+            expected[r.doc_id] = (r.dup_of, r.match_bits)
+    assert got == expected and len(got) > 0
+    assert table_store.read_state(spark, sig_path).count() == docs.count()
+    # read-side flatness: steps 2..N against a corpus 2-4x step 1's must
+    # not scale like a recompute (generous vs scheduler jitter; the
+    # probe's measured decade ratio is 0.94)
+    assert max(walls[2:]) <= 3.0 * max(walls[1], 0.2)
