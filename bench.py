@@ -134,6 +134,14 @@ BENCH_QUERIES = (
     "dedup_incremental_batch",      # batch-vs-corpus broadcast LSH (ingest shape)
     "ann_range_search",             # similarity-floor retrieval (map-only)
     "embed_int8_quantize_eval",     # int8 storage audit (two map-side passes)
+    # round-7 additions (floors recorded from their first r07 measurement)
+    "ann_ivf_trained_recall_eval",  # trained-IVF recall audit vs brute truth
+    "embed_pca_residual_eval",      # Rayleigh-quotient PCA audit
+    "text_bpe_encode_roundtrip_eval",  # lossless+monotone BPE fold audit
+    "text_compression_roundtrip_eval",  # zlib roundtrip Arrow kernel audit
+    "mix_cluster_aware_split",      # exact-cluster leakage-free split
+    "mix_cluster_aware_split_neardup",  # CC-cluster leakage-free split
+    "curate_split_leakage_neardup",  # cross-split near-dup pair report
 )
 
 

@@ -1242,6 +1242,36 @@ def compression_ratio(
 SPLIT_BOUNDS = (9_800, 9_900)  # /10_000: 98% train, 1% val, 1% test
 
 
+def split_expr(
+    key: Column, bounds: tuple[int, int] = SPLIT_BOUNDS
+) -> Column:
+    """Deterministic split label of an id column — bucket = hash64(key) %
+    10000; < bounds[0] → train, < bounds[1] → val, else test. Pure
+    expression (no shuffle, no state): any operator can re-derive a
+    document's split from its id alone, which is what makes split-aware
+    audits like :func:`cluster_aware_split` and the near-dup leakage
+    report map-only after their own joins."""
+    lo, hi = bounds
+    bucket = F.pmod(hash64(key.cast("string")), F.lit(SAMPLE_MOD))
+    return (
+        F.when(bucket < lo, "train").when(bucket < hi, "val").otherwise("test")
+    )
+
+
+def split_case_sql(
+    id_expr: str, bounds: tuple[int, int] = SPLIT_BOUNDS
+) -> str:
+    """DuckDB rendering of :func:`split_expr` over SQL expression
+    ``id_expr``."""
+    lo, hi = bounds
+    h = hash64_sql(f"CAST({id_expr} AS VARCHAR)")
+    return (
+        f"CASE WHEN {h} % {SAMPLE_MOD} < {lo} THEN 'train' "
+        f"WHEN {h} % {SAMPLE_MOD} < {hi} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
 def train_val_test_split(
     docs: DataFrame,
     key_col: str = "doc_id",
@@ -1251,26 +1281,91 @@ def train_val_test_split(
     hash64(key) % 10000; < bounds[0] → train, < bounds[1] → val, else
     test. Pure per-row expression, no shuffle; the split survives any
     re-run or re-layout of the corpus."""
-    lo, hi = bounds
-    bucket = F.pmod(hash64(F.col(key_col).cast("string")), F.lit(SAMPLE_MOD))
-    split = (
-        F.when(bucket < lo, "train").when(bucket < hi, "val").otherwise("test")
+    return docs.select(
+        key_col,
+        "source",
+        split_expr(F.col(key_col), bounds).alias("split"),
     )
-    return docs.select(key_col, "source", split.alias("split"))
 
 
 def train_val_test_split_oracle(
     bounds: tuple[int, int] = SPLIT_BOUNDS,
 ) -> str:
-    lo, hi = bounds
     return f"""
 SELECT doc_id, source,
-       CASE WHEN {hash64_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_MOD} < {lo}
-            THEN 'train'
-            WHEN {hash64_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_MOD} < {hi}
-            THEN 'val'
-            ELSE 'test' END AS split
+       {split_case_sql('doc_id', bounds)} AS split
 FROM documents
+"""
+
+
+def cluster_aware_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bounds: tuple[int, int] = SPLIT_BOUNDS,
+) -> DataFrame:
+    """(split, n_docs, n_clusters, n_rescued): LEAKAGE-FREE train/val/test
+    split summary — the whole exact-duplicate cluster (md5(text) group)
+    goes where its representative (min doc_id) hashes, so two copies of
+    the same document can never straddle train and eval. ``n_rescued``
+    counts the documents whose naive per-doc assignment
+    (:func:`train_val_test_split`) differs from their cluster's — the
+    contamination this operator removes, measured rather than assumed.
+
+    Scale shape: ONE shuffle on content_hash (window min — single scan of
+    the corpus, no self-join re-reading text), then both split labels are
+    pure hash expressions (:func:`split_expr`) — map-only to the 3-row
+    rollup. Deployment note: for NEAR-dup clusters swap the md5 group for
+    the banded-MinHash connected components (dedup_connected_components)
+    and hash the component representative the same way; the split math is
+    identical, only the cluster key changes."""
+    w = Window.partitionBy("content_hash")
+    per = docs.select(
+        F.col(key_col),
+        F.md5(F.col(text_col)).alias("content_hash"),
+    ).withColumn("rep_id", F.min(key_col).over(w))
+    cluster_split = split_expr(F.col("rep_id"), bounds)
+    doc_split = split_expr(F.col(key_col), bounds)
+    return (
+        per.select(
+            "content_hash",
+            cluster_split.alias("split"),
+            F.when(cluster_split != doc_split, 1).otherwise(0).alias("r"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("content_hash").cast("bigint").alias(
+                "n_clusters"
+            ),
+            F.sum("r").cast("bigint").alias("n_rescued"),
+        )
+    )
+
+
+def cluster_aware_split_oracle(
+    bounds: tuple[int, int] = SPLIT_BOUNDS,
+) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS content_hash FROM documents
+), r AS (
+  SELECT doc_id, content_hash,
+         min(doc_id) OVER (PARTITION BY content_hash) AS rep_id
+  FROM d
+), s AS (
+  SELECT content_hash,
+         {split_case_sql('rep_id', bounds)} AS split,
+         {split_case_sql('doc_id', bounds)} AS doc_split
+  FROM r
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT content_hash) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN split <> doc_split THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rescued
+FROM s
+GROUP BY split
 """
 
 

@@ -990,6 +990,120 @@ def mix_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.train_val_test_split(_docs(spark, sf_dir))
 
 
+@query("mix_cluster_aware_split", oracle=textops.cluster_aware_split_oracle())
+def mix_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split: the whole exact-dup cluster goes where its
+    representative hashes, so duplicates never straddle train and eval;
+    n_rescued measures the contamination the naive per-doc split would
+    have admitted (operators/textops.py::cluster_aware_split — one
+    shuffle on content_hash, then map-only split math)."""
+    return textops.cluster_aware_split(_docs(spark, sf_dir))
+
+
+SPLIT_LEAKAGE_ORACLE = f"""
+SELECT least({textops.split_case_sql('doc_a')},
+             {textops.split_case_sql('doc_b')}) AS split_lo,
+       greatest({textops.split_case_sql('doc_a')},
+                {textops.split_case_sql('doc_b')}) AS split_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN least({textops.split_case_sql('doc_a')},
+                            {textops.split_case_sql('doc_b')})
+                   <> greatest({textops.split_case_sql('doc_a')},
+                               {textops.split_case_sql('doc_b')})
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_leak
+FROM ({dedup.lsh_candidate_pairs_oracle()}) p
+GROUP BY 1, 2
+"""
+
+
+NEARDUP_SPLIT_ORACLE = f"""
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT component_id) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN split <> doc_split THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rescued
+FROM (
+  SELECT component_id,
+         {textops.split_case_sql('component_id')} AS split,
+         {textops.split_case_sql('doc_id')} AS doc_split
+  FROM ({dedup.connected_components_oracle()}) cc
+) s
+GROUP BY split
+"""
+
+
+@query("mix_cluster_aware_split_neardup", oracle=NEARDUP_SPLIT_ORACLE)
+def mix_cluster_aware_split_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The near-dup-strength cluster-aware split: clusters are the
+    TRANSITIVE CLOSURE of the banded-MinHash candidate pairs (the same
+    components dedup drops by), and the whole component goes where its
+    component_id (min member) hashes — closing exactly the cross-split
+    near-dup leakage curate_split_leakage_neardup measures, which the
+    exact-hash mix_cluster_aware_split cannot see. ``n_rescued`` counts
+    documents pulled away from their naive per-doc assignment.
+
+    Scale shape: LSH pairs (banded, never all-pairs) + iterative CC
+    (O(diameter) rounds of join+groupBy-min; swap in
+    connected_components_star for extreme diameters); both split labels
+    are pure hash expressions — map-only after CC into a ≤3-row rollup."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cc = dedup.connected_components(docs, dedup.lsh_candidate_pairs(docs))
+    cluster_split = textops.split_expr(F.col("component_id"))
+    doc_split = textops.split_expr(F.col("doc_id"))
+    return (
+        cc.select(
+            "component_id",
+            cluster_split.alias("split"),
+            F.when(cluster_split != doc_split, 1).otherwise(0).alias("r"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("component_id").cast("bigint").alias(
+                "n_clusters"
+            ),
+            F.sum("r").cast("bigint").alias("n_rescued"),
+        )
+    )
+
+
+@query("curate_split_leakage_neardup", oracle=SPLIT_LEAKAGE_ORACLE)
+def curate_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split_lo, split_hi, n_pairs, is_leak): near-dup TRAIN/EVAL
+    contamination report — banded-MinHash candidate pairs bucketed by the
+    (canonicalized) split pair of their endpoints; rows with is_leak=1
+    are near-duplicates straddling two splits, i.e. eval documents whose
+    near-copy is in train under the naive per-doc split. The companion of
+    mix_cluster_aware_split: that operator prevents the straddle for
+    exact clusters, this one MEASURES the residual near-dup leakage.
+
+    Scale shape: pair generation is the audited LSH (banded, never
+    all-pairs — dedup.lsh_candidate_pairs); both split labels are pure
+    hash expressions of the pair's ids (textops.split_expr), so
+    everything after the pair stage is map-only into a ≤9-row rollup."""
+    pairs = dedup.lsh_candidate_pairs(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+    sa = textops.split_expr(F.col("doc_a"))
+    sb = textops.split_expr(F.col("doc_b"))
+    return (
+        pairs.select(
+            F.least(sa, sb).alias("split_lo"),
+            F.greatest(sa, sb).alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .withColumn(
+            "is_leak",
+            F.when(F.col("split_lo") != F.col("split_hi"), 1)
+            .otherwise(0)
+            .cast("bigint"),
+        )
+    )
+
+
 LANG_CONFUSION_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, lang,

@@ -1220,3 +1220,45 @@ def test_arbiter_concurrent_overlap_commit_log_dense_and_lossless(
     assert final in (ts._flipped_versions(path) or set())
     rows = ts.read_state(spark, path).collect()  # whole, readable snapshot
     assert len(rows) == 1 and rows[0].pk.count("-") == 1
+
+
+def test_arbiter_crashed_claim_is_harmless_and_pruned(spark, tmp_path):
+    """A writer that dies BETWEEN writing its temp claim and the hardlink
+    (the only window a crash can leave residue in) must leave the
+    protocol fully functional: the orphaned .claim file blocks nothing —
+    other writers commit straight past it — is NOT a committed sequence,
+    and ages out via prune's 60 s grace, while fresh claims survive."""
+    import os
+    import time
+
+    ts = table_store
+    path = str(tmp_path / "t")
+    ts.commit(
+        spark.createDataFrame([("0", 0)], "pk string, ver int"), path
+    )
+    arb = ts._ARBITER
+    d = arb._dir(path)
+    orphan = os.path.join(d, ".claim.99999.1")
+    with open(orphan, "w", encoding="utf-8") as f:
+        f.write("v-crashed")
+    fresh = os.path.join(d, ".claim.99999.2")
+    with open(fresh, "w", encoding="utf-8") as f:
+        f.write("v-inflight")
+
+    # commits proceed past the orphan, and it never becomes a commit
+    ts.commit(
+        spark.createDataFrame([("1", 1)], "pk string, ver int"), path
+    )
+    committed = arb.committed(path)
+    assert "v-crashed" not in committed.values()
+    assert len(committed) >= 2
+
+    # a young claim survives prune; an aged one is collected
+    arb.prune(path, keep_newest=8)
+    assert os.path.exists(orphan) and os.path.exists(fresh)
+    past = time.time() - 120
+    os.utime(orphan, (past, past))
+    arb.prune(path, keep_newest=8)
+    assert not os.path.exists(orphan) and os.path.exists(fresh)
+    # and the table still reads whole (latest snapshot = second commit)
+    assert [r.pk for r in ts.read_state(spark, path).collect()] == ["1"]
