@@ -2149,11 +2149,61 @@ LEFT JOIN per p USING (doc_id)
 BPE_TRAIN_MERGES = 8
 
 
+# Symbol separator for the STRING form of merge application. Like CDC's
+# U+0001 sentinel, U+0002 is stripped from input text up front (contract:
+# it cannot appear inside a symbol), so a separator can never collide.
+_SYM_SEP = "\u0002"
+
+
+def _sym_string(word: Column) -> Column:
+    """word → PADDED symbol string: U+0002 at both ends and between every
+    character (one regex pass inserting a separator at each inter-char
+    boundary). The padding means every symbol is \\x02-delimited on BOTH
+    sides, so merge patterns need no lookbehind."""
+    return F.concat(
+        F.lit(_SYM_SEP),
+        F.regexp_replace(word, "(?<=.)(?=.)", _SYM_SEP),
+        F.lit(_SYM_SEP),
+    )
+
+
+def _apply_merge_str(sym_str: Column, left: str, right: str) -> Column:
+    """String form of :func:`_apply_merge` over the padded symbol string:
+    ONE codegen'd regexp pass per merge — O(len) per word instead of the
+    array fold's O(len²), and a plain string expression instead of an
+    interpreted higher-order lambda — with IDENTICAL greedy left-to-right
+    non-overlap semantics: Java regex scanning resumes after each
+    replacement, so a merged symbol is consumed and cannot chain into the
+    next pair, exactly like the fold's carry. Parity with the fold is
+    pinned by tests/test_plans.py::test_apply_merge_string_form_parity
+    over chain/overlap/metacharacter adversaries."""
+    import re as _re
+
+    pat = (
+        f"{_SYM_SEP}{_re.escape(left)}{_SYM_SEP}{_re.escape(right)}"
+        f"(?={_SYM_SEP})"
+    )
+    rep = _SYM_SEP + (left + right).replace("\\", "\\\\").replace("$", "\\$")
+    return F.regexp_replace(sym_str, pat, rep)
+
+
+def _sym_token_count(sym_str: Column) -> Column:
+    """Token count of a padded symbol string: separators − 1."""
+    return (
+        F.length(sym_str)
+        - F.length(F.translate(sym_str, _SYM_SEP, ""))
+        - F.lit(1)
+    )
+
+
 def _apply_merge(sym_col: F.Column, left: str, right: str) -> F.Column:
     """Replace every non-overlapping adjacent (left, right) in the symbol
     array with the concatenated symbol — one codegen'd fold, greedy
     left-to-right exactly like the sequential reference algorithm (a
-    merged symbol is consumed and cannot chain into the next pair)."""
+    merged symbol is consumed and cannot chain into the next pair).
+    Used by the trainer, whose state is one row per DISTINCT word and
+    one merge per round; the per-document encoders chain n_merges
+    applications per word and use :func:`_apply_merge_str` instead."""
     init = F.struct(
         F.expr("array()").cast("array<string>").alias("out"),
         F.lit(None).cast("string").alias("carry"),
@@ -2205,7 +2255,13 @@ def bpe_train(
     N-step recursive merge exists, so the query registers rows-only and
     tests/test_plans.py pins EXACT equality against a pure-Python
     reference BPE on the same corpus."""
-    words = docs.select(F.explode(tokenize(text_col)).alias("w"))
+    # strip the symbol separator up front (same sanitization contract as
+    # the encoders) so no learned merge can ever contain U+0002
+    words = docs.select(
+        F.explode(
+            tokenize(F.regexp_replace(F.col(text_col), _SYM_SEP, ""))
+        ).alias("w")
+    )
     wf = words.groupBy("w").agg(F.count("*").alias("ct"))
     chars = F.transform(
         F.sequence(F.lit(1), F.length("w")),
@@ -2254,31 +2310,29 @@ def bpe_encode(
 
     The merge table comes from :func:`bpe_train` (a driver-side list of
     ≤``n_merges`` (left, right) literals); application is ``n_merges``
-    CHAINED greedy folds compiled into ONE projection — no joins, no
-    shuffles, corpus scanned once. Word-level token counts sum per doc
-    via the word-frequency map the trainer already uses... here counts
-    stay per-document, so the plan is: split → per-word symbol arrays →
-    fold per merge → Σ array sizes per doc (map-only until the final
-    doc rollup, which needs no shuffle either — counts are computed
-    inside the row). Rows-only (the merge literals are data-dependent,
-    the same static-oracle constraint as unigram_logprob's vocab);
-    pinned exactly against the reference encoder in-test."""
+    CHAINED greedy regexp passes over a \\x02-delimited symbol string
+    (:func:`_apply_merge_str` — O(word) per pass, all codegen'd string
+    ops; the round-7 rewrite from the interpreted higher-order fold,
+    which measured 28 s at sf0.1 vs ~1 s for this form) compiled into
+    ONE projection — no joins, no shuffles, corpus scanned once.
+    Plan: strip \\x02 → split → per-word symbol string → regexp per
+    merge → Σ separator counts per doc (map-only until the final doc
+    rollup, which needs no shuffle either — counts are computed inside
+    the row). Rows-only (the merge literals are data-dependent, the
+    same static-oracle constraint as unigram_logprob's vocab); pinned
+    exactly against the reference encoder in-test."""
     merges = [
         (r.left, r.right)
         for r in bpe_train(docs, n_merges, text_col).orderBy("step").collect()
     ]
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
-    )
-    chars = lambda w: F.transform(  # noqa: E731
-        F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
-    )
+    clean = F.regexp_replace(F.lower(F.col(text_col)), _SYM_SEP, "")
+    words = F.filter(F.split(clean, r"\s+"), lambda t: t != F.lit(""))
 
     def encode_word(w):
-        sym = chars(w)
+        s = _sym_string(w)
         for left, right in merges:
-            sym = _apply_merge(sym, left, right)
-        return sym
+            s = _apply_merge_str(s, left, right)
+        return s
 
     before = F.aggregate(
         F.transform(words, lambda w: F.length(w)),
@@ -2286,7 +2340,7 @@ def bpe_encode(
         lambda a, b: a + b,
     )
     after = F.aggregate(
-        F.transform(words, lambda w: F.size(encode_word(w))),
+        F.transform(words, lambda w: _sym_token_count(encode_word(w))),
         F.lit(0),
         lambda a, b: a + b,
     )
@@ -2448,29 +2502,25 @@ def bpe_encode_roundtrip_eval(
         (r.left, r.right)
         for r in bpe_train(docs, n_merges, text_col).orderBy("step").collect()
     ]
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
-    )
-    chars = lambda w: F.transform(  # noqa: E731
-        F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
-    )
+    clean = F.regexp_replace(F.lower(F.col(text_col)), _SYM_SEP, "")
+    words = F.filter(F.split(clean, r"\s+"), lambda t: t != F.lit(""))
 
     def encode_word(w):
-        sym = chars(w)
+        s = _sym_string(w)
         for left, right in merges:
-            sym = _apply_merge(sym, left, right)
-        return sym
+            s = _apply_merge_str(s, left, right)
+        return s
 
     enc = F.transform(words, lambda w: encode_word(w))
     before = F.aggregate(
         F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, b: a + b
     )
     after = F.aggregate(
-        F.transform(enc, lambda s: F.size(s)), F.lit(0), lambda a, b: a + b
+        F.transform(enc, _sym_token_count), F.lit(0), lambda a, b: a + b
     )
     roundtrip = F.forall(
         F.zip_with(
-            words, enc, lambda w, s: F.concat_ws("", s) == w
+            words, enc, lambda w, s: F.translate(s, _SYM_SEP, "") == w
         ),
         lambda ok: ok,
     )

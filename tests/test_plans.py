@@ -1818,3 +1818,53 @@ def test_neardup_cluster_split_closes_measured_leakage(spark):
     assert sum(r.n_rescued for r in out) == sum(
         1 for d in comp if cluster[d] != naive[d]
     ) >= 1
+
+
+def test_apply_merge_string_form_parity(spark):
+    """The regexp string form of merge application (round-7 rewrite of
+    the encoders' hot path) must agree with the array fold on every
+    adversarial shape: chains (abab), overlaps (aaa/aaaa), non-chaining
+    context, regex metacharacters in symbols, multi-char merged symbols,
+    and unicode."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import textops
+
+    cases = [
+        ("aaa", [("a", "a")]),
+        ("aaaa", [("a", "a"), ("aa", "aa")]),
+        ("abab", [("a", "b")]),
+        ("xabay", [("a", "b")]),
+        ("ababa", [("a", "b"), ("ab", "ab")]),
+        ("a$b.c*", [("a", "$"), ("a$", "b")]),
+        ("café", [("c", "a"), ("ca", "f")]),
+        ("zzz", [("a", "b")]),  # merge absent from word
+        ("ab", [("a", "b"), ("ab", "ab")]),  # second merge unmatchable
+        ("\\x\\x", [("\\", "x"), ("\\x", "\\x")]),  # backslash symbols
+    ]
+    df = spark.createDataFrame(
+        [(w,) for w, _ in cases], "w string"
+    ).collect()  # keep order reference only
+    for word, merges in cases:
+        one = spark.createDataFrame([(word,)], "w string")
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        )
+        sym_arr = chars
+        sym_str = textops._sym_string(F.col("w"))
+        for left, right in merges:
+            sym_arr = textops._apply_merge(sym_arr, left, right)
+            sym_str = textops._apply_merge_str(sym_str, left, right)
+        row = one.select(
+            sym_arr.alias("arr"),
+            F.split(
+                F.regexp_replace(
+                    sym_str, f"^{textops._SYM_SEP}|{textops._SYM_SEP}$", ""
+                ),
+                textops._SYM_SEP,
+            ).alias("via_str"),
+            textops._sym_token_count(sym_str).alias("n"),
+        ).collect()[0]
+        assert row.arr == row.via_str, (word, merges, row)
+        assert row.n == len(row.arr), (word, merges, row)
