@@ -142,6 +142,7 @@ BENCH_QUERIES = (
     "mix_cluster_aware_split",      # exact-cluster leakage-free split
     "mix_cluster_aware_split_neardup",  # CC-cluster leakage-free split
     "curate_split_leakage_neardup",  # cross-split near-dup pair report
+    "pipeline_corpus_curation_v4",  # full flow: v3 curation + leakage-free split
 )
 
 

@@ -1316,6 +1316,73 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURATION_V4_ORACLE = f"""
+WITH RECURSIVE v3 AS (
+{CURATION_V3_ORACLE}
+), kept AS (
+  SELECT doc_id FROM v3 WHERE status = 'kept'
+), allp AS (
+{dedup.lsh_candidate_pairs_oracle()}
+), kp AS (
+  SELECT doc_a, doc_b FROM allp
+  JOIN kept ka ON allp.doc_a = ka.doc_id
+  JOIN kept kb ON allp.doc_b = kb.doc_id
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM kp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM kp
+), reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM kept
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY 1
+)
+SELECT v3.doc_id, v3.status,
+       CASE WHEN comp.component_id IS NULL THEN NULL
+            ELSE {textops.split_case_sql('comp.component_id')} END AS split
+FROM v3 LEFT JOIN comp USING (doc_id)
+"""
+
+
+@query("pipeline_corpus_curation_v4", oracle=CURATION_V4_ORACLE)
+def pipeline_corpus_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production corpus-refresh flow as ONE plan: v3 curation
+    (quality → exact dedup → LSH near-dup → bucketed SemDeDup) and then a
+    LEAKAGE-FREE train/val/test assignment for the survivors — near-dup
+    components (transitive closure of the banded-MinHash pairs among
+    SURVIVORS) each go whole to the split their component representative
+    hashes, so no eval document can have a near-copy in train
+    (mix_cluster_aware_split_neardup's contract applied at the pipeline
+    exit). Dropped documents carry a NULL split.
+
+    Scale shape: every stage is the audited near-linear form — v3's
+    composed stages, LSH pairs restricted to survivors (computing
+    signatures on the subset is identical to filtering full-corpus pairs,
+    since signatures and band keys are per-document), iterative CC over
+    shallow dup components, then map-only split hashing of the component
+    id. The most expensive registered query by design: it IS the whole
+    pipeline."""
+    v3 = pipeline_corpus_curation_v3(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    kept = v3.where(F.col("status") == "kept").select("doc_id")
+    kept_docs = docs.join(kept.hint("shuffle_hash"), "doc_id", "left_semi")
+    cc = dedup.connected_components(
+        kept_docs, dedup.lsh_candidate_pairs(kept_docs)
+    )
+    return (
+        v3.join(cc.select("doc_id", "component_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "status",
+            F.when(
+                F.col("component_id").isNotNull(),
+                textops.split_expr(F.col("component_id")),
+            ).alias("split"),
+        )
+    )
+
+
 TOKEN_SHARES_ORACLE = """
 WITH t AS (
   SELECT source,

@@ -1868,3 +1868,30 @@ def test_apply_merge_string_form_parity(spark):
         ).collect()[0]
         assert row.arr == row.via_str, (word, merges, row)
         assert row.n == len(row.arr), (word, merges, row)
+
+
+def test_curation_v4_split_respects_components_and_drops(spark):
+    """pipeline_corpus_curation_v4's exit contract: every kept doc gets a
+    split, every dropped doc gets NULL, and no surviving LSH candidate
+    pair straddles two splits (the leakage-free guarantee at the
+    pipeline boundary)."""
+    from realtime_datawarehouse_spark.operators import dedup
+    from realtime_datawarehouse_spark.plans import llm_ops
+    from realtime_datawarehouse_spark.tables import table
+    from tests.conftest import SF_DIR_MID
+
+    out = {
+        r.doc_id: (r.status, r.split)
+        for r in llm_ops.pipeline_corpus_curation_v4(
+            spark, SF_DIR_MID
+        ).collect()
+    }
+    assert all(
+        (s == "kept") == (sp is not None) for s, sp in out.values()
+    )
+    kept_ids = {d for d, (s, _) in out.items() if s == "kept"}
+    assert kept_ids  # pipeline keeps something
+    docs = table(spark, SF_DIR_MID, "documents").select("doc_id", "text")
+    for p in dedup.lsh_candidate_pairs(docs).collect():
+        if p.doc_a in kept_ids and p.doc_b in kept_ids:
+            assert out[p.doc_a][1] == out[p.doc_b][1], p
