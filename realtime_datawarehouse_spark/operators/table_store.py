@@ -68,6 +68,10 @@ _MAX_BUCKETS = 4096  # bounds the per-merge touched-bucket collect
 # via the merge retry, but the work is lost). Size it with the expected
 # snapshot write duration on very large multi-writer tables.
 _ORPHAN_GRACE_S = 600.0
+# grace before a .claim temp (a commit-record-in-staging, written in
+# milliseconds) is collected by prune. A writer stalled past it mid-PUT
+# self-heals: put_if_absent re-stages a fresh temp and retries the link.
+_CLAIM_GRACE_S = 60.0
 # compact the flip log past this size, keeping the newest tail (entries
 # older than the retention window only matter for GC of dirs that were
 # removed long ago — a pre-tail dir degrades safely to the orphan path)
@@ -126,40 +130,70 @@ class LocalCASArbiter:
         return out
 
     def head(self, path: str) -> tuple[int, str | None]:
-        """(max committed sequence, its version) — (0, None) pre-arbiter."""
-        c = self.committed(path)
-        if not c:
-            return 0, None
-        seq = max(c)
-        return seq, c[seq]
+        """(max committed sequence, its version) — (0, None) pre-arbiter.
+
+        Hot-path form: one listdir + ONE file read (the max sequence),
+        not :meth:`committed`'s full scan — ``current_version`` sits on
+        every ``read_state``/micro-batch, so this must cost what the old
+        single-pointer read cost. If the max sequence file is pruned
+        between the listing and the read, re-list (bounded by pruning
+        progress, never livelocks)."""
+        while True:
+            try:
+                entries = os.listdir(self._dir(path))
+            except FileNotFoundError:
+                return 0, None
+            seqs = [int(e) for e in entries if e.isdigit()]
+            if not seqs:
+                return 0, None
+            seq = max(seqs)
+            try:
+                with open(
+                    os.path.join(self._dir(path), f"{seq:010d}"),
+                    encoding="utf-8",
+                ) as f:
+                    return seq, f.read().strip()
+            except FileNotFoundError:
+                continue  # concurrently pruned — re-derive
 
     def put_if_absent(self, path: str, seq: int, version: str) -> bool:
         """Atomically commit ``version`` as sequence ``seq``; False if the
         sequence is already taken (the caller lost the race). The link is
         create-WITH-content: a crash at any point leaves either nothing
         (not committed) or the complete file (committed) — never a torn
-        or empty commit record."""
+        or empty commit record.
+
+        A writer stalled between writing its temp claim and the link for
+        longer than the claim grace can find the temp collected by a
+        concurrent committer's :meth:`prune`; that is NOT a lost CAS (the
+        sequence file may still be free), so the write+link is retried
+        with a fresh temp rather than surfacing FileNotFoundError —
+        preserving the contract that a stalled writer either has not
+        committed or has, with no third outcome."""
         import time
 
         d = self._dir(path)
         os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(
-            d, f".claim.{os.getpid()}.{time.monotonic_ns()}"
-        )
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(version)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, os.path.join(d, f"{seq:010d}"))
-            return True
-        except FileExistsError:
-            return False
-        finally:
+        while True:
+            tmp = os.path.join(
+                d, f".claim.{os.getpid()}.{time.monotonic_ns()}"
+            )
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(version)
+                f.flush()
+                os.fsync(f.fileno())
             try:
-                os.unlink(tmp)
+                os.link(tmp, os.path.join(d, f"{seq:010d}"))
+                return True
+            except FileExistsError:
+                return False
             except FileNotFoundError:
-                pass
+                continue  # temp pruned mid-stall — re-stage and retry
+            finally:
+                try:
+                    os.unlink(tmp)
+                except FileNotFoundError:
+                    pass
 
     def prune(self, path: str, keep_newest: int) -> None:
         """Drop sequence files beyond the newest ``keep_newest`` (the
@@ -182,7 +216,7 @@ class LocalCASArbiter:
             if e.startswith(".claim."):
                 p = os.path.join(d, e)
                 try:
-                    if time.time() - os.path.getmtime(p) > 60.0:
+                    if time.time() - os.path.getmtime(p) > _CLAIM_GRACE_S:
                         os.unlink(p)
                 except OSError:
                     pass

@@ -1324,22 +1324,29 @@ def cluster_aware_split(
         F.col(key_col),
         F.md5(F.col(text_col)).alias("content_hash"),
     ).withColumn("rep_id", F.min(key_col).over(w))
-    cluster_split = split_expr(F.col("rep_id"), bounds)
-    doc_split = split_expr(F.col(key_col), bounds)
-    return (
+    return split_rollup(
         per.select(
-            "content_hash",
-            cluster_split.alias("split"),
-            F.when(cluster_split != doc_split, 1).otherwise(0).alias("r"),
+            F.col("content_hash").alias("cluster_key"),
+            split_expr(F.col("rep_id"), bounds).alias("split"),
+            split_expr(F.col(key_col), bounds).alias("doc_split"),
         )
-        .groupBy("split")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.countDistinct("content_hash").cast("bigint").alias(
-                "n_clusters"
-            ),
-            F.sum("r").cast("bigint").alias("n_rescued"),
+    )
+
+
+def split_rollup(per: DataFrame) -> DataFrame:
+    """(cluster_key, split, doc_split) → (split, n_docs, n_clusters,
+    n_rescued): the shared accounting of every cluster-aware split form —
+    the cluster KEY varies (md5 group, near-dup component id), the split
+    math never does (one definition, so the exact and near-dup forms
+    cannot drift)."""
+    return per.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("cluster_key").cast("bigint").alias("n_clusters"),
+        F.sum(
+            F.when(F.col("split") != F.col("doc_split"), 1).otherwise(0)
         )
+        .cast("bigint")
+        .alias("n_rescued"),
     )
 
 
@@ -2321,19 +2328,7 @@ def bpe_encode(
     the row). Rows-only (the merge literals are data-dependent, the
     same static-oracle constraint as unigram_logprob's vocab); pinned
     exactly against the reference encoder in-test."""
-    merges = [
-        (r.left, r.right)
-        for r in bpe_train(docs, n_merges, text_col).orderBy("step").collect()
-    ]
-    clean = F.regexp_replace(F.lower(F.col(text_col)), _SYM_SEP, "")
-    words = F.filter(F.split(clean, r"\s+"), lambda t: t != F.lit(""))
-
-    def encode_word(w):
-        s = _sym_string(w)
-        for left, right in merges:
-            s = _apply_merge_str(s, left, right)
-        return s
-
+    words, encode_word = _bpe_words_and_encoder(docs, n_merges, text_col)
     before = F.aggregate(
         F.transform(words, lambda w: F.length(w)),
         F.lit(0),
@@ -2349,6 +2344,27 @@ def bpe_encode(
         before.alias("tokens_before"),
         after.alias("tokens_after"),
     )
+
+
+def _bpe_words_and_encoder(docs, n_merges: int, text_col: str):
+    """Shared encode front-end of ``bpe_encode`` and its roundtrip eval
+    (ONE definition so the audit can never desynchronize from the audited
+    encoder): collect the corpus-trained merge table, build the
+    sanitized word array and the per-word chained-regexp encoder."""
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(docs, n_merges, text_col).orderBy("step").collect()
+    ]
+    clean = F.regexp_replace(F.lower(F.col(text_col)), _SYM_SEP, "")
+    words = F.filter(F.split(clean, r"\s+"), lambda t: t != F.lit(""))
+
+    def encode_word(w):
+        s = _sym_string(w)
+        for left, right in merges:
+            s = _apply_merge_str(s, left, right)
+        return s
+
+    return words, encode_word
 
 
 def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -2459,14 +2475,19 @@ def bpe_train_contract_eval(
 
 
 def bpe_train_contract_eval_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    # length() (characters), NEVER strlen() (bytes): the Spark side
+    # counts characters, and a multi-byte word would otherwise emit a
+    # bogus trailing pair (code-review r7). chr(2) strip mirrors the
+    # trainer's U+0002 sanitization contract.
     return f"""
 WITH w0 AS (
-  SELECT unnest(list_filter(string_split(lower(text), ' '),
-                            x -> x <> '')) AS w
+  SELECT unnest(list_filter(
+           string_split(replace(lower(text), chr(2), ''), ' '),
+           x -> x <> '')) AS w
   FROM documents
 ), wf AS (SELECT w, count(*) AS ct FROM w0 GROUP BY 1),
 p AS (
-  SELECT unnest(list_transform(range(1, strlen(w)),
+  SELECT unnest(list_transform(range(1, length(w)),
          i -> {{'l': substr(w, CAST(i AS INT), 1),
                 'r': substr(w, CAST(i AS INT) + 1, 1)}})) AS pr, ct
   FROM wf
@@ -2498,19 +2519,7 @@ def bpe_encode_roundtrip_eval(
     or a corrupt merge table flips a count and the driver hash. Same
     one-scan, fold-per-merge plan as bpe_encode — no joins, no shuffle
     before the final single-row rollup."""
-    merges = [
-        (r.left, r.right)
-        for r in bpe_train(docs, n_merges, text_col).orderBy("step").collect()
-    ]
-    clean = F.regexp_replace(F.lower(F.col(text_col)), _SYM_SEP, "")
-    words = F.filter(F.split(clean, r"\s+"), lambda t: t != F.lit(""))
-
-    def encode_word(w):
-        s = _sym_string(w)
-        for left, right in merges:
-            s = _apply_merge_str(s, left, right)
-        return s
-
+    words, encode_word = _bpe_words_and_encoder(docs, n_merges, text_col)
     enc = F.transform(words, lambda w: encode_word(w))
     before = F.aggregate(
         F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, b: a + b
@@ -2551,14 +2560,15 @@ def bpe_encode_roundtrip_eval(
 
 BPE_ENCODE_ROUNDTRIP_ORACLE = """
 WITH w0 AS (
-  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
-                                    x -> x <> '')) AS w
+  SELECT doc_id, unnest(list_filter(
+           string_split(replace(lower(text), chr(2), ''), ' '),
+           x -> x <> '')) AS w
   FROM documents
 )
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
        (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_roundtrip_ok,
        (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_monotone_ok,
-       CAST(coalesce((SELECT sum(strlen(w)) FROM w0), 0) AS BIGINT)
+       CAST(coalesce((SELECT sum(length(w)) FROM w0), 0) AS BIGINT)
            AS total_tokens_before,
        CAST(1 AS BIGINT) AS corpus_reduced
 """

@@ -1050,21 +1050,11 @@ def mix_cluster_aware_split_neardup(
     are pure hash expressions — map-only after CC into a ≤3-row rollup."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     cc = dedup.connected_components(docs, dedup.lsh_candidate_pairs(docs))
-    cluster_split = textops.split_expr(F.col("component_id"))
-    doc_split = textops.split_expr(F.col("doc_id"))
-    return (
+    return textops.split_rollup(
         cc.select(
-            "component_id",
-            cluster_split.alias("split"),
-            F.when(cluster_split != doc_split, 1).otherwise(0).alias("r"),
-        )
-        .groupBy("split")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.countDistinct("component_id").cast("bigint").alias(
-                "n_clusters"
-            ),
-            F.sum("r").cast("bigint").alias("n_rescued"),
+            F.col("component_id").alias("cluster_key"),
+            textops.split_expr(F.col("component_id")).alias("split"),
+            textops.split_expr(F.col("doc_id")).alias("doc_split"),
         )
     )
 

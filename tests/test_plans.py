@@ -1842,9 +1842,6 @@ def test_apply_merge_string_form_parity(spark):
         ("ab", [("a", "b"), ("ab", "ab")]),  # second merge unmatchable
         ("\\x\\x", [("\\", "x"), ("\\x", "\\x")]),  # backslash symbols
     ]
-    df = spark.createDataFrame(
-        [(w,) for w, _ in cases], "w string"
-    ).collect()  # keep order reference only
     for word, merges in cases:
         one = spark.createDataFrame([(word,)], "w string")
         chars = F.transform(
@@ -1895,3 +1892,99 @@ def test_curation_v4_split_respects_components_and_drops(spark):
     for p in dedup.lsh_candidate_pairs(docs).collect():
         if p.doc_a in kept_ids and p.doc_b in kept_ids:
             assert out[p.doc_a][1] == out[p.doc_b][1], p
+
+
+def test_apply_merge_string_form_randomized_stress(spark):
+    """Seeded randomized sweep of fold-vs-regexp merge parity: 400 random
+    words over an alphabet that includes regex metacharacters and a
+    multi-char-unicode letter, pushed through 5 chained merges (so later
+    merges see multi-char symbols produced by earlier ones) — all
+    compared in ONE Spark job."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import textops
+
+    rng = random.Random(7)
+    alphabet = list("ab$.*\\é")
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+        for _ in range(400)
+    ]
+    merges = [("a", "b"), ("a", "a"), ("$", "."), ("ab", "aa"), ("\\", "é")]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    sym_arr = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    sym_str = textops._sym_string(F.col("w"))
+    for left, right in merges:
+        sym_arr = textops._apply_merge(sym_arr, left, right)
+        sym_str = textops._apply_merge_str(sym_str, left, right)
+    bad = df.select(
+        "w",
+        sym_arr.alias("arr"),
+        F.split(
+            F.regexp_replace(
+                sym_str, f"^{textops._SYM_SEP}|{textops._SYM_SEP}$", ""
+            ),
+            textops._SYM_SEP,
+        ).alias("via_str"),
+        textops._sym_token_count(sym_str).alias("n"),
+    ).where(
+        (F.col("arr") != F.col("via_str")) | (F.col("n") != F.size("arr"))
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_bpe_eval_oracles_agree_on_non_ascii(spark, tmp_path):
+    """Code-review r7 finding: the BPE eval oracles used DuckDB strlen
+    (BYTES) where Spark counts CHARACTERS — invisible on the ASCII
+    driver fixture. Pin cross-engine agreement on a multi-byte corpus
+    (é/ï/ü/ß are 2-octet UTF-8) for both eval oracles."""
+    import duckdb
+
+    from realtime_datawarehouse_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "café café naïve café"),
+            (2, "übermäßig café zç naïve"),
+        ],
+        "doc_id long, text string",
+    )
+    pq = str(tmp_path / "docs_parquet")
+    docs.coalesce(1).write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'"
+    )
+
+    got = textops.bpe_train_contract_eval(docs, n_merges=4).collect()[0]
+    exp = con.execute(
+        textops.bpe_train_contract_eval_oracle(n_merges=4)
+    ).fetchone()
+    assert (
+        got.step1_left,
+        got.step1_right,
+        got.step1_pair_ct,
+        got.n_merges_learned,
+    ) == exp
+
+    got2 = textops.bpe_encode_roundtrip_eval(docs, n_merges=4).collect()[0]
+    exp2 = con.execute(textops.BPE_ENCODE_ROUNDTRIP_ORACLE).fetchone()
+    assert (
+        got2.n_docs,
+        got2.n_roundtrip_ok,
+        got2.n_monotone_ok,
+        got2.total_tokens_before,
+        got2.corpus_reduced,
+    ) == exp2
+    # the byte/char distinction is actually exercised: char total must be
+    # strictly below the octet total on this corpus
+    octets = con.execute(
+        "SELECT sum(octet_length(encode(x.w))) FROM (SELECT unnest("
+        "string_split(lower(text), ' ')) AS w FROM documents) x"
+    ).fetchone()[0]
+    assert got2.total_tokens_before < octets

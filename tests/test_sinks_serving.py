@@ -1262,3 +1262,52 @@ def test_arbiter_crashed_claim_is_harmless_and_pruned(spark, tmp_path):
     assert not os.path.exists(orphan) and os.path.exists(fresh)
     # and the table still reads whole (latest snapshot = second commit)
     assert [r.pk for r in ts.read_state(spark, path).collect()] == ["1"]
+
+
+def test_put_if_absent_survives_pruned_temp_mid_stall(tmp_path, monkeypatch):
+    """Code-review r7 finding: a writer stalled between staging its temp
+    claim and the hardlink for longer than _CLAIM_GRACE_S can find the
+    temp collected by a concurrent committer's prune. That must NOT
+    surface FileNotFoundError (a third outcome the protocol forbids):
+    put_if_absent re-stages and retries — winning if the sequence is
+    still free, reporting a plain CAS loss if it was taken meanwhile."""
+    import os
+
+    arb = table_store.LocalCASArbiter()
+    path = str(tmp_path)
+    real_link = os.link
+    calls = {"n": 0}
+
+    def stalled_link(src, dst):
+        # first attempt: simulate prune collecting the temp during the
+        # stall, exactly as the kernel would surface it
+        calls["n"] += 1
+        if calls["n"] == 1:
+            os.unlink(src)
+            raise FileNotFoundError(src)
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", stalled_link)
+    assert arb.put_if_absent(path, 1, "v-a") is True
+    assert calls["n"] == 2  # one pruned attempt + one clean retry
+    assert arb.committed(path) == {1: "v-a"}
+
+    # same stall, but another writer took the sequence meanwhile: the
+    # resumed writer sees an ordinary CAS loss
+    calls["n"] = 0
+
+    def stalled_then_taken(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            os.unlink(src)
+            real_link_tmp = os.path.join(os.path.dirname(dst), ".other")
+            with open(real_link_tmp, "w", encoding="utf-8") as f:
+                f.write("v-b")
+            real_link(real_link_tmp, dst)
+            os.unlink(real_link_tmp)
+            raise FileNotFoundError(src)
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", stalled_then_taken)
+    assert arb.put_if_absent(path, 2, "v-c") is False
+    assert arb.committed(path)[2] == "v-b"
