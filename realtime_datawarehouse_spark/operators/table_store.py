@@ -135,26 +135,32 @@ class LocalCASArbiter:
         Hot-path form: one listdir + ONE file read (the max sequence),
         not :meth:`committed`'s full scan — ``current_version`` sits on
         every ``read_state``/micro-batch, so this must cost what the old
-        single-pointer read cost. If the max sequence file is pruned
-        between the listing and the read, re-list (bounded by pruning
-        progress, never livelocks)."""
+        single-pointer read cost. The read targets the LISTED entry name
+        (never a re-formatted one, so a non-zero-padded sequence file
+        from a foreign tool can't loop it); a concurrently-pruned max
+        re-lists, and any other per-file OSError falls back to the full
+        scan — the same degradation the old scan-based head gave."""
         while True:
             try:
                 entries = os.listdir(self._dir(path))
             except FileNotFoundError:
                 return 0, None
-            seqs = [int(e) for e in entries if e.isdigit()]
-            if not seqs:
+            numbered = [(int(e), e) for e in entries if e.isdigit()]
+            if not numbered:
                 return 0, None
-            seq = max(seqs)
+            seq, name = max(numbered)
             try:
                 with open(
-                    os.path.join(self._dir(path), f"{seq:010d}"),
-                    encoding="utf-8",
+                    os.path.join(self._dir(path), name), encoding="utf-8"
                 ) as f:
                     return seq, f.read().strip()
             except FileNotFoundError:
                 continue  # concurrently pruned — re-derive
+            except OSError:
+                c = self.committed(path)  # transient read error: degrade
+                if not c:
+                    return 0, None
+                return max(c), c[max(c)]
 
     def put_if_absent(self, path: str, seq: int, version: str) -> bool:
         """Atomically commit ``version`` as sequence ``seq``; False if the
@@ -512,6 +518,18 @@ def commit(
             raise ConcurrentCommitError(
                 f"table at {path} moved from {expected_version!r} to "
                 f"{head_ver!r} during commit"
+            )
+        # a writer stalled past orphan_grace_s can have its UNCOMMITTED
+        # snapshot dir collected by a concurrent committer's GC; committing
+        # its sequence anyway would point the head at deleted data. Verify
+        # the claim is still on disk immediately before every PUT — if
+        # gone, surface the standard conflict and let the caller recompute
+        # (merge_upsert's existing retry path).
+        if not os.path.isdir(os.path.join(path, version)):
+            raise ConcurrentCommitError(
+                f"snapshot {version!r} at {path} was collected as an "
+                "orphan before its commit (writer stalled past "
+                "orphan_grace_s) — recompute and retry"
             )
         if _ARBITER.put_if_absent(path, head_seq + 1, version):
             break

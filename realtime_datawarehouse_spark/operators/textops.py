@@ -2482,7 +2482,7 @@ def bpe_train_contract_eval_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
     return f"""
 WITH w0 AS (
   SELECT unnest(list_filter(
-           string_split(replace(lower(text), chr(2), ''), ' '),
+           regexp_split_to_array(replace(lower(text), chr(2), ''), '\s+'),
            x -> x <> '')) AS w
   FROM documents
 ), wf AS (SELECT w, count(*) AS ct FROM w0 GROUP BY 1),
@@ -2561,7 +2561,7 @@ def bpe_encode_roundtrip_eval(
 BPE_ENCODE_ROUNDTRIP_ORACLE = """
 WITH w0 AS (
   SELECT doc_id, unnest(list_filter(
-           string_split(replace(lower(text), chr(2), ''), ' '),
+           regexp_split_to_array(replace(lower(text), chr(2), ''), '\s+'),
            x -> x <> '')) AS w
   FROM documents
 )

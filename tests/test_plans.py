@@ -1951,6 +1951,9 @@ def test_bpe_eval_oracles_agree_on_non_ascii(spark, tmp_path):
         [
             (1, "café café naïve café"),
             (2, "übermäßig café zç naïve"),
+            # tab/newline/multi-space: Spark splits \\s+, so the oracle
+            # must too (regexp_split_to_array, not string_split ' ')
+            (3, "café\tnaïve\nzç  café"),
         ],
         "doc_id long, text string",
     )

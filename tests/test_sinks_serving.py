@@ -1311,3 +1311,82 @@ def test_put_if_absent_survives_pruned_temp_mid_stall(tmp_path, monkeypatch):
     monkeypatch.setattr(os, "link", stalled_then_taken)
     assert arb.put_if_absent(path, 2, "v-c") is False
     assert arb.committed(path)[2] == "v-b"
+
+
+def test_arbiter_head_tolerates_foreign_names_and_read_errors(
+    tmp_path, monkeypatch
+):
+    """Code-review r7 follow-ups on the O(1) head(): (a) a digit-named
+    sequence file that is NOT canonical 10-digit form (foreign tool,
+    manual repair) must be served, not spun on forever; (b) a transient
+    non-FNF read error degrades to the full committed() scan instead of
+    propagating."""
+    import builtins
+    import os
+
+    arb = table_store.LocalCASArbiter()
+    path = str(tmp_path)
+    assert arb.put_if_absent(path, 1, "v-a")
+    # (a) foreign, non-padded name with a HIGHER sequence
+    with open(os.path.join(path, "_commits", "7"), "w", encoding="utf-8") as f:
+        f.write("v-foreign")
+    assert arb.head(path) == (7, "v-foreign")
+
+    # (b) transient EACCES on the max-sequence read → fall back to scan
+    real_open = builtins.open
+    tripped = {"n": 0}
+
+    def flaky_open(f, *a, **k):
+        if str(f).endswith(os.path.join("_commits", "7")) and not tripped["n"]:
+            tripped["n"] = 1
+            raise PermissionError(f)
+        return real_open(f, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", flaky_open)
+    assert arb.head(path) == (7, "v-foreign")  # degraded via committed()
+    assert tripped["n"] == 1
+
+
+def test_commit_refuses_to_publish_a_collected_snapshot(spark, tmp_path):
+    """Code-review r7 finding: a writer stalled past orphan_grace_s whose
+    UNCOMMITTED snapshot dir was collected by a concurrent committer's GC
+    must NOT publish its sequence (the head would name deleted data).
+    Force the interleave: the snapshot dir vanishes while the writer is
+    losing a CAS round — the retry must raise ConcurrentCommitError, and
+    the table must still read whole at the survivor's version."""
+    import shutil
+
+    ts = table_store
+    path = str(tmp_path / "t")
+    ts.commit(spark.createDataFrame([("0", 0)], "pk string, ver int"), path)
+
+    real_put = ts._ARBITER.put_if_absent
+    state = {"n": 0}
+
+    def gc_steals_then_loses(p, seq, version):
+        state["n"] += 1
+        if state["n"] == 1:
+            # concurrent committer takes the sequence AND its GC collects
+            # this writer's aged claim dir
+            assert real_put(p, seq, "v-racer")
+            shutil.rmtree(
+                __import__("os").path.join(path, version), ignore_errors=True
+            )
+            return False
+        return real_put(p, seq, version)
+
+    import pytest as _pytest
+
+    try:
+        ts._ARBITER.put_if_absent = gc_steals_then_loses
+        with _pytest.raises(ts.ConcurrentCommitError, match="orphan"):
+            ts.commit(
+                spark.createDataFrame([("1", 1)], "pk string, ver int"), path
+            )
+    finally:
+        ts._ARBITER.put_if_absent = real_put
+    # head names the racer's sequence; it has no data dir in this forced
+    # setup, but the stalled writer's ghost was NOT published — and a
+    # fresh commit proceeds normally past the debris
+    ts.commit(spark.createDataFrame([("2", 2)], "pk string, ver int"), path)
+    assert [r.pk for r in ts.read_state(spark, path).collect()] == ["2"]
