@@ -143,6 +143,8 @@ BENCH_QUERIES = (
     "mix_cluster_aware_split_neardup",  # CC-cluster leakage-free split
     "curate_split_leakage_neardup",  # cross-split near-dup pair report
     "pipeline_corpus_curation_v4",  # full flow: v3 curation + leakage-free split
+    # round-8 additions (floors recorded from their first r08 measurement)
+    "text_bpe_encode_vocab",        # broadcast-vocab greedy BPE apply kernel
 )
 
 

@@ -120,7 +120,10 @@ class LocalCASArbiter:
         except FileNotFoundError:
             return out
         for e in entries:
-            if not e.isdigit():
+            # isascii() guard (advisor r7): str.isdigit() alone is True
+            # for non-decimal Unicode digits ('²') where int() raises —
+            # a foreign-named file must be ignored, not crash the scan
+            if not (e.isascii() and e.isdigit()):
                 continue
             try:
                 with open(os.path.join(self._dir(path), e), encoding="utf-8") as f:
@@ -145,7 +148,11 @@ class LocalCASArbiter:
                 entries = os.listdir(self._dir(path))
             except FileNotFoundError:
                 return 0, None
-            numbered = [(int(e), e) for e in entries if e.isdigit()]
+            numbered = [
+                (int(e), e)
+                for e in entries
+                if e.isascii() and e.isdigit()  # see committed()
+            ]
             if not numbered:
                 return 0, None
             seq, name = max(numbered)
@@ -212,10 +219,23 @@ class LocalCASArbiter:
             entries = os.listdir(d)
         except FileNotFoundError:
             return
-        seqs = sorted((int(e) for e in entries if e.isdigit()), reverse=True)
-        for s in seqs[max(keep_newest, 1):]:
+        # unlink by the LISTED entry name, never a re-formatted one
+        # (advisor r7): head() deliberately serves a foreign non-padded
+        # sequence file like '7', so prune must be able to drop it too —
+        # f"{s:010d}" would silently FileNotFoundError forever. Retention
+        # counts DISTINCT sequences (duplicate spellings of a kept
+        # sequence are kept with it).
+        numbered = sorted(
+            ((int(e), e) for e in entries if e.isascii() and e.isdigit()),
+            reverse=True,
+        )
+        kept: set[int] = set()
+        for s, name in numbered:
+            if s in kept or len(kept) < max(keep_newest, 1):
+                kept.add(s)
+                continue
             try:
-                os.unlink(os.path.join(d, f"{s:010d}"))
+                os.unlink(os.path.join(d, name))
             except FileNotFoundError:
                 pass
         for e in entries:
@@ -305,7 +325,11 @@ def _version_dirs(path: str) -> list[str]:
     if not os.path.isdir(path):
         return []
     return [
-        d for d in os.listdir(path) if d.startswith("v-") and d[2:].isdigit()
+        d
+        for d in os.listdir(path)
+        # isascii() guard: Unicode digits pass isdigit() but crash int()
+        # downstream (same class as the arbiter scans, advisor r7)
+        if d.startswith("v-") and d[2:].isascii() and d[2:].isdigit()
     ]
 
 
@@ -532,6 +556,39 @@ def commit(
                 "orphan_grace_s) — recompute and retry"
             )
         if _ARBITER.put_if_absent(path, head_seq + 1, version):
+            # post-win re-verify (advisor r7): between the pre-PUT isdir
+            # check and the PUT there is a µs window where a concurrent
+            # committer's orphan GC can collect this claim (only reachable
+            # if this writer stalled past orphan_grace_s). If it happened,
+            # the sequence we just committed names deleted data: self-heal
+            # by immediately committing a revert to the previous head,
+            # then surface the standard conflict so the caller recomputes.
+            if not os.path.isdir(os.path.join(path, version)):
+                healed = False
+                if head_ver is not None and os.path.isdir(
+                    os.path.join(path, head_ver)
+                ):
+                    s = head_seq + 2
+                    while not _ARBITER.put_if_absent(path, s, head_ver):
+                        cur_s, cur_v = _head(path)
+                        if cur_v != version:
+                            healed = True  # another commit moved the head
+                            break
+                        s = cur_s + 1
+                    else:
+                        healed = True
+                raise ConcurrentCommitError(
+                    f"snapshot {version!r} at {path} was collected as an "
+                    "orphan between its pre-PUT check and the winning CAS "
+                    "(writer stalled past orphan_grace_s); "
+                    + (
+                        f"head reverted to {head_ver!r}"
+                        if healed
+                        else "HEAD NAMES DELETED DATA — manual repair "
+                        "required (raise orphan_grace_s)"
+                    )
+                    + " — recompute and retry"
+                )
             break
         # lost the CAS — another writer committed sequence head_seq + 1
         # first. Under a version check that IS the conflict; the
@@ -609,16 +666,28 @@ def commit(
         f.write(version + "\n")
         f.flush()
         os.fsync(f.fileno())
-    # _CURRENT cache: DERIVE-then-write (never blindly our own version —
-    # a slower writer must not regress the cache past a newer commit);
-    # tmp name unique per writer including same-process threads
+    # _CURRENT cache: DERIVE-then-write, and SKIP the replace when the
+    # cache already names a newer version than we derived (advisor r7:
+    # derive-then-write alone is not regression-proof — a writer can
+    # derive, stall, and replace after a newer writer's replace). The
+    # skip narrows but does not close the window (two writers can both
+    # pass the check; the staler replace lands last) — acceptable because
+    # the cache is ADVISORY: arbiter-era readers derive the head from the
+    # committed listing and never read this file; only pre-arbiter
+    # tooling does, and it tolerates a briefly-stale pointer. tmp name
+    # unique per writer including same-process threads.
     _, derived = _head(path)
-    tmp = _pointer_path(path) + f".tmp.{os.getpid()}.{_time.monotonic_ns()}"
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(derived or version)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _pointer_path(path))  # atomic: readers see old or new
+    target = derived or version
+    cached = _legacy_pointer(path)
+    if not (cached is not None and cached > target):
+        tmp = (
+            _pointer_path(path) + f".tmp.{os.getpid()}.{_time.monotonic_ns()}"
+        )
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(target)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, _pointer_path(path))  # atomic: old or new
 
     # GC: keep the ``retain`` most recently COMMITTED snapshots (plus the
     # direct predecessor — a grace period for readers holding the old
@@ -647,7 +716,24 @@ def commit(
             except OSError:
                 continue
             if age > orphan_grace_s:
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+                # rename-aside BEFORE rmtree (advisor r7): os.rename is
+                # atomic while rmtree is not, so the stalled owner's
+                # pre-PUT isdir check can never observe a half-deleted
+                # tree and commit a head naming partial data — it sees
+                # the complete dir or nothing. The .gc name is invisible
+                # to _version_dirs; a crashed GC's leftover is swept by
+                # the loop below on any later commit.
+                aside = os.path.join(
+                    path, f".gc.{os.getpid()}.{_time.monotonic_ns()}.{d}"
+                )
+                try:
+                    os.rename(os.path.join(path, d), aside)
+                except OSError:
+                    continue  # a concurrent GC renamed it first
+                shutil.rmtree(aside, ignore_errors=True)
+    for e in os.listdir(path):  # finish any crashed GC's rename-aside
+        if e.startswith(".gc."):
+            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
     return version
 
 

@@ -2367,6 +2367,229 @@ def _bpe_words_and_encoder(docs, n_merges: int, text_col: str):
     return words, encode_word
 
 
+def _bpe_collect_merges(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> list[tuple[str, str]]:
+    """The corpus-trained merge table as a driver-side rank-ordered list
+    (≤ n_merges rows — the one bounded collect both encoders share)."""
+    return [
+        (r.left, r.right)
+        for r in bpe_train(docs, n_merges, text_col).orderBy("step").collect()
+    ]
+
+
+def _bpe_vocab_encode_kernel(
+    merges: list[tuple[str, str]], text_col: str, per_doc: bool
+):
+    """Arrow-batched ``mapInPandas`` kernel encoding each document under a
+    broadcast-able merge-rank table — the DEPLOYMENT form of BPE apply
+    (the standard greedy lowest-rank-first loop every production
+    tokenizer uses): per word, repeatedly merge all non-overlapping
+    left-to-right occurrences of the lowest-ranked adjacent pair present,
+    until no learned pair remains. Cost per word is O(len · merges
+    APPLIED), independent of vocabulary size — unlike the chained-regexp
+    form, whose expression tree grows with ``n_merges`` and cannot
+    compile at a realistic 32k-merge vocabulary (VERDICT r7 item 1).
+
+    EXACT parity with sequential in-order merge application (the
+    chained-regexp/_apply_merge semantics) holds for any RANK-CONSISTENT
+    table — one where each merge's operand symbols exist when it is
+    learned, which real BPE training (and ``bpe_train``) guarantees:
+    merging the lowest-ranked pair can only create pairs involving the
+    new symbol, and every such pair was learned LATER (higher rank), so
+    the loop applies merges in strictly increasing rank order, each
+    exhaustively — exactly the sequential schedule. Pinned by
+    tests/test_plans.py::test_bpe_encode_vocab_matches_regexp_form over
+    the trained table and adversarial corpora.
+
+    ``per_doc=True`` emits (doc_id, tokens_before, tokens_after) rows;
+    ``per_doc=False`` emits one PARTIAL contract row per Arrow batch
+    (n_docs, n_rt, n_mono, b, a) for the roundtrip eval's distributed
+    rollup. Nested per the cloudpickle-by-value contract (foreign-cwd
+    drivers)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    table = list(merges)
+
+    def kernel(batches):
+        import re as _re
+
+        # Java-\s parity: Spark's split uses Java regex, whose default \s
+        # is ASCII [ \t\n\x0B\f\r] — identical to Python's re.ASCII \s
+        ws = _re.compile(r"\s+", _re.ASCII)
+        memo: dict[str, list[str]] = {}
+
+        def encode(word):
+            got = memo.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                left, right = table[best]
+                out = []
+                i, n = 0, len(syms)
+                while i < n:
+                    if (
+                        i < n - 1
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            memo[word] = syms
+            return syms
+
+        import pandas as _pd
+
+        for pdf in batches:
+            before, after, rt = [], [], []
+            for t in pdf[text_col]:
+                if t is None or (isinstance(t, float) and t != t):
+                    # null text: the regexp form's null-propagating
+                    # aggregates yield (None, None); the eval coalesces
+                    # to (0, 0, rt ok) — mirror both
+                    before.append(None)
+                    after.append(None)
+                    rt.append(True)
+                    continue
+                # same sanitization contract as the regexp encoder:
+                # strip U+0002, lower, ASCII-whitespace split
+                wlist = [
+                    w
+                    for w in ws.split(t.lower().replace(_SYM_SEP, ""))
+                    if w
+                ]
+                b = a = 0
+                ok = True
+                for w in wlist:
+                    syms = encode(w)
+                    b += len(w)
+                    a += len(syms)
+                    if ok and "".join(syms) != w:
+                        ok = False
+                before.append(b)
+                after.append(a)
+                rt.append(ok)
+            if per_doc:
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "tokens_before": _pd.Series(
+                            before, dtype="Int32", index=pdf.index
+                        ),
+                        "tokens_after": _pd.Series(
+                            after, dtype="Int32", index=pdf.index
+                        ),
+                    }
+                )
+            else:
+                yield _pd.DataFrame(
+                    {
+                        "n_docs": [len(before)],
+                        "n_rt": [sum(rt)],
+                        "n_mono": [
+                            sum(
+                                1
+                                for b, a in zip(before, after)
+                                if (a or 0) <= (b or 0)
+                            )
+                        ],
+                        "b": [sum(b or 0 for b in before)],
+                        "a": [sum(a or 0 for a in after)],
+                    }
+                )
+
+    return kernel
+
+
+def bpe_encode_vocab(
+    docs: DataFrame,
+    n_merges: int = BPE_TRAIN_MERGES,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """(doc_id, tokens_before, tokens_after): tokenize each document under
+    a learned BPE merge table via the broadcast-vocabulary greedy
+    merge-rank encoder — the DEPLOYMENT form of :func:`bpe_encode`
+    (VERDICT r7 item 1). Same output contract as bpe_encode; unlike the
+    chained-regexp form it survives realistic 32k-merge vocabularies:
+    the merge table ships as a broadcast dict into an Arrow-batched
+    ``mapInPandas`` kernel instead of an ``n_merges``-deep Column tree,
+    so plan size and codegen are O(1) in vocabulary size and per-word
+    cost is O(len · merges applied). Corpus scanned once, map-only, no
+    shuffle (the per-doc counts are computed inside the row).
+
+    ``merges`` injects a pre-trained table (rank-ordered (left, right)
+    pairs — must be rank-consistent, see the kernel docstring); None
+    trains on the corpus via :func:`bpe_train`, matching bpe_encode."""
+    from pyspark.sql import types as T
+
+    if merges is None:
+        merges = _bpe_collect_merges(docs, n_merges, text_col)
+    kernel = _bpe_vocab_encode_kernel(merges, text_col, per_doc=True)
+    schema = T.StructType(
+        [
+            docs.schema["doc_id"],
+            T.StructField("tokens_before", T.IntegerType()),
+            T.StructField("tokens_after", T.IntegerType()),
+        ]
+    )
+    return docs.select("doc_id", text_col).mapInPandas(kernel, schema)
+
+
+def bpe_encode_vocab_roundtrip_eval(
+    docs: DataFrame,
+    n_merges: int = BPE_TRAIN_MERGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """The :func:`bpe_encode_roundtrip_eval` contract (n_docs,
+    n_roundtrip_ok, n_monotone_ok, total_tokens_before, corpus_reduced)
+    recomputed through the VOCABULARY encoder — the driver-visible,
+    oracle-hash-checked registration of :func:`bpe_encode_vocab`
+    (VERDICT r7 item 1: same oracle as the regexp form's eval, so the
+    two encoders are pinned to one contract). The kernel emits one
+    partial row per Arrow batch; the rollup is a single distributed
+    agg — map-only until a ≤#batches-row reduce."""
+    kernel = _bpe_vocab_encode_kernel(
+        _bpe_collect_merges(docs, n_merges, text_col), text_col, per_doc=False
+    )
+    part = docs.select("doc_id", text_col).mapInPandas(
+        kernel, "n_docs long, n_rt long, n_mono long, b long, a long"
+    )
+    return part.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_rt").alias("n_roundtrip_ok"),
+        F.sum("n_mono").alias("n_monotone_ok"),
+        F.sum("b").alias("total_tokens_before"),
+        F.when(F.sum("a") < F.sum("b"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("corpus_reduced"),
+    ).select(
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.col("n_roundtrip_ok"), F.lit(0))
+        .cast("bigint")
+        .alias("n_roundtrip_ok"),
+        F.coalesce(F.col("n_monotone_ok"), F.lit(0))
+        .cast("bigint")
+        .alias("n_monotone_ok"),
+        F.coalesce(F.col("total_tokens_before"), F.lit(0))
+        .cast("bigint")
+        .alias("total_tokens_before"),
+        "corpus_reduced",
+    )
+
+
 def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_chars, distinct_chars, entropy): Shannon entropy of the
     per-document character distribution (nats, 4 dp) — the cheap
@@ -2461,8 +2684,23 @@ def bpe_train_contract_eval(
     the remaining ``n_merges − 1`` recursive steps stay pinned exactly by
     tests/test_plans.py::test_bpe_train_matches_reference.
     ``n_merges_learned`` asserts the loop ran to completion (the corpus
-    has far more than ``n_merges`` repeating pairs)."""
+    has far more than ``n_merges`` repeating pairs).
+
+    PRECONDITION (asserted, advisor r7): the corpus must sustain all
+    ``n_merges`` merges — ``bpe_train`` breaks early when no adjacent
+    pair remains, while the oracle hardcodes ``n_merges_learned =
+    n_merges``, so a degenerate corpus would otherwise fail the driver
+    compare with no hint at the cause."""
     merges = bpe_train(docs, n_merges, text_col)
+    n_learned = merges.count()
+    if n_learned < n_merges:
+        raise ValueError(
+            "bpe_train_contract_eval precondition violated: corpus "
+            f"sustained only {n_learned}/{n_merges} merges (bpe_train "
+            "ran dry), but the DuckDB oracle hardcodes n_merges_learned="
+            f"{n_merges} — the compare would fail spuriously. Use a "
+            "corpus with more repeating adjacent pairs or lower n_merges."
+        )
     return merges.agg(
         F.min_by(F.struct("left", "right", "pair_ct"), "step").alias("s1"),
         F.count("*").alias("n_merges_learned"),
@@ -2479,7 +2717,7 @@ def bpe_train_contract_eval_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
     # counts characters, and a multi-byte word would otherwise emit a
     # bogus trailing pair (code-review r7). chr(2) strip mirrors the
     # trainer's U+0002 sanitization contract.
-    return f"""
+    return rf"""
 WITH w0 AS (
   SELECT unnest(list_filter(
            regexp_split_to_array(replace(lower(text), chr(2), ''), '\s+'),
@@ -2558,7 +2796,7 @@ def bpe_encode_roundtrip_eval(
     )
 
 
-BPE_ENCODE_ROUNDTRIP_ORACLE = """
+BPE_ENCODE_ROUNDTRIP_ORACLE = r"""
 WITH w0 AS (
   SELECT doc_id, unnest(list_filter(
            regexp_split_to_array(replace(lower(text), chr(2), ''), '\s+'),

@@ -3690,6 +3690,21 @@ def text_bpe_encode_roundtrip_eval(
 
 
 @query(
+    "text_bpe_encode_vocab",
+    oracle=textops.BPE_ENCODE_ROUNDTRIP_ORACLE,
+)
+def text_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPLOYMENT-form BPE encoder (VERDICT r7 item 1): the corpus-trained
+    merge table ships as a broadcast rank dict into an Arrow-batched
+    greedy merge-rank kernel — O(1) plan size in vocabulary, so it
+    survives the realistic 32k-merge vocabularies where the chained-
+    regexp form cannot compile — verified against the SAME lossless/
+    monotone contract oracle as the regexp form, pinning both encoders
+    to one contract (operators/textops.py::bpe_encode_vocab)."""
+    return textops.bpe_encode_vocab_roundtrip_eval(_docs(spark, sf_dir))
+
+
+@query(
     "text_compression_roundtrip_eval",
     oracle=textops.COMPRESSION_ROUNDTRIP_ORACLE,
 )

@@ -1390,3 +1390,144 @@ def test_commit_refuses_to_publish_a_collected_snapshot(spark, tmp_path):
     # fresh commit proceeds normally past the debris
     ts.commit(spark.createDataFrame([("2", 2)], "pk string, ver int"), path)
     assert [r.pk for r in ts.read_state(spark, path).collect()] == ["2"]
+
+
+def test_arbiter_scans_ignore_unicode_digit_names(tmp_path):
+    """ADVICE r7: str.isdigit() is True for non-decimal Unicode digits
+    ('²') where int() raises — a foreign-named file in _commits/ (or a
+    'v-²' dir in the table) must be IGNORED by every listdir scan, not
+    crash the hot-path head() the code was hardened to tolerate."""
+    import os
+
+    arb = table_store.LocalCASArbiter()
+    path = str(tmp_path)
+    assert arb.put_if_absent(path, 1, "v-a")
+    with open(
+        os.path.join(path, "_commits", "²"), "w", encoding="utf-8"
+    ) as f:
+        f.write("v-bogus")
+    assert arb.head(path) == (1, "v-a")
+    assert arb.committed(path) == {1: "v-a"}
+    arb.prune(path, keep_newest=8)  # must not raise
+    os.makedirs(os.path.join(path, "v-²"))
+    assert table_store._version_dirs(path) == []
+
+
+def test_prune_unlinks_foreign_nonpadded_sequence(tmp_path):
+    """ADVICE r7: prune() used to unlink by the re-formatted zero-padded
+    name, so a foreign non-padded sequence file ('7' — which head()
+    deliberately serves) was never pruned and accumulated forever. It
+    must be dropped by its LISTED name once outside the retention
+    window, while a duplicate spelling of a KEPT sequence survives."""
+    import os
+
+    arb = table_store.LocalCASArbiter()
+    path = str(tmp_path)
+    for s in range(1, 11):
+        assert arb.put_if_absent(path, s, f"v-{s:010d}")
+    d = os.path.join(path, "_commits")
+    with open(os.path.join(d, "7"), "w", encoding="utf-8") as f:
+        f.write("v-foreign-dup-of-7")  # duplicate spelling of seq 7
+    with open(os.path.join(d, "2"), "w", encoding="utf-8") as f:
+        f.write("v-foreign-dup-of-2")
+    arb.prune(path, keep_newest=2)
+    kept = sorted(os.listdir(d))
+    assert kept == ["0000000009", "0000000010"], kept
+    # and a duplicate spelling of a kept sequence is kept with it
+    with open(os.path.join(d, "10"), "w", encoding="utf-8") as f:
+        f.write("v-foreign-dup-of-10")
+    arb.prune(path, keep_newest=2)
+    assert sorted(os.listdir(d)) == ["0000000009", "0000000010", "10"]
+
+
+def test_gc_rename_aside_sweeps_crashed_leftovers(spark, tmp_path):
+    """ADVICE r7 (TOCTOU hardening): orphan GC renames a claim dir aside
+    atomically before rmtree, so no pre-PUT isdir check can observe a
+    half-deleted tree. A crashed GC's leftover .gc.* dir must be swept
+    by the next commit, and an aged orphan claim must still be
+    collected end-to-end."""
+    import os
+    import time
+
+    ts = table_store
+    path = str(tmp_path / "t")
+    ts.commit(spark.createDataFrame([("0", 0)], "pk string, ver int"), path)
+    # crashed GC residue: rename happened, rmtree never finished
+    leftover = os.path.join(path, ".gc.1.2.v-0000000042")
+    os.makedirs(os.path.join(leftover, "sub"))
+    # an aged orphan claim (crashed writer)
+    orphan = os.path.join(path, "v-0000000099")
+    os.makedirs(orphan)
+    past = time.time() - 7200
+    os.utime(orphan, (past, past))
+    ts.commit(spark.createDataFrame([("1", 1)], "pk string, ver int"), path)
+    assert not os.path.exists(leftover)
+    assert not os.path.exists(orphan)
+    assert not [e for e in os.listdir(path) if e.startswith(".gc.")]
+    assert [r.pk for r in ts.read_state(spark, path).collect()] == ["1"]
+
+
+def test_current_cache_replace_skipped_when_cache_is_newer(spark, tmp_path):
+    """ADVICE r7: the _CURRENT cache's derive-then-write now SKIPS the
+    replace when the cache already names a version newer than the
+    derived head — a stale writer can no longer move the advisory
+    pointer backward. (Arbiter-era readers never read the cache; this
+    protects only pre-arbiter tooling.)"""
+    import os
+
+    ts = table_store
+    path = str(tmp_path / "t")
+    ts.commit(spark.createDataFrame([("0", 0)], "pk string, ver int"), path)
+    # a newer writer's cache value lands first
+    with open(ts._pointer_path(path), "w", encoding="utf-8") as f:
+        f.write("v-9999999990")
+    ts.commit(spark.createDataFrame([("1", 1)], "pk string, ver int"), path)
+    with open(ts._pointer_path(path), encoding="utf-8") as f:
+        assert f.read().strip() == "v-9999999990"  # not regressed
+    # the real head is still DERIVED, so readers are unaffected
+    assert [r.pk for r in ts.read_state(spark, path).collect()] == ["1"]
+
+
+def test_commit_post_cas_ghost_heals_by_revert(spark, tmp_path):
+    """ADVICE r7: if orphan GC collects a claim in the µs window BETWEEN
+    the pre-PUT isdir check and the winning CAS, the committed head
+    names deleted data. commit() now re-verifies after winning and
+    self-heals by committing a revert to the previous head, surfacing
+    a loud ConcurrentCommitError — readers land back on consistent
+    data instead of FileNotFoundError."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    ts = table_store
+    path = str(tmp_path / "t")
+    v1 = ts.commit(
+        spark.createDataFrame([("0", 0)], "pk string, ver int"), path
+    )
+    real_put = ts._ARBITER.put_if_absent
+    fired = {"done": False}
+
+    def gc_wins_after_check(p, seq, version, _real=real_put):
+        # simulate GC collecting the claim AFTER commit()'s pre-PUT
+        # isdir check but BEFORE the PUT lands — the advisor's window
+        if not fired["done"] and p == path and version != v1:
+            fired["done"] = True
+            shutil.rmtree(os.path.join(p, version), ignore_errors=True)
+        return _real(p, seq, version)
+
+    try:
+        ts._ARBITER.put_if_absent = gc_wins_after_check
+        with _pytest.raises(ts.ConcurrentCommitError, match="reverted"):
+            ts.commit(
+                spark.createDataFrame([("1", 1)], "pk string, ver int"),
+                path,
+            )
+    finally:
+        ts._ARBITER.put_if_absent = real_put
+    # the head was healed back to v1 and reads stay consistent
+    assert ts.current_version(path) == v1
+    assert [r.pk for r in ts.read_state(spark, path).collect()] == ["0"]
+    # and the table accepts fresh commits afterwards
+    ts.commit(spark.createDataFrame([("2", 2)], "pk string, ver int"), path)
+    assert [r.pk for r in ts.read_state(spark, path).collect()] == ["2"]
