@@ -1,0 +1,254 @@
+"""Commit-arbiter CONTRACT suite, parametrized over both backends
+(VERDICT r7 item 3): every scenario runs against the POSIX
+``LocalCASArbiter`` AND the object-store ``ObjectStoreCASArbiter``
+(over the in-process ``InMemoryObjectStore`` honoring S3
+``If-None-Match: *`` precondition-failed semantics), proving the
+backends interchangeable behind ``set_arbiter`` — INTEGRATIONS.md §4's
+"byte-level protocol compat" paragraph as a tested claim."""
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from realtime_datawarehouse_spark.operators import object_store, table_store
+
+
+@pytest.fixture(params=["local", "object"])
+def backend(request):
+    """(name, arbiter, plant_foreign) — plant_foreign(path, name, body)
+    writes a foreign-named commit entry the way an external tool would
+    (direct file / direct bucket write)."""
+    if request.param == "local":
+        arb = table_store.LocalCASArbiter()
+
+        def plant(path, name, body):
+            import os
+
+            os.makedirs(arb._dir(path), exist_ok=True)
+            with open(
+                os.path.join(arb._dir(path), name), "w", encoding="utf-8"
+            ) as f:
+                f.write(body)
+
+        return request.param, arb, plant
+    store = object_store.InMemoryObjectStore()
+    arb = object_store.ObjectStoreCASArbiter(store)
+    return (
+        request.param,
+        arb,
+        lambda path, name, body: store.force_put(
+            arb._dir(path) + name, body.encode()
+        ),
+    )
+
+
+@pytest.fixture()
+def swapped(backend):
+    """Route table_store.commit() through the parametrized backend."""
+    _name, arb, _plant = backend
+    prev = table_store._ARBITER
+    table_store.set_arbiter(arb)
+    try:
+        yield arb
+    finally:
+        table_store.set_arbiter(prev)
+
+
+def test_cas_single_winner_per_sequence(backend, tmp_path):
+    """Of 8 threads racing one sequence, exactly one conditional PUT
+    succeeds, the committed content is the winner's, every loser sees
+    False — on BOTH backends."""
+    _name, arb, _plant = backend
+    path = str(tmp_path)
+    for seq in range(1, 4):
+        wins: list[int] = []
+        barrier = threading.Barrier(8)
+
+        def racer(i, seq=seq):
+            barrier.wait()
+            if arb.put_if_absent(path, seq, f"v-{i:010d}"):
+                wins.append(i)
+
+        threads = [
+            threading.Thread(target=racer, args=(i,)) for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(wins) == 1, wins
+        assert arb.committed(path)[seq] == f"v-{wins[0]:010d}"
+    assert sorted(arb.committed(path)) == [1, 2, 3]
+    assert arb.head(path)[0] == 3
+
+
+def test_head_tolerates_foreign_names(backend, tmp_path):
+    """A foreign non-padded decimal entry is SERVED (it is a commit,
+    whoever spelled it); a non-decimal or unicode-digit name is ignored;
+    prune drops foreign spellings by their listed name once outside the
+    retention window — the ADVICE r7 semantics, identical on both
+    backends."""
+    _name, arb, plant = backend
+    path = str(tmp_path)
+    assert arb.put_if_absent(path, 1, "v-a")
+    plant(path, "7", "v-foreign")
+    plant(path, "²", "v-bogus")
+    plant(path, "not-a-seq", "v-bogus")
+    assert arb.head(path) == (7, "v-foreign")
+    assert arb.committed(path) == {1: "v-a", 7: "v-foreign"}
+    for s in range(8, 12):
+        assert arb.put_if_absent(path, s, f"v-{s:010d}")
+    arb.prune(path, keep_newest=2)
+    assert sorted(arb.committed(path)) == [10, 11]
+
+
+def test_prune_keeps_duplicate_spellings_of_kept_sequences(
+    backend, tmp_path
+):
+    _name, arb, plant = backend
+    path = str(tmp_path)
+    for s in range(1, 6):
+        assert arb.put_if_absent(path, s, f"v-{s:010d}")
+    plant(path, "5", "v-dup-of-5")
+    arb.prune(path, keep_newest=2)
+    committed = arb.committed(path)
+    assert sorted(committed) == [4, 5]
+
+
+def test_put_if_absent_loses_to_prior_put(backend, tmp_path):
+    """The precondition-failed path: a taken sequence returns False and
+    never overwrites — the 412 contract itself."""
+    _name, arb, _plant = backend
+    path = str(tmp_path)
+    assert arb.put_if_absent(path, 1, "v-first") is True
+    assert arb.put_if_absent(path, 1, "v-second") is False
+    assert arb.committed(path)[1] == "v-first"
+
+
+def test_commit_stall_steal_interleave(spark, swapped, tmp_path):  # noqa: F811
+    """The r6 'Done' interleave on BOTH backends: writer A stalls
+    mid-commit for an unbounded time while B and C commit; A's resumed
+    CAS must fail with ConcurrentCommitError, the log stays dense and
+    single-valued, the head is C's."""
+    ts = table_store
+    arb = swapped
+    path = str(tmp_path / "t")
+    base = ts.commit(
+        spark.createDataFrame([("0", 0)], "pk string, ver int"), path,
+        retain=8,
+    )
+
+    stalled = threading.Event()
+    release = threading.Event()
+    result: dict = {}
+
+    def slow_writer(df, vdir):
+        df.write.mode("append").parquet(vdir)
+        stalled.set()
+        assert release.wait(60)
+
+    def writer_a():
+        try:
+            ts.commit(
+                spark.createDataFrame([("A", 1)], "pk string, ver int"),
+                path, expected_version=base, retain=8, _writer=slow_writer,
+            )
+            result["a"] = "committed"
+        except ts.ConcurrentCommitError:
+            result["a"] = "conflict"
+
+    ta = threading.Thread(target=writer_a)
+    ta.start()
+    assert stalled.wait(60)
+    vb = ts.commit(
+        spark.createDataFrame([("B", 2)], "pk string, ver int"),
+        path, expected_version=base, retain=8,
+    )
+    vc = ts.commit(
+        spark.createDataFrame([("C", 3)], "pk string, ver int"),
+        path, expected_version=vb, retain=8,
+    )
+    release.set()
+    ta.join(60)
+    assert result["a"] == "conflict"
+    committed = arb.committed(path)
+    assert sorted(committed) == [1, 2, 3]
+    assert committed[2] == vb and committed[3] == vc
+    assert ts.current_version(path) == vc
+    assert ts.read_state(spark, path).orderBy("pk").collect()[-1].pk == "C"
+
+
+def test_commit_ghost_heals_by_revert(spark, swapped, tmp_path):  # noqa: F811
+    """The post-CAS ghost window (ADVICE r7) heals identically on both
+    backends: GC collects the claim between check and PUT → commit()
+    re-verifies after winning, reverts the head, raises loudly."""
+    import os
+    import shutil
+
+    ts = table_store
+    arb = swapped
+    path = str(tmp_path / "t")
+    v1 = ts.commit(
+        spark.createDataFrame([("0", 0)], "pk string, ver int"), path
+    )
+    real_put = arb.put_if_absent
+    fired = {"done": False}
+
+    def gc_wins_after_check(p, seq, version, _real=real_put):
+        if not fired["done"] and p == path and version != v1:
+            fired["done"] = True
+            shutil.rmtree(os.path.join(p, version), ignore_errors=True)
+        return _real(p, seq, version)
+
+    arb.put_if_absent = gc_wins_after_check
+    try:
+        with pytest.raises(ts.ConcurrentCommitError, match="reverted"):
+            ts.commit(
+                spark.createDataFrame([("1", 1)], "pk string, ver int"),
+                path,
+            )
+    finally:
+        arb.put_if_absent = real_put
+    assert ts.current_version(path) == v1
+    assert [r.pk for r in ts.read_state(spark, path).collect()] == ["0"]
+    ts.commit(spark.createDataFrame([("2", 2)], "pk string, ver int"), path)
+    assert [r.pk for r in ts.read_state(spark, path).collect()] == ["2"]
+
+
+def test_concurrent_overlap_log_dense_and_lossless(
+    spark, swapped, tmp_path  # noqa: F811
+):
+    """4 writers × 3 unconditional commits each, fully overlapped: the
+    log must be DENSE (sequences 1..12, no gaps, no doubles) and
+    LOSSLESS (every version committed exactly once) on both backends."""
+    ts = table_store
+    arb = swapped
+    path = str(tmp_path / "t")
+    errs: list[Exception] = []
+    barrier = threading.Barrier(4)
+
+    def writer(i):
+        try:
+            barrier.wait()
+            for k in range(3):
+                ts.commit(
+                    spark.createDataFrame(
+                        [(f"{i}-{k}", i)], "pk string, ver int"
+                    ),
+                    path,
+                    retain=16,
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    committed = arb.committed(path)
+    assert sorted(committed) == list(range(1, 13))
+    assert len(set(committed.values())) == 12
+    assert ts.current_version(path) == committed[12]
