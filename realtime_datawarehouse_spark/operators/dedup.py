@@ -578,6 +578,49 @@ FROM best
     )
 
 
+def incremental_candidate_pairs(
+    batch_sig: DataFrame, corpus_sig: DataFrame | None = None
+) -> DataFrame:
+    """Distinct (doc_a, doc_b), doc_a < doc_b: every banded-MinHash
+    candidate pair the arrival of this batch ADDS to the corpus pair
+    set — batch-vs-corpus band collisions plus batch-internal ones
+    (``corpus_sig`` None = first batch, internal pairs only).
+
+    INVARIANT (the incremental split maintenance rides on it): pair
+    membership depends only on the two endpoints' signatures, which
+    never change once written — so the union of these increments across
+    an ingest history equals :func:`lsh_candidate_pairs` over the
+    accumulated corpus EXACTLY. A foreachBatch replay regenerates the
+    same pairs (idempotent); the self-pair guard keeps a re-ingested
+    doc_id from pairing with its own corpus signature.
+
+    Scale shape: identical to :func:`incremental_flags_vs_signatures` —
+    the batch side of the band join is broadcast, the corpus bands
+    stream map-side, cost O(|batch| + band-collision fanout), never
+    corpus×corpus."""
+    internal = _band_pairs(batch_sig)
+    if corpus_sig is None:
+        return internal
+    nb = _sig_bands(batch_sig).alias("nb")
+    cb = _sig_bands(corpus_sig).alias("cb")
+    cross = (
+        cb.join(
+            F.broadcast(nb),
+            (F.col("cb.band_idx") == F.col("nb.band_idx"))
+            & (F.col("cb.band_key") == F.col("nb.band_key"))
+            & (F.col("cb.doc_id") != F.col("nb.doc_id")),
+        )
+        .select(
+            F.least(F.col("cb.doc_id"), F.col("nb.doc_id")).alias("doc_a"),
+            F.greatest(F.col("cb.doc_id"), F.col("nb.doc_id")).alias(
+                "doc_b"
+            ),
+        )
+        .distinct()
+    )
+    return cross.unionByName(internal).distinct()
+
+
 def cdc_minhash_pairs(docs: DataFrame) -> DataFrame:
     """Document-level MinHash over CONTENT-DEFINED chunks: the chunk hashes
     (operators/textops.cdc_chunks) replace word shingles as the set whose

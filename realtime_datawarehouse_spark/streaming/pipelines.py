@@ -249,6 +249,7 @@ def streaming_incremental_dedup(
     flags_path: str,
     buckets: int | None = None,
     expected_rows: int | None = None,
+    comp_path: str | None = None,
 ):
     """The production ingest-dedup LOOP: every micro-batch of documents is
     flagged against the STANDING corpus signature table, the flags are
@@ -276,6 +277,20 @@ def streaming_incremental_dedup(
     is the hot dim this loop maintains, and per-merge cost must stay
     O(batch), not O(corpus).
 
+    ``comp_path`` (VERDICT r7 item 6, the split twin): when set, each
+    micro-batch ALSO maintains the near-dup component → split assignment
+    table at that path — (doc_id, component_id, split, ver), where
+    component_id is the min doc_id of the doc's banded-LSH connected
+    component over the ACCUMULATED corpus and split =
+    ``textops.split_expr(component_id)``. This is the streaming twin of
+    ``mix_cluster_aware_split_neardup``: a component that merges two
+    prior components (and therefore possibly two prior SPLITS) resolves
+    deterministically to the min-member's hash — exactly the label the
+    batch CC would assign, so the table is parity-checkable against the
+    batch query at every step
+    (tests/test_streaming_pipelines.py::
+    test_streaming_split_assignments_track_batch_cc).
+
     Returns a writeStream builder: caller sets checkpoint/trigger and
     ``.start()``.
     """
@@ -287,9 +302,10 @@ def streaming_incremental_dedup(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         corpus_sig = table_store.read_state(spark, sig_path)
+        corpus_sig = corpus_sig.drop("ver") if corpus_sig is not None else None
         if corpus_sig is not None:
             flags = dedup.incremental_flags_vs_signatures(
-                batch_df, corpus_sig.drop("ver")
+                batch_df, corpus_sig
             )
             table_store.merge_upsert(
                 spark,
@@ -300,12 +316,14 @@ def streaming_incremental_dedup(
                 pk="doc_id",
                 version_col="ver",
             )
-        batch_sig = dedup.minhash_signatures(batch_df).withColumn(
-            "ver", F.lit(batch_id)
-        )
+        batch_sig = dedup.minhash_signatures(batch_df)
+        if comp_path is not None:
+            _maintain_split_components(
+                spark, batch_sig, corpus_sig, comp_path, batch_id
+            )
         table_store.merge_upsert(
             spark,
-            batch_sig,
+            batch_sig.withColumn("ver", F.lit(batch_id)),
             sig_path,
             pk="doc_id",
             version_col="ver",
@@ -313,6 +331,127 @@ def streaming_incremental_dedup(
         )
 
     return doc_stream.writeStream.foreachBatch(process_batch)
+
+
+def _maintain_split_components(
+    spark, batch_sig: DataFrame, corpus_sig, comp_path: str, batch_id: int
+) -> None:
+    """One micro-batch of incremental component → split maintenance.
+
+    The component table invariant: after batch N, (doc_id →
+    component_id) equals ``dedup.connected_components`` over
+    ``dedup.lsh_candidate_pairs`` of the ENTIRE corpus ingested through
+    batch N, with component_id = min member doc_id (and split =
+    ``split_expr(component_id)``). It holds because
+    ``incremental_candidate_pairs`` adds exactly the pairs this batch's
+    arrival adds (endpoint signatures never change), and min-root
+    union-find over the CONTRACTED graph — pair endpoints replaced by
+    their current component ids, which are themselves min member ids —
+    reproduces the global min label. A merge of two prior components
+    (possibly straddling two splits) therefore resolves to the min
+    member's hash: deterministic, replay-idempotent, and identical to
+    what the batch query would assign.
+
+    Driver state is BOUNDED BY THE BATCH, never the corpus: the
+    collected contracted edge list and batch-id list are O(|batch| +
+    band-collision fanout) — the same bounded-collect class as
+    bpe_train's per-round (pair, count) row. The only corpus-sized work
+    is one map-only broadcast-join scan of the component table to
+    relabel members of merged components (merge_upsert then rewrites
+    only touched rows)."""
+    from realtime_datawarehouse_spark.operators import dedup, textops
+
+    pairs = dedup.incremental_candidate_pairs(batch_sig, corpus_sig)
+    comp = table_store.read_state(spark, comp_path)
+    comp = comp.select("doc_id", "component_id") if comp is not None else None
+
+    batch_ids = [r.doc_id for r in batch_sig.select("doc_id").collect()]
+    if not batch_ids:
+        return
+    pair_rows = pairs.collect()
+    need = set(batch_ids)
+    for r in pair_rows:
+        need.add(r.doc_a)
+        need.add(r.doc_b)
+    cur: dict = {}
+    if comp is not None and need:
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in need], "doc_id long"
+        )
+        cur = {
+            r.doc_id: r.component_id
+            for r in comp.join(F.broadcast(ids_df), "doc_id").collect()
+        }
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in pair_rows:
+        u = find(cur.get(r.doc_a, r.doc_a))
+        v = find(cur.get(r.doc_b, r.doc_b))
+        if u != v:
+            lo, hi = (u, v) if u < v else (v, u)
+            parent[hi] = lo  # min-root: component_id = min member id
+
+    assign = {d: find(cur.get(d, d)) for d in batch_ids}
+    changed = {}
+    for c in set(cur.values()):
+        root = find(c)
+        if root != c:
+            changed[c] = root
+
+    updates = spark.createDataFrame(
+        [(int(d), int(c)) for d, c in assign.items()],
+        "doc_id long, component_id long",
+    )
+    if changed:
+        ch_df = spark.createDataFrame(
+            [(int(c), int(n)) for c, n in changed.items()],
+            "component_id long, new_component long",
+        )
+        batch_df_ids = spark.createDataFrame(
+            [(int(i),) for i in batch_ids], "doc_id long"
+        )
+        relabel = (
+            comp.join(F.broadcast(ch_df), "component_id")
+            .select("doc_id", F.col("new_component").alias("component_id"))
+            # batch docs already carry their (identical) new label via
+            # `assign`; excluding them keeps one row per pk in the merge
+            .join(F.broadcast(batch_df_ids), "doc_id", "left_anti")
+        )
+        updates = updates.unionByName(relabel)
+    table_store.merge_upsert(
+        spark,
+        updates.withColumn(
+            "split", textops.split_expr(F.col("component_id"))
+        ).withColumn("ver", F.lit(batch_id)),
+        comp_path,
+        pk="doc_id",
+        version_col="ver",
+    )
+
+
+def incremental_split_report(spark, comp_path: str) -> DataFrame:
+    """(split, n_docs, n_clusters, n_rescued) from the streaming-
+    maintained component table — the same rollup contract as
+    ``mix_cluster_aware_split_neardup``, so the deployed read side is
+    one map-only scan of the assignment table instead of a corpus-wide
+    LSH + connected-components pass."""
+    from realtime_datawarehouse_spark.operators import textops
+
+    comp = table_store.read_state(spark, comp_path)
+    return textops.split_rollup(
+        comp.select(
+            F.col("component_id").alias("cluster_key"),
+            F.col("split"),
+            textops.split_expr(F.col("doc_id")).alias("doc_split"),
+        )
+    )
 
 
 def streaming_corpus_ingest(

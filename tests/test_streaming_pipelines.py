@@ -1004,3 +1004,206 @@ def test_incremental_ingest_loop_n_steps_cumulative_parity_flat_cost(
     # not scale like a recompute (generous vs scheduler jitter; the
     # probe's measured decade ratio is 0.94)
     assert max(walls[2:]) <= 3.0 * max(walls[1], 0.2)
+
+
+# --- round-8: streaming split twin (VERDICT r7 item 6) ---------------------
+#
+# Planted near-dup bridge (deterministic under the frozen hash64 banding;
+# verified at authoring time): base = w00..w39; doc B replaces positions
+# {1,2,8,13,16,23,25,34} with xNN, doc C replaces only {8,16,25,34}.
+# lsh_candidate_pairs over {A,B,C} is EXACTLY {(A,C),(B,C)} — A and B do
+# not collide directly, so a corpus ingesting A (batch 1), B (batch 2),
+# C (batch 3) merges two pre-existing components only when C arrives.
+_SPLIT_BASE = [f"w{i:02d}" for i in range(40)]
+_B_POS = (1, 2, 8, 13, 16, 23, 25, 34)
+_C_POS = (8, 16, 25, 34)
+
+
+def _planted_split_docs():
+    a = " ".join(_SPLIT_BASE)
+    b_words = list(_SPLIT_BASE)
+    for p in _B_POS:
+        b_words[p] = f"x{p:02d}"
+    c_words = list(_SPLIT_BASE)
+    for p in _C_POS:
+        c_words[p] = f"x{p:02d}"
+    b = " ".join(b_words)
+    c = " ".join(c_words)
+    # exact-dup companions make both pre-merge components multi-member
+    return {
+        0: [(9001, a), (9002, a)],
+        1: [(9003, b), (9004, b)],
+        2: [(9005, c)],
+    }
+
+
+def _batch_cc_assignments(spark, docs):
+    """Ground truth: min-label connected components over the banded-LSH
+    pairs of the accumulated corpus — what mix_cluster_aware_split_neardup
+    computes before its rollup."""
+    from realtime_datawarehouse_spark.operators import dedup
+
+    cc = dedup.connected_components(docs, dedup.lsh_candidate_pairs(docs))
+    return {r.doc_id: r.component_id for r in cc.collect()}
+
+
+def test_streaming_split_assignments_track_batch_cc(spark, tmp_path):
+    """VERDICT r7 item 6 end-to-end: the ingest loop with ``comp_path``
+    set maintains a doc → (component, split) table that matches the
+    BATCH near-dup CC over the accumulated corpus after the run —
+    including a component that merges two prior multi-member components
+    (and their splits) when a bridge document arrives in batch 3, which
+    must resolve deterministically to the min member's hash."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import table_store, textops
+    from realtime_datawarehouse_spark.streaming import pipelines
+    from realtime_datawarehouse_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    fixture = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    planted = _planted_split_docs()
+    in_dir = str(tmp_path / "in")
+    for i in range(3):
+        batch = fixture.where(f"doc_id % 3 = {i}").unionByName(
+            spark.createDataFrame(planted[i], "doc_id long, text string")
+        )
+        batch.coalesce(1).write.mode("append").parquet(in_dir)
+        time.sleep(1.1)  # file source orders micro-batches by mod time
+
+    sig_path = str(tmp_path / "sigs")
+    flags_path = str(tmp_path / "flags")
+    comp_path = str(tmp_path / "comps")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        pipelines.streaming_incremental_dedup(
+            stream, sig_path, flags_path, comp_path=comp_path
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    all_docs = fixture.unionByName(
+        spark.createDataFrame(
+            [d for b in planted.values() for d in b],
+            "doc_id long, text string",
+        )
+    )
+    want = _batch_cc_assignments(spark, all_docs)
+    comp = table_store.read_state(spark, comp_path)
+    got = {r.doc_id: r.component_id for r in comp.collect()}
+    assert got == want
+    # the planted bridge merged both planted components into min id 9001
+    assert got[9005] == got[9003] == got[9001] == 9001
+    # the stored split is the component representative's hash
+    bad = comp.where(
+        F.col("split") != textops.split_expr(F.col("component_id"))
+    ).count()
+    assert bad == 0
+    # read-side rollup == the batch query's rollup on the same corpus
+    want_roll = {
+        r.split: (r.n_docs, r.n_clusters, r.n_rescued)
+        for r in textops.split_rollup(
+            dedup_cc_per(spark, all_docs)
+        ).collect()
+    }
+    got_roll = {
+        r.split: (r.n_docs, r.n_clusters, r.n_rescued)
+        for r in pipelines.incremental_split_report(
+            spark, comp_path
+        ).collect()
+    }
+    assert got_roll == want_roll
+
+
+def dedup_cc_per(spark, docs):
+    """(cluster_key, split, doc_split) for the batch near-dup CC — the
+    input contract of textops.split_rollup, mirroring
+    mix_cluster_aware_split_neardup's body."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import dedup, textops
+
+    cc = dedup.connected_components(docs, dedup.lsh_candidate_pairs(docs))
+    return cc.select(
+        F.col("component_id").alias("cluster_key"),
+        textops.split_expr(F.col("component_id")).alias("split"),
+        textops.split_expr(F.col("doc_id")).alias("doc_split"),
+    )
+
+
+def test_incremental_split_maintenance_stepwise_parity(spark, tmp_path):
+    """The cumulative invariant, pinned after EVERY step (not just the
+    end state): doc → component equals the batch CC over everything
+    ingested so far, at each of 4 ingests — plus replay idempotency
+    (re-running a step's maintenance with the same batch_id leaves the
+    table byte-identical)."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import dedup, table_store
+    from realtime_datawarehouse_spark.streaming import pipelines
+    from realtime_datawarehouse_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    fixture = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    planted = _planted_split_docs()
+    sig_path = str(tmp_path / "sigs")
+    comp_path = str(tmp_path / "comps")
+    seen = None
+    merged_late = False
+    for i in range(4):
+        batch = fixture.where(f"doc_id % 4 = {i}")
+        if i in planted:
+            batch = batch.unionByName(
+                spark.createDataFrame(
+                    planted[i], "doc_id long, text string"
+                )
+            )
+        corpus_sig = table_store.read_state(spark, sig_path)
+        corpus_sig = (
+            corpus_sig.drop("ver") if corpus_sig is not None else None
+        )
+        batch_sig = dedup.minhash_signatures(batch)
+        pipelines._maintain_split_components(
+            spark, batch_sig, corpus_sig, comp_path, batch_id=i
+        )
+        table_store.merge_upsert(
+            spark,
+            batch_sig.withColumn("ver", F.lit(i)),
+            sig_path,
+            pk="doc_id",
+            version_col="ver",
+        )
+        seen = batch if seen is None else seen.unionByName(batch)
+        want = _batch_cc_assignments(spark, seen)
+        got = {
+            r.doc_id: r.component_id
+            for r in table_store.read_state(spark, comp_path).collect()
+        }
+        assert got == want, f"step {i}"
+        if i == 2:
+            # the bridge arrived: both planted components (already
+            # multi-member and in the table since steps 0/1) merged now
+            assert got[9005] == got[9003] == got[9001] == 9001
+            merged_late = True
+            # replay the SAME batch (foreachBatch crash-replay): the
+            # maintenance must be idempotent
+            pipelines._maintain_split_components(
+                spark, batch_sig, corpus_sig, comp_path, batch_id=i
+            )
+            replay = {
+                r.doc_id: r.component_id
+                for r in table_store.read_state(
+                    spark, comp_path
+                ).collect()
+            }
+            assert replay == want
+    assert merged_late
