@@ -436,6 +436,32 @@ def _maintain_split_components(
     )
 
 
+def ingest_split_step(
+    spark, batch_docs: DataFrame, sig_path: str, comp_path: str, batch_id: int
+) -> None:
+    """ONE ingest step of the split-maintenance loop outside a stream:
+    read the standing signature table, maintain components against it,
+    merge the batch's signatures in — the exact write-side sequence of
+    ``streaming_incremental_dedup``'s foreachBatch (minus the dup-flag
+    table), shared so batch replays/evals and the stream can never
+    diverge."""
+    from realtime_datawarehouse_spark.operators import dedup
+
+    corpus_sig = table_store.read_state(spark, sig_path)
+    corpus_sig = corpus_sig.drop("ver") if corpus_sig is not None else None
+    batch_sig = dedup.minhash_signatures(batch_docs)
+    _maintain_split_components(
+        spark, batch_sig, corpus_sig, comp_path, batch_id
+    )
+    table_store.merge_upsert(
+        spark,
+        batch_sig.withColumn("ver", F.lit(batch_id)),
+        sig_path,
+        pk="doc_id",
+        version_col="ver",
+    )
+
+
 def incremental_split_report(spark, comp_path: str) -> DataFrame:
     """(split, n_docs, n_clusters, n_rescued) from the streaming-
     maintained component table — the same rollup contract as

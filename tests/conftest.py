@@ -10,6 +10,66 @@ from realtime_datawarehouse_spark.tables import TABLE_NAMES
 SF_DIR = "/root/testdata/sf0.001"
 SF_DIR_MID = "/root/testdata/sf0.01"
 
+# Two-tier suite (VERDICT r7 item 7): everything that measured >=7 s in the
+# round-8 full run (`pytest tests/ -q --durations=60`, 578 tests / 25m12s)
+# carries @slow. Quick tier = `-m "not slow"` (~10 min, the developer
+# loop); the FULL tier still runs every round. Bare names mark every
+# parametrization; bracketed names mark one. Regenerate from --durations
+# when the profile shifts — membership is measured, never guessed.
+SLOW_TESTS = {
+    "test_no_row_python_udfs_anywhere",
+    "test_sql_view_surface",
+    "test_full_stream_topology_restarts_from_checkpoints",
+    "test_full_stream_topology_both_columns_shared_store",
+    "test_streaming_split_assignments_track_batch_cc",
+    "test_incremental_split_maintenance_stepwise_parity",
+    "test_stream_stream_left_outer_holds_until_watermark",
+    "test_bpe_encode_vocab_matches_regexp_form",
+    "test_trade_stream_graph_three_hop_parity",
+    "test_layered_pipeline_end_to_end",
+    "test_traffic_stream_graph_three_hop_parity",
+    "test_cart_add_uu_pipeline",
+    "test_semdedup_lsh_multiprobe_recall_lift",
+    "test_multiprocess_concurrent_writers",
+    "test_semdedup_eval_recall_on_planted_near_dups",
+    "test_threaded_concurrent_writers",
+    "test_query_matches_oracle[pipeline_corpus_curation_v4]",
+    "test_query_matches_oracle[embed_pca_residual_eval]",
+    "test_first_per_user_day_state_is_evicted",
+    "test_keyword_window_pipeline",
+    "test_pca_residual_eval_flags_flip_without_training",
+    "test_bpe_encode_vocab_eval_matches_regexp_eval",
+    "test_multiprocess_writer_killed_mid_merge_heals",
+    "test_dim_router_stream_hot_reload",
+    "test_curation_v4_split_respects_components_and_drops",
+    "test_auto_buckets_rule_and_router_autosizing",
+    "test_hash64_matches_duckdb",
+    "test_dim_router_stream_bucketed_parity",
+    "test_incremental_ingest_loop_n_steps_cumulative_parity_flat_cost",
+    "test_bpe_eval_oracles_agree_on_non_ascii",
+    "test_dim_router_restart_resumes_merge_state",
+    "test_commit_stall_steal_interleave",
+    "test_streaming_corpus_ingest_parity",
+    "test_cdc_snapshot_then_tail",
+    "test_query_runs[embed_pca_top_component]",
+    "test_pca_matches_numpy_eigenvector",
+    "test_hash64_pair_matches_duckdb",
+    "test_asof_join_matches_duckdb_asof",
+    "test_cdc_chunks_reconstruct_property",
+    "test_ivf_trained_recall_eval_flag_is_measured",
+    "test_mix_split_incremental_eval_matches_batch_query",
+    "test_incremental_pairs_equal_full_pair_increment",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (
+            item.name in SLOW_TESTS
+            or item.name.split("[", 1)[0] in SLOW_TESTS
+        ):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -2122,3 +2122,74 @@ def test_bpe_encode_vocab_survives_large_vocabulary(spark):
     assert got == want
     # the table must have actually fired somewhere (non-vacuity)
     assert any(a < b for b, a in got.values()), got
+
+
+def test_incremental_pairs_equal_full_pair_increment(spark):
+    """dedup_incremental_pairs non-vacuity + the union invariant's single
+    step: the incremental generator over the standard ingest split must
+    equal the FULL banded pair set restricted to pairs touching the
+    batch — and be non-empty on the fixture."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import dedup
+    from realtime_datawarehouse_spark.plans.registry import get_queries
+    from realtime_datawarehouse_spark.tables import table
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in get_queries()["dedup_incremental_pairs"](
+            spark, SF_DIR
+        ).collect()
+    }
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    m, rem = dedup.INCR_BATCH_MOD, dedup.INCR_BATCH_REMAINDER
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(docs).collect()
+        if r.doc_a % m == rem or r.doc_b % m == rem
+    }
+    assert got == want and len(got) > 0
+    # and the increments across a 4-way ingest history UNION to the full
+    # pair set (the invariant the split maintenance rides on)
+    sigs = [
+        dedup.minhash_signatures(
+            docs.where(F.pmod(F.col("doc_id"), F.lit(4)) == i)
+        )
+        for i in range(4)
+    ]
+    acc = set()
+    corpus = None
+    for i in range(4):
+        inc = dedup.incremental_candidate_pairs(sigs[i], corpus)
+        acc |= {(r.doc_a, r.doc_b) for r in inc.collect()}
+        corpus = (
+            sigs[i] if corpus is None else corpus.unionByName(sigs[i])
+        )
+    full = {
+        (r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(docs).collect()
+    }
+    assert acc == full
+
+
+def test_mix_split_incremental_eval_matches_batch_query(spark):
+    """The replayed incremental maintenance must land on EXACTLY the
+    batch query's rollup (same oracle, same hash) — and the fixture must
+    exercise it non-vacuously (near-dup clusters exist, so n_clusters <
+    n_docs somewhere)."""
+    from realtime_datawarehouse_spark.plans.registry import get_queries
+
+    got = {
+        r.split: (r.n_docs, r.n_clusters, r.n_rescued)
+        for r in get_queries()["mix_split_incremental_eval"](
+            spark, SF_DIR
+        ).collect()
+    }
+    want = {
+        r.split: (r.n_docs, r.n_clusters, r.n_rescued)
+        for r in get_queries()["mix_cluster_aware_split_neardup"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) > 0
+    assert any(v[1] < v[0] for v in got.values())  # real clusters merged
