@@ -2154,6 +2154,10 @@ LEFT JOIN per p USING (doc_id)
 # algorithm itself, distributed.
 
 BPE_TRAIN_MERGES = 8
+# past this many merges, bpe_encode hands off to the broadcast-vocabulary
+# kernel instead of chaining regexp passes (a Column tree deep enough to
+# hit codegen/plan limits well before a real 32k vocabulary)
+_BPE_REGEXP_MAX = 64
 
 
 # Symbol separator for the STRING form of merge application. Like CDC's
@@ -2327,7 +2331,16 @@ def bpe_encode(
     rollup, which needs no shuffle either — counts are computed inside
     the row). Rows-only (the merge literals are data-dependent, the
     same static-oracle constraint as unigram_logprob's vocab); pinned
-    exactly against the reference encoder in-test."""
+    exactly against the reference encoder in-test.
+
+    VOCABULARY GUARD (round 8): the chained-regexp projection grows one
+    ``regexp_replace`` per merge, which is fine at the demonstrative
+    default but cannot compile at a realistic 32k-merge vocabulary, so
+    ``n_merges > _BPE_REGEXP_MAX`` transparently dispatches to
+    :func:`bpe_encode_vocab` (same output contract, parity-pinned) —
+    callers never have to know where the expression-tree cliff is."""
+    if n_merges > _BPE_REGEXP_MAX:
+        return bpe_encode_vocab(docs, n_merges, text_col)
     words, encode_word = _bpe_words_and_encoder(docs, n_merges, text_col)
     before = F.aggregate(
         F.transform(words, lambda w: F.length(w)),

@@ -59,6 +59,7 @@ SLOW_TESTS = {
     "test_ivf_trained_recall_eval_flag_is_measured",
     "test_mix_split_incremental_eval_matches_batch_query",
     "test_incremental_pairs_equal_full_pair_increment",
+    "test_bpe_encode_dispatches_to_vocab_kernel_past_regexp_max",
 }
 
 

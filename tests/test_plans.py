@@ -2193,3 +2193,39 @@ def test_mix_split_incremental_eval_matches_batch_query(spark):
     assert got == want
     assert sum(v[0] for v in got.values()) > 0
     assert any(v[1] < v[0] for v in got.values())  # real clusters merged
+
+
+def test_bpe_encode_dispatches_to_vocab_kernel_past_regexp_max(
+    spark, monkeypatch
+):
+    """Round 8: bpe_encode transparently hands off to the broadcast-
+    vocabulary kernel past _BPE_REGEXP_MAX merges (the expression-tree
+    cliff), with identical output on a corpus that trains past the
+    threshold — callers never see the seam. The threshold is lowered for
+    the test so training stays cheap; the seam is the same."""
+    from realtime_datawarehouse_spark.operators import textops
+
+    monkeypatch.setattr(textops, "_BPE_REGEXP_MAX", 12)
+    rows = [
+        (i, f"pair{i:02d}a pair{i:02d}b " * 3) for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = textops._BPE_REGEXP_MAX + 4
+    via_dispatch = {
+        (r.doc_id, r.tokens_before, r.tokens_after)
+        for r in textops.bpe_encode(docs, n_merges=n).collect()
+    }
+    direct = {
+        (r.doc_id, r.tokens_before, r.tokens_after)
+        for r in textops.bpe_encode_vocab(docs, n_merges=n).collect()
+    }
+    assert via_dispatch == direct and len(via_dispatch) == 20
+    # and the dispatch's plan is the Arrow kernel, not a regexp chain
+    plan = textops.bpe_encode(
+        docs, n_merges=n
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "MapInPandas" in plan and "regexp_replace" not in plan
