@@ -144,11 +144,11 @@ BENCH_QUERIES = (
     "curate_split_leakage_neardup",  # cross-split near-dup pair report
     "pipeline_corpus_curation_v4",  # full flow: v3 curation + leakage-free split
     # round-8 additions (floors recorded from their first r08 measurement).
-    # mix_split_incremental_eval is deliberately NOT here: its 4-ingest
-    # replay runs eagerly at query-BUILD time (driver union-find loop), so
-    # the timed noop save would measure a 3-row local DF — a misleading
-    # 0.25 s "cost". The loop's honest number is the live measurement in
-    # SCALE.md §23 addendum (5k docs / 37 s / 10 micro-batches).
+    # mix_split_incremental_eval and ann_ivf_incremental_eval are
+    # deliberately NOT here: their 4-ingest replays run eagerly at
+    # query-BUILD time (store writes per step), so the timed noop save
+    # would measure a few-row local DF — a misleading "cost". The loops'
+    # honest numbers are the live measurements in SCALE.md §23/§29.
     "text_bpe_encode_vocab",        # broadcast-vocab greedy BPE apply kernel
     "dedup_incremental_pairs",      # per-ingest LSH pair increment
 )

@@ -355,7 +355,24 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = _ivf_centroids(emb)
-    assigned = ivf_assign(emb, centroids)
+    return ivf_topk_from_assigned(
+        ivf_assign(emb, centroids), queries, centroids, k, nprobe
+    )
+
+
+def ivf_topk_from_assigned(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = NUM_PROBE,
+) -> DataFrame:
+    """The SERVE side of :func:`ivf_topk` over an already-materialized
+    assignment table (vec_id, v, vn, centroid_id) — the deployment read
+    path once the inverted lists live in a store maintained
+    incrementally (streaming/pipelines.py::ingest_ivf_step) instead of
+    being recomputed per query. Extracted, not duplicated: ivf_topk
+    delegates here, so batch and index-served plans cannot drift."""
     q = queries.select(
         "query_id", _as_double(F.col("query_vec")).alias("qv")
     ).select("query_id", "qv", l2_norm(F.col("qv")).alias("qn"))

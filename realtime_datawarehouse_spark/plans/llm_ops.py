@@ -259,6 +259,53 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, TOPK)
 
 
+@query(
+    "ann_ivf_incremental_eval",
+    oracle=similarity.ivf_topk_oracle(
+        TOPK, similarity.NUM_PROBE, ANN_QUERY_PRED_SQL
+    ),
+)
+def ann_ivf_incremental_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained IVF index, driver-hash-checked against the
+    batch query's oracle (round 8): replay the embedding corpus as four
+    ingests through ``pipelines.ingest_ivf_step`` (frozen day-0 codebook,
+    per-step cost O(batch × k) with no corpus touch) into a throwaway
+    store, then serve the standard ANN queries from the maintained
+    inverted-list table via the SHARED serve path
+    (``similarity.ivf_topk_from_assigned``). Hash-equality with
+    ``ann_ivf_topk``'s oracle proves index-served ≡ recompute-per-query —
+    the standing-index deployment claim, checked by the driver."""
+    import shutil
+    import tempfile
+
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    emb = _emb(spark, sf_dir)
+    centroids = similarity._ivf_centroids(emb)
+    tmp = tempfile.mkdtemp(prefix="rdw-ivf-incr-")
+    try:
+        index_path = f"{tmp}/ivf_index"
+        for i in range(4):
+            pipelines.ingest_ivf_step(
+                spark,
+                emb.where(F.pmod(F.col("vec_id"), F.lit(4)) == i),
+                centroids,
+                index_path,
+                batch_id=i,
+            )
+        queries = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        topk = pipelines.ivf_topk_from_index(
+            spark, index_path, queries, centroids, TOPK
+        )
+        rows = topk.collect()  # |queries|×k rows; outlive the tmp store
+        return spark.createDataFrame(rows, topk.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query("ann_ivf_trained_topk")  # iterative k-means — no SQL oracle;
 # correctness = recall@k floor vs ann_brute_topk (tests/test_correctness.py)
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

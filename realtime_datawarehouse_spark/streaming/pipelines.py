@@ -462,6 +462,59 @@ def ingest_split_step(
     )
 
 
+def ingest_ivf_step(
+    spark,
+    batch_emb: DataFrame,
+    centroids: DataFrame,
+    index_path: str,
+    batch_id: int,
+) -> None:
+    """ONE ingest step of incremental IVF index maintenance (round 8):
+    assign the batch's vectors to their nearest centroid of a FROZEN
+    codebook (the deployment shape — train once on the day-0 corpus,
+    refresh rarely) and merge the (vec_id, v, vn, centroid_id) rows into
+    the standing inverted-list table. Assignment depends only on
+    (vector, codebook), so the maintained table equals
+    ``similarity.ivf_assign`` over the accumulated corpus EXACTLY at
+    every step, replays are idempotent (same rows, same version), and
+    per-step cost is O(|batch| × k) with NO corpus touch at all — the
+    batch never joins anything corpus-sized. At 100 TB the table is
+    written partitioned/bucketed by centroid_id so probe-time reads
+    scan only nprobe lists (the ivf_assign docstring's layout note)."""
+    from realtime_datawarehouse_spark.operators import similarity
+
+    assigned = similarity.ivf_assign(batch_emb, centroids)
+    table_store.merge_upsert(
+        spark,
+        assigned.withColumn("ver", F.lit(batch_id)),
+        index_path,
+        pk="vec_id",
+        version_col="ver",
+    )
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Serve IVF top-k from the incrementally-maintained inverted-list
+    table — the standing-index read path of ``similarity.ivf_topk``
+    (one shared serve implementation, so index-served results cannot
+    drift from the batch form)."""
+    from realtime_datawarehouse_spark.operators import similarity
+
+    if nprobe is None:
+        nprobe = similarity.NUM_PROBE
+    assigned = table_store.read_state(spark, index_path).drop("ver")
+    return similarity.ivf_topk_from_assigned(
+        assigned, queries, centroids, k, nprobe
+    )
+
+
 def incremental_split_report(spark, comp_path: str) -> DataFrame:
     """(split, n_docs, n_clusters, n_rescued) from the streaming-
     maintained component table — the same rollup contract as

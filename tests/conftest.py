@@ -60,6 +60,7 @@ SLOW_TESTS = {
     "test_mix_split_incremental_eval_matches_batch_query",
     "test_incremental_pairs_equal_full_pair_increment",
     "test_bpe_encode_dispatches_to_vocab_kernel_past_regexp_max",
+    "test_ivf_incremental_index_matches_batch",
 }
 
 

@@ -2229,3 +2229,71 @@ def test_bpe_encode_dispatches_to_vocab_kernel_past_regexp_max(
         )
     )
     assert "MapInPandas" in plan and "regexp_replace" not in plan
+
+
+def test_ivf_incremental_index_matches_batch(spark, tmp_path):
+    """Round 8: the incrementally-maintained IVF inverted-list table must
+    equal ivf_assign over the accumulated corpus at EVERY step (frozen
+    codebook ⇒ assignment depends only on the vector), survive a
+    foreachBatch replay byte-identically, and serve the SAME top-k as the
+    registered batch query."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import similarity, table_store
+    from realtime_datawarehouse_spark.plans.registry import get_queries
+    from realtime_datawarehouse_spark.streaming import pipelines
+    from realtime_datawarehouse_spark.tables import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    centroids = similarity._ivf_centroids(emb)
+    index_path = str(tmp_path / "ivf")
+    seen = None
+    for i in range(3):
+        batch = emb.where(F.pmod(F.col("vec_id"), F.lit(3)) == i)
+        pipelines.ingest_ivf_step(spark, batch, centroids, index_path, i)
+        seen = batch if seen is None else seen.unionByName(batch)
+        want = {
+            r.vec_id: r.centroid_id
+            for r in similarity.ivf_assign(seen, centroids).collect()
+        }
+        got = {
+            r.vec_id: r.centroid_id
+            for r in table_store.read_state(spark, index_path).collect()
+        }
+        assert got == want, f"step {i}"
+        if i == 1:  # replay the same batch: idempotent
+            pipelines.ingest_ivf_step(
+                spark, batch, centroids, index_path, i
+            )
+            replay = {
+                r.vec_id: r.centroid_id
+                for r in table_store.read_state(
+                    spark, index_path
+                ).collect()
+            }
+            assert replay == want
+
+    # index-served top-k == the registered batch query (full corpus now in)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got_topk = {
+        (r.query_id, r.neighbor_id, r.sim, r.rnk)
+        for r in pipelines.ivf_topk_from_index(
+            spark, index_path, queries, centroids
+        ).collect()
+    }
+    want_topk = {
+        (r.query_id, r.neighbor_id, r.sim, r.rnk)
+        for r in get_queries()["ann_ivf_topk"](spark, SF_DIR).collect()
+    }
+    assert got_topk == want_topk and len(got_topk) > 0
+    # and the registered eval reproduces it end-to-end
+    eval_topk = {
+        (r.query_id, r.neighbor_id, r.sim, r.rnk)
+        for r in get_queries()["ann_ivf_incremental_eval"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert eval_topk == want_topk
