@@ -358,7 +358,16 @@ def _maintain_split_components(
     bpe_train's per-round (pair, count) row. The only corpus-sized work
     is one map-only broadcast-join scan of the component table to
     relabel members of merged components (merge_upsert then rewrites
-    only touched rows)."""
+    only touched rows).
+
+    UPGRADE BOUNDARY: the invariant requires ``comp_path`` maintenance
+    from the corpus's FIRST batch. Enabling it later over a pre-existing
+    signature table leaves earlier docs without assignment rows (a pair
+    endpoint missing from the table is treated as its own singleton
+    component, so pre-existing clusters would not relabel as one). To
+    adopt mid-corpus, backfill once with the batch CC
+    (``dedup.connected_components`` over ``dedup.lsh_candidate_pairs``)
+    before the first incremental step."""
     from realtime_datawarehouse_spark.operators import dedup, textops
 
     pairs = dedup.incremental_candidate_pairs(batch_sig, corpus_sig)
