@@ -28,10 +28,6 @@ import threading
 from urllib.parse import quote
 
 
-class PreconditionFailed(Exception):
-    """HTTP 412: the key already exists and If-None-Match: * was sent."""
-
-
 class InMemoryObjectStore:
     """In-process object store honoring conditional-PUT semantics.
 

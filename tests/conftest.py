@@ -61,6 +61,7 @@ SLOW_TESTS = {
     "test_incremental_pairs_equal_full_pair_increment",
     "test_bpe_encode_dispatches_to_vocab_kernel_past_regexp_max",
     "test_ivf_incremental_index_matches_batch",
+    "test_threaded_merge_upsert_on_both_backends",
 }
 
 

@@ -252,3 +252,47 @@ def test_concurrent_overlap_log_dense_and_lossless(
     assert sorted(committed) == list(range(1, 13))
     assert len(set(committed.values())) == 12
     assert ts.current_version(path) == committed[12]
+
+
+def test_threaded_merge_upsert_on_both_backends(spark, swapped, tmp_path):
+    """MERGE-level concurrency over the parametrized arbiter: 4 threads
+    optimistically merge_upsert one table with CONTENDED pks (every
+    thread writes every pk with its own version); after the dust
+    settles, the table holds exactly the max-version row per pk
+    (deterministic last-write-wins) on both backends — the conflict
+    retry path exercised against the object-store CAS, not just the
+    POSIX one."""
+    ts = table_store
+    path = str(tmp_path / "t")
+    errs: list[Exception] = []
+    barrier = threading.Barrier(4)
+
+    def writer(i):
+        try:
+            barrier.wait()
+            ts.merge_upsert(
+                spark,
+                spark.createDataFrame(
+                    [(f"pk{k}", i, f"w{i}") for k in range(6)],
+                    "pk string, ver int, val string",
+                ),
+                path,
+                pk="pk",
+                version_col="ver",
+                retain=8,
+                attempts=10,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    rows = {
+        r.pk: (r.ver, r.val)
+        for r in ts.read_state(spark, path).collect()
+    }
+    assert rows == {f"pk{k}": (3, "w3") for k in range(6)}
