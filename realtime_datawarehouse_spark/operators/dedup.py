@@ -579,7 +579,9 @@ FROM best
 
 
 def incremental_candidate_pairs(
-    batch_sig: DataFrame, corpus_sig: DataFrame | None = None
+    batch_sig: DataFrame,
+    corpus_sig: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct (doc_a, doc_b), doc_a < doc_b: every banded-MinHash
     candidate pair the arrival of this batch ADDS to the corpus pair
@@ -597,12 +599,44 @@ def incremental_candidate_pairs(
     Scale shape: identical to :func:`incremental_flags_vs_signatures` —
     the batch side of the band join is broadcast, the corpus bands
     stream map-side, cost O(|batch| + band-collision fanout), never
-    corpus×corpus."""
+    corpus×corpus.
+
+    HOT-BAND GUARD (VERDICT r8 item 3): the collision fanout of one
+    (band_idx, band_key) bucket is |batch∩bucket| × |corpus∩bucket| with
+    no cap — a mirror-heavy batch against a corpus containing the same
+    mirrors concentrates the whole increment in one bucket.
+    ``max_bucket`` bounds it: per TOUCHED bucket (corpus bands are first
+    map-side semi-joined to the broadcast batch bucket keys, so only
+    buckets a batch doc lands in are ever grouped), keep the
+    ``max_bucket`` smallest corpus doc_ids (deterministic) before the
+    pair join, capping the increment at |batch bands| × max_bucket
+    pairs. Capped runs UNDERCOUNT the pair set (same documented
+    lower-bound semantics as ``ngram_jaccard_pairs``' df-cap); the
+    default exact form (None) is the oracle-checked entry. Consumers
+    that only need CONNECTIVITY (the split maintenance) should use
+    :func:`incremental_spanning_pairs` instead — exact for components
+    with no fanout term at all."""
     internal = _band_pairs(batch_sig)
     if corpus_sig is None:
         return internal
     nb = _sig_bands(batch_sig).alias("nb")
-    cb = _sig_bands(corpus_sig).alias("cb")
+    cb = _sig_bands(corpus_sig)
+    if max_bucket is not None:
+        touched = nb.select("band_idx", "band_key").distinct()
+        capped = (
+            cb.join(F.broadcast(touched), ["band_idx", "band_key"], "semi")
+            .groupBy("band_idx", "band_key")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")), 1, max_bucket
+                ).alias("members")
+            )
+            .select(
+                "band_idx", "band_key", F.explode("members").alias("doc_id")
+            )
+        )
+        cb = capped
+    cb = cb.alias("cb")
     cross = (
         cb.join(
             F.broadcast(nb),
@@ -617,6 +651,64 @@ def incremental_candidate_pairs(
             ),
         )
         .distinct()
+    )
+    return cross.unionByName(internal).distinct()
+
+
+def incremental_spanning_pairs(
+    batch_sig: DataFrame, corpus_sig: DataFrame | None = None
+) -> DataFrame:
+    """Distinct (doc_a, doc_b), doc_a < doc_b: a SPANNING contraction of
+    :func:`incremental_candidate_pairs` — same connected components over
+    the accumulated corpus, with the per-bucket clique replaced by
+    O(bucket-members) star edges, so the worst-case edge count (and any
+    driver collect of it) is ≤ 2 × |batch| × BANDS with NO corpus term
+    (VERDICT r8 item 3: the mirror-heavy hot-band batch that inflates
+    the full pair increment to |batch∩bucket| × |corpus∩bucket| yields
+    exactly one edge per batch band here).
+
+    Why connectivity is preserved EXACTLY (given the component table's
+    maintained-from-first-batch precondition, streaming/pipelines.py):
+    every doc that ever landed in a bucket was pair-connected to all
+    members present at its arrival, so by induction a bucket's CORPUS
+    members already form one connected subgraph in the accumulated pair
+    graph. Connecting this batch's docs in the bucket to each other (star
+    on the bucket-min batch doc) and that star root to ANY single corpus
+    member (the bucket-min, deterministically) therefore reproduces the
+    same merged component the full clique would — pinned against batch
+    CC on a planted hot-band corpus by tests/test_streaming_pipelines.py.
+
+    Physical shape: batch bands broadcast; corpus bands stream map-side
+    through a semi-join on the ≤|batch|×BANDS touched bucket keys, then
+    a min() agg per touched bucket — the B×C pair blow-up never
+    materializes anywhere, not even pre-aggregation."""
+    nb = _sig_bands(batch_sig)
+    roots = nb.groupBy("band_idx", "band_key").agg(
+        F.min("doc_id").alias("root"),
+        F.collect_set("doc_id").alias("members"),
+    )
+    internal = roots.select(
+        F.col("root").alias("doc_a"),
+        F.explode("members").alias("doc_b"),
+    ).where(F.col("doc_a") != F.col("doc_b"))
+    if corpus_sig is None:
+        return internal.distinct()
+    cb = _sig_bands(corpus_sig)
+    touched = roots.select("band_idx", "band_key", "root")
+    cross = (
+        cb.join(
+            F.broadcast(touched.select("band_idx", "band_key")),
+            ["band_idx", "band_key"],
+            "semi",
+        )
+        .groupBy("band_idx", "band_key")
+        .agg(F.min("doc_id").alias("corpus_min"))
+        .join(F.broadcast(touched), ["band_idx", "band_key"])
+        .where(F.col("corpus_min") != F.col("root"))
+        .select(
+            F.least("corpus_min", "root").alias("doc_a"),
+            F.greatest("corpus_min", "root").alias("doc_b"),
+        )
     )
     return cross.unionByName(internal).distinct()
 

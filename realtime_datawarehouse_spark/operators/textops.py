@@ -2247,25 +2247,31 @@ def _apply_merge(sym_col: F.Column, left: str, right: str) -> F.Column:
     return F.aggregate(sym_col, init, step, finish)
 
 
-def bpe_train(
+def bpe_train_rounds(
     docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES, text_col: str = "text"
 ) -> DataFrame:
-    """(step, left, right, pair_ct): the learned BPE merge table — the
-    ACTUAL tokenizer-training loop, distributed the way real trainers
-    run it: pair counting and merge application over the WORD-FREQUENCY
-    table (corpus token counts collapse once up front), one driver round
-    per merge collecting a single (pair, count) row — the same
-    tiny-collect iteration shape as k-means and PageRank.
+    """(step, left, right, pair_ct): the ROUND-PER-MERGE distributed form
+    of BPE training — pair counting and merge application over the
+    WORD-FREQUENCY table (corpus token counts collapse once up front),
+    one driver round per merge collecting a single (pair, count) row —
+    the same tiny-collect iteration shape as k-means and PageRank.
+
+    Kept as the distributed REFERENCE implementation: its data movement
+    is right (everything past the word-frequency rollup is off-corpus),
+    but its ROUND COUNT is one Spark job launch per learned merge, which
+    at a realistic 32k-merge vocabulary is 32 000 sequential jobs — days
+    of launch overhead for work real trainers finish in minutes (VERDICT
+    r8 item 1). Production path: :func:`bpe_train`, which collects the
+    (tiny, frequency-capped) word-frequency table once and runs the
+    merge loop in-process — parity-pinned EXACTLY against this form at
+    n ∈ {8, 64} by tests/test_plans.py::test_bpe_train_matches_rounds.
 
     Per iteration: adjacent-pair counts are a map-combined aggregation
     over |vocab| symbol arrays; the winning pair (count desc, then
     lexicographic — the standard deterministic tie-break) broadcasts
     into a codegen'd greedy left-to-right fold that rewrites each word's
     symbol array in place. State (the segmented vocab) persists across
-    iterations; previous iterations unpersist. No SQL rendering of an
-    N-step recursive merge exists, so the query registers rows-only and
-    tests/test_plans.py pins EXACT equality against a pure-Python
-    reference BPE on the same corpus."""
+    iterations; previous iterations unpersist."""
     # strip the symbol separator up front (same sanitization contract as
     # the encoders) so no learned merge can ever contain U+0002
     words = docs.select(
@@ -2305,6 +2311,138 @@ def bpe_train(
         state.unpersist()
         state = nxt
     state.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_ct bigint"
+    )
+
+
+# Driver-side word-table cap for bpe_train: collect at most this many
+# distinct words (highest-frequency first, deterministic tie-break) — the
+# standard trainer practice (HF tokenizers / SentencePiece bound the word
+# table the same way; dropped singleton garbage tokens carry negligible
+# pair mass). Driver memory is O(Σ|w| over the capped vocab) ≈ tens of MB
+# at the default. The cap never binds on the fixture corpora.
+_BPE_TRAIN_MAX_WORDS = 1_000_000
+
+
+def _bpe_merge_loop(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The Sennrich/GPT-2 merge-learning loop over an already-collected
+    word-frequency table — pure in-process Python, the form every real
+    tokenizer trainer runs once corpus token counts have collapsed.
+
+    Incremental algorithm (O(Σ affected-word length) per merge, not a
+    full recount): pair counts and a pair→words inverted index are built
+    once; each learned merge rewrites only the words that contain the
+    pair (greedy left-to-right non-overlap, identical to
+    :func:`_apply_merge`'s fold) and applies count DELTAS for the pairs
+    those words lost/gained. The argmax is a lazy-deletion heap keyed
+    (−count, left, right), reproducing ``bpe_train_rounds``'s
+    count-desc-then-lexicographic tie-break exactly (Python str
+    comparison is code-point order == Spark's UTF8 binary order).
+    Parity with the distributed round-per-merge form is EXACT and
+    test-pinned at n ∈ {8, 64} (tests/test_plans.py)."""
+    import heapq
+
+    syms: list[list[str]] = [list(w) for w, _ in word_freqs]
+    cts: list[int] = [c for _, c in word_freqs]
+    pair_ct: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, s in enumerate(syms):
+        c = cts[wi]
+        for p in zip(s, s[1:]):
+            pair_ct[p] = pair_ct.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(wi)
+    heap = [(-ct, p[0], p[1]) for p, ct in pair_ct.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for step_no in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negct, l, r = heap[0]
+            if pair_ct.get((l, r)) == -negct:
+                best = (l, r, -negct)
+                break
+            heapq.heappop(heap)  # stale lazy-deletion entry
+        if best is None:
+            break
+        left, right, ct = best
+        merges.append((step_no, left, right, ct))
+        touched: set[tuple[str, str]] = set()
+        for wi in list(pair_words.get((left, right), ())):
+            s = syms[wi]
+            c = cts[wi]
+            for p in zip(s, s[1:]):
+                nv = pair_ct[p] - c
+                if nv:
+                    pair_ct[p] = nv
+                else:
+                    del pair_ct[p]
+                touched.add(p)
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(wi)  # re-added below if the word keeps p
+            out: list[str] = []
+            i, n = 0, len(s)
+            while i < n:
+                if i < n - 1 and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[wi] = out
+            for p in zip(out, out[1:]):
+                pair_ct[p] = pair_ct.get(p, 0) + c
+                touched.add(p)
+                pair_words.setdefault(p, set()).add(wi)
+        for p in touched:
+            cur = pair_ct.get(p)
+            if cur is not None:
+                heapq.heappush(heap, (-cur, p[0], p[1]))
+    return merges
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = BPE_TRAIN_MERGES,
+    text_col: str = "text",
+    max_words: int = _BPE_TRAIN_MAX_WORDS,
+) -> DataFrame:
+    """(step, left, right, pair_ct): the learned BPE merge table — the
+    PRODUCTION trainer (VERDICT r8 item 1). The corpus-sized work (token
+    explode → word-frequency rollup, map-combined) runs distributed
+    exactly as before; the word table — tiny by construction (distinct
+    words, further bounded by ``max_words`` highest-frequency-first with
+    a deterministic (ct desc, word) tie-break) — collects ONCE, and the
+    merge-learning loop runs in-process (:func:`_bpe_merge_loop`,
+    incremental pair-count deltas + lazy-deletion heap). Total Spark
+    jobs: ONE, independent of ``n_merges`` — vs one job per merge in
+    :func:`bpe_train_rounds`, which made a realistic 32k-merge
+    vocabulary 32 000 sequential launches. Measured: 4 096 merges over a
+    100k-word / 5.6 M-char corpus in seconds (SCALE.md §30); output
+    feeds :func:`bpe_encode_vocab`'s O(1)-in-vocabulary encoder.
+
+    Semantics are IDENTICAL to ``bpe_train_rounds`` whenever the cap
+    does not bind (count-desc/lexicographic tie-break, greedy
+    left-to-right non-overlap application, early stop when no adjacent
+    pair remains) — pinned exactly at n ∈ {8, 64} plus the pure-Python
+    sequential reference (tests/test_plans.py). When the cap binds, the
+    trainer learns from the ``max_words`` most frequent words — the
+    standard frequency-capped practice; at 100 TB the dropped tail is
+    hapax noise whose pair mass is negligible."""
+    words = docs.select(
+        F.explode(
+            tokenize(F.regexp_replace(F.col(text_col), _SYM_SEP, ""))
+        ).alias("w")
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("ct"))
+    collected = (
+        wf.orderBy(F.desc("ct"), "w").limit(max_words).collect()
+    )
+    merges = _bpe_merge_loop([(r.w, int(r.ct)) for r in collected], n_merges)
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_ct bigint"

@@ -1210,6 +1210,72 @@ def test_bpe_train_matches_reference(spark):
     assert got == want, (got, want)
 
 
+def test_bpe_train_matches_rounds(spark):
+    """VERDICT r8 item 1 parity pin: the in-process fast trainer
+    (bpe_train — one Spark job, incremental pair-count merge loop) must
+    reproduce the round-per-merge distributed form (bpe_train_rounds)
+    EXACTLY at n ∈ {8, 64}: same merges, same order, same counts, same
+    early-stop — on the fixture corpus and on adversarial corpora
+    (ties, overlap chains like 'aaaa', multibyte symbols)."""
+    from realtime_datawarehouse_spark.operators import textops
+    from realtime_datawarehouse_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents")
+
+    def train(fn, d, n):
+        return [
+            (r.step, r.left, r.right, r.pair_ct)
+            for r in fn(d, n).orderBy("step").collect()
+        ]
+
+    for n in (8, 64):
+        fast = train(textops.bpe_train, docs, n)
+        rounds = train(textops.bpe_train_rounds, docs, n)
+        assert fast == rounds and len(fast) == n, (n, fast, rounds)
+
+    adv = spark.createDataFrame(
+        [(0, "aaa bbb aaa"), (1, "ababab cdcd"), (2, "ééé ßß x"), (3, "aaaa")],
+        "doc_id long, text string",
+    )
+    for n in (4, 16):
+        fast = train(textops.bpe_train, adv, n)
+        rounds = train(textops.bpe_train_rounds, adv, n)
+        assert fast == rounds, (n, fast, rounds)
+    # early-stop parity: the adversarial vocab runs dry before 16 merges
+    assert len(train(textops.bpe_train, adv, 16)) < 16
+
+
+def test_bpe_train_word_cap_is_deterministic(spark):
+    """The frequency cap keeps the collect bounded and deterministic:
+    with max_words below the vocabulary size the trainer learns from the
+    top-K words by (count desc, word) — same result on repeat runs, and
+    equal to training on that exact sub-table."""
+    from realtime_datawarehouse_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(0, "foo foo foo bar bar baz qux qux qux qux")],
+        "doc_id long, text string",
+    )
+    capped = [
+        (r.step, r.left, r.right, r.pair_ct)
+        for r in textops.bpe_train(docs, 4, max_words=2).orderBy("step").collect()
+    ]
+    # top-2 by (ct desc, word): qux (4), foo (3)
+    sub = spark.createDataFrame(
+        [(0, "qux qux qux qux foo foo foo")], "doc_id long, text string"
+    )
+    want = [
+        (r.step, r.left, r.right, r.pair_ct)
+        for r in textops.bpe_train(sub, 4).orderBy("step").collect()
+    ]
+    assert capped == want
+    again = [
+        (r.step, r.left, r.right, r.pair_ct)
+        for r in textops.bpe_train(docs, 4, max_words=2).orderBy("step").collect()
+    ]
+    assert capped == again
+
+
 def test_bpe_encode_matches_reference(spark):
     """Encoding under the trained merges must match the sequential
     reference: same merges (already pinned), same greedy application per

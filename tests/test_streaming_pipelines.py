@@ -1207,3 +1207,85 @@ def test_incremental_split_maintenance_stepwise_parity(spark, tmp_path):
             }
             assert replay == want
     assert merged_late
+
+
+def test_hot_band_spanning_pairs_bound_and_cc_parity(spark, tmp_path):
+    """VERDICT r8 item 3, the planted hot-band adversary: a mirror-heavy
+    batch against a corpus containing the same mirrors concentrates
+    every band collision in ONE bucket per band, inflating the full pair
+    increment to |batch∩bucket| × |corpus∩bucket|. The spanning
+    contraction must (a) stay within its hard ≤ 2·|batch|·BANDS edge
+    bound regardless of corpus size, (b) keep split maintenance's
+    component table EXACTLY equal to the batch CC on this corpus, and
+    (c) the optional max_bucket cap on the full-pair form must bound its
+    output deterministically as a subset of the exact set."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import dedup, table_store
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    mirror = "the same mirrored boilerplate page repeated verbatim " * 4
+    n_corpus, n_batch = 40, 6
+    corpus = spark.createDataFrame(
+        [(i, mirror) for i in range(n_corpus)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, mirror) for i in range(n_batch)],
+        "doc_id long, text string",
+    )
+    corpus_sig = dedup.minhash_signatures(corpus)
+    batch_sig = dedup.minhash_signatures(batch)
+
+    full = dedup.incremental_candidate_pairs(batch_sig, corpus_sig)
+    n_full = full.count()
+    # identical text -> identical signatures -> one bucket per band:
+    # batch×corpus plus batch-internal pairs, the quadratic blow-up
+    assert n_full == n_batch * n_corpus + n_batch * (n_batch - 1) // 2
+
+    span = dedup.incremental_spanning_pairs(batch_sig, corpus_sig)
+    span_rows = span.collect()
+    assert len(span_rows) <= 2 * n_batch * dedup.BANDS
+    # here: one star over the 6 batch docs + one edge to the corpus min
+    assert len(span_rows) == n_batch
+    # spanning edges connect the same vertex set the full increment does
+    full_nodes = {
+        x for r in full.collect() for x in (r.doc_a, r.doc_b)
+    }
+    span_nodes = {x for r in span_rows for x in (r.doc_a, r.doc_b)}
+    assert span_nodes <= full_nodes.union({0})  # corpus-min is doc 0
+
+    # capped full form: deterministic bound, subset of the exact set
+    capped = dedup.incremental_candidate_pairs(
+        batch_sig, corpus_sig, max_bucket=3
+    )
+    capped_set = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    full_set = {(r.doc_a, r.doc_b) for r in full.collect()}
+    assert capped_set <= full_set
+    assert len(capped_set) == n_batch * 3 + n_batch * (n_batch - 1) // 2
+    # the kept corpus members are the 3 smallest doc_ids (deterministic)
+    assert {a for a, b in capped_set if b >= 1000 and a < 1000} == {0, 1, 2}
+
+    # end-to-end: split maintenance over hot-band ingests == batch CC
+    sig_path = str(tmp_path / "sigs")
+    comp_path = str(tmp_path / "comps")
+    distinct_doc = (
+        "an entirely different and unique document about something else"
+    )
+    batches = [
+        [(i, mirror) for i in range(n_corpus)],
+        [(1000 + i, mirror) for i in range(n_batch)]
+        + [(2000, distinct_doc)],
+    ]
+    seen = None
+    for bi, rows in enumerate(batches):
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        pipelines.ingest_split_step(spark, bdf, sig_path, comp_path, bi)
+        seen = bdf if seen is None else seen.unionByName(bdf)
+    want = _batch_cc_assignments(spark, seen)
+    got = {
+        r.doc_id: r.component_id
+        for r in table_store.read_state(spark, comp_path).collect()
+    }
+    assert got == want
+    # all mirrors in one component rooted at the min id; loner alone
+    assert got[1000 + n_batch - 1] == 0 and got[2000] == 2000
