@@ -476,7 +476,20 @@ def incremental_flags_vs_signatures(
     broadcast; the corpus side streams map-side. A replayed or re-ingested
     document whose own signature already reached ``corpus_sig`` never
     flags itself (self-pair guard in the shared core)."""
-    batch_sig = minhash_signatures(batch_docs)
+    return incremental_flags_from_signatures(
+        minhash_signatures(batch_docs), corpus_sig
+    )
+
+
+def incremental_flags_from_signatures(
+    batch_sig: DataFrame, corpus_sig: DataFrame
+) -> DataFrame:
+    """:func:`incremental_flags_vs_signatures` with the BATCH side also
+    already a signature table — the shared-scan entry point of the
+    composed production ingest loop (round 9, VERDICT r8 item 5): one
+    ``minhash_signatures`` aggregation per micro-batch feeds the dup
+    flags, the split maintenance, AND the signature-table merge, instead
+    of each stage re-shingling the batch."""
     return _incremental_flags(
         _sig_bands(batch_sig).alias("nb"),
         _sig_bands(corpus_sig).alias("cb"),
@@ -523,6 +536,25 @@ def incremental_lsh_flags(docs: DataFrame) -> DataFrame:
 
 
 def incremental_lsh_flags_oracle() -> str:
+    return _incr_flags_oracle_core(
+        f"nb.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REMAINDER}\n"
+        f"    AND cb.doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REMAINDER}"
+    )
+
+
+def staged_incremental_flags_oracle(n_stages: int) -> str:
+    """The END STATE of the incremental flags table after replaying the
+    corpus as ``n_stages`` ingests keyed ``doc_id % n_stages`` — each doc
+    is flagged exactly once, in its own stage, against the union of
+    strictly earlier stages, so the batch characterization is simply
+    ``corpus_doc's stage < doc's stage``. Used by the composed
+    production-ingest eval (VERDICT r8 item 5)."""
+    return _incr_flags_oracle_core(
+        f"cb.doc_id % {n_stages} < nb.doc_id % {n_stages}"
+    )
+
+
+def _incr_flags_oracle_core(cand_where: str) -> str:
     params = permutation_params(NUM_PERM)
     min_exprs = ",\n         ".join(
         f"min({minhash_perm_sql('h', a, b)}) AS mh{i}"
@@ -556,8 +588,7 @@ def incremental_lsh_flags_oracle() -> str:
   FROM bands cb
   JOIN bands nb ON cb.band_idx = nb.band_idx
                AND cb.band_key = nb.band_key
-  WHERE nb.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REMAINDER}
-    AND cb.doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REMAINDER}
+  WHERE {cand_where}
 ), scored AS (
   SELECT cand.doc_id, cand.corpus_doc, {bits} AS match_bits
   FROM cand

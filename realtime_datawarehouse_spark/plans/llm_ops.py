@@ -1173,6 +1173,151 @@ def mix_split_incremental_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Composed production-ingest eval (round 9, VERDICT r8 item 5): ONE
+# oracle pinning all three standing-artifact loops at once — the split
+# rollup (same oracle as the batch split query), the staged incremental
+# flags end state (each doc flagged in its own stage against strictly
+# earlier stages), and the IVF serve path (same oracle as ann_ivf_topk) —
+# normalized to a common (family, k, metric, value) long format.
+PROD_INGEST_STAGES = 4
+
+PROD_INGEST_ORACLE = (
+    "WITH split_r AS ("
+    + NEARDUP_SPLIT_ORACLE
+    + "),\nflags_r AS ("
+    + dedup.staged_incremental_flags_oracle(PROD_INGEST_STAGES)
+    + "),\nivf_r AS ("
+    + similarity.ivf_topk_oracle(
+        TOPK, similarity.NUM_PROBE, ANN_QUERY_PRED_SQL
+    )
+    + """)
+SELECT 'split' AS family, split AS k, 'n_docs' AS metric,
+       CAST(n_docs AS DOUBLE) AS value FROM split_r
+UNION ALL
+SELECT 'split', split, 'n_clusters', CAST(n_clusters AS DOUBLE) FROM split_r
+UNION ALL
+SELECT 'split', split, 'n_rescued', CAST(n_rescued AS DOUBLE) FROM split_r
+UNION ALL
+SELECT 'flags', CAST(doc_id AS VARCHAR), 'dup_of',
+       CAST(dup_of AS DOUBLE) FROM flags_r
+UNION ALL
+SELECT 'flags', CAST(doc_id AS VARCHAR), 'match_bits',
+       CAST(match_bits AS DOUBLE) FROM flags_r
+UNION ALL
+SELECT 'ivf', CAST(query_id AS VARCHAR) || '_' || CAST(rnk AS VARCHAR),
+       'neighbor', CAST(neighbor_id AS DOUBLE) FROM ivf_r
+UNION ALL
+SELECT 'ivf', CAST(query_id AS VARCHAR) || '_' || CAST(rnk AS VARCHAR),
+       'sim', sim FROM ivf_r
+"""
+)
+
+
+@query("pipeline_production_ingest_eval", oracle=PROD_INGEST_ORACLE)
+def pipeline_production_ingest_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPOSED production corpus-ingest loop, end-to-end and
+    driver-hash-checked against all three batch oracles in one row set
+    (VERDICT r8 item 5): replay the corpus as four deterministic ingests
+    of (doc_id, text, embedding) through
+    ``pipelines.production_ingest_step`` — dup flags, component→split
+    maintenance, and IVF index upkeep over ONE shared signature pass and
+    ONE corpus-signature read per batch (the per-batch cost accounting
+    is in the step's docstring) — then serve all three standing tables:
+
+    - ``split`` rows ≡ ``mix_cluster_aware_split_neardup``'s oracle
+      (incremental components converge to batch CC),
+    - ``flags`` rows ≡ the staged incremental-flags batch
+      characterization (``dedup.staged_incremental_flags_oracle``: each
+      doc flagged once, in its stage, vs strictly earlier stages),
+    - ``ivf`` rows ≡ ``ann_ivf_topk``'s oracle through the shared serve
+      path (index-served ≡ recompute-per-query).
+
+    All normalized to (family, k, metric, value) so one driver hash pins
+    the whole loop. Docs without embeddings still dedup/split (left
+    join); every fixture vec_id is a doc_id, so the maintained IVF table
+    covers exactly the embeddings table."""
+    import shutil
+    import tempfile
+
+    from realtime_datawarehouse_spark.operators import table_store
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = _emb(spark, sf_dir)
+    joined = docs.join(
+        emb, docs.doc_id == emb.vec_id, "left"
+    ).select("doc_id", "text", "embedding")
+    centroids = similarity._ivf_centroids(emb)
+    tmp = tempfile.mkdtemp(prefix="rdw-prod-ingest-")
+    try:
+        sig_path = f"{tmp}/sigs"
+        flags_path = f"{tmp}/flags"
+        comp_path = f"{tmp}/comps"
+        index_path = f"{tmp}/ivf_index"
+        for i in range(PROD_INGEST_STAGES):
+            pipelines.production_ingest_step(
+                spark,
+                joined.where(
+                    F.pmod(F.col("doc_id"), F.lit(PROD_INGEST_STAGES)) == i
+                ),
+                centroids,
+                sig_path,
+                flags_path,
+                comp_path,
+                index_path,
+                batch_id=i,
+            )
+        split = pipelines.incremental_split_report(spark, comp_path)
+        flags = table_store.read_state(spark, flags_path)
+        queries = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        topk = pipelines.ivf_topk_from_index(
+            spark, index_path, queries, centroids, TOPK
+        )
+
+        def norm(df, family, k_col, metrics):
+            parts = [
+                df.select(
+                    F.lit(family).alias("family"),
+                    F.col(k_col).cast("string").alias("k"),
+                    F.lit(m).alias("metric"),
+                    F.col(m).cast("double").alias("value"),
+                )
+                for m in metrics
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        ivf_k = F.concat_ws("_", F.col("query_id"), F.col("rnk"))
+        result = (
+            norm(split, "split", "split",
+                 ["n_docs", "n_clusters", "n_rescued"])
+            .unionByName(
+                norm(flags, "flags", "doc_id", ["dup_of", "match_bits"])
+            )
+            .unionByName(
+                norm(
+                    topk.withColumn("ivf_key", ivf_k),
+                    "ivf",
+                    "ivf_key",
+                    ["neighbor_id", "sim"],
+                ).replace(  # metric names match the oracle's labels
+                    {"neighbor_id": "neighbor"}, subset=["metric"]
+                )
+            )
+        )
+        rows = result.collect()  # materialize before the tmp store goes
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query("curate_split_leakage_neardup", oracle=SPLIT_LEAKAGE_ORACLE)
 def curate_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(split_lo, split_hi, n_pairs, is_leak): near-dup TRAIN/EVAL

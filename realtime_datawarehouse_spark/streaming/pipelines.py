@@ -548,6 +548,122 @@ def incremental_split_report(spark, comp_path: str) -> DataFrame:
     )
 
 
+def production_ingest_step(
+    spark,
+    batch: DataFrame,
+    centroids: DataFrame,
+    sig_path: str,
+    flags_path: str,
+    comp_path: str,
+    index_path: str,
+    batch_id: int,
+) -> None:
+    """ONE step of the COMPOSED production corpus-ingest loop (VERDICT r8
+    item 5): dup flags, component→split maintenance, and IVF index
+    upkeep — the three standing-artifact loops — over ONE micro-batch
+    with SHARED intermediates, the way a real corpus pipeline runs them
+    (three separate streams would shingle/minhash the same batch three
+    times and read the corpus signature table twice).
+
+    ``batch``: (doc_id long, text string, embedding array<float>,
+    embedding nullable — docs without vectors still dedup/split).
+
+    PER-BATCH COST (the no-duplicate-scan accounting):
+    - ``minhash_signatures`` — the only shingle/minhash pass — runs ONCE,
+      persisted, and feeds all three signature consumers: the dup flags
+      (``incremental_flags_from_signatures``, the signatures-in entry
+      point added for this loop), the split maintenance, and the
+      signature-table merge.
+    - the corpus signature table is read ONCE and shared by flags + split
+      maintenance (both only stream it map-side against broadcast batch
+      bands).
+    - the embedding half never touches text: ``ivf_assign`` is
+      O(|batch| × k) against the broadcast frozen codebook, merged into
+      the inverted-list table; no corpus touch at all.
+    Total standing-table I/O per batch: one corpus-signature read, four
+    bounded merges (flags, components, signatures, IVF lists) — vs six
+    reads/merges-plus-three-shingle-passes for the three loops run
+    separately.
+
+    END-STATE CONTRACT (driver-checked): after replaying a corpus
+    through this step, flags ≡ the staged incremental-flags batch
+    characterization (``dedup.staged_incremental_flags_oracle``), the
+    component→split rollup ≡ ``mix_cluster_aware_split_neardup``'s
+    oracle, and IVF serve ≡ ``ann_ivf_topk``'s oracle — all three pinned
+    in ONE hash-checked registration (``pipeline_production_ingest_eval``).
+    Shared with the streaming builder below so replays/evals and the
+    stream can never diverge (the ``ingest_split_step`` pattern)."""
+    from realtime_datawarehouse_spark.operators import dedup
+
+    docs = batch.select("doc_id", "text")
+    corpus_sig = table_store.read_state(spark, sig_path)
+    corpus_sig = corpus_sig.drop("ver") if corpus_sig is not None else None
+    batch_sig = dedup.minhash_signatures(docs).persist()
+    try:
+        if corpus_sig is not None:
+            flags = dedup.incremental_flags_from_signatures(
+                batch_sig, corpus_sig
+            )
+            table_store.merge_upsert(
+                spark,
+                flags.withColumn("batch_id", F.lit(batch_id)).withColumn(
+                    "ver", F.lit(batch_id)
+                ),
+                flags_path,
+                pk="doc_id",
+                version_col="ver",
+            )
+        _maintain_split_components(
+            spark, batch_sig, corpus_sig, comp_path, batch_id
+        )
+        table_store.merge_upsert(
+            spark,
+            batch_sig.withColumn("ver", F.lit(batch_id)),
+            sig_path,
+            pk="doc_id",
+            version_col="ver",
+        )
+    finally:
+        batch_sig.unpersist()
+    if "embedding" in batch.columns:
+        emb = batch.where(F.col("embedding").isNotNull()).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        ingest_ivf_step(spark, emb, centroids, index_path, batch_id)
+
+
+def production_corpus_pipeline(
+    doc_stream: DataFrame,
+    centroids: DataFrame,
+    sig_path: str,
+    flags_path: str,
+    comp_path: str,
+    index_path: str,
+):
+    """The three standing ingest loops as ONE ``foreachBatch`` stream
+    (VERDICT r8 item 5): every micro-batch of (doc_id, text, embedding)
+    runs :func:`production_ingest_step` — one shared signature pass, one
+    corpus-signature read, four bounded merges. Returns a writeStream
+    builder: caller sets checkpoint/trigger and ``.start()``. Replay
+    after a crash re-runs the step with the same batch_id; every write
+    inside is a versioned ``merge_upsert`` keyed by that id, so the loop
+    stays exactly-once end-to-end like its three components."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        production_ingest_step(
+            batch_df.sparkSession,
+            batch_df,
+            centroids,
+            sig_path,
+            flags_path,
+            comp_path,
+            index_path,
+            batch_id,
+        )
+
+    return doc_stream.writeStream.foreachBatch(process_batch)
+
+
 def streaming_corpus_ingest(
     raw: DataFrame, dedup_watermark: str = "26 hours"
 ) -> DataFrame:

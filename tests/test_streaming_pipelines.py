@@ -1289,3 +1289,107 @@ def test_hot_band_spanning_pairs_bound_and_cc_parity(spark, tmp_path):
     assert got == want
     # all mirrors in one component rooted at the min id; loner alone
     assert got[1000 + n_batch - 1] == 0 and got[2000] == 2000
+
+
+def test_production_corpus_pipeline_stream_matches_replay(spark, tmp_path):
+    """VERDICT r8 item 5, the stream side: running the COMPOSED loop as a
+    real foreachBatch stream produces byte-identical end states to the
+    step replay the registered eval runs (shared step function), and
+    each standing table equals its independent batch form — flags ≡
+    per-stage incremental_flags_vs_signatures, components ≡ batch CC,
+    IVF lists ≡ ivf_assign over the full corpus."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import (
+        dedup,
+        similarity,
+        table_store,
+    )
+    from realtime_datawarehouse_spark.streaming import pipelines
+    from realtime_datawarehouse_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = table(spark, SF_DIR, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id, "left").select(
+        "doc_id", "text", "embedding"
+    )
+    centroids = similarity._ivf_centroids(emb)
+    n_batches = 3
+
+    in_dir = str(tmp_path / "in")
+    for i in range(n_batches):
+        joined.where(
+            F.pmod(F.col("doc_id"), F.lit(n_batches)) == i
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        time.sleep(1.1)  # file source orders micro-batches by mod time
+
+    s = str(tmp_path / "stream")
+    stream = (
+        spark.readStream.schema(joined.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        pipelines.production_corpus_pipeline(
+            stream, centroids, f"{s}/sigs", f"{s}/flags", f"{s}/comps",
+            f"{s}/ivf",
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    r = str(tmp_path / "replay")
+    for i in range(n_batches):
+        pipelines.production_ingest_step(
+            spark,
+            joined.where(F.pmod(F.col("doc_id"), F.lit(n_batches)) == i),
+            centroids,
+            f"{r}/sigs", f"{r}/flags", f"{r}/comps", f"{r}/ivf",
+            batch_id=i,
+        )
+
+    def snap(path, cols):
+        df = table_store.read_state(spark, path)
+        return sorted(tuple(row) for row in df.select(*cols).collect())
+
+    for t, cols in (
+        ("flags", ["doc_id", "dup_of", "match_bits"]),
+        ("comps", ["doc_id", "component_id", "split"]),
+        ("ivf", ["vec_id", "centroid_id"]),
+    ):
+        assert snap(f"{s}/{t}", cols) == snap(f"{r}/{t}", cols), t
+
+    # vs the three INDEPENDENT batch forms
+    want_comp = _batch_cc_assignments(spark, docs)
+    got_comp = {
+        r_.doc_id: r_.component_id
+        for r_ in table_store.read_state(spark, f"{s}/comps").collect()
+    }
+    assert got_comp == want_comp
+
+    want_ivf = sorted(
+        (r_.vec_id, r_.centroid_id)
+        for r_ in similarity.ivf_assign(emb, centroids)
+        .select("vec_id", "centroid_id")
+        .collect()
+    )
+    assert snap(f"{s}/ivf", ["vec_id", "centroid_id"]) == want_ivf
+
+    want_flags = []
+    for i in range(1, n_batches):
+        corpus = docs.where(F.pmod(F.col("doc_id"), F.lit(n_batches)) < i)
+        batch = docs.where(F.pmod(F.col("doc_id"), F.lit(n_batches)) == i)
+        want_flags.extend(
+            (r_.doc_id, r_.dup_of, r_.match_bits)
+            for r_ in dedup.incremental_flags_vs_signatures(
+                batch, dedup.minhash_signatures(corpus)
+            ).collect()
+        )
+    assert snap(f"{s}/flags", ["doc_id", "dup_of", "match_bits"]) == sorted(
+        want_flags
+    )
