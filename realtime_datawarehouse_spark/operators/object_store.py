@@ -262,6 +262,123 @@ class RetryingStoreClient:
         self._store.force_put(key, body)
 
 
+class S3ObjectStore:
+    """The thin boto3 realization of the four-call client protocol —
+    ``ObjectStoreCASArbiter(RetryingStoreClient(S3ObjectStore(bucket)))``
+    is the full S3 deployment stack. Fails fast at construction when
+    boto3 is absent (this image ships none), naming the dependency —
+    the same fail-fast-builder pattern as ``sources/kafka.py``; every
+    protocol semantics this class must honor is already contract-tested
+    in-process (tests/test_arbiter_contract.py: the three-backend suite
+    incl. the faulted backend this adapter's retry wrapper realizes).
+
+    Retry division of labor: construct the client with
+    ``retries={'mode': 'standard'}`` BUT keep ``max_attempts`` low (the
+    default 3) and wrap with :class:`RetryingStoreClient` — the wrapper
+    must own the conditional-PUT retry so the ambiguous-outcome
+    read-back runs (boto3's internal retry of a conditional PUT would
+    swallow the ambiguity and surface a bare 412; see
+    :class:`RetryingStoreClient`). Raised ``TransientStoreError`` maps
+    the retryable ClientError codes so the wrapper's budget applies
+    uniformly."""
+
+    _RETRYABLE = {
+        "SlowDown",
+        "Throttling",
+        "ThrottlingException",
+        "RequestTimeout",
+        "InternalError",
+        "ServiceUnavailable",
+        "503",
+        "500",
+    }
+
+    def __init__(self, bucket: str, client=None) -> None:
+        if client is None:
+            try:
+                import boto3
+                from botocore.config import Config
+            except ImportError as e:  # pragma: no cover - no boto3 in image
+                raise ImportError(
+                    "S3ObjectStore requires boto3 (pip install boto3); "
+                    "this environment ships none — use "
+                    "InMemoryObjectStore for in-process deployments or "
+                    "LocalCASArbiter on POSIX"
+                ) from e
+            client = boto3.client(
+                "s3", config=Config(retries={"mode": "standard"})
+            )
+        self._c = client
+        self._bucket = bucket
+
+    @staticmethod
+    def _err_code(e: Exception) -> str | None:
+        """ClientError duck-typing (works with real botocore AND the
+        in-process fake clients the adapter tests use — botocore is not
+        importable in this image): a boto3 service error carries
+        ``e.response['Error']['Code']``; anything without that shape is
+        not a service error and re-raises unmapped."""
+        resp = getattr(e, "response", None)
+        if isinstance(resp, dict):
+            return resp.get("Error", {}).get("Code", "")
+        return None
+
+    def _map(self, e: Exception) -> Exception:
+        code = self._err_code(e)
+        if code in self._RETRYABLE:
+            return TransientStoreError(code)
+        return e
+
+    def put_if_none_match(self, key: str, body: bytes) -> bool:
+        try:
+            self._c.put_object(
+                Bucket=self._bucket, Key=key, Body=body, IfNoneMatch="*"
+            )
+            return True
+        except Exception as e:
+            code = self._err_code(e)
+            if code is None:
+                raise
+            if code in ("PreconditionFailed", "412"):
+                return False
+            raise self._map(e) from e
+
+    def get(self, key: str) -> bytes:
+        try:
+            return self._c.get_object(Bucket=self._bucket, Key=key)[
+                "Body"
+            ].read()
+        except Exception as e:
+            code = self._err_code(e)
+            if code is None:
+                raise
+            if code in ("NoSuchKey", "404"):
+                raise KeyError(key) from e
+            raise self._map(e) from e
+
+    def list(self, prefix: str) -> list[str]:
+        try:
+            out: list[str] = []
+            paginator = self._c.get_paginator("list_objects_v2")
+            for page in paginator.paginate(
+                Bucket=self._bucket, Prefix=prefix
+            ):
+                out.extend(o["Key"] for o in page.get("Contents", []))
+            return out
+        except Exception as e:
+            if self._err_code(e) is None:
+                raise
+            raise self._map(e) from e
+
+    def delete(self, key: str) -> None:
+        try:
+            self._c.delete_object(Bucket=self._bucket, Key=key)
+        except Exception as e:
+            if self._err_code(e) is None:
+                raise
+            raise self._map(e) from e
+
+
 class ObjectStoreCASArbiter:
     """``LocalCASArbiter``'s contract over an object store: one
     conditional PUT per commit sequence, derived head, tolerant scans.

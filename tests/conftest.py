@@ -66,6 +66,8 @@ SLOW_TESTS = {
     "test_bpe_train_matches_rounds",
     "test_production_corpus_pipeline_stream_matches_replay",
     "test_hot_band_spanning_pairs_bound_and_cc_parity",
+    "test_query_matches_oracle[mix_split_incremental_eval]",
+    "test_query_matches_oracle[pipeline_production_ingest_eval]",
 }
 
 

@@ -14,7 +14,65 @@ import pytest
 from realtime_datawarehouse_spark.operators import object_store, table_store
 
 
-@pytest.fixture(params=["local", "object", "object-faulted"])
+class _FakeServiceError(Exception):
+    """Duck-typed botocore ClientError: carries the
+    ``response['Error']['Code']`` shape S3ObjectStore consumes (botocore
+    itself is not importable in this image)."""
+
+    def __init__(self, code, op):
+        super().__init__(f"{code} on {op}")
+        self.response = {"Error": {"Code": code}}
+
+
+class _FakeBoto3Client:
+    """Duck-typed boto3 S3 client over InMemoryObjectStore — the exact
+    call/response/error shapes the S3ObjectStore adapter consumes
+    (put_object + IfNoneMatch='*' → 412 PreconditionFailed, get_object →
+    NoSuchKey, list_objects_v2 paginator paged at 2 keys, idempotent
+    delete_object), so the adapter's per-call mapping runs through the
+    FULL contract suite without boto3/network."""
+
+    def __init__(self, store):
+        self._s = store
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        assert IfNoneMatch == "*", "arbiter PUTs must be conditional"
+        if not self._s.put_if_none_match(Key, Body):
+            raise _FakeServiceError("PreconditionFailed", "put_object")
+        return {}
+
+    def get_object(self, Bucket, Key):
+        try:
+            data = self._s.get(Key)
+        except KeyError:
+            raise _FakeServiceError("NoSuchKey", "get_object") from None
+
+        class _Body:
+            def read(self, _d=data):
+                return _d
+
+        return {"Body": _Body()}
+
+    def get_paginator(self, op):
+        assert op == "list_objects_v2"
+        store = self._s
+
+        class _Paginator:
+            def paginate(self, Bucket, Prefix):
+                keys = store.list(Prefix)
+                if not keys:
+                    yield {}
+                for i in range(0, len(keys), 2):
+                    yield {"Contents": [{"Key": k} for k in keys[i:i + 2]]}
+
+        return _Paginator()
+
+    def delete_object(self, Bucket, Key):
+        self._s.delete(Key)
+        return {}
+
+
+@pytest.fixture(params=["local", "object", "object-faulted", "s3-adapter"])
 def backend(request):
     """(name, arbiter, plant_foreign) — plant_foreign(path, name, body)
     writes a foreign-named commit entry the way an external tool would
@@ -40,18 +98,28 @@ def backend(request):
         return request.param, arb, plant
     if request.param == "object":
         store = object_store.InMemoryObjectStore()
-    else:
+        plant_store = store
+    elif request.param == "object-faulted":
         store = object_store.RetryingStoreClient(
             object_store.FaultInjectingObjectStore(
                 object_store.InMemoryObjectStore(page_size=2),
                 throttle_every=3,
             )
         )
+        plant_store = store
+    else:  # s3-adapter: the boto3 mapping over a duck-typed fake client
+        inner = object_store.InMemoryObjectStore()
+        store = object_store.RetryingStoreClient(
+            object_store.S3ObjectStore(
+                bucket="contract-bucket", client=_FakeBoto3Client(inner)
+            )
+        )
+        plant_store = inner
     arb = object_store.ObjectStoreCASArbiter(store)
     return (
         request.param,
         arb,
-        lambda path, name, body: store.force_put(
+        lambda path, name, body: plant_store.force_put(
             arb._dir(path) + name, body.encode()
         ),
     )
@@ -420,3 +488,42 @@ def test_checked_commit_survives_ambiguous_put(spark, tmp_path):
         assert got == {(1, "a"), (2, "b")}
     finally:
         table_store.set_arbiter(prev)
+
+
+def test_s3_adapter_maps_retryable_codes(tmp_path):
+    """The adapter maps throttling/5xx service errors to
+    TransientStoreError (so the retry wrapper's budget applies
+    uniformly) and re-raises non-service exceptions unmapped."""
+
+    class _Throttle(_FakeBoto3Client):
+        def __init__(self, store):
+            super().__init__(store)
+            self.thrown = 0
+
+        def get_object(self, Bucket, Key):
+            if self.thrown < 2:
+                self.thrown += 1
+                raise _FakeServiceError("SlowDown", "get_object")
+            return super().get_object(Bucket, Key)
+
+    inner = object_store.InMemoryObjectStore()
+    client = _Throttle(inner)
+    adapter = object_store.S3ObjectStore(bucket="b", client=client)
+    inner.force_put("k", b"v")
+    with pytest.raises(object_store.TransientStoreError):
+        adapter.get("k")
+    # wrapped, the budget absorbs both throttles
+    wrapped = object_store.RetryingStoreClient(
+        object_store.S3ObjectStore(bucket="b", client=_Throttle(inner))
+    )
+    assert wrapped.get("k") == b"v"
+    # a non-service exception passes through unmapped
+    class _Broken(_FakeBoto3Client):
+        def get_object(self, Bucket, Key):
+            raise RuntimeError("socket teardown")
+
+    broken = object_store.S3ObjectStore(
+        bucket="b", client=_Broken(inner)
+    )
+    with pytest.raises(RuntimeError):
+        broken.get("k")
