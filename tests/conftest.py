@@ -68,6 +68,7 @@ SLOW_TESTS = {
     "test_hot_band_spanning_pairs_bound_and_cc_parity",
     "test_query_matches_oracle[mix_split_incremental_eval]",
     "test_query_matches_oracle[pipeline_production_ingest_eval]",
+    "test_production_ingest_step_replay_is_idempotent",
 }
 
 

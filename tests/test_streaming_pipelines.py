@@ -1393,3 +1393,57 @@ def test_production_corpus_pipeline_stream_matches_replay(spark, tmp_path):
     assert snap(f"{s}/flags", ["doc_id", "dup_of", "match_bits"]) == sorted(
         want_flags
     )
+
+
+def test_production_ingest_step_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch crash-replay contract of the COMPOSED loop: re-running
+    a step with the same batch_id leaves all four standing tables
+    byte-identical (every write is a versioned merge_upsert keyed by the
+    batch id)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from realtime_datawarehouse_spark.operators import (
+        similarity,
+        table_store,
+    )
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    def docs(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, embedding array<float>"
+        )
+
+    base = " ".join(f"w{i:02d}" for i in range(30))
+    vec = [float(i) for i in range(8)]
+    b0 = docs([(1, base, vec), (2, base, [v + 1 for v in vec])])
+    b1 = docs([(3, base, [v + 2 for v in vec]), (4, "other text", vec)])
+    centroids = similarity._ivf_centroids(
+        spark.createDataFrame(
+            [(1, vec), (2, [v + 3 for v in vec])],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    s = str(tmp_path / "t")
+    paths = (f"{s}/sigs", f"{s}/flags", f"{s}/comps", f"{s}/ivf")
+    pipelines.production_ingest_step(spark, b0, centroids, *paths, 0)
+    pipelines.production_ingest_step(spark, b1, centroids, *paths, 1)
+
+    def snap_all():
+        out = {}
+        for p in paths:
+            df = table_store.read_state(spark, p)
+            out[p] = sorted(tuple(r) for r in df.collect())
+        return out
+
+    before = snap_all()
+    # batch 1 crashed after its writes; the stream replays it
+    pipelines.production_ingest_step(spark, b1, centroids, *paths, 1)
+    assert snap_all() == before
+    # replay produced no new store versions beyond the dedup of ver=1
+    # rows (merge keyed by version col) — table contents fully stable;
+    # and the flags actually flagged the planted near-dups
+    flags = {
+        r.doc_id: r.dup_of
+        for r in table_store.read_state(spark, f"{s}/flags").collect()
+    }
+    assert flags.get(3) in (1, 2)
