@@ -152,12 +152,13 @@ BENCH_QUERIES = (
     "text_bpe_encode_vocab",        # broadcast-vocab greedy BPE apply kernel
     "dedup_incremental_pairs",      # per-ingest LSH pair increment
     # round-9 additions (floors recorded from their first r09 measurement).
-    # text_bpe_train_scale_eval and pipeline_production_ingest_eval are
-    # deliberately NOT here: both run their real work eagerly at
-    # query-build time (in-process trainer collect / 4-ingest store
-    # replay) and return local DFs — the same class as the r08
-    # incremental evals. Honest numbers: SCALE.md §30 and the composed
-    # loop's per-batch accounting (production_ingest_step docstring).
+    # text_bpe_train_scale_eval, pipeline_production_ingest_eval and
+    # text_classifier_train_eval are deliberately NOT here: each runs its
+    # real work eagerly at query-build time (in-process trainer collect /
+    # 4-ingest store replay / GD iteration loop) and returns a local DF —
+    # the same class as the r08 incremental evals. Honest numbers:
+    # SCALE.md §30/§32/§33 and the composed loop's per-batch accounting
+    # (production_ingest_step docstring).
     "text_bpe_vocab_scale_eval",    # fast-train@64 + vocab-encode corpus scan
 )
 

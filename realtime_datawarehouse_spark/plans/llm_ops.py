@@ -621,6 +621,28 @@ def mix_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_classifier_train_eval",
+    oracle=textops.classifier_train_eval_oracle(),
+)
+def text_classifier_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier (round 9): full-batch logistic
+    regression over the same mean-pooled hashed bag-of-words features
+    the serve-side text_quality_classifier scores with — the
+    fastText-style model production curation stacks train on labeled
+    seed sets and then run over the whole corpus. Distributed shape:
+    one persisted feature table, two map-combined aggregation passes
+    per gradient step (margins, then the ≤dim-row gradient), O(dim)
+    driver state — the k-means/PageRank bounded-collect class — with
+    the repo's integer-determinism discipline making the trained model
+    bit-identical across partitionings
+    (operators/textops.py::train_quality_classifier; exact-equality and
+    planted-separability pins in tests/test_plans.py). Contract row:
+    oracle-exact corpus counts + the GD invariants (loss strictly
+    decreased; final loss beats the null model's n·ln 2)."""
+    return textops.classifier_train_eval(_docs(spark, sf_dir))
+
+
 @query("text_repetition_signals", oracle=textops.REPETITION_ORACLE)
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (dup-word fraction, top-bigram

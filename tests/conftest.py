@@ -69,6 +69,8 @@ SLOW_TESTS = {
     "test_query_matches_oracle[mix_split_incremental_eval]",
     "test_query_matches_oracle[pipeline_production_ingest_eval]",
     "test_production_ingest_step_replay_is_idempotent",
+    "test_classifier_training_is_partition_invariant",
+    "test_classifier_learns_planted_separation",
 }
 
 

@@ -2363,3 +2363,62 @@ def test_ivf_incremental_index_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert eval_topk == want_topk
+
+
+def test_classifier_training_is_partition_invariant(spark):
+    """The integer-determinism claim of train_quality_classifier: the
+    trained weights and per-iter losses are BIT-IDENTICAL whatever the
+    input partitioning (every aggregated quantity is an int64 sum of
+    per-doc-quantized terms — order-free), and iteration 1's loss is
+    exactly the null model's n·ln2 in micros (w=0 ⇒ z=0 ⇒ per-doc loss
+    floor(ln2·1e6 + .5) = 693147)."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import textops
+    from realtime_datawarehouse_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    docs = table(spark, SF_DIR, "documents")
+    y = F.col("lang") == F.lit("en")
+    w1, l1, n1 = textops.train_quality_classifier(docs, y, iters=4)
+    w2, l2, n2 = textops.train_quality_classifier(
+        docs.repartition(7), y, iters=4
+    )
+    assert (w1, l1, n1) == (w2, l2, n2)
+    assert l1[0] == n1 * 693_147
+    assert l1[-1] < l1[0]
+
+
+def test_classifier_learns_planted_separation(spark):
+    """End-to-end: train on a linearly separable planted corpus, export
+    milli-quantized weights, score through the SHARED serve path
+    (quality_classifier(weights=...)) — 100% accuracy, margin sign ==
+    the trained decision (mean-pooled z and the raw-count margin differ
+    by the positive factor n_tokens, so keep is identical)."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import textops
+
+    rows = []
+    for i in range(60):
+        good = i % 2 == 0
+        marker = (
+            "excellent wonderful prose" if good else "spam junk garbage"
+        )
+        rows.append(
+            (i, f"{marker} filler words number{i % 7}",
+             "en" if good else "de")
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    w, losses, n = textops.train_quality_classifier(
+        docs, F.col("lang") == F.lit("en"), iters=12
+    )
+    assert n == 60 and losses[-1] < losses[0]
+    wdf = textops.classifier_weights_df(spark, w)
+    pred = {
+        r.doc_id: r.keep
+        for r in textops.quality_classifier(docs, weights=wdf).collect()
+    }
+    assert all(pred[i] == (1 if i % 2 == 0 else 0) for i in range(60))
