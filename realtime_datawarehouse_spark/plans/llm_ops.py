@@ -1212,9 +1212,17 @@ PROD_INGEST_ORACLE = (
     + similarity.ivf_topk_oracle(
         TOPK, similarity.NUM_PROBE, ANN_QUERY_PRED_SQL
     )
+    + "),\nquality_r AS ("
+    + textops.QUALITY_CLASSIFIER_ORACLE
     + """)
 SELECT 'split' AS family, split AS k, 'n_docs' AS metric,
        CAST(n_docs AS DOUBLE) AS value FROM split_r
+UNION ALL
+SELECT 'quality', CAST(doc_id AS VARCHAR), 'margin_milli',
+       CAST(margin_milli AS DOUBLE) FROM quality_r
+UNION ALL
+SELECT 'quality', CAST(doc_id AS VARCHAR), 'keep',
+       CAST(keep AS DOUBLE) FROM quality_r
 UNION ALL
 SELECT 'split', split, 'n_clusters', CAST(n_clusters AS DOUBLE) FROM split_r
 UNION ALL
@@ -1254,7 +1262,11 @@ def pipeline_production_ingest_eval(
       characterization (``dedup.staged_incremental_flags_oracle``: each
       doc flagged once, in its stage, vs strictly earlier stages),
     - ``ivf`` rows ≡ ``ann_ivf_topk``'s oracle through the shared serve
-      path (index-served ≡ recompute-per-query).
+      path (index-served ≡ recompute-per-query),
+    - ``quality`` rows ≡ ``text_quality_classifier``'s oracle (the
+      score-on-ingest stage, integer margins under the stand-in weight
+      table — the slot a trained ``train_quality_classifier`` export
+      loads into).
 
     All normalized to (family, k, metric, value) so one driver hash pins
     the whole loop. Docs without embeddings still dedup/split (left
@@ -1278,6 +1290,7 @@ def pipeline_production_ingest_eval(
         flags_path = f"{tmp}/flags"
         comp_path = f"{tmp}/comps"
         index_path = f"{tmp}/ivf_index"
+        quality_path = f"{tmp}/quality"
         for i in range(PROD_INGEST_STAGES):
             pipelines.production_ingest_step(
                 spark,
@@ -1290,9 +1303,11 @@ def pipeline_production_ingest_eval(
                 comp_path,
                 index_path,
                 batch_id=i,
+                quality_path=quality_path,
             )
         split = pipelines.incremental_split_report(spark, comp_path)
         flags = table_store.read_state(spark, flags_path)
+        quality = table_store.read_state(spark, quality_path)
         queries = emb.where(F.col("vec_id") < 8).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("query_vec"),
@@ -1322,6 +1337,10 @@ def pipeline_production_ingest_eval(
                  ["n_docs", "n_clusters", "n_rescued"])
             .unionByName(
                 norm(flags, "flags", "doc_id", ["dup_of", "match_bits"])
+            )
+            .unionByName(
+                norm(quality, "quality", "doc_id",
+                     ["margin_milli", "keep"])
             )
             .unionByName(
                 norm(

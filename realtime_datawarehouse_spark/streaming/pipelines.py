@@ -557,6 +557,8 @@ def production_ingest_step(
     comp_path: str,
     index_path: str,
     batch_id: int,
+    quality_path: str | None = None,
+    quality_weights: DataFrame | None = None,
 ) -> None:
     """ONE step of the COMPOSED production corpus-ingest loop (VERDICT r8
     item 5): dup flags, component→split maintenance, and IVF index
@@ -580,8 +582,19 @@ def production_ingest_step(
     - the embedding half never touches text: ``ivf_assign`` is
       O(|batch| × k) against the broadcast frozen codebook, merged into
       the inverted-list table; no corpus touch at all.
+    - ``quality_path`` (round-9 second wave) adds the curation stack's
+      SCORING stage to the loop: each batch is scored through
+      ``textops.quality_classifier`` (broadcast ≤dim-row weight table —
+      ``quality_weights`` loads a trained model, None uses the
+      deterministic stand-in) and the (doc_id, margin_milli, keep) rows
+      merge into a fifth standing table. Map-only + one batch-rate
+      token explode; no corpus touch; the real pipeline's
+      score-then-dedup ordering without changing any other artifact's
+      semantics (scoring filters downstream CONSUMERS, not the standing
+      tables — dropping low-quality docs from dedup would silently
+      change the component invariant).
     Total standing-table I/O per batch: one corpus-signature read, four
-    bounded merges (flags, components, signatures, IVF lists) — vs six
+    (five with quality) bounded merges — vs six
     reads/merges-plus-three-shingle-passes for the three loops run
     separately.
 
@@ -593,9 +606,20 @@ def production_ingest_step(
     in ONE hash-checked registration (``pipeline_production_ingest_eval``).
     Shared with the streaming builder below so replays/evals and the
     stream can never diverge (the ``ingest_split_step`` pattern)."""
-    from realtime_datawarehouse_spark.operators import dedup
+    from realtime_datawarehouse_spark.operators import dedup, textops
 
     docs = batch.select("doc_id", "text")
+    if quality_path is not None:
+        scored = textops.quality_classifier(docs, weights=quality_weights)
+        table_store.merge_upsert(
+            spark,
+            scored.select("doc_id", "margin_milli", "keep").withColumn(
+                "ver", F.lit(batch_id)
+            ),
+            quality_path,
+            pk="doc_id",
+            version_col="ver",
+        )
     corpus_sig = table_store.read_state(spark, sig_path)
     corpus_sig = corpus_sig.drop("ver") if corpus_sig is not None else None
     batch_sig = dedup.minhash_signatures(docs).persist()
@@ -639,6 +663,8 @@ def production_corpus_pipeline(
     flags_path: str,
     comp_path: str,
     index_path: str,
+    quality_path: str | None = None,
+    quality_weights: DataFrame | None = None,
 ):
     """The three standing ingest loops as ONE ``foreachBatch`` stream
     (VERDICT r8 item 5): every micro-batch of (doc_id, text, embedding)
@@ -659,6 +685,8 @@ def production_corpus_pipeline(
             comp_path,
             index_path,
             batch_id,
+            quality_path=quality_path,
+            quality_weights=quality_weights,
         )
 
     return doc_stream.writeStream.foreachBatch(process_batch)

@@ -1335,7 +1335,7 @@ def test_production_corpus_pipeline_stream_matches_replay(spark, tmp_path):
     q = (
         pipelines.production_corpus_pipeline(
             stream, centroids, f"{s}/sigs", f"{s}/flags", f"{s}/comps",
-            f"{s}/ivf",
+            f"{s}/ivf", quality_path=f"{s}/quality",
         )
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
@@ -1350,7 +1350,7 @@ def test_production_corpus_pipeline_stream_matches_replay(spark, tmp_path):
             joined.where(F.pmod(F.col("doc_id"), F.lit(n_batches)) == i),
             centroids,
             f"{r}/sigs", f"{r}/flags", f"{r}/comps", f"{r}/ivf",
-            batch_id=i,
+            batch_id=i, quality_path=f"{r}/quality",
         )
 
     def snap(path, cols):
@@ -1361,8 +1361,18 @@ def test_production_corpus_pipeline_stream_matches_replay(spark, tmp_path):
         ("flags", ["doc_id", "dup_of", "match_bits"]),
         ("comps", ["doc_id", "component_id", "split"]),
         ("ivf", ["vec_id", "centroid_id"]),
+        ("quality", ["doc_id", "margin_milli", "keep"]),
     ):
         assert snap(f"{s}/{t}", cols) == snap(f"{r}/{t}", cols), t
+
+    # the quality table equals the batch scorer over the whole corpus
+    from realtime_datawarehouse_spark.operators import textops
+
+    want_q = sorted(
+        (r_.doc_id, r_.margin_milli, r_.keep)
+        for r_ in textops.quality_classifier(docs).collect()
+    )
+    assert snap(f"{s}/quality", ["doc_id", "margin_milli", "keep"]) == want_q
 
     # vs the three INDEPENDENT batch forms
     want_comp = _batch_cc_assignments(spark, docs)
