@@ -1008,6 +1008,11 @@ def classifier_train_eval(
     improve on it). The weight trajectory itself is pinned exactly by
     the partition-invariance and planted-separability pytests — the
     same division of labor as bpe_train's contract eval."""
+    if iters < 1:
+        raise ValueError(
+            "classifier_train_eval needs iters >= 1 (the oracle hardcodes "
+            "loss_decreased=1, which an un-run trainer cannot satisfy)"
+        )
     w, losses, n_docs = train_quality_classifier(
         docs, F.col("lang") == F.lit("en"), text_col, dim, iters
     )
