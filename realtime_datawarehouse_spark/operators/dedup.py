@@ -653,18 +653,25 @@ def incremental_candidate_pairs(
     nb = _sig_bands(batch_sig).alias("nb")
     cb = _sig_bands(corpus_sig)
     if max_bucket is not None:
+        # ADVICE r9 (low): rank-then-filter, NOT collect_list+slice — a
+        # collect_list over the hot bucket holds |corpus∩bucket| ids in
+        # ONE aggregation buffer (OOM on the very skew this cap guards
+        # against). row_number over (bucket ORDER BY doc_id) keeps the
+        # same deterministic "max_bucket smallest doc_ids" semantics but
+        # rides Spark's external (spillable) sort: peak task memory is
+        # a sort page, not the bucket. Same shuffle count — the groupBy
+        # it replaces exchanged on the identical (band_idx, band_key).
+        from pyspark.sql import Window
+
         touched = nb.select("band_idx", "band_key").distinct()
+        rank_w = Window.partitionBy("band_idx", "band_key").orderBy(
+            "doc_id"
+        )
         capped = (
             cb.join(F.broadcast(touched), ["band_idx", "band_key"], "semi")
-            .groupBy("band_idx", "band_key")
-            .agg(
-                F.slice(
-                    F.sort_array(F.collect_list("doc_id")), 1, max_bucket
-                ).alias("members")
-            )
-            .select(
-                "band_idx", "band_key", F.explode("members").alias("doc_id")
-            )
+            .withColumn("_rk", F.row_number().over(rank_w))
+            .where(F.col("_rk") <= max_bucket)
+            .drop("_rk")
         )
         cb = capped
     cb = cb.alias("cb")

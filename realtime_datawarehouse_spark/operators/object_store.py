@@ -64,10 +64,12 @@ class InMemoryObjectStore:
     ``delete``. ``put_object(IfNoneMatch='*')`` is the exception: a
     retryable error can land AFTER the server applied the PUT, and
     boto3's internal retry of that request then surfaces 412 from OUR
-    OWN write — the adapter must wrap the conditional PUT with
-    :class:`RetryingStoreClient`'s read-back recovery instead of (not
-    in addition to) trusting a bare 412. All four are linearizable here
-    (one lock), matching S3's strong read-after-write consistency model.
+    OWN write — the adapter must issue the conditional PUT through a
+    client with internal retries DISABLED
+    (``Config(retries={'total_max_attempts': 1})``) so every attempt
+    reaches :class:`RetryingStoreClient`'s read-back recovery instead
+    of trusting a bare 412. All four are linearizable here (one lock),
+    matching S3's strong read-after-write consistency model.
     """
 
     def __init__(self, page_size: int | None = None) -> None:
@@ -198,7 +200,8 @@ class FaultInjectingObjectStore:
 
 class RetryingStoreClient:
     """The documented client-side retry behavior, in-process: what a
-    boto3 adapter built with ``Config(retries={'mode': 'standard'})``
+    boto3 adapter with standard internal retries on reads but internal
+    retries DISABLED on the conditional PUT (see :class:`S3ObjectStore`)
     plus the conditional-PUT read-back does. ``get``/``list``/
     ``delete`` simply retry :class:`TransientStoreError` up to
     ``max_attempts``.
@@ -272,15 +275,22 @@ class S3ObjectStore:
     in-process (tests/test_arbiter_contract.py: the three-backend suite
     incl. the faulted backend this adapter's retry wrapper realizes).
 
-    Retry division of labor: construct the client with
-    ``retries={'mode': 'standard'}`` BUT keep ``max_attempts`` low (the
-    default 3) and wrap with :class:`RetryingStoreClient` — the wrapper
-    must own the conditional-PUT retry so the ambiguous-outcome
-    read-back runs (boto3's internal retry of a conditional PUT would
-    swallow the ambiguity and surface a bare 412; see
-    :class:`RetryingStoreClient`). Raised ``TransientStoreError`` maps
-    the retryable ClientError codes so the wrapper's budget applies
-    uniformly."""
+    Retry division of labor: TWO clients. ``get``/``list``/``delete``
+    go through a client with ``retries={'mode': 'standard'}`` (internal
+    retries on idempotent reads are harmless and save wrapper
+    round-trips). The conditional PUT goes through a SEPARATE client
+    built with ``retries={'total_max_attempts': 1}`` — internal retries
+    on a conditional PUT are a data-loss hazard: if the first attempt is
+    applied server-side but its response is lost, botocore's silent
+    retry hits the now-existing key and surfaces a bare 412, so
+    :class:`RetryingStoreClient` never sees the ``TransientStoreError``,
+    skips its ambiguous-outcome read-back, and reports the writer's own
+    win as a loss (the caller then deletes a snapshot the head names —
+    the exact case ``test_ambiguous_put_is_recovered_as_win`` pins).
+    With internal PUT retries disabled the wrapper observes EVERY
+    attempt and owns the read-back recovery. Raised
+    ``TransientStoreError`` maps the retryable ClientError codes so the
+    wrapper's budget applies uniformly."""
 
     _RETRYABLE = {
         "SlowDown",
@@ -293,7 +303,7 @@ class S3ObjectStore:
         "500",
     }
 
-    def __init__(self, bucket: str, client=None) -> None:
+    def __init__(self, bucket: str, client=None, put_client=None) -> None:
         if client is None:
             try:
                 import boto3
@@ -308,7 +318,16 @@ class S3ObjectStore:
             client = boto3.client(
                 "s3", config=Config(retries={"mode": "standard"})
             )
+            if put_client is None:  # pragma: no cover - no boto3 in image
+                # Conditional PUTs MUST NOT be retried inside botocore
+                # (see class docstring): one attempt per wrapper call.
+                put_client = boto3.client(
+                    "s3", config=Config(retries={"total_max_attempts": 1})
+                )
         self._c = client
+        # Injected single test clients serve both roles (the fakes have
+        # no internal retry loop, so the hazard doesn't exist there).
+        self._put_c = put_client if put_client is not None else client
         self._bucket = bucket
 
     @staticmethod
@@ -331,7 +350,7 @@ class S3ObjectStore:
 
     def put_if_none_match(self, key: str, body: bytes) -> bool:
         try:
-            self._c.put_object(
+            self._put_c.put_object(
                 Bucket=self._bucket, Key=key, Body=body, IfNoneMatch="*"
             )
             return True

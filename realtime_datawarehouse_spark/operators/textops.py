@@ -1008,10 +1008,12 @@ def classifier_train_eval(
     improve on it). The weight trajectory itself is pinned exactly by
     the partition-invariance and planted-separability pytests — the
     same division of labor as bpe_train's contract eval."""
-    if iters < 1:
+    if iters < 2:
         raise ValueError(
-            "classifier_train_eval needs iters >= 1 (the oracle hardcodes "
-            "loss_decreased=1, which an un-run trainer cannot satisfy)"
+            "classifier_train_eval needs iters >= 2: iteration 1's loss IS "
+            "the null loss (w=0), so strict decrease needs at least one "
+            "update — with iters=1, losses[-1] == losses[0] and the oracle's "
+            "hardcoded loss_decreased=1/beats_null=1 would spuriously fail"
         )
     w, losses, n_docs = train_quality_classifier(
         docs, F.col("lang") == F.lit("en"), text_col, dim, iters

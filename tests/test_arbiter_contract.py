@@ -527,3 +527,59 @@ def test_s3_adapter_maps_retryable_codes(tmp_path):
     )
     with pytest.raises(RuntimeError):
         broken.get("k")
+
+
+def test_s3_adapter_routes_puts_through_dedicated_put_client():
+    """ADVICE r9 (high): the conditional PUT must be issued through a
+    client whose INTERNAL retries are disabled
+    (Config(retries={'total_max_attempts': 1})) — botocore silently
+    retrying a conditional PUT whose first attempt was applied before
+    the response was lost surfaces a bare 412, RetryingStoreClient
+    never sees the TransientStoreError, skips the ambiguous-outcome
+    read-back, and the caller deletes a snapshot the head names. This
+    pins the routing: put_object goes to put_client; get/list/delete
+    go to the standard-retry client."""
+    inner = object_store.InMemoryObjectStore()
+
+    class _Recording(_FakeBoto3Client):
+        def __init__(self, store, log, tag):
+            super().__init__(store)
+            self._log, self._tag = log, tag
+
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+            self._log.append((self._tag, "put"))
+            return super().put_object(Bucket, Key, Body, IfNoneMatch)
+
+        def get_object(self, Bucket, Key):
+            self._log.append((self._tag, "get"))
+            return super().get_object(Bucket, Key)
+
+        def delete_object(self, Bucket, Key):
+            self._log.append((self._tag, "delete"))
+            return super().delete_object(Bucket, Key)
+
+    log = []
+    adapter = object_store.S3ObjectStore(
+        bucket="b",
+        client=_Recording(inner, log, "read"),
+        put_client=_Recording(inner, log, "put-once"),
+    )
+    assert adapter.put_if_none_match("k", b"v") is True
+    assert adapter.get("k") == b"v"
+    assert adapter.put_if_none_match("k", b"w") is False  # 412 path
+    adapter.delete("k")
+    assert log == [
+        ("put-once", "put"),
+        ("read", "get"),
+        ("put-once", "put"),
+        ("read", "delete"),
+    ]
+    # injected single client still serves both roles (all fakes lack an
+    # internal retry loop, so the hazard doesn't exist in-process)
+    log2 = []
+    single = object_store.S3ObjectStore(
+        bucket="b", client=_Recording(inner, log2, "both")
+    )
+    single.put_if_none_match("k2", b"v")
+    single.get("k2")
+    assert [t for t, _ in log2] == ["both", "both"]

@@ -2389,6 +2389,24 @@ def test_classifier_training_is_partition_invariant(spark):
     assert l1[-1] < l1[0]
 
 
+def test_classifier_train_eval_rejects_degenerate_iters(spark):
+    """ADVICE r9 (low): iters=1 is as degenerate as iters=0 for the
+    EVAL's contract — iteration 1's loss IS the null loss (w=0), so
+    losses[-1] == losses[0], loss_decreased=0, beats_null=0, and the
+    oracle's hardcoded 1s would spuriously fail. The guard must reject
+    both before launching any Spark job."""
+    import pytest as _pytest
+
+    from realtime_datawarehouse_spark.operators import textops
+    from realtime_datawarehouse_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    docs = table(spark, SF_DIR, "documents")
+    for bad in (0, 1):
+        with _pytest.raises(ValueError, match="iters >= 2"):
+            textops.classifier_train_eval(docs, iters=bad)
+
+
 def test_classifier_learns_planted_separation(spark):
     """End-to-end: train on a linearly separable planted corpus, export
     milli-quantized weights, score through the SHARED serve path
