@@ -263,6 +263,25 @@ def main() -> None:
             )
             summary["floor_ratio_worst"] = {ratios[-1][1]: ratios[-1][0]}
     print(json.dumps(summary))
+    # VERDICT r9 item 5: the per-query dict has outgrown the driver's
+    # 2000-char stdout tail, so even the summary line above arrives
+    # head-truncated ("parsed": null since r03). Emit a THIRD line —
+    # compact, no per-query dict, a few hundred bytes — as the very
+    # LAST stdout line so the recorded tail always ends with one
+    # complete parseable JSON object whatever the headline set grows to.
+    compact = {
+        "metric": "bench floor summary (see preceding line for per-query)",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(warm),
+        "calib_py_loop_s": calib_py,
+        "calib_spark_range_s": calib_spark,
+    }
+    for k in ("floor_regressions", "floor_ratio_overall", "floor_ratio_worst"):
+        if k in summary:
+            compact[k] = summary[k]
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
