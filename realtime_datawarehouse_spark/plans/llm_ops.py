@@ -1359,6 +1359,119 @@ def pipeline_production_ingest_eval(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Trained-weights composed-loop eval (round 10, VERDICT r9 item 2): the
+# §33 trainer and the §32 composed loop tied together in ONE driver
+# record. DuckDB cannot run the GD trainer, so the oracle is the
+# classifier_train_eval pattern — SQL-exact counts for everything SQL can
+# count, hardcoded 1s for the invariants any correct run must satisfy
+# (the flags are REAL checks: the Spark side computes them from the
+# actual replayed tables and a wrong loop emits 0s, which hash-mismatch).
+PROD_INGEST_TRAINED_ORACLE = f"""
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+        WHERE length(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '')) > 0) AS n_train_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents
+        WHERE length(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '')) > 0) AS n_scored,
+       CAST(1 AS BIGINT) AS loop_matches_direct,
+       CAST(1 AS BIGINT) AS loss_decreased,
+       CAST(1 AS BIGINT) AS beats_null
+"""
+
+
+@query(
+    "pipeline_production_ingest_trained_eval",
+    oracle=PROD_INGEST_TRAINED_ORACLE,
+)
+def pipeline_production_ingest_trained_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRAINED quality weights through the COMPOSED ingest loop,
+    driver-recorded (VERDICT r9 item 2 — `pipeline_production_ingest_eval`
+    drives the loop's quality stage with the deterministic STAND-IN
+    table; this eval closes the gap by driving it with a model the §33
+    trainer actually produced):
+
+    1. train on the fixture label (y = lang = 'en') —
+       ``textops.train_quality_classifier``, bit-deterministic;
+    2. export via ``classifier_weights_df`` (milli-quantized, the
+       standard model-export rounding);
+    3. replay the corpus as the same 4 deterministic ingests through
+       ``pipelines.production_ingest_step`` passing ``quality_weights``,
+       so every batch scores through the broadcast trained table inside
+       the composed loop (flags/split/signature stages run beside it —
+       the loop's real shape; the embedding half is left out because the
+       quality stage shares no intermediate with it and the full 5-table
+       composition is already driver-pinned by
+       ``pipeline_production_ingest_eval``);
+    4. contract row: the standing quality table must cover EXACTLY the
+       ≥1-token docs (``n_scored`` — SQL-exact vs the oracle), and be
+       row-for-row BIT-IDENTICAL to the direct serve path
+       ``quality_classifier(docs, weights=wdf)`` over the whole corpus
+       (``loop_matches_direct`` — a 4-way-split-and-merge replay that
+       dropped, duplicated or re-scored any doc flips it to 0). The
+       training flags are ``classifier_train_eval``'s. The exact weight
+       TRAJECTORY is pinned by the partition-invariance / planted-
+       separability pytests — same division of labor as bpe_train."""
+    import shutil
+    import tempfile
+
+    from realtime_datawarehouse_spark.operators import table_store
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    docs_full = _docs(spark, sf_dir)
+    w, losses, n_train = textops.train_quality_classifier(
+        docs_full, F.col("lang") == F.lit("en")
+    )
+    wdf = textops.classifier_weights_df(spark, w)
+    docs = docs_full.select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="rdw-prod-trained-")
+    try:
+        for i in range(PROD_INGEST_STAGES):
+            pipelines.production_ingest_step(
+                spark,
+                docs.where(
+                    F.pmod(F.col("doc_id"), F.lit(PROD_INGEST_STAGES)) == i
+                ),
+                centroids=None,
+                sig_path=f"{tmp}/sigs",
+                flags_path=f"{tmp}/flags",
+                comp_path=f"{tmp}/comps",
+                index_path=f"{tmp}/ivf_index",
+                batch_id=i,
+                quality_path=f"{tmp}/quality",
+                quality_weights=wdf,
+            )
+        standing = (
+            table_store.read_state(spark, f"{tmp}/quality")
+            .select("doc_id", "margin_milli", "keep")
+        )
+        direct = textops.quality_classifier(docs, weights=wdf).select(
+            "doc_id", "margin_milli", "keep"
+        )
+        n_scored = standing.count()
+        n_mismatch = (
+            standing.exceptAll(direct).count()
+            + direct.exceptAll(standing).count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    null_loss = n_train * 693_147
+    return spark.createDataFrame(
+        [
+            (
+                n_train,
+                n_scored,
+                1 if n_mismatch == 0 else 0,
+                1 if losses[-1] < losses[0] else 0,
+                1 if losses[-1] < null_loss else 0,
+            )
+        ],
+        "n_train_docs long, n_scored long, loop_matches_direct long, "
+        "loss_decreased long, beats_null long",
+    )
+
+
 @query("curate_split_leakage_neardup", oracle=SPLIT_LEAKAGE_ORACLE)
 def curate_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(split_lo, split_hi, n_pairs, is_leak): near-dup TRAIN/EVAL

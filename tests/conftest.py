@@ -71,6 +71,8 @@ SLOW_TESTS = {
     "test_production_ingest_step_replay_is_idempotent",
     "test_classifier_training_is_partition_invariant",
     "test_classifier_learns_planted_separation",
+    # round-10 additions (measured via the drift guard below)
+    "test_query_matches_oracle[pipeline_production_ingest_trained_eval]",
 }
 
 
