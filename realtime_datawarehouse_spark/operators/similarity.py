@@ -300,11 +300,19 @@ def train_centroids(
     )
 
 
-def ivf_assign(emb: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame | None = None,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """IVF list assignment: each vector joins its nearest centroid.
 
     ``centroids``: (centroid_id, cv, cn) — defaults to the deterministic
     arithmetic subset; pass ``train_centroids(...)`` for a trained codebook.
+    ``carry``: extra ``emb`` columns passed through unchanged (rides the
+    same max_by struct, zero extra shuffle) — the index REFRESH uses it to
+    keep each row's merge version while re-assigning against a new
+    codebook (streaming/pipelines.refresh_ivf_index).
 
     Physical shape at scale: centroids are tiny and broadcast; the corpus is
     scanned once, scored against every centroid (|corpus| × |centroids| fused
@@ -315,12 +323,13 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
     if centroids is None:
         centroids = _ivf_centroids(emb)
     v = emb.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).select("vec_id", "v", l2_norm(F.col("v")).alias("vn"))
+        "vec_id", _as_double(F.col("embedding")).alias("v"), *carry
+    ).select("vec_id", "v", l2_norm(F.col("v")).alias("vn"), *carry)
     scored = v.join(F.broadcast(centroids)).select(
         "vec_id",
         "v",
         "vn",
+        *carry,
         "centroid_id",
         _cos(F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")).alias("csim"),
     )
@@ -331,10 +340,11 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
     # ASC) tie-break exactly; centroid ids are unique so it is total.
     return scored.groupBy("vec_id").agg(
         F.max_by(
-            F.struct("v", "vn", "centroid_id"),
+            F.struct("v", "vn", *carry, "centroid_id"),
             F.struct(F.col("csim"), (-F.col("centroid_id")).alias("nc")),
         ).alias("m")
-    ).select("vec_id", "m.v", "m.vn", "m.centroid_id")
+    ).select("vec_id", "m.v", "m.vn", *[f"m.{c}" for c in carry],
+             "m.centroid_id")
 
 
 def ivf_topk(
@@ -360,19 +370,19 @@ def ivf_topk(
     )
 
 
-def ivf_topk_from_assigned(
+def ivf_probe_candidates(
     assigned: DataFrame,
     queries: DataFrame,
     centroids: DataFrame,
-    k: int = 5,
     nprobe: int = NUM_PROBE,
 ) -> DataFrame:
-    """The SERVE side of :func:`ivf_topk` over an already-materialized
-    assignment table (vec_id, v, vn, centroid_id) — the deployment read
-    path once the inverted lists live in a store maintained
-    incrementally (streaming/pipelines.py::ingest_ivf_step) instead of
-    being recomputed per query. Extracted, not duplicated: ivf_topk
-    delegates here, so batch and index-served plans cannot drift."""
+    """The probe-time CANDIDATE stage of IVF serve, shared by
+    :func:`ivf_topk_from_assigned` and the refresh eval's probe-cost
+    audit (candidate-row count IS the serve cost a stale codebook
+    inflates): each query's ``nprobe`` nearest lists, joined — probe
+    side is |queries| × nprobe and broadcast; the corpus stays put. On
+    a centroid-partitioned layout this join IS the partition-pruned
+    scan."""
     q = queries.select(
         "query_id", _as_double(F.col("query_vec")).alias("qv")
     ).select("query_id", "qv", l2_norm(F.col("qv")).alias("qn"))
@@ -391,11 +401,25 @@ def ivf_topk_from_assigned(
         .where(F.col("prnk") <= nprobe)
         .select("query_id", "qv", "qn", "centroid_id")
     )
-    # probe side is |queries| × nprobe — broadcast it; the corpus stays put.
-    # On a centroid-partitioned layout this join IS the partition-pruned scan.
-    cand = assigned.join(
+    return assigned.join(
         F.broadcast(probes), on="centroid_id"
     ).where(F.col("vec_id") != F.col("query_id"))
+
+
+def ivf_topk_from_assigned(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = NUM_PROBE,
+) -> DataFrame:
+    """The SERVE side of :func:`ivf_topk` over an already-materialized
+    assignment table (vec_id, v, vn, centroid_id) — the deployment read
+    path once the inverted lists live in a store maintained
+    incrementally (streaming/pipelines.py::ingest_ivf_step) instead of
+    being recomputed per query. Extracted, not duplicated: ivf_topk
+    delegates here, so batch and index-served plans cannot drift."""
+    cand = ivf_probe_candidates(assigned, queries, centroids, nprobe)
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -428,13 +452,21 @@ _COS_QA = (
 
 
 def ivf_topk_oracle(
-    k: int = 5, nprobe: int = NUM_PROBE, query_pred: str = "vec_id < 8"
+    k: int = 5,
+    nprobe: int = NUM_PROBE,
+    query_pred: str = "vec_id < 8",
+    centroid_pred: str | None = None,
 ) -> str:
+    """``centroid_pred`` overrides the deterministic codebook rule — the
+    refresh eval uses it to express serve paths under a STALE (day-0
+    subset) vs a REFRESHED (full-corpus rule) codebook in pure SQL."""
+    if centroid_pred is None:
+        centroid_pred = IVF_CENTROID_PRED_SQL
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), c AS (
-  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE {IVF_CENTROID_PRED_SQL}
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE {centroid_pred}
 ), va AS (
   SELECT vec_id, v, centroid_id,
          row_number() OVER (PARTITION BY vec_id

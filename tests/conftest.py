@@ -73,6 +73,8 @@ SLOW_TESTS = {
     "test_classifier_learns_planted_separation",
     # round-10 additions (measured via the drift guard below)
     "test_query_matches_oracle[pipeline_production_ingest_trained_eval]",
+    "test_ivf_refresh_atomic_swap_trained_path_and_post_refresh_ingest",
+    "test_query_matches_oracle[ann_ivf_refresh_eval]",
 }
 
 
