@@ -689,6 +689,8 @@ def production_ingest_step(
     batch_id: int,
     quality_path: str | None = None,
     quality_weights: DataFrame | None = None,
+    compact_every: int | None = None,
+    compact_target_files: int = 8,
 ) -> None:
     """ONE step of the COMPOSED production corpus-ingest loop (VERDICT r8
     item 5): dup flags, component→split maintenance, and IVF index
@@ -727,6 +729,22 @@ def production_ingest_step(
     (five with quality) bounded merges — vs six
     reads/merges-plus-three-shingle-passes for the three loops run
     separately.
+
+    COMPACTION CADENCE (round 10, VERDICT r9 item 4): every merge
+    writes a shuffle's worth of small files into the new snapshot, so
+    over a long ingest history scan cost and listing pressure grow with
+    file COUNT even though GC bounds the version count. ``compact_every
+    = N`` runs ``table_store.compact`` on each standing table after
+    every Nth batch — an ordinary optimistic commit (readers never
+    blocked; a racing writer wins and the compaction simply retries at
+    the next cadence point, so a lost cycle costs nothing but files).
+    The index table clusters on ``centroid_id`` (disjoint file ranges →
+    probe-time reads prune whole files — the ivf layout note realized),
+    the doc-keyed tables on ``doc_id``. Replays stay idempotent across
+    a compaction boundary: compaction is pure re-layout, and a replayed
+    merge re-derives the same rows whatever the file layout
+    (pytest-pinned). Measured bounded-file-count across a 20-ingest
+    history in tools/probe_compaction_cadence.py (SCALE.md §35).
 
     END-STATE CONTRACT (driver-checked): after replaying a corpus
     through this step, flags ≡ the staged incremental-flags batch
@@ -784,6 +802,28 @@ def production_ingest_step(
             F.col("doc_id").alias("vec_id"), "embedding"
         )
         ingest_ivf_step(spark, emb, centroids, index_path, batch_id)
+    if (
+        compact_every is not None
+        and batch_id > 0
+        and batch_id % compact_every == 0
+    ):
+        for p, cluster in (
+            (sig_path, "doc_id"),
+            (flags_path, "doc_id"),
+            (comp_path, "doc_id"),
+            (index_path, "centroid_id"),
+            (quality_path, "doc_id"),
+        ):
+            if p is None or table_store.current_version(p) is None:
+                continue
+            try:
+                table_store.compact(
+                    spark, p, compact_target_files, cluster_col=cluster
+                )
+            except table_store.ConcurrentCommitError:
+                # a concurrent writer won the race — files stay small
+                # until the next cadence point; nothing is lost
+                pass
 
 
 def production_corpus_pipeline(
@@ -795,6 +835,7 @@ def production_corpus_pipeline(
     index_path: str,
     quality_path: str | None = None,
     quality_weights: DataFrame | None = None,
+    compact_every: int | None = None,
 ):
     """The three standing ingest loops as ONE ``foreachBatch`` stream
     (VERDICT r8 item 5): every micro-batch of (doc_id, text, embedding)
@@ -803,7 +844,10 @@ def production_corpus_pipeline(
     builder: caller sets checkpoint/trigger and ``.start()``. Replay
     after a crash re-runs the step with the same batch_id; every write
     inside is a versioned ``merge_upsert`` keyed by that id, so the loop
-    stays exactly-once end-to-end like its three components."""
+    stays exactly-once end-to-end like its three components.
+    ``compact_every=N`` adds the small-files maintenance cadence (see
+    the step's docstring) — replay across a compaction boundary is
+    still idempotent."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         production_ingest_step(
@@ -817,6 +861,7 @@ def production_corpus_pipeline(
             batch_id,
             quality_path=quality_path,
             quality_weights=quality_weights,
+            compact_every=compact_every,
         )
 
     return doc_stream.writeStream.foreachBatch(process_batch)
