@@ -678,6 +678,63 @@ def incremental_split_report(spark, comp_path: str) -> DataFrame:
     )
 
 
+def ivf_index_imbalance6(spark, index_path: str) -> int | None:
+    """The standing index's worst balance factor in
+    ``ann_ivf_balance_report``'s micro-units (1e6 = perfectly even,
+    k·1e6 = everything in one list): max over lists of
+    list_size × k × 1e6 / n. None when the index doesn't exist yet.
+    One map-combinable count per list + a ≤k-row rollup — the audit
+    read the refresh POLICY consumes (the report measures, this
+    decides)."""
+    _, assigned = read_ivf_index(spark, index_path)
+    if assigned is None:
+        return None
+    sz = assigned.groupBy("centroid_id").agg(F.count("*").alias("c"))
+    row = sz.agg(
+        F.max("c").alias("mx"),
+        F.sum("c").alias("n"),
+        F.count("*").alias("k"),
+    ).collect()[0]
+    if not row.n:
+        return None
+    return int(row.mx * row.k * 1_000_000 // row.n)
+
+
+def ivf_refresh_if_needed(
+    spark,
+    index_path: str,
+    refresh_id: int,
+    max_balance6: int = 4_000_000,
+    new_centroids: DataFrame | None = None,
+    k: int = 16,
+    iters: int = 2,
+) -> bool:
+    """The measure→act completion of the IVF maintenance loop (VERDICT
+    r9 item 1's second half: ``ann_ivf_balance_report`` measured
+    imbalance and nothing consumed it): refresh the codebook IFF the
+    standing index's worst balance factor exceeds ``max_balance6``
+    (micro-units, 4e6 = some list holds 4× its even share — probe
+    latency and partition skew both track that list; the factor is
+    capped at k·1e6 when everything lands in one list, so a reachable
+    threshold needs k > max_balance6/1e6 — the default assumes the
+    production k ≥ 8). Returns whether a refresh ran. Crash/replay note: the check is self-healing — a
+    replayed trigger batch re-reads the NOW-BALANCED index and skips,
+    so double-refresh needs no extra guard; serve stays consistent at
+    every point because the swap itself is the atomic commit."""
+    imb = ivf_index_imbalance6(spark, index_path)
+    if imb is None or imb <= max_balance6:
+        return False
+    refresh_ivf_index(
+        spark,
+        index_path,
+        refresh_id,
+        new_centroids=new_centroids,
+        k=k,
+        iters=iters,
+    )
+    return True
+
+
 def production_ingest_step(
     spark,
     batch: DataFrame,
@@ -691,6 +748,8 @@ def production_ingest_step(
     quality_weights: DataFrame | None = None,
     compact_every: int | None = None,
     compact_target_files: int = 8,
+    ivf_refresh_every: int | None = None,
+    ivf_max_balance6: int = 4_000_000,
 ) -> None:
     """ONE step of the COMPOSED production corpus-ingest loop (VERDICT r8
     item 5): dup flags, component→split maintenance, and IVF index
@@ -802,6 +861,21 @@ def production_ingest_step(
             F.col("doc_id").alias("vec_id"), "embedding"
         )
         ingest_ivf_step(spark, emb, centroids, index_path, batch_id)
+        if (
+            ivf_refresh_every is not None
+            and batch_id > 0
+            and batch_id % ivf_refresh_every == 0
+        ):
+            # measure→act maintenance cadence: the imbalance check is a
+            # ≤k-row rollup; the refresh only runs when the worst list
+            # exceeds its even share by the threshold factor, so a
+            # well-balanced loop pays one cheap audit per cadence point
+            ivf_refresh_if_needed(
+                spark,
+                index_path,
+                refresh_id=batch_id,
+                max_balance6=ivf_max_balance6,
+            )
     if (
         compact_every is not None
         and batch_id > 0

@@ -75,6 +75,7 @@ SLOW_TESTS = {
     "test_query_matches_oracle[pipeline_production_ingest_trained_eval]",
     "test_ivf_refresh_atomic_swap_trained_path_and_post_refresh_ingest",
     "test_query_matches_oracle[ann_ivf_refresh_eval]",
+    "test_ivf_refresh_policy_triggers_on_planted_drift_only",
 }
 
 

@@ -13,10 +13,20 @@ idempotent across its boundary), then prints one JSON line:
    "files_compacted": {...}, "end_states_equal": true,
    "wall_no_compact_s": ..., "wall_compacted_s": ...}
 
-The claim under test: without the cadence, per-snapshot file count
-grows with the merge history (every merge writes a shuffle's worth of
-files into the new snapshot); with it, the count is sawtooth-bounded by
-the cadence and the compaction target. Run on a QUIET host.
+The claim under test: without the cadence, every merge snapshot carries
+a shuffle's worth of files; with it, the count is sawtooth-bounded by
+the cadence and the compaction target.
+
+HONEST CAVEAT (first run of this probe, 2026-08-16): at fixture scale
+AQE's partition coalescing already collapses each merge snapshot to ~1
+file, so the small-files regime never appears and the cadence is a
+no-op cost. The regime the cadence exists for is a cluster whose
+shuffle partitioning is sized for the CLUSTER (hundreds of partitions)
+while per-table state stays modest — every merge then writes that many
+small files per snapshot, forever. The probe emulates it by disabling
+`spark.sql.adaptive.coalescePartitions.enabled` for both runs (same
+knob both sides; end-state equality is still asserted). Run on a QUIET
+host.
 """
 from __future__ import annotations
 
@@ -95,6 +105,8 @@ def run(spark, joined, centroids, root, compact_every):
 def main() -> None:
     spark = build_session(app_name="probe-compaction-cadence")
     spark.sparkContext.setLogLevel("ERROR")
+    # emulate cluster-sized shuffle fan-out (see module docstring)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
     emb = table(spark, SF_DIR, "embeddings")
     joined = docs.join(emb, docs.doc_id == emb.vec_id, "left").select(
