@@ -334,7 +334,12 @@ def streaming_incremental_dedup(
 
 
 def _maintain_split_components(
-    spark, batch_sig: DataFrame, corpus_sig, comp_path: str, batch_id: int
+    spark,
+    batch_sig: DataFrame,
+    corpus_sig,
+    comp_path: str,
+    batch_id: int,
+    buckets: int | None = None,
 ) -> None:
     """One micro-batch of incremental component → split maintenance.
 
@@ -448,6 +453,7 @@ def _maintain_split_components(
         comp_path,
         pk="doc_id",
         version_col="ver",
+        buckets=buckets,
     )
 
 
@@ -523,6 +529,7 @@ def ingest_ivf_step(
     centroids: DataFrame,
     index_path: str,
     batch_id: int,
+    buckets: int | None = None,
 ) -> None:
     """ONE ingest step of incremental IVF index maintenance (round 8):
     assign the batch's vectors to their nearest centroid and merge the
@@ -552,6 +559,7 @@ def ingest_ivf_step(
         index_path,
         pk="vec_id",
         version_col="ver",
+        buckets=buckets,
     )
 
 
@@ -750,6 +758,7 @@ def production_ingest_step(
     compact_target_files: int = 8,
     ivf_refresh_every: int | None = None,
     ivf_max_balance6: int = 4_000_000,
+    buckets: int | None = None,
 ) -> None:
     """ONE step of the COMPOSED production corpus-ingest loop (VERDICT r8
     item 5): dup flags, component→split maintenance, and IVF index
@@ -789,6 +798,17 @@ def production_ingest_step(
     reads/merges-plus-three-shingle-passes for the three loops run
     separately.
 
+    BUCKETED MERGES (round 10): ``buckets=N`` stores every standing
+    table hive-partitioned by pmod(hash(pk), N), so each micro-batch
+    merge rewrites ONLY the buckets its batch touches and hardlinks the
+    rest forward — per-batch merge cost drops from O(|table|) to
+    O(touched buckets + batch), the SCALE.md §20 rule, which is the
+    difference between a loop that survives 100 TB standing tables and
+    one that rewrites them five times per micro-batch. Semantics are
+    pinned identical to the flat layout (bucket-local last-write-wins;
+    parity test over the whole loop). Size N via
+    ``table_store.auto_buckets(expected_rows)``.
+
     COMPACTION CADENCE (round 10, VERDICT r9 item 4): every merge
     writes a shuffle's worth of small files into the new snapshot, so
     over a long ingest history scan cost and listing pressure grow with
@@ -826,6 +846,7 @@ def production_ingest_step(
             quality_path,
             pk="doc_id",
             version_col="ver",
+            buckets=buckets,
         )
     corpus_sig = table_store.read_state(spark, sig_path)
     corpus_sig = corpus_sig.drop("ver") if corpus_sig is not None else None
@@ -843,9 +864,11 @@ def production_ingest_step(
                 flags_path,
                 pk="doc_id",
                 version_col="ver",
+                buckets=buckets,
             )
         _maintain_split_components(
-            spark, batch_sig, corpus_sig, comp_path, batch_id
+            spark, batch_sig, corpus_sig, comp_path, batch_id,
+            buckets=buckets,
         )
         table_store.merge_upsert(
             spark,
@@ -853,6 +876,7 @@ def production_ingest_step(
             sig_path,
             pk="doc_id",
             version_col="ver",
+            buckets=buckets,
         )
     finally:
         batch_sig.unpersist()
@@ -860,7 +884,9 @@ def production_ingest_step(
         emb = batch.where(F.col("embedding").isNotNull()).select(
             F.col("doc_id").alias("vec_id"), "embedding"
         )
-        ingest_ivf_step(spark, emb, centroids, index_path, batch_id)
+        ingest_ivf_step(
+            spark, emb, centroids, index_path, batch_id, buckets=buckets
+        )
         if (
             ivf_refresh_every is not None
             and batch_id > 0
@@ -878,6 +904,8 @@ def production_ingest_step(
             )
     if (
         compact_every is not None
+        and buckets is None  # bucketed layout bounds files per bucket;
+        # compacting would re-flatten and force a full re-bucket rewrite
         and batch_id > 0
         and batch_id % compact_every == 0
     ):
@@ -910,6 +938,7 @@ def production_corpus_pipeline(
     quality_path: str | None = None,
     quality_weights: DataFrame | None = None,
     compact_every: int | None = None,
+    buckets: int | None = None,
 ):
     """The three standing ingest loops as ONE ``foreachBatch`` stream
     (VERDICT r8 item 5): every micro-batch of (doc_id, text, embedding)
@@ -936,6 +965,7 @@ def production_corpus_pipeline(
             quality_path=quality_path,
             quality_weights=quality_weights,
             compact_every=compact_every,
+            buckets=buckets,
         )
 
     return doc_stream.writeStream.foreachBatch(process_batch)

@@ -76,6 +76,7 @@ SLOW_TESTS = {
     "test_ivf_refresh_atomic_swap_trained_path_and_post_refresh_ingest",
     "test_query_matches_oracle[ann_ivf_refresh_eval]",
     "test_ivf_refresh_policy_triggers_on_planted_drift_only",
+    "test_production_ingest_bucketed_matches_flat",
 }
 
 

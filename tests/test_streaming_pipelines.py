@@ -1291,6 +1291,68 @@ def test_hot_band_spanning_pairs_bound_and_cc_parity(spark, tmp_path):
     assert got[1000 + n_batch - 1] == 0 and got[2000] == 2000
 
 
+def test_production_ingest_bucketed_matches_flat(spark, tmp_path):
+    """Round 10: the composed loop's five standing tables merged with
+    ``buckets=4`` (touched-bucket rewrite + hardlinks, the O(batch)
+    deployment layout) must end row-identical to the flat O(table)
+    layout across a multi-batch history INCLUDING a replayed batch —
+    bucket-local last-write-wins is the same merge, just partitioned."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from realtime_datawarehouse_spark.operators import (
+        similarity,
+        table_store,
+    )
+    from realtime_datawarehouse_spark.streaming import pipelines
+    from realtime_datawarehouse_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = table(spark, SF_DIR, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id, "left").select(
+        "doc_id", "text", "embedding"
+    )
+    centroids = similarity._ivf_centroids(emb)
+
+    def run(root, buckets):
+        paths = tuple(
+            f"{root}/{t}" for t in ("sigs", "flags", "comps", "ivf")
+        )
+        for i in range(3):
+            pipelines.production_ingest_step(
+                spark,
+                joined.where(F.pmod(F.col("doc_id"), F.lit(3)) == i),
+                centroids,
+                *paths,
+                batch_id=i,
+                quality_path=f"{root}/quality",
+                buckets=buckets,
+            )
+            if i == 1:  # crash-replay mid-history
+                pipelines.production_ingest_step(
+                    spark,
+                    joined.where(F.pmod(F.col("doc_id"), F.lit(3)) == i),
+                    centroids,
+                    *paths,
+                    batch_id=i,
+                    quality_path=f"{root}/quality",
+                    buckets=buckets,
+                )
+        out = {}
+        for p in paths + (f"{root}/quality",):
+            df = table_store.read_state(spark, p).drop("ver")
+            out[p.rsplit("/", 1)[-1]] = sorted(
+                tuple(r) for r in df.collect()
+            )
+        return out
+
+    flat = run(str(tmp_path / "flat"), None)
+    bucketed = run(str(tmp_path / "bk"), 4)
+    assert set(flat) == set(bucketed)
+    for t in flat:
+        assert flat[t] == bucketed[t], f"table {t} diverged"
+
+
 def test_ivf_refresh_policy_triggers_on_planted_drift_only(spark, tmp_path):
     """Round 10, the measure→act loop: `ivf_refresh_if_needed` must
     (a) SKIP a balanced index (no version created, returns False),
