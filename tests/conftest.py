@@ -77,6 +77,7 @@ SLOW_TESTS = {
     "test_query_matches_oracle[ann_ivf_refresh_eval]",
     "test_ivf_refresh_policy_triggers_on_planted_drift_only",
     "test_production_ingest_bucketed_matches_flat",
+    "test_ivf_refresh_on_bucketed_index_then_merge_rebuckets",
 }
 
 

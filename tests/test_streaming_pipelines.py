@@ -1437,6 +1437,62 @@ def test_ivf_refresh_policy_triggers_on_planted_drift_only(spark, tmp_path):
     assert set(table_store.list_versions(path)) == v_after
 
 
+def test_ivf_refresh_on_bucketed_index_then_merge_rebuckets(spark, tmp_path):
+    """Round 10 interplay pin: a refresh commits a FLAT full snapshot
+    (same class as compact()) onto a BUCKETED index table; the next
+    bucketed merge must take the documented migration path (one full
+    re-bucket rewrite) and end state must stay exact — codebook rows
+    (negative pks) ride the re-bucketing like any row."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.functions.vector import l2_norm
+    from realtime_datawarehouse_spark.operators import (
+        similarity,
+        table_store,
+    )
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    def cb(rows):
+        return (
+            spark.createDataFrame(
+                rows, "centroid_id long, cv array<double>"
+            ).select("centroid_id", "cv", l2_norm(F.col("cv")).alias("cn"))
+        )
+
+    def basis(i, dim=4):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+
+    frozen = cb([(i, basis(i)) for i in range(2)])
+    path = str(tmp_path / "ivf")
+    b0 = spark.createDataFrame(
+        [(i, basis(i % 2)) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    pipelines.ingest_ivf_step(spark, b0, frozen, path, 0, buckets=4)
+    wider = cb([(i, basis(i)) for i in range(4)])
+    pipelines.refresh_ivf_index(
+        spark, path, refresh_id=1, new_centroids=wider
+    )
+    stored_cb, assigned = pipelines.read_ivf_index(spark, path)
+    assert stored_cb.count() == 4
+    # post-refresh bucketed merge over the flat refresh snapshot
+    b1 = spark.createDataFrame(
+        [(100 + i, basis(2 + i % 2)) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    pipelines.ingest_ivf_step(spark, b1, frozen, path, 2, buckets=4)
+    stored_cb2, assigned2 = pipelines.read_ivf_index(spark, path)
+    assert stored_cb2.count() == 4  # codebook survived the re-bucket
+    got = {r.vec_id: r.centroid_id for r in assigned2.collect()}
+    want = {
+        r.vec_id: r.centroid_id
+        for r in similarity.ivf_assign(b0.unionByName(b1), wider).collect()
+    }
+    assert got == want
+
+
 def test_production_corpus_pipeline_stream_matches_replay(spark, tmp_path):
     """VERDICT r8 item 5, the stream side: running the COMPOSED loop as a
     real foreachBatch stream produces byte-identical end states to the
