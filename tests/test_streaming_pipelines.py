@@ -1534,10 +1534,13 @@ def test_production_corpus_pipeline_stream_matches_replay(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
+    # round 10: the stream twin runs WITH the compaction cadence on —
+    # stream ≡ replay must hold through a mid-history compaction too
+    # (compaction is pure re-layout inside the same foreachBatch)
     q = (
         pipelines.production_corpus_pipeline(
             stream, centroids, f"{s}/sigs", f"{s}/flags", f"{s}/comps",
-            f"{s}/ivf", quality_path=f"{s}/quality",
+            f"{s}/ivf", quality_path=f"{s}/quality", compact_every=2,
         )
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
