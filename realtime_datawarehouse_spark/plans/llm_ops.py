@@ -337,6 +337,7 @@ IVF_REFRESH_STAGES = 3
 IVF_FROZEN_PRED_SQL = (
     f"vec_id % 61 = 1 AND vec_id % {IVF_REFRESH_STAGES} = 0"
 )
+IVF_POLICY_THRESHOLD6 = 4_000_000  # pipelines.ivf_refresh_if_needed default
 
 
 def _ivf_serve_ctes(sfx: str, centroid_pred: str, k: int, nprobe: int) -> str:
@@ -382,7 +383,7 @@ c{sfx} AS (
 ), t{sfx} AS (
   SELECT query_id, neighbor_id, sim, rnk FROM r{sfx} WHERE rnk <= {k}
 ), bal{sfx} AS (
-  SELECT max(cnt) AS m
+  SELECT max(cnt) AS m, sum(cnt) AS n, count(*) AS k
   FROM (SELECT centroid_id, count(*) AS cnt FROM a{sfx} GROUP BY 1)
 ), cost{sfx} AS (
   SELECT count(*) AS c FROM cand{sfx}
@@ -431,6 +432,13 @@ UNION ALL
 SELECT 'recall', 'frozen', 'hits_at_k', CAST(h AS DOUBLE) FROM hit_f
 UNION ALL
 SELECT 'recall', 'refreshed', 'hits_at_k', CAST(h AS DOUBLE) FROM hit_r
+UNION ALL
+SELECT 'policy', 'frozen', 'balance6',
+       CAST(floor(m * k * 1000000.0 / n) AS DOUBLE) FROM bal_f
+UNION ALL
+SELECT 'policy', 'default_threshold', 'fired',
+       CASE WHEN floor(m * k * 1000000.0 / n) > {IVF_POLICY_THRESHOLD6}
+            THEN 1.0 ELSE 0.0 END FROM bal_f
 """
 
 
@@ -518,6 +526,15 @@ def ann_ivf_refresh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         _, assigned_pre = pipelines.read_ivf_index(spark, index_path)
         bal_f, cost_f, hits_f = audit(assigned_pre, frozen)
+        # the POLICY read, through its real entry point: would
+        # ivf_refresh_if_needed's default threshold have fired on this
+        # index? (On the fixture the stale codebook stays mildly
+        # imbalanced — the recorded decision is the SKIP path, which is
+        # the oracle-checkable half; the TRIGGER path needs planted
+        # drift and is pytest-pinned. The eval refreshes unconditionally
+        # below to pin the swap mechanics either way.)
+        imb6 = pipelines.ivf_index_imbalance6(spark, index_path)
+        fired = 1.0 if imb6 > IVF_POLICY_THRESHOLD6 else 0.0
 
         pipelines.refresh_ivf_index(
             spark,
@@ -555,6 +572,8 @@ def ann_ivf_refresh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("cost", "refreshed", "cand_rows", cost_r),
         ("recall", "frozen", "hits_at_k", hits_f),
         ("recall", "refreshed", "hits_at_k", hits_r),
+        ("policy", "frozen", "balance6", float(imb6)),
+        ("policy", "default_threshold", "fired", fired),
     ]
     schema = "family string, k string, metric string, value double"
     return spark.createDataFrame(
