@@ -54,6 +54,57 @@ def gmv(spark: SparkSession, sf_dir: str, date: str) -> dict[str, Any]:
     return {"status": 0, "data": float(row.gmv or 0.0)}
 
 
+def similar(
+    spark: SparkSession,
+    sf_dir: str,
+    vec_id: int,
+    k: int = 5,
+    index_path: str | None = None,
+    centroids=None,
+) -> dict[str, Any]:
+    """GET /similar?vec_id=N&k=K — ANN top-k as an ADS endpoint (round
+    10: the standing IVF index finally reaches the serving layer; the
+    reference's ADS surface has no ANN routes — this is the
+    training-data-platform extension the similarity family exists for).
+
+    Two backing modes through ONE serve implementation
+    (``similarity.ivf_topk_from_assigned`` under both, so they cannot
+    drift):
+
+    - ``index_path`` set → read the incrementally-maintained
+      inverted-list table (``pipelines.ivf_topk_from_index``) — the
+      deployment shape: the request touches only the query's nprobe
+      lists (on the centroid-partitioned layout that IS the
+      partition-pruned scan), never the corpus;
+    - ``index_path`` None → recompute over the embeddings table
+      (``similarity.ivf_topk``) — the fixture/debug mode.
+
+    An unknown ``vec_id`` returns an empty neighbor list with status 0
+    (same contract as a date with no orders on /gmv)."""
+    from realtime_datawarehouse_spark.operators import similarity
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") == int(vec_id)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    if index_path is not None:
+        topk = pipelines.ivf_topk_from_index(
+            spark, index_path, queries, centroids, int(k)
+        )
+    else:
+        topk = similarity.ivf_topk(emb, queries, int(k))
+    rows = topk.orderBy("rnk").collect()
+    return {
+        "status": 0,
+        "data": [
+            {"neighbor_id": r.neighbor_id, "sim": r.sim, "rnk": r.rnk}
+            for r in rows
+        ],
+    }
+
+
 def province_stats(spark: SparkSession, sf_dir: str, date: str) -> dict[str, Any]:
     """GET /province?date=yyyyMMdd (TradeStatController.java:58-79)."""
     o = table(spark, sf_dir, "orders")

@@ -7,6 +7,10 @@ Endpoints (same routes, params, and payload shapes as the reference):
     GET /gmv?date=yyyyMMdd      → {"status": 0, "data": <sum>}
     GET /province?date=yyyyMMdd → {"status": 0, "data":
         {"mapData": [{"name": ..., "value": ...}, ...], "valueName": "交易额"}}
+    GET /similar?vec_id=N&k=K   → {"status": 0, "data":
+        [{"neighbor_id": ..., "sim": ..., "rnk": ...}, ...]}
+        (round 10 — ANN over the standing IVF index; missing vec_id →
+        400 {"status": 1}; unknown vec_id → empty data)
 
 Like the reference, an absent/zero ``date`` defaults to today
 (DateFormatUtil.now()). Unknown routes return 404; handler errors return
@@ -37,9 +41,21 @@ def _today() -> str:
 
 
 def make_server(
-    spark: SparkSession, sf_dir: str, host: str = "127.0.0.1", port: int = 0
+    spark: SparkSession,
+    sf_dir: str,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    ann_index_path: str | None = None,
+    ann_centroids=None,
 ) -> ThreadingHTTPServer:
-    """Build (but don't start) the HTTP server; port=0 picks a free port."""
+    """Build (but don't start) the HTTP server; port=0 picks a free port.
+
+    ``ann_index_path``/``ann_centroids``: when set, GET /similar serves
+    from the incrementally-maintained IVF inverted-list table (the
+    standing index the production ingest loop writes and the refresh
+    atomically re-codebooks); when unset, /similar recomputes over the
+    embeddings table — same serve implementation either way
+    (serving.similar)."""
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict) -> None:
@@ -61,6 +77,23 @@ def make_server(
                     self._reply(200, serving.gmv(spark, sf_dir, date))
                 elif url.path == "/province":
                     self._reply(200, serving.province_stats(spark, sf_dir, date))
+                elif url.path == "/similar":
+                    if "vec_id" not in q:
+                        self._reply(
+                            400, {"status": 1, "msg": "vec_id is required"}
+                        )
+                        return
+                    self._reply(
+                        200,
+                        serving.similar(
+                            spark,
+                            sf_dir,
+                            int(q["vec_id"][0]),
+                            k=int(q.get("k", ["5"])[0]),
+                            index_path=ann_index_path,
+                            centroids=ann_centroids,
+                        ),
+                    )
                 else:
                     self._reply(404, {"status": 1, "msg": "no such route"})
             except Exception as e:  # keep the service up on bad requests

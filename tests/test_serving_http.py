@@ -61,3 +61,110 @@ def test_http_unknown_route_404(ads_server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(f"{ads_server}/nope")
     assert ei.value.code == 404
+
+
+def test_http_similar_fixture_mode_matches_registered_query(
+    spark, ads_server
+):
+    """GET /similar without a standing index recomputes through the
+    shared IVF serve path — payload must equal the registered
+    ann_ivf_topk rows for that query id, in rank order."""
+    from realtime_datawarehouse_spark.plans.registry import get_queries
+
+    status, payload = _get(f"{ads_server}/similar?vec_id=3&k=5")
+    assert status == 200 and payload["status"] == 0
+    want = sorted(
+        (
+            (r.rnk, r.neighbor_id, r.sim)
+            for r in get_queries()["ann_ivf_topk"](spark, SF_DIR).collect()
+            if r.query_id == 3
+        ),
+    )
+    got = [(e["rnk"], e["neighbor_id"], e["sim"]) for e in payload["data"]]
+    assert got == want and len(got) == 5
+    # unknown vec_id → empty data, status 0 (the /gmv empty-date contract)
+    status, payload = _get(f"{ads_server}/similar?vec_id=999999999")
+    assert status == 200 and payload == {"status": 0, "data": []}
+
+
+def test_http_similar_missing_vec_id_400(ads_server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(f"{ads_server}/similar")
+    assert ei.value.code == 400
+
+
+def test_http_similar_serves_from_standing_index(spark, tmp_path):
+    """The deployment mode: a server built with ann_index_path serves
+    /similar from the incrementally-maintained inverted-list table —
+    including AFTER a codebook refresh (the embedded codebook travels
+    with the index version, so the live endpoint flips atomically with
+    the refresh commit)."""
+    from realtime_datawarehouse_spark.operators import similarity
+    from realtime_datawarehouse_spark.streaming import pipelines
+    from realtime_datawarehouse_spark.tables import table as _table
+
+    emb = _table(spark, SF_DIR, "embeddings")
+    frozen = similarity._ivf_centroids(
+        emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    )
+    index_path = str(tmp_path / "ivf")
+    for i in range(2):
+        pipelines.ingest_ivf_step(
+            spark,
+            emb.where(F.pmod(F.col("vec_id"), F.lit(2)) == i),
+            frozen,
+            index_path,
+            batch_id=i,
+        )
+    server = serving_http.make_server(
+        spark, SF_DIR, ann_index_path=index_path, ann_centroids=frozen
+    )
+    serving_http.start_background(server)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        _, before = _get(f"{base}/similar?vec_id=3&k=5")
+        want = {
+            (r.rnk, r.neighbor_id, r.sim)
+            for r in similarity.ivf_topk(
+                emb,
+                emb.where(F.col("vec_id") == 3).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec"),
+                ),
+                5,
+                centroids=frozen,
+            ).collect()
+        }
+        got = {
+            (e["rnk"], e["neighbor_id"], e["sim"]) for e in before["data"]
+        }
+        assert got == want and len(got) == 5
+        # refresh to the full-corpus codebook: the SAME live endpoint now
+        # serves through the embedded refreshed codebook
+        pipelines.refresh_ivf_index(
+            spark,
+            index_path,
+            refresh_id=2,
+            new_centroids=similarity._ivf_centroids(emb),
+        )
+        _, after = _get(f"{base}/similar?vec_id=3&k=5")
+        want_after = {
+            (r.rnk, r.neighbor_id, r.sim)
+            for r in similarity.ivf_topk(
+                emb,
+                emb.where(F.col("vec_id") == 3).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec"),
+                ),
+                5,
+            ).collect()
+        }
+        got_after = {
+            (e["rnk"], e["neighbor_id"], e["sim"]) for e in after["data"]
+        }
+        assert got_after == want_after
+    finally:
+        server.shutdown()
