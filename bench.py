@@ -160,6 +160,11 @@ BENCH_QUERIES = (
     # SCALE.md §30/§32/§33 and the composed loop's per-batch accounting
     # (production_ingest_step docstring).
     "text_bpe_vocab_scale_eval",    # fast-train@64 + vocab-encode corpus scan
+    # round-11 additions: NONE. quality_refresh_eval and
+    # bpe_vocab_refresh_eval are eager replay evals (multi-ingest store
+    # writes + retrain at query-BUILD time, local DF returned) — the
+    # same excluded class as the r08/r09 incremental evals; their honest
+    # per-batch/refresh costs are the SCALE.md loop measurements.
 )
 
 
@@ -178,12 +183,19 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
         # steady-state = best of three warm executions (single measurements
-        # carry ±10% scheduler/GC noise at these sub-second scales)
+        # carry ±10% scheduler/GC noise at these sub-second scales);
+        # sub-second queries get best-of-FIVE — at those scales a single
+        # GC pause spans the whole best-of-3 window and has repeatedly
+        # produced one-off ~2× floor flags that a solo re-time then
+        # cannot reproduce (SCALE.md §28: u1 r10, a5 r10, jaccard r10 —
+        # VERDICT r10 item 5)
         best = float("inf")
-        for _ in range(3):
+        runs = 0
+        while runs < 3 or (runs < 5 and best < 1.0):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            runs += 1
         warm[name] = round(best, 3)
 
     # host-speed calibration: host throughput is TIME-VARYING (SCALE.md §13

@@ -398,6 +398,24 @@ def _bucket_spec(path: str, pk: str, buckets: int | None) -> dict | None:
     return spec
 
 
+def bucket_spec_of(path: str) -> dict | None:
+    """READ-ONLY probe of a table's persisted bucketing contract
+    (``_BUCKETING``, set once at creation): {"pk": col, "n": buckets}
+    or None for flat/uncreated tables. The maintenance-policy gate
+    (ADVICE r10: compaction cadence must consult the TABLE's layout,
+    not a caller's ``buckets`` argument — a run passing buckets=None
+    over a bucketed table would otherwise re-flatten it and force a
+    full re-bucket rewrite on the next merge). One metadata-file read,
+    no Spark job."""
+    import json
+
+    try:
+        with open(os.path.join(path, _BUCKETING), encoding="utf-8") as f:
+            return json.load(f)
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+
+
 def _touched_buckets(incoming: DataFrame, pk: str, n: int) -> set[int]:
     """Bucket ids ``incoming`` touches — the ONLY driver-side collect in
     the merge path, bounded BY CONSTRUCTION to ≤ n ≤ ``_MAX_BUCKETS``

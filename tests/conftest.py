@@ -17,6 +17,12 @@ SF_DIR_MID = "/root/testdata/sf0.01"
 # parametrization; bracketed names mark one. Regenerate from --durations
 # when the profile shifts — membership is measured, never guessed.
 SLOW_TESTS = {
+    "test_bpe_vocab_refresh_trigger_and_old_rows_stay_valid",
+    "test_bpe_corpus_pipeline_stream_matches_step_replay",
+    "test_quality_refresh_policy_triggers_on_planted_drift_only",
+    "test_quality_embedded_model_serves_and_swap_is_atomic",
+    "test_composed_loop_quality_refresh_measure_act",
+    "test_compaction_gate_uses_persisted_bucket_spec",
     "test_no_row_python_udfs_anywhere",
     "test_sql_view_surface",
     "test_full_stream_topology_restarts_from_checkpoints",
