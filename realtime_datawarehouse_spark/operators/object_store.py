@@ -325,8 +325,37 @@ class S3ObjectStore:
                     "s3", config=Config(retries={"total_max_attempts": 1})
                 )
         self._c = client
-        # Injected single test clients serve both roles (the fakes have
-        # no internal retry loop, so the hazard doesn't exist there).
+        if put_client is None:
+            # The single-client fallback is ONLY safe for clients with no
+            # internal retry loop (in-process test fakes): a real botocore
+            # client retrying a conditional PUT internally reintroduces
+            # the applied-then-retried bare-412 data-loss hazard the
+            # two-client split exists to close (see class docstring). A
+            # caller injecting a real client (custom region/credentials)
+            # must therefore pass a put_client built with
+            # retries={'total_max_attempts': 1} — detected by duck-typing
+            # botocore's client.meta.config.retries; a fake without that
+            # shape, or a client whose own config already disables
+            # retries, keeps the fallback (ADVICE r10, medium).
+            cfg = getattr(getattr(client, "meta", None), "config", None)
+            if cfg is not None:  # the botocore shape → retries exist
+                retries = getattr(cfg, "retries", None)
+                attempts = (
+                    retries.get("total_max_attempts")
+                    or retries.get("max_attempts")
+                    if isinstance(retries, dict)
+                    else None  # None/unset = botocore's DEFAULT retries
+                )
+                if attempts != 1:
+                    raise ValueError(
+                        "S3ObjectStore: the injected client retries "
+                        f"internally (retries={retries!r}; unset means "
+                        "botocore's default retry loop); pass put_client="
+                        "boto3.client('s3', config=Config(retries={'total"
+                        "_max_attempts': 1})) — internal retries on a "
+                        "conditional PUT can mask an applied write as a "
+                        "bare 412 and lose the commit (class docstring)"
+                    )
         self._put_c = put_client if put_client is not None else client
         self._bucket = bucket
 

@@ -583,3 +583,53 @@ def test_s3_adapter_routes_puts_through_dedicated_put_client():
     single.put_if_none_match("k2", b"v")
     single.get("k2")
     assert [t for t, _ in log2] == ["both", "both"]
+
+
+def test_s3_adapter_requires_no_retry_put_client_for_real_clients():
+    """ADVICE r10 (medium): a caller injecting a REAL botocore-shaped
+    client (duck-typed by client.meta.config) without put_client must be
+    rejected unless that client's own retries are disabled — silently
+    falling back to it for conditional PUTs would reintroduce the
+    applied-then-retried bare-412 data loss. Test fakes without the
+    botocore shape keep the single-client fallback."""
+    import pytest
+
+    class _Cfg:
+        def __init__(self, retries):
+            self.retries = retries
+
+    class _Meta:
+        def __init__(self, retries):
+            self.config = _Cfg(retries)
+
+    def shaped(retries):
+        c = _FakeBoto3Client(object_store.InMemoryObjectStore())
+        c.meta = _Meta(retries)
+        return c
+
+    # explicit internal retries → rejected
+    with pytest.raises(ValueError, match="put_client"):
+        object_store.S3ObjectStore(
+            "b", client=shaped({"mode": "standard", "max_attempts": 3})
+        )
+    # retries UNSET still means botocore's default retry loop → rejected
+    with pytest.raises(ValueError, match="put_client"):
+        object_store.S3ObjectStore("b", client=shaped(None))
+    # retries disabled → the one shape safe to serve both roles
+    ok = object_store.S3ObjectStore(
+        "b", client=shaped({"total_max_attempts": 1})
+    )
+    assert ok._put_c is ok._c
+    # a rejected client becomes acceptable once put_client is explicit
+    inner = object_store.InMemoryObjectStore()
+    both = object_store.S3ObjectStore(
+        "b",
+        client=shaped({"mode": "standard"}),
+        put_client=_FakeBoto3Client(inner),
+    )
+    assert both._put_c is not both._c
+    # fakes without the botocore shape: fallback unchanged
+    plain = object_store.S3ObjectStore(
+        "b", client=_FakeBoto3Client(inner)
+    )
+    assert plain._put_c is plain._c

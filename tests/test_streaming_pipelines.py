@@ -2151,3 +2151,135 @@ def test_bpe_corpus_pipeline_stream_matches_step_replay(spark, tmp_path):
     streamed = run(str(tmp_path / "s"), True)
     replayed = run(str(tmp_path / "r"), False)
     assert streamed == replayed
+
+
+# ---------------------------------------------------------------------------
+# Two CONCURRENT composed-loop writers (round 11, VERDICT r10 item 3): the
+# CAS arbiter and single-writer replay were pinned; this races two
+# production_ingest_step writers on the SAME five standing tables.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("backend_kind", ["local", "object-faulted"])
+def test_two_concurrent_composed_loop_writers(spark, tmp_path, backend_kind):
+    """TWO production_ingest_step writers (threads, barrier-synced per
+    batch so every round genuinely overlaps) ingest disjoint doc
+    families into ONE set of standing tables. Every cross-writer
+    conflict must be absorbed by the documented ConcurrentCommitError
+    retry (tallied — the race must actually happen), and the merged end
+    state must equal a SERIALIZED reference execution of the same
+    batches (disjoint families ⇒ no cross-writer candidate pairs ⇒ the
+    serialized state is the unique correct answer). The object-faulted
+    variant additionally runs the whole race through the paging +
+    503-throwing store behind the retry client."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from realtime_datawarehouse_spark.operators import (
+        object_store,
+        similarity,
+        table_store,
+    )
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    def fam(prefix, base_id):
+        # planted in-family dups (identical text) → non-trivial flags
+        # and components; families share no token, so no cross pairs
+        text = " ".join(f"{prefix}{i:02d}" for i in range(30))
+        other = " ".join(f"{prefix}x{i:02d}" for i in range(30))
+        rows = [
+            (base_id + 0, text, [1.0 * ord(prefix[0]), 0.0, 1.0, 0.0]),
+            (base_id + 1, text, [1.0 * ord(prefix[0]), 0.5, 0.0, 1.0]),
+            (base_id + 2, other, [0.5 * ord(prefix[0]), 1.0, 0.0, 0.0]),
+            (base_id + 3, other + " tail", [0.0, 1.0, 1.0 * ord(prefix[0]), 0.0]),
+            (base_id + 4, text + " tail2", [0.0, 0.0, 1.0, 1.0]),
+            (base_id + 5, f"{prefix} lone words here now", [1.0, 1.0, 0.0, 0.0]),
+        ]
+        return [
+            spark.createDataFrame(
+                rows[2 * i: 2 * i + 2],
+                "doc_id long, text string, embedding array<double>",
+            )
+            for i in range(3)
+        ]
+
+    a_batches = fam("aw", 0)
+    b_batches = fam("bw", 100)
+    centroids = similarity._ivf_centroids(
+        spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+
+    def run_writers(root, racing):
+        paths = tuple(
+            f"{root}/{t}" for t in ("sigs", "flags", "comps", "ivf")
+        )
+        q = f"{root}/quality"
+
+        def steps(batches):
+            for i, b in enumerate(batches):
+                if racing:
+                    barrier.wait(timeout=120)
+                pipelines.production_ingest_step(
+                    spark, b, centroids, *paths, i, quality_path=q
+                )
+
+        if racing:
+            barrier = threading.Barrier(2)
+            with ThreadPoolExecutor(2) as ex:
+                futs = [ex.submit(steps, bs) for bs in (a_batches, b_batches)]
+                for f in futs:
+                    f.result()  # re-raise any writer failure
+        else:
+            steps(a_batches)
+            steps(b_batches)
+        out = {}
+        for p in paths + (q,):
+            df = table_store.read_state(spark, p)
+            drop = [c for c in ("ver", "batch_id") if c in df.columns]
+            out[p.rsplit("/", 1)[-1]] = sorted(
+                tuple(r) for r in df.drop(*drop).collect()
+            )
+        return out
+
+    prev_arb = table_store._ARBITER
+    conflicts = {"n": 0}
+    real_commit = table_store.commit
+
+    def counting_commit(df, p, **kw):
+        try:
+            return real_commit(df, p, **kw)
+        except table_store.ConcurrentCommitError:
+            conflicts["n"] += 1
+            raise
+
+    try:
+        if backend_kind == "object-faulted":
+            table_store.set_arbiter(
+                object_store.ObjectStoreCASArbiter(
+                    object_store.RetryingStoreClient(
+                        object_store.FaultInjectingObjectStore(
+                            object_store.InMemoryObjectStore(page_size=2),
+                            throttle_every=3,
+                        )
+                    )
+                )
+            )
+        table_store.commit = counting_commit
+        raced = run_writers(str(tmp_path / "raced"), racing=True)
+    finally:
+        table_store.commit = real_commit
+        table_store.set_arbiter(prev_arb)
+    serialized = run_writers(str(tmp_path / "serial"), racing=False)
+
+    assert set(raced) == set(serialized)
+    for t in raced:
+        assert raced[t] == serialized[t], f"table {t} diverged under race"
+    # the race genuinely happened: barrier-synced writers contending on
+    # five shared tables across three rounds must surface at least one
+    # CAS conflict, absorbed by merge_upsert's bounded retry
+    assert conflicts["n"] >= 1, "no ConcurrentCommitError was exercised"
