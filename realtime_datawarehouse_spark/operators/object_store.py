@@ -426,6 +426,12 @@ class S3ObjectStore:
                 raise
             raise self._map(e) from e
 
+    def force_put(self, key: str, body: bytes) -> None:
+        """Unconditional PUT — the test/tooling hook the other store
+        implementations expose (foreign-commit planting); never used by
+        the commit path, so the standard-retry client is fine."""
+        self._c.put_object(Bucket=self._bucket, Key=key, Body=body)
+
 
 class ObjectStoreCASArbiter:
     """``LocalCASArbiter``'s contract over an object store: one

@@ -72,7 +72,9 @@ class _FakeBoto3Client:
         return {}
 
 
-@pytest.fixture(params=["local", "object", "object-faulted", "s3-adapter"])
+@pytest.fixture(
+    params=["local", "object", "object-faulted", "s3-adapter", "s3-moto"]
+)
 def backend(request):
     """(name, arbiter, plant_foreign) — plant_foreign(path, name, body)
     writes a foreign-named commit entry the way an external tool would
@@ -82,7 +84,16 @@ def backend(request):
     against a store that pages its listings at 2 keys and throws a 503
     on every 3rd invocation of each method, absorbed by the documented
     retry client — every contract property must survive the fault
-    model, not just the happy path."""
+    model, not just the happy path.
+
+    ``s3-moto`` (round 11 — boto3 1.43 + moto 5.2 appeared in the
+    image, INTEGRATIONS §4 activation): the IDENTICAL scenarios through
+    the REAL boto3/botocore stack — genuine request serialization,
+    param validation, ClientError shapes, and paginator — against
+    moto's in-process S3, which honors `IfNoneMatch: '*'` →
+    PreconditionFailed conditional-write semantics (verified before
+    wiring). The adapter is built exactly as documented: standard-retry
+    client for get/list/delete, `total_max_attempts: 1` put client."""
     if request.param == "local":
         arb = table_store.LocalCASArbiter()
 
@@ -95,10 +106,12 @@ def backend(request):
             ) as f:
                 f.write(body)
 
-        return request.param, arb, plant
+        yield request.param, arb, plant
+        return
     if request.param == "object":
         store = object_store.InMemoryObjectStore()
         plant_store = store
+        ctx = None
     elif request.param == "object-faulted":
         store = object_store.RetryingStoreClient(
             object_store.FaultInjectingObjectStore(
@@ -107,6 +120,30 @@ def backend(request):
             )
         )
         plant_store = store
+        ctx = None
+    elif request.param == "s3-moto":
+        boto3 = pytest.importorskip("boto3")
+        moto = pytest.importorskip("moto")
+        from botocore.config import Config
+
+        ctx = moto.mock_aws()
+        ctx.start()
+        kw = dict(
+            region_name="us-east-1",
+            aws_access_key_id="test",
+            aws_secret_access_key="test",
+        )
+        client = boto3.client(
+            "s3", config=Config(retries={"mode": "standard"}), **kw
+        )
+        put_client = boto3.client(
+            "s3", config=Config(retries={"total_max_attempts": 1}), **kw
+        )
+        client.create_bucket(Bucket="contract-bucket")
+        plant_store = object_store.S3ObjectStore(
+            bucket="contract-bucket", client=client, put_client=put_client
+        )
+        store = object_store.RetryingStoreClient(plant_store)
     else:  # s3-adapter: the boto3 mapping over a duck-typed fake client
         inner = object_store.InMemoryObjectStore()
         store = object_store.RetryingStoreClient(
@@ -115,14 +152,19 @@ def backend(request):
             )
         )
         plant_store = inner
+        ctx = None
     arb = object_store.ObjectStoreCASArbiter(store)
-    return (
-        request.param,
-        arb,
-        lambda path, name, body: plant_store.force_put(
-            arb._dir(path) + name, body.encode()
-        ),
-    )
+    try:
+        yield (
+            request.param,
+            arb,
+            lambda path, name, body: plant_store.force_put(
+                arb._dir(path) + name, body.encode()
+            ),
+        )
+    finally:
+        if ctx is not None:
+            ctx.stop()
 
 
 @pytest.fixture()
@@ -633,3 +675,102 @@ def test_s3_adapter_requires_no_retry_put_client_for_real_clients():
         "b", client=_FakeBoto3Client(inner)
     )
     assert plain._put_c is plain._c
+
+
+def test_s3_adapter_call_mapping_against_real_botocore():
+    """Round 11 (boto3 appeared in the image — INTEGRATIONS §4
+    activation): the adapter's per-call mapping pinned against the REAL
+    botocore machinery via Stubber — genuine param validation (the
+    IfNoneMatch member exists in the service model), genuine
+    ClientError shapes: 412 → False, retryable 503 → TransientStoreError,
+    NoSuchKey → KeyError, and a paged paginator drained."""
+    import io
+
+    boto3 = pytest.importorskip("boto3")
+    from botocore.config import Config
+    from botocore.response import StreamingBody
+    from botocore.stub import Stubber
+
+    kw = dict(
+        region_name="us-east-1",
+        aws_access_key_id="t",
+        aws_secret_access_key="t",
+    )
+    put_c = boto3.client(
+        "s3", config=Config(retries={"total_max_attempts": 1}), **kw
+    )
+    get_c = boto3.client(
+        "s3", config=Config(retries={"total_max_attempts": 1}), **kw
+    )
+    store = object_store.S3ObjectStore(
+        "b", client=get_c, put_client=put_c
+    )
+    puts = Stubber(put_c)
+    want = {"Bucket": "b", "Key": "k", "Body": b"v", "IfNoneMatch": "*"}
+    puts.add_response("put_object", {}, want)
+    puts.add_client_error(
+        "put_object", "PreconditionFailed", http_status_code=412,
+        expected_params=want,
+    )
+    puts.add_client_error(
+        "put_object", "SlowDown", http_status_code=503,
+        expected_params=want,
+    )
+    gets = Stubber(get_c)
+    body = b"hello"
+    gets.add_response(
+        "get_object",
+        {"Body": StreamingBody(io.BytesIO(body), len(body))},
+        {"Bucket": "b", "Key": "k"},
+    )
+    gets.add_client_error(
+        "get_object", "NoSuchKey", http_status_code=404,
+        expected_params={"Bucket": "b", "Key": "gone"},
+    )
+    gets.add_response(
+        "list_objects_v2",
+        {
+            "Contents": [{"Key": "p/0"}, {"Key": "p/1"}],
+            "IsTruncated": True,
+            "NextContinuationToken": "tok",
+        },
+        {"Bucket": "b", "Prefix": "p/"},
+    )
+    gets.add_response(
+        "list_objects_v2",
+        {"Contents": [{"Key": "p/2"}], "IsTruncated": False},
+        {"Bucket": "b", "Prefix": "p/", "ContinuationToken": "tok"},
+    )
+    gets.add_response(
+        "delete_object", {}, {"Bucket": "b", "Key": "k"}
+    )
+    with puts, gets:
+        assert store.put_if_none_match("k", b"v") is True
+        assert store.put_if_none_match("k", b"v") is False
+        with pytest.raises(object_store.TransientStoreError):
+            store.put_if_none_match("k", b"v")
+        assert store.get("k") == b"hello"
+        with pytest.raises(KeyError):
+            store.get("gone")
+        assert store.list("p/") == ["p/0", "p/1", "p/2"]
+        store.delete("k")
+
+
+def test_s3_adapter_default_construction_splits_retry_clients():
+    """Round 11 activation of the previously-uncoverable default build
+    path: with real boto3 present, S3ObjectStore() must construct TWO
+    clients — standard retries for get/list/delete, ONE total attempt
+    for the conditional PUT — and injecting a real default-config
+    client without put_client must hit the ADVICE-r10 guard live
+    (botocore's default retries are a dict without total_max_attempts
+    == 1)."""
+    boto3 = pytest.importorskip("boto3")
+
+    store = object_store.S3ObjectStore("some-bucket")
+    assert store._c is not store._put_c
+    assert store._c.meta.config.retries.get("mode") == "standard"
+    assert store._put_c.meta.config.retries.get("total_max_attempts") == 1
+    with pytest.raises(ValueError, match="put_client"):
+        object_store.S3ObjectStore(
+            "some-bucket", client=boto3.client("s3", region_name="us-east-1")
+        )
