@@ -105,6 +105,77 @@ def similar(
     }
 
 
+def quality(
+    spark: SparkSession,
+    sf_dir: str,
+    doc_id: int,
+    quality_path: str | None = None,
+    weights=None,
+) -> dict[str, Any]:
+    """GET /quality?doc_id=N — per-document quality score as an ADS
+    endpoint (round 11: the standing quality table reaches the serving
+    layer, the /similar-over-the-standing-IVF-index symmetry; the
+    reference's ADS surface has no curation routes — this is the
+    training-data-platform extension the quality family exists for).
+
+    Two backing modes through ONE scoring implementation
+    (``textops.quality_classifier`` computed the rows under both, so
+    they cannot drift):
+
+    - ``quality_path`` set → one PK lookup on the standing quality
+      table the composed ingest loop maintains
+      (``pipelines.ingest_quality_step``) — the deployment shape: the
+      served row was scored at ingest under the table's
+      currently-embedded model, and a model refresh
+      (``refresh_quality_model``) swaps weights + rescored corpus in
+      ONE commit, so a running endpoint flips atomically to the
+      refreshed model (live-HTTP pinned). The payload reports which
+      model serves (``embedded`` after an install/refresh, ``frozen``
+      before).
+    - ``quality_path`` None → recompute over the documents table with
+      ``weights`` (None = the stand-in rule) — the fixture/debug mode.
+
+    An unknown ``doc_id`` returns an empty list with status 0 (same
+    contract as /similar on an unknown vec_id)."""
+    from realtime_datawarehouse_spark.operators import textops
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    if quality_path is not None:
+        model_w, _, scores = pipelines.read_quality_state(
+            spark, quality_path
+        )
+        rows = (
+            scores.where(F.col("doc_id") == int(doc_id))
+            .select("doc_id", "margin_milli", "keep")
+            .collect()
+            if scores is not None
+            else []
+        )
+        model = "embedded" if model_w is not None else "frozen"
+    else:
+        docs = table(spark, sf_dir, "documents").where(
+            F.col("doc_id") == int(doc_id)
+        )
+        rows = (
+            textops.quality_classifier(docs, weights=weights)
+            .select("doc_id", "margin_milli", "keep")
+            .collect()
+        )
+        model = "recompute"
+    return {
+        "status": 0,
+        "data": [
+            {
+                "doc_id": int(r.doc_id),
+                "margin_milli": int(r.margin_milli),
+                "keep": int(r.keep),
+                "model": model,
+            }
+            for r in rows
+        ],
+    }
+
+
 def province_stats(spark: SparkSession, sf_dir: str, date: str) -> dict[str, Any]:
     """GET /province?date=yyyyMMdd (TradeStatController.java:58-79)."""
     o = table(spark, sf_dir, "orders")

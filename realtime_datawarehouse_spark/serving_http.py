@@ -11,6 +11,10 @@ Endpoints (same routes, params, and payload shapes as the reference):
         [{"neighbor_id": ..., "sim": ..., "rnk": ...}, ...]}
         (round 10 — ANN over the standing IVF index; missing vec_id →
         400 {"status": 1}; unknown vec_id → empty data)
+    GET /quality?doc_id=N       → {"status": 0, "data":
+        [{"doc_id": ..., "margin_milli": ..., "keep": ..., "model":
+        ...}]}  (round 11 — the standing quality table as an endpoint;
+        missing doc_id → 400; unknown doc_id → empty data)
 
 Like the reference, an absent/zero ``date`` defaults to today
 (DateFormatUtil.now()). Unknown routes return 404; handler errors return
@@ -47,6 +51,8 @@ def make_server(
     port: int = 0,
     ann_index_path: str | None = None,
     ann_centroids=None,
+    quality_path: str | None = None,
+    quality_weights=None,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; port=0 picks a free port.
 
@@ -55,7 +61,12 @@ def make_server(
     standing index the production ingest loop writes and the refresh
     atomically re-codebooks); when unset, /similar recomputes over the
     embeddings table — same serve implementation either way
-    (serving.similar)."""
+    (serving.similar).
+
+    ``quality_path``/``quality_weights``: same split for GET /quality —
+    standing quality table (scores always consistent with the
+    currently-embedded model; a refresh flips the running endpoint
+    atomically) vs recompute (serving.quality)."""
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict) -> None:
@@ -92,6 +103,22 @@ def make_server(
                             k=int(q.get("k", ["5"])[0]),
                             index_path=ann_index_path,
                             centroids=ann_centroids,
+                        ),
+                    )
+                elif url.path == "/quality":
+                    if "doc_id" not in q:
+                        self._reply(
+                            400, {"status": 1, "msg": "doc_id is required"}
+                        )
+                        return
+                    self._reply(
+                        200,
+                        serving.quality(
+                            spark,
+                            sf_dir,
+                            int(q["doc_id"][0]),
+                            quality_path=quality_path,
+                            weights=quality_weights,
                         ),
                     )
                 else:

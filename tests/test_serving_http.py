@@ -168,3 +168,82 @@ def test_http_similar_serves_from_standing_index(spark, tmp_path):
         assert got_after == want_after
     finally:
         server.shutdown()
+
+
+def test_http_quality_fixture_mode_and_contracts(spark, ads_server):
+    """GET /quality in recompute mode matches the registered classifier
+    row for the doc; missing doc_id → 400; unknown doc_id → empty data
+    with status 0 (the /similar contracts)."""
+    from realtime_datawarehouse_spark.operators import textops
+
+    docs = table(spark, SF_DIR, "documents")
+    doc_id = docs.select(F.min("doc_id")).collect()[0][0]
+    want = (
+        textops.quality_classifier(docs.where(F.col("doc_id") == doc_id))
+        .select("doc_id", "margin_milli", "keep")
+        .collect()[0]
+    )
+    status, got = _get(f"{ads_server}/quality?doc_id={doc_id}")
+    assert status == 200 and got["status"] == 0
+    assert got["data"] == [
+        {
+            "doc_id": int(want.doc_id),
+            "margin_milli": int(want.margin_milli),
+            "keep": int(want.keep),
+            "model": "recompute",
+        }
+    ]
+    status, empty = _get(f"{ads_server}/quality?doc_id=999999999")
+    assert status == 200 and empty == {"status": 0, "data": []}
+    try:
+        urllib.request.urlopen(f"{ads_server}/quality", timeout=60)
+        raise AssertionError("missing doc_id must 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_http_quality_serves_standing_table_and_flips_on_refresh(
+    spark, tmp_path
+):
+    """The deployment mode: a server built with quality_path serves
+    /quality from the standing quality table the ingest loop maintains
+    — and a model refresh (retrain + rescore + snapshot in ONE commit)
+    flips the SAME running endpoint atomically to the new model's
+    scores, with the payload's model field reporting embedded serving
+    (the /similar-after-codebook-refresh symmetry)."""
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    def w(v):
+        return spark.range(512).select(
+            F.col("id").alias("bucket"),
+            F.lit(v).cast("long").alias("w_milli"),
+        )
+
+    qpath = str(tmp_path / "quality")
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x y z")], "doc_id long, text string"
+    )
+    pipelines.ingest_quality_step(spark, docs, qpath, 0, weights=w(500))
+    server = serving_http.make_server(spark, SF_DIR, quality_path=qpath)
+    serving_http.start_background(server)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        _, before = _get(f"{base}/quality?doc_id=2")
+        # pre-install: scores from the frozen day-0 arg weights
+        assert before["data"] == [
+            {"doc_id": 2, "margin_milli": 1500, "keep": 1,
+             "model": "frozen"}
+        ]
+        # refresh to a negative-weight model: the SAME live endpoint now
+        # serves the rescored row under the embedded model
+        pipelines.refresh_quality_model(
+            spark, qpath, docs, refresh_id=1, new_weights=w(-500)
+        )
+        _, after = _get(f"{base}/quality?doc_id=2")
+        assert after["data"] == [
+            {"doc_id": 2, "margin_milli": -1500, "keep": 0,
+             "model": "embedded"}
+        ]
+    finally:
+        server.shutdown()
