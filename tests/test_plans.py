@@ -2561,3 +2561,60 @@ def test_classifier_learns_planted_separation(spark):
         for r in textops.quality_classifier(docs, weights=wdf).collect()
     }
     assert all(pred[i] == (1 if i % 2 == 0 else 0) for i in range(60))
+
+
+def test_refresh_eval_oracles_agree_on_non_ascii(spark, tmp_path):
+    """The r11 refresh evals are length-/token-sensitive, and the driver
+    fixture is ASCII-only — a byte/char mix-up in their oracles would
+    pass every driver compare and break only on real unicode (the
+    test_bpe_eval_oracles_agree_on_non_ascii lesson). Run BOTH full
+    evals on a multi-byte corpus (2-octet é/ï/ü/ß + CJK) against their
+    DuckDB oracles. Single-space text per the tokenize-oracle
+    convention (string_split ' ' ≡ \\s+ there); the BPE corpus also
+    pins Σ-char (not Σ-octet) totals and Spark reverse() preserving the
+    word-length multiset on multi-byte text."""
+    import duckdb
+
+    from realtime_datawarehouse_spark.plans import llm_ops
+
+    base = "café naïve übermäßig zç 数据 café naïve café 数据 zç"
+    rows = []
+    for i in range(36):
+        # doc_id stride 1 → all six mod-6 stages populated; vary length
+        # so the quality eval's short/long PSI staging has both sides
+        txt = " ".join([base] * (1 + (i % 3)))
+        rows.append((i, txt, "xx", "srcA", len(txt)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars int"
+    )
+    sf_dir = str(tmp_path / "sf_nonascii")
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+
+    def compare(fn, oracle):
+        got = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        exp = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+        assert got == exp
+
+    compare(
+        llm_ops.bpe_vocab_refresh_eval, llm_ops.BPE_VOCAB_REFRESH_ORACLE
+    )
+    compare(
+        llm_ops.quality_refresh_eval, llm_ops._quality_refresh_oracle()
+    )
+    # the byte/char distinction is exercised: the corpus' char total is
+    # strictly below its octet total
+    chars, octs = con.execute(
+        "SELECT sum(length(x.w)), sum(octet_length(encode(x.w))) FROM "
+        "(SELECT unnest(string_split(lower(text), ' ')) AS w "
+        "FROM documents) x"
+    ).fetchone()
+    assert chars < octs
