@@ -17,6 +17,7 @@ SF_DIR_MID = "/root/testdata/sf0.01"
 # parametrization; bracketed names mark one. Regenerate from --durations
 # when the profile shifts — membership is measured, never guessed.
 SLOW_TESTS = {
+    "test_concurrent_bpe_vocab_installs_race_cleanly",
     "test_refresh_eval_oracles_agree_on_non_ascii",
     "test_query_matches_oracle[bpe_vocab_refresh_eval]",
     "test_two_concurrent_composed_loop_writers[local]",

@@ -2283,3 +2283,40 @@ def test_two_concurrent_composed_loop_writers(spark, tmp_path, backend_kind):
     # five shared tables across three rounds must surface at least one
     # CAS conflict, absorbed by merge_upsert's bounded retry
     assert conflicts["n"] >= 1, "no ConcurrentCommitError was exercised"
+
+
+def test_concurrent_bpe_vocab_installs_race_cleanly(spark, tmp_path):
+    """Two writers install vocab versions CONCURRENTLY through the CAS
+    append: distinct vocab_vers both land (the loser recomputes against
+    the new head and retries), racing duplicate installs of the SAME
+    vocab_ver end with exactly one copy of its rows (the replay-skip
+    path), and every historical version stays readable afterward."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from realtime_datawarehouse_spark.operators import table_store
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    vpath = str(tmp_path / "vocab")
+
+    def install(ver, tag):
+        pipelines.install_bpe_vocab(
+            spark, vpath, [(tag, tag)], vocab_ver=ver, ratio_milli=ver
+        )
+
+    with ThreadPoolExecutor(4) as ex:
+        futs = [ex.submit(install, v, f"m{v}") for v in (1, 2, 3, 4)]
+        for f in futs:
+            f.result()
+    # duplicate-install race on one ver (replay after a crash, twice)
+    with ThreadPoolExecutor(2) as ex:
+        futs = [ex.submit(install, 5, "m5") for _ in range(2)]
+        for f in futs:
+            f.result()
+    state = table_store.read_state(spark, vpath)
+    rows = [tuple(r) for r in state.collect()]
+    # 5 versions × (1 snapshot row + 1 merge row), no duplicates
+    assert len(rows) == len(set(rows)) == 10
+    for v in range(1, 6):
+        vv, merges, ratio = pipelines.read_bpe_vocab(spark, vpath, v)
+        assert (vv, merges, ratio) == (v, [(f"m{v}", f"m{v}")], v)
+    assert pipelines.read_bpe_vocab(spark, vpath)[0] == 5  # newest wins
