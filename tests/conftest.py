@@ -17,6 +17,8 @@ SF_DIR_MID = "/root/testdata/sf0.01"
 # parametrization; bracketed names mark one. Regenerate from --durations
 # when the profile shifts — membership is measured, never guessed.
 SLOW_TESTS = {
+    "test_quality_refresh_on_bucketed_table_then_merge_rebuckets",
+    "test_bpe_ingest_bucketed_encodings_match_flat",
     "test_concurrent_bpe_vocab_installs_race_cleanly",
     "test_refresh_eval_oracles_agree_on_non_ascii",
     "test_query_matches_oracle[bpe_vocab_refresh_eval]",

@@ -2320,3 +2320,86 @@ def test_concurrent_bpe_vocab_installs_race_cleanly(spark, tmp_path):
         vv, merges, ratio = pipelines.read_bpe_vocab(spark, vpath, v)
         assert (vv, merges, ratio) == (v, [(f"m{v}", f"m{v}")], v)
     assert pipelines.read_bpe_vocab(spark, vpath)[0] == 5  # newest wins
+
+
+def test_quality_refresh_on_bucketed_table_then_merge_rebuckets(
+    spark, tmp_path
+):
+    """Interplay pin (the IVF analog of
+    test_ivf_refresh_on_bucketed_index_then_merge_rebuckets): a quality
+    model refresh commits a FLAT full snapshot onto a BUCKETED quality
+    table; the next bucketed merge takes the documented migration path
+    and the end state stays exact — model rows (negative pks) ride the
+    re-bucketing like any row, and later batches still score through
+    the embedded model."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from realtime_datawarehouse_spark.operators import table_store, textops
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    w500 = _const_weights(spark, 500)
+    path = str(tmp_path / "quality")
+    b0 = _docs_df(spark, [(1, "a b"), (2, "c d e")])
+    pipelines.ingest_quality_step(
+        spark, b0, path, 0, weights=w500, buckets=4
+    )
+    assert table_store.bucket_spec_of(path) == {"pk": "doc_id", "n": 4}
+    pipelines.refresh_quality_model(
+        spark, path, b0, refresh_id=1, new_weights=w500
+    )
+    weights, snapshot, _ = pipelines.read_quality_state(spark, path)
+    assert weights is not None and snapshot is not None
+    # post-refresh bucketed merge over the flat refresh snapshot
+    b1 = _docs_df(spark, [(3, "f g")])
+    pipelines.ingest_quality_step(spark, b1, path, 2, buckets=4)
+    v = table_store.current_version(path)
+    assert table_store._dir_is_bucketed(f"{path}/{v}")  # re-bucketed
+    weights2, snapshot2, scores = pipelines.read_quality_state(spark, path)
+    assert weights2 is not None and snapshot2 is not None  # model survived
+    direct = textops.quality_classifier(
+        b0.unionByName(b1), weights=w500
+    ).select("doc_id", "margin_milli", "keep")
+    assert sorted(tuple(r) for r in scores.collect()) == sorted(
+        tuple(r) for r in direct.collect()
+    )
+
+
+def test_bpe_ingest_bucketed_encodings_match_flat(spark, tmp_path):
+    """ingest_bpe_step(buckets=N): the encodings table under the
+    bucketed layout ends row-identical to the flat layout across a
+    multi-batch history including a refresh (bucket-local
+    last-write-wins is the same merge, just partitioned)."""
+    from realtime_datawarehouse_spark.operators import table_store, textops
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b0 = docs([(i, "abab abab abab") for i in range(6)])
+    b1 = docs([(20 + j, "xyxy xyxy xyxy") for j in range(12)])
+    full = b0.unionByName(b1)
+    m1 = [
+        (r.left, r.right)
+        for r in textops.bpe_train(b0, 4).orderBy("step").collect()
+    ]
+    r1 = pipelines._bpe_ratio_milli(
+        textops.bpe_encode_vocab(b0, merges=m1)
+    )
+
+    def run(root, buckets):
+        vpath, epath = f"{root}/vocab", f"{root}/enc"
+        pipelines.install_bpe_vocab(spark, vpath, m1, 0, r1)
+        pipelines.ingest_bpe_step(
+            spark, b0, vpath, epath, 0, buckets=buckets
+        )
+        fired = pipelines.ingest_bpe_step(
+            spark, b1, vpath, epath, 1,
+            corpus_provider=lambda s: full, buckets=buckets,
+        )
+        assert fired is True
+        enc = table_store.read_state(spark, epath).drop("ver")
+        return sorted(tuple(r) for r in enc.collect())
+
+    assert run(str(tmp_path / "flat"), None) == run(
+        str(tmp_path / "bk"), 4
+    )
