@@ -340,13 +340,23 @@ class S3ObjectStore:
             cfg = getattr(getattr(client, "meta", None), "config", None)
             if cfg is not None:  # the botocore shape → retries exist
                 retries = getattr(cfg, "retries", None)
-                attempts = (
-                    retries.get("total_max_attempts")
-                    or retries.get("max_attempts")
-                    if isinstance(retries, dict)
-                    else None  # None/unset = botocore's DEFAULT retries
-                )
-                if attempts != 1:
+                if isinstance(retries, dict):
+                    # ONLY total_max_attempts == 1 (or its exact alias
+                    # max_attempts == 0) disables the internal loop:
+                    # botocore's 'max_attempts' EXCLUDES the initial
+                    # request, so retries={'max_attempts': 1} normalizes
+                    # to total_max_attempts = 2 — one silent internal
+                    # retry, which is precisely the applied-then-retried
+                    # bare-412 hazard this guard closes (ADVICE r11).
+                    tma = retries.get("total_max_attempts")
+                    safe = (
+                        tma == 1
+                        if tma is not None
+                        else retries.get("max_attempts") == 0
+                    )
+                else:
+                    safe = False  # None/unset = botocore's DEFAULT retries
+                if not safe:
                     raise ValueError(
                         "S3ObjectStore: the injected client retries "
                         f"internally (retries={retries!r}; unset means "
@@ -354,7 +364,11 @@ class S3ObjectStore:
                         "boto3.client('s3', config=Config(retries={'total"
                         "_max_attempts': 1})) — internal retries on a "
                         "conditional PUT can mask an applied write as a "
-                        "bare 412 and lose the commit (class docstring)"
+                        "bare 412 and lose the commit (class docstring); "
+                        "note retries={'max_attempts': 1} does NOT "
+                        "qualify: botocore's max_attempts excludes the "
+                        "initial request, so it still means one internal "
+                        "retry"
                     )
         self._put_c = put_client if put_client is not None else client
         self._bucket = bucket

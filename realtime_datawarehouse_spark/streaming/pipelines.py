@@ -492,16 +492,32 @@ IVF_MAX_BALANCE6_DEFAULT = 4_000_000  # worst list at 4× its even share
 QUALITY_PSI_MAX6_DEFAULT = 200_000  # the standard PSI > 0.2 retrain rule
 
 # Embedded-artifact presence/content cache, keyed (table path, committed
-# version name): a committed snapshot is immutable, so the probe result
-# for a version can never go stale — re-probing happens exactly when the
-# head moves (ADVICE r10: the per-call limit(1).count() probe was an
-# extra Spark job on every ingest batch and every /similar HTTP request).
-_EMBEDDED_CACHE: dict[tuple[str, str, str], object] = {}
+# version name, version-directory identity): a committed snapshot is
+# immutable, so the probe result for a version can never go stale —
+# re-probing happens exactly when the head moves (ADVICE r10: the
+# per-call limit(1).count() probe was an extra Spark job on every ingest
+# batch and every /similar HTTP request). The identity component — the
+# version DIRECTORY's (inode, ctime) — is the table-recreation nonce
+# (ADVICE r11, low): delete a table directory and recreate it at the
+# same path in-process and version names restart (v-1 recurs); without
+# the nonce the cache would keep serving the DELETED table's
+# model/codebook/vocab. A recreated dir gets a fresh inode (or at
+# minimum a fresh ctime), so its first read is a guaranteed cache miss.
+_EMBEDDED_CACHE: dict[tuple, object] = {}
 _EMBEDDED_CACHE_MAX = 512
 
 
 def _embedded_cached(kind: str, path: str, version: str, compute):
-    key = (kind, os.path.abspath(path), version)
+    apath = os.path.abspath(path)
+    try:
+        st = os.stat(os.path.join(apath, version))
+        nonce = (st.st_ino, st.st_ctime_ns)
+    except OSError:
+        # version dir not statable (foreign store adapters / races):
+        # fail open — compute without caching rather than risk serving
+        # a stale artifact
+        return compute()
+    key = (kind, apath, version, nonce)
     if key not in _EMBEDDED_CACHE:
         if len(_EMBEDDED_CACHE) >= _EMBEDDED_CACHE_MAX:
             _EMBEDDED_CACHE.clear()
@@ -1172,8 +1188,14 @@ def install_bpe_vocab(
     """Append one vocabulary version to the standing vocab table via the
     CAS commit (old versions are immutable history — the encodings
     table's vocab_ver column points into them). Replay-idempotent: a
-    re-run that finds its vocab_ver already installed skips (the
-    crash-between-install-and-checkpoint case)."""
+    re-run that finds its vocab_ver already installed WITH THE SAME
+    rows skips (the crash-between-install-and-checkpoint case). A
+    vocab_ver collision with DIFFERENT content raises instead of
+    silently dropping the new vocabulary (ADVICE r11, low: a silent
+    skip would lose a refresh and leave the drift trigger retraining
+    on every subsequent batch) — colliding writers must pick a fresh
+    version (``ingest_bpe_step`` installs at
+    max(batch_id, newest existing + 1) for exactly this reason)."""
     rows = [(vocab_ver, 0, None, None, ratio_milli)] + [
         (vocab_ver, i + 1, left, right, None)
         for i, (left, right) in enumerate(merges)
@@ -1184,9 +1206,17 @@ def install_bpe_vocab(
         if base is None:
             state = incoming
         else:
-            have = {r[0] for r in _bpe_vocab_rows(spark, vocab_path, base)}
-            if vocab_ver in have:
-                return  # replayed install — already committed
+            stored = _bpe_vocab_rows(spark, vocab_path, base)
+            mine = sorted(r for r in stored if r[0] == vocab_ver)
+            if mine:
+                if mine == sorted(rows):
+                    return  # replayed install — already committed
+                raise ValueError(
+                    f"vocab_ver {vocab_ver} is already installed at "
+                    f"{vocab_path} with a DIFFERENT merge table/snapshot; "
+                    "refusing to silently drop the new vocabulary — "
+                    "install under a fresh version (max existing + 1)"
+                )
             state = table_store.read_state(
                 spark, vocab_path, version=base
             ).unionByName(incoming)
@@ -1239,9 +1269,10 @@ def ingest_bpe_step(
        like ``refresh_quality_model``; the trainer is ``textops.
        bpe_train``'s one-job collect + in-process merge loop), snapshot
        the new vocab's corpus ratio, and install it as version
-       ``batch_id`` — one CAS append; FUTURE batches encode under it,
-       PAST encodings are not touched (re-encode-only-new, the 100 TB
-       contract).
+       ``max(batch_id, newest existing + 1)`` (collision-free with the
+       day-0 install even when batch ids restart at 0 — ADVICE r11) —
+       one CAS append; FUTURE batches encode under it, PAST encodings
+       are not touched (re-encode-only-new, the 100 TB contract).
 
     Returns whether a refresh ran. Replay: the encode+merge is keyed by
     batch_id; a replay BEFORE its refresh landed re-derives the same
@@ -1294,8 +1325,18 @@ def ingest_bpe_step(
     new_ratio = _bpe_ratio_milli(
         textops.bpe_encode_vocab(corpus, merges=new_merges)
     )
+    # max(batch_id, newest existing + 1), NOT batch_id alone (ADVICE
+    # r11, low): foreachBatch ids start at 0 and the day-0 convention
+    # installs vocab_ver=0, so a batch-0 trigger would collide and the
+    # install's replay check would silently drop the refreshed vocab
+    # (leaving the drift trigger retraining every batch). The floor at
+    # newest+1 keeps the install collision-free; keeping batch_id when
+    # it is higher keeps the version state-derived, so a crash replay
+    # of the trigger batch re-derives the SAME target version and the
+    # install's identical-rows check absorbs it (idempotent).
     install_bpe_vocab(
-        spark, vocab_path, new_merges, vocab_ver=batch_id,
+        spark, vocab_path, new_merges,
+        vocab_ver=max(batch_id, vocab_ver + 1),
         ratio_milli=new_ratio,
     )
     return True

@@ -25,6 +25,8 @@ SLOW_TESTS = {
     "test_two_concurrent_composed_loop_writers[local]",
     "test_two_concurrent_composed_loop_writers[object-faulted]",
     "test_bpe_vocab_refresh_trigger_and_old_rows_stay_valid",
+    "test_bpe_batch0_trigger_does_not_collide_with_day0_vocab",
+    "test_embedded_cache_invalidates_on_table_recreation",
     "test_bpe_corpus_pipeline_stream_matches_step_replay",
     "test_quality_refresh_policy_triggers_on_planted_drift_only",
     "test_quality_embedded_model_serves_and_swap_is_atomic",

@@ -657,11 +657,32 @@ def test_s3_adapter_requires_no_retry_put_client_for_real_clients():
     # retries UNSET still means botocore's default retry loop → rejected
     with pytest.raises(ValueError, match="put_client"):
         object_store.S3ObjectStore("b", client=shaped(None))
-    # retries disabled → the one shape safe to serve both roles
+    # ADVICE r11 (medium): 'max_attempts' EXCLUDES the initial request —
+    # retries={'max_attempts': 1} normalizes to total_max_attempts=2,
+    # i.e. ONE silent internal retry, the exact hazard. Rejected.
+    with pytest.raises(ValueError, match="put_client"):
+        object_store.S3ObjectStore("b", client=shaped({"max_attempts": 1}))
+    # ... and total_max_attempts=2 (explicit) is equally unsafe
+    with pytest.raises(ValueError, match="put_client"):
+        object_store.S3ObjectStore(
+            "b", client=shaped({"total_max_attempts": 2})
+        )
+    # retries disabled → the shapes safe to serve both roles:
+    # total_max_attempts == 1, or its exact alias max_attempts == 0
     ok = object_store.S3ObjectStore(
         "b", client=shaped({"total_max_attempts": 1})
     )
     assert ok._put_c is ok._c
+    ok0 = object_store.S3ObjectStore(
+        "b", client=shaped({"max_attempts": 0})
+    )
+    assert ok0._put_c is ok0._c
+    # total_max_attempts wins over a contradictory max_attempts alias
+    with pytest.raises(ValueError, match="put_client"):
+        object_store.S3ObjectStore(
+            "b",
+            client=shaped({"total_max_attempts": 2, "max_attempts": 0}),
+        )
     # a rejected client becomes acceptable once put_client is explicit
     inner = object_store.InMemoryObjectStore()
     both = object_store.S3ObjectStore(

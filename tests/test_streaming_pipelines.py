@@ -2322,6 +2322,114 @@ def test_concurrent_bpe_vocab_installs_race_cleanly(spark, tmp_path):
     assert pipelines.read_bpe_vocab(spark, vpath)[0] == 5  # newest wins
 
 
+def test_bpe_batch0_trigger_does_not_collide_with_day0_vocab(
+    spark, tmp_path
+):
+    """ADVICE r11 (low): foreachBatch ids start at 0 and the day-0
+    convention installs vocab_ver=0 — a drift trigger on the FIRST
+    batch used to target vocab_ver=batch_id=0, which install_bpe_vocab
+    silently skipped as a replay: the refreshed vocab was lost and the
+    trigger retrained on every later batch. The install must land under
+    a fresh version (max(batch_id, newest+1) = 1) and a replay of the
+    same batch must self-heal (no re-fire, no third version)."""
+    from realtime_datawarehouse_spark.operators import table_store, textops
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    vpath = str(tmp_path / "vocab")
+    epath = str(tmp_path / "enc")
+    day0 = _docs_df(spark, [(100 + i, "abab abab abab") for i in range(6)])
+    m0 = [
+        (r.left, r.right)
+        for r in textops.bpe_train(day0, 4).orderBy("step").collect()
+    ]
+    r0 = pipelines._bpe_ratio_milli(textops.bpe_encode_vocab(day0, merges=m0))
+    pipelines.install_bpe_vocab(spark, vpath, m0, 0, r0)
+    # batch 0 is ALREADY drifted (disjoint pairs): the trigger fires on
+    # the loop's very first batch id
+    b0 = _docs_df(spark, [(j, "xyxy xyxy xyxy") for j in range(8)])
+    acc = day0.unionByName(b0)
+    fired = pipelines.ingest_bpe_step(
+        spark, b0, vpath, epath, 0, corpus_provider=lambda s: acc
+    )
+    assert fired is True
+    vv, m1, _ = pipelines.read_bpe_vocab(spark, vpath)
+    assert vv == 1 and m1 != m0  # landed under a FRESH version
+    vers = sorted(
+        r.vocab_ver
+        for r in table_store.read_state(spark, vpath)
+        .select("vocab_ver").distinct().collect()
+    )
+    assert vers == [0, 1]
+    # replay of the trigger batch: re-encodes under v1, covers the
+    # drift, self-heals into the skip path — no v2
+    refired = pipelines.ingest_bpe_step(
+        spark, b0, vpath, epath, 0, corpus_provider=lambda s: acc
+    )
+    assert refired is False
+    assert pipelines.read_bpe_vocab(spark, vpath)[0] == 1
+
+
+def test_install_bpe_vocab_content_collision_raises(spark, tmp_path):
+    """Same-version re-install with IDENTICAL rows is the replay-skip
+    path; same-version install with DIFFERENT content must raise (a
+    silent skip would drop a refreshed vocabulary — ADVICE r11)."""
+    import pytest as _pytest
+
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    vpath = str(tmp_path / "vocab")
+    pipelines.install_bpe_vocab(spark, vpath, [("a", "b")], 0, 700)
+    # identical replay → silent no-op
+    pipelines.install_bpe_vocab(spark, vpath, [("a", "b")], 0, 700)
+    assert pipelines.read_bpe_vocab(spark, vpath, 0)[1] == [("a", "b")]
+    with _pytest.raises(ValueError, match="DIFFERENT merge table"):
+        pipelines.install_bpe_vocab(spark, vpath, [("x", "y")], 0, 700)
+    with _pytest.raises(ValueError, match="DIFFERENT merge table"):
+        pipelines.install_bpe_vocab(spark, vpath, [("a", "b")], 0, 999)
+
+
+def test_embedded_cache_invalidates_on_table_recreation(spark, tmp_path):
+    """ADVICE r11 (low): the embedded-artifact cache is keyed by (table
+    path, version name); delete a table directory and recreate it at
+    the SAME path and version names restart, so the cache used to serve
+    the DELETED table's model. The version-directory (inode, ctime)
+    nonce in the key makes the recreated table's first read a miss —
+    pinned here for all three embedded readers (quality model, BPE
+    vocab, IVF codebook)."""
+    import shutil
+
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    qpath = str(tmp_path / "q")
+    w500, w700 = _const_weights(spark, 500), _const_weights(spark, 700)
+    docs = _docs_df(spark, [(1, "a b"), (2, "c d e")])
+
+    pipelines.ingest_quality_step(spark, docs, qpath, 0, weights=w500)
+    pipelines.refresh_quality_model(
+        spark, qpath, docs, refresh_id=0, new_weights=w500
+    )
+    w_a, _, _ = pipelines.read_quality_state(spark, qpath)
+    assert {r.w_milli for r in w_a.collect()} == {500}
+
+    shutil.rmtree(qpath)  # table dropped and recreated at the same path
+    pipelines.ingest_quality_step(spark, docs, qpath, 0, weights=w700)
+    pipelines.refresh_quality_model(
+        spark, qpath, docs, refresh_id=0, new_weights=w700
+    )
+    w_b, _, _ = pipelines.read_quality_state(spark, qpath)
+    assert {r.w_milli for r in w_b.collect()} == {700}, (
+        "stale embedded model served after table recreation"
+    )
+
+    # BPE vocab reader: same drop-and-recreate at one path
+    vpath = str(tmp_path / "v")
+    pipelines.install_bpe_vocab(spark, vpath, [("a", "b")], 0, 700)
+    assert pipelines.read_bpe_vocab(spark, vpath)[1] == [("a", "b")]
+    shutil.rmtree(vpath)
+    pipelines.install_bpe_vocab(spark, vpath, [("x", "y")], 0, 800)
+    assert pipelines.read_bpe_vocab(spark, vpath)[1] == [("x", "y")]
+
+
 def test_quality_refresh_on_bucketed_table_then_merge_rebuckets(
     spark, tmp_path
 ):
