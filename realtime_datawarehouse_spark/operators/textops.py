@@ -2898,6 +2898,53 @@ def _bpe_vocab_encode_kernel(
     return kernel
 
 
+def bpe_encode_text(
+    text: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """Tokenize ONE text under a learned merge table, driver-side — the
+    serving-layer form of the ``_bpe_vocab_encode_kernel`` encoder (GET
+    /encode tokenizes a single document per request; spinning a Spark
+    job for one row would be the anti-pattern). Semantics are the
+    kernel's EXACTLY — same sanitization (strip U+0002, lower,
+    ASCII-whitespace split) and the same greedy lowest-rank-first merge
+    loop — pinned token-for-token against the distributed encoder by
+    tests/test_plans.py::test_bpe_encode_text_matches_kernel, so a
+    served tokenization always equals what the encodings table's
+    (tokens_before, tokens_after) was computed from. Cost per word is
+    O(len · merges applied), independent of vocabulary size."""
+    import re as _re
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    table = list(merges)
+    ws = _re.compile(r"\s+", _re.ASCII)
+    out_tokens: list[str] = []
+    for word in ws.split(text.lower().replace(_SYM_SEP, "")):
+        if not word:
+            continue
+        syms = list(word)
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            left, right = table[best]
+            out = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        out_tokens.extend(syms)
+    return out_tokens
+
+
 def bpe_encode_vocab(
     docs: DataFrame,
     n_merges: int = BPE_TRAIN_MERGES,

@@ -176,6 +176,81 @@ def quality(
     }
 
 
+def encode(
+    spark: SparkSession,
+    sf_dir: str,
+    doc_id: int | None = None,
+    text: str | None = None,
+    vocab_path: str | None = None,
+    merges: list[tuple[str, str]] | None = None,
+) -> dict[str, Any]:
+    """GET /encode?doc_id=N (or ?text=...) — tokenize one document under
+    the CURRENT standing BPE vocabulary (round 12: the serve surface of
+    the third maintenance loop, completing the /similar-over-standing-
+    index and /quality-over-standing-table symmetry; the reference's ADS
+    surface has no tokenizer routes — this is the training-data-platform
+    extension the vocab family exists for).
+
+    - ``vocab_path`` set → the newest installed vocabulary version in
+      the standing vocab table the tokenize-on-ingest loop maintains
+      (``pipelines.ingest_bpe_step``); the merge table is the MEMOIZED
+      per-committed-version read, so steady-state requests pay zero
+      Spark jobs beyond the head probe — and a vocabulary refresh
+      (``install_bpe_vocab``) flips a running endpoint to the new
+      version atomically (live-HTTP pinned). The payload reports which
+      ``vocab_ver`` served, the same contract as the encodings table's
+      recorded column.
+    - ``vocab_path`` None → encode under the injected ``merges``
+      (fixture/debug mode; vocab_ver reported as None).
+
+    Tokenization itself is ``textops.bpe_encode_text`` — driver-side,
+    kernel-exact (one request = one document; no per-request Spark
+    job). ``doc_id`` fetches the text from the documents table (one
+    PK-pruned scan); an unknown doc_id returns empty data with
+    status 0 (the /similar unknown-key contract). Exactly one of
+    doc_id/text must be provided (the HTTP layer 400s otherwise)."""
+    from realtime_datawarehouse_spark.operators import textops
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    if (doc_id is None) == (text is None):
+        raise ValueError("exactly one of doc_id / text is required")
+    vocab_ver = None
+    if vocab_path is not None:
+        vocab_ver, merges, _ = pipelines.read_bpe_vocab(spark, vocab_path)
+        if vocab_ver is None:
+            raise ValueError(
+                f"no vocabulary installed at {vocab_path} — day-0 "
+                "install via install_bpe_vocab first"
+            )
+    if merges is None:
+        raise ValueError(
+            "encode needs a vocabulary: pass vocab_path (standing "
+            "table) or merges (injected table)"
+        )
+    if doc_id is not None:
+        rows = (
+            table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") == int(doc_id))
+            .select("doc_id", "text")
+            .collect()
+        )
+        if not rows:
+            return {"status": 0, "data": []}
+        text = rows[0].text
+    tokens = textops.bpe_encode_text(text, merges)
+    return {
+        "status": 0,
+        "data": [
+            {
+                "doc_id": None if doc_id is None else int(doc_id),
+                "vocab_ver": vocab_ver,
+                "n_tokens": len(tokens),
+                "tokens": tokens,
+            }
+        ],
+    }
+
+
 def province_stats(spark: SparkSession, sf_dir: str, date: str) -> dict[str, Any]:
     """GET /province?date=yyyyMMdd (TradeStatController.java:58-79)."""
     o = table(spark, sf_dir, "orders")

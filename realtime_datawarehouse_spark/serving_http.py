@@ -15,6 +15,12 @@ Endpoints (same routes, params, and payload shapes as the reference):
         [{"doc_id": ..., "margin_milli": ..., "keep": ..., "model":
         ...}]}  (round 11 — the standing quality table as an endpoint;
         missing doc_id → 400; unknown doc_id → empty data)
+    GET /encode?doc_id=N | ?text=... → {"status": 0, "data":
+        [{"doc_id": ..., "vocab_ver": ..., "n_tokens": ...,
+        "tokens": [...]}]}  (round 12 — tokenize under the standing BPE
+        vocabulary's newest version; a vocab refresh flips the running
+        endpoint atomically; neither/both params → 400; unknown
+        doc_id → empty data)
 
 Like the reference, an absent/zero ``date`` defaults to today
 (DateFormatUtil.now()). Unknown routes return 404; handler errors return
@@ -53,6 +59,8 @@ def make_server(
     ann_centroids=None,
     quality_path: str | None = None,
     quality_weights=None,
+    bpe_vocab_path: str | None = None,
+    bpe_merges=None,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; port=0 picks a free port.
 
@@ -66,7 +74,12 @@ def make_server(
     ``quality_path``/``quality_weights``: same split for GET /quality —
     standing quality table (scores always consistent with the
     currently-embedded model; a refresh flips the running endpoint
-    atomically) vs recompute (serving.quality)."""
+    atomically) vs recompute (serving.quality).
+
+    ``bpe_vocab_path``/``bpe_merges``: same split for GET /encode —
+    standing vocab table's newest version (a vocabulary refresh flips
+    the running endpoint atomically — the third maintenance loop's
+    serve surface) vs an injected merge table (serving.encode)."""
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict) -> None:
@@ -103,6 +116,32 @@ def make_server(
                             k=int(q.get("k", ["5"])[0]),
                             index_path=ann_index_path,
                             centroids=ann_centroids,
+                        ),
+                    )
+                elif url.path == "/encode":
+                    has_doc = "doc_id" in q
+                    has_text = "text" in q
+                    if has_doc == has_text:
+                        self._reply(
+                            400,
+                            {
+                                "status": 1,
+                                "msg": "exactly one of doc_id / text "
+                                "is required",
+                            },
+                        )
+                        return
+                    self._reply(
+                        200,
+                        serving.encode(
+                            spark,
+                            sf_dir,
+                            doc_id=(
+                                int(q["doc_id"][0]) if has_doc else None
+                            ),
+                            text=q["text"][0] if has_text else None,
+                            vocab_path=bpe_vocab_path,
+                            merges=bpe_merges,
                         ),
                     )
                 elif url.path == "/quality":

@@ -2059,6 +2059,52 @@ def test_bpe_eval_oracles_agree_on_non_ascii(spark, tmp_path):
     assert got2.total_tokens_before < octets
 
 
+def test_bpe_encode_text_matches_kernel(spark):
+    """Round 12: the driver-side single-text encoder behind GET /encode
+    (``textops.bpe_encode_text``) must agree with the distributed
+    mapInPandas kernel doc-for-doc — same sanitization, same greedy
+    lowest-rank-first schedule — on the fixture AND the adversarial
+    corpus, so a served tokenization always matches what the encodings
+    table recorded. Counts pin the schedule; the joined-token roundtrip
+    pins losslessness."""
+    from realtime_datawarehouse_spark.operators import textops
+    from realtime_datawarehouse_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents").limit(50)
+    merges = textops._bpe_collect_merges(docs, 32, "text")
+    kernel_counts = {
+        r.doc_id: (r.tokens_before, r.tokens_after)
+        for r in textops.bpe_encode_vocab(docs, merges=merges).collect()
+    }
+    assert kernel_counts
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+    for r in docs.select("doc_id", "text").collect():
+        toks = textops.bpe_encode_text(r.text, merges)
+        words = [w for w in ws.split(r.text.lower()) if w]
+        assert kernel_counts[r.doc_id] == (
+            sum(len(w) for w in words),
+            len(toks),
+        ), f"doc {r.doc_id} token counts diverge from the kernel"
+        assert "".join(toks) == "".join(words)  # lossless
+
+    adv = [
+        ("abab ab ab ababa", [("a", "b"), ("ab", "ab")]),
+        ("a$b.c* $$ a$ a$", [("a", "$"), ("$", "$")]),
+        ("café café ca fé", [("c", "a"), ("ca", "f")]),
+        ("", [("a", "b")]),
+        ("x\x02y ab", [("x", "y"), ("a", "b")]),  # U+0002 stripped
+    ]
+    for text, m in adv:
+        toks = textops.bpe_encode_text(text, m)
+        clean = text.lower().replace("\x02", "")
+        assert "".join(toks) == "".join(
+            w for w in ws.split(clean) if w
+        )
+    assert textops.bpe_encode_text("x\x02y ab", [("x", "y")])[0] == "xy"
+
+
 def test_bpe_encode_vocab_matches_regexp_form(spark):
     """VERDICT r7 item 1: the broadcast-vocabulary greedy merge-rank
     encoder (deployment form) must agree with the chained-regexp form

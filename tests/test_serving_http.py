@@ -247,3 +247,68 @@ def test_http_quality_serves_standing_table_and_flips_on_refresh(
         ]
     finally:
         server.shutdown()
+
+
+def test_http_encode_serves_standing_vocab_and_flips_on_refresh(
+    spark, tmp_path
+):
+    """Round 12: GET /encode tokenizes under the standing vocab table's
+    NEWEST version, and a vocabulary install (the measure→act refresh's
+    CAS append) flips the SAME running endpoint atomically to the new
+    merge table — the third maintenance loop's serve surface, the
+    /quality-flip and /similar-after-codebook-refresh symmetry. Also
+    pins the param contract: text mode, doc_id mode (unknown → empty),
+    neither/both → 400."""
+    import urllib.error
+
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    vpath = str(tmp_path / "vocab")
+    pipelines.install_bpe_vocab(spark, vpath, [("a", "b")], 0, 900)
+    server = serving_http.make_server(spark, SF_DIR, bpe_vocab_path=vpath)
+    serving_http.start_background(server)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        _, before = _get(f"{base}/encode?text=ababab%20cd")
+        assert before["data"] == [
+            {
+                "doc_id": None,
+                "vocab_ver": 0,
+                "n_tokens": 5,
+                "tokens": ["ab", "ab", "ab", "c", "d"],
+            }
+        ]
+        # a refresh installs version 1 with an extra merge: the SAME
+        # live endpoint now tokenizes under it (memoized per committed
+        # version — the flip is the head moving)
+        pipelines.install_bpe_vocab(
+            spark, vpath, [("a", "b"), ("ab", "ab")], 1, 700
+        )
+        _, after = _get(f"{base}/encode?text=ababab%20cd")
+        assert after["data"] == [
+            {
+                "doc_id": None,
+                "vocab_ver": 1,
+                "n_tokens": 4,
+                "tokens": ["abab", "ab", "c", "d"],
+            }
+        ]
+        # doc_id mode: fetches the document's text; serves real tokens
+        _, bydoc = _get(f"{base}/encode?doc_id=1")
+        assert bydoc["status"] == 0 and len(bydoc["data"]) == 1
+        row = bydoc["data"][0]
+        assert row["doc_id"] == 1 and row["vocab_ver"] == 1
+        assert row["n_tokens"] == len(row["tokens"]) > 0
+        # unknown doc_id → empty data, status 0
+        _, empty = _get(f"{base}/encode?doc_id=999999999")
+        assert empty == {"status": 0, "data": []}
+        # neither or both params → 400
+        for bad in ("", "?doc_id=1&text=x"):
+            try:
+                urllib.request.urlopen(f"{base}/encode{bad}", timeout=60)
+                raise AssertionError("bad /encode params must 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        server.shutdown()
