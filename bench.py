@@ -165,6 +165,10 @@ BENCH_QUERIES = (
     # writes + retrain at query-BUILD time, local DF returned) — the
     # same excluded class as the r08/r09 incremental evals; their honest
     # per-batch/refresh costs are the SCALE.md loop measurements.
+    # round-12 additions: NONE. pipeline_production_ingest_v3_eval and
+    # pipeline_loop_consistency_eval are eager replay evals (the same
+    # excluded class); the 7-table loop's honest per-batch cost is the
+    # SCALE.md §37-§39 sf1 probes.
 )
 
 

@@ -59,6 +59,7 @@ _POINTER = "_CURRENT"  # derived cache of the arbiter head (legacy pointer)
 _FLIPS = "_FLIPS"  # append-only log of flipped version names (_delta_log analog)
 _COMMITS = "_commits"  # arbiter sequence files: NNN → committed version name
 _BUCKETING = "_BUCKETING"  # json {"pk": col, "n": buckets} — set once per table
+_PROPS = "_PROPS.json"  # per-version commit properties (Delta commitInfo analog)
 _BUCKET_COL = "__bucket"  # hive partition column inside bucketed snapshots
 _MAX_BUCKETS = 4096  # bounds the per-merge touched-bucket collect
 # an unflipped claim dir older than this is a crashed writer's orphan.
@@ -398,6 +399,26 @@ def _bucket_spec(path: str, pk: str, buckets: int | None) -> dict | None:
     return spec
 
 
+def version_props(path: str, version: str | None = None) -> dict | None:
+    """Commit properties of a retained version (default: the current
+    head), or None when that commit carried none / predates the props
+    channel. One small JSON read, no Spark job — the read side of
+    ``commit(props=...)``; the consistent-snapshot reader scans these
+    newest→oldest to find each table's version at a common frontier."""
+    import json
+
+    version = version or current_version(path)
+    if version is None:
+        return None
+    try:
+        with open(
+            os.path.join(path, version, _PROPS), encoding="utf-8"
+        ) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
 def bucket_spec_of(path: str) -> dict | None:
     """READ-ONLY probe of a table's persisted bucketing contract
     (``_BUCKETING``, set once at creation): {"pk": col, "n": buckets}
@@ -486,6 +507,7 @@ def commit(
     retain: int = 2,
     orphan_grace_s: float = _ORPHAN_GRACE_S,
     _writer=None,
+    props: dict | None = None,
 ) -> str:
     """Write ``df`` as the next version (executor-parallel) and commit it
     via ONE conditional PUT of the next arbiter sequence. Returns the
@@ -525,7 +547,18 @@ def commit(
     committer (healing via the merge retry, at the cost of redoing the
     write). Raise it alongside expected write duration for tables whose
     snapshots take many minutes (ADVICE r5 #3).
+
+    ``props`` (round 12) attaches small JSON-serializable COMMIT
+    PROPERTIES to the version — Delta's commitInfo analog: the file
+    lands INSIDE the still-private claim directory before the CAS flip,
+    so the properties are exactly as atomic as the data they describe.
+    Read back with :func:`version_props`. The composed ingest loop
+    records ``{"applied_batch": N}`` per standing-table write, which is
+    what makes the cross-table consistent-snapshot reader possible
+    (:func:`realtime_datawarehouse_spark.streaming.pipelines.
+    consistent_snapshot`).
     """
+    import json as _json
     import shutil
     import time as _time
 
@@ -548,6 +581,12 @@ def commit(
         df.write.mode("append").parquet(os.path.join(path, version))
     else:
         _writer(df, os.path.join(path, version))
+    if props is not None:
+        # inside the still-private claim dir, hence atomic with the flip
+        with open(
+            os.path.join(path, version, _PROPS), "w", encoding="utf-8"
+        ) as f:
+            _json.dump(props, f)
 
     # ---- the commit decision: ONE conditional PUT of the next sequence
     # (INTEGRATIONS.md §4). No lock exists: a writer stalled for ANY
@@ -826,6 +865,7 @@ def merge_upsert(
     attempts: int = 5,
     orphan_grace_s: float = _ORPHAN_GRACE_S,
     buckets: int | None = None,
+    props: dict | None = None,
 ) -> str:
     """MERGE ``incoming`` into the table at ``path``: newest ``version_col``
     per ``pk`` wins across stored state and the batch; if the winning row
@@ -978,6 +1018,7 @@ def merge_upsert(
                     expected_version=base,
                     retain=retain,
                     orphan_grace_s=orphan_grace_s,
+                    props=props,
                 )
 
             def _bucketed_writer(
@@ -1018,6 +1059,7 @@ def merge_upsert(
                 retain=retain,
                 orphan_grace_s=orphan_grace_s,
                 _writer=_bucketed_writer,
+                props=props,
             )
         except ConcurrentCommitError:
             if attempt == attempts - 1:
@@ -1047,6 +1089,7 @@ def compact(
     target_files: int = 8,
     cluster_col: str | None = None,
     retain: int = 2,
+    props: dict | None = None,
 ) -> str:
     """OPTIMIZE for the versioned store: rewrite the current state into
     ``target_files`` files, optionally range-clustered on ``cluster_col``
@@ -1067,6 +1110,10 @@ def compact(
     expected = current_version(path)
     if expected is None:
         raise FileNotFoundError(f"nothing to compact: no commits at {path}")
+    if props is None:
+        # pure re-layout: the compacted snapshot describes the same
+        # applied state, so the head's commit properties carry forward
+        props = version_props(path, expected)
     cur = read_state(spark, path, expected)  # pin to the checked version
     if cluster_col is not None:
         laid = cur.repartitionByRange(
@@ -1074,7 +1121,9 @@ def compact(
         ).sortWithinPartitions(cluster_col)
     else:
         laid = cur.coalesce(target_files)
-    return commit(laid, path, expected_version=expected, retain=retain)
+    return commit(
+        laid, path, expected_version=expected, retain=retain, props=props
+    )
 
 
 def _morton_spread16(x):
@@ -1115,6 +1164,7 @@ def compact_zorder(
     expected = current_version(path)
     if expected is None:
         raise FileNotFoundError(f"nothing to compact: no commits at {path}")
+    props = version_props(path, expected)  # pure re-layout: carry forward
     cur = read_state(spark, path, expected)  # pin to the checked version
     # helper columns carry a reserved prefix so a user table with e.g. a
     # real "a_lo" column can never collide or get dropped
@@ -1147,4 +1197,6 @@ def compact_zorder(
         .sortWithinPartitions("__zx_code")
         .drop("__zx_code", "__zx_a_lo", "__zx_a_hi", "__zx_b_lo", "__zx_b_hi")
     )
-    return commit(laid, path, expected_version=expected, retain=retain)
+    return commit(
+        laid, path, expected_version=expected, retain=retain, props=props
+    )

@@ -340,6 +340,7 @@ def _maintain_split_components(
     comp_path: str,
     batch_id: int,
     buckets: int | None = None,
+    props: dict | None = None,
 ) -> None:
     """One micro-batch of incremental component → split maintenance.
 
@@ -454,6 +455,7 @@ def _maintain_split_components(
         pk="doc_id",
         version_col="ver",
         buckets=buckets,
+        props=props,
     )
 
 
@@ -580,6 +582,7 @@ def ingest_ivf_step(
     index_path: str,
     batch_id: int,
     buckets: int | None = None,
+    props: dict | None = None,
 ) -> None:
     """ONE ingest step of incremental IVF index maintenance (round 8):
     assign the batch's vectors to their nearest centroid and merge the
@@ -610,6 +613,7 @@ def ingest_ivf_step(
         pk="vec_id",
         version_col="ver",
         buckets=buckets,
+        props=props,
     )
 
 
@@ -621,6 +625,7 @@ def refresh_ivf_index(
     k: int = 16,
     iters: int = 2,
     attempts: int = 5,
+    props: dict | None = None,
 ) -> None:
     """CODEBOOK REFRESH for the incrementally-maintained IVF index
     (VERDICT r9 item 1 — the last frozen standing artifact): retrain the
@@ -679,7 +684,9 @@ def refresh_ivf_index(
             )
         )
         try:
-            table_store.commit(new_state, index_path, expected_version=base)
+            table_store.commit(
+                new_state, index_path, expected_version=base, props=props
+            )
             return
         except table_store.ConcurrentCommitError:
             if attempt == attempts - 1:
@@ -766,6 +773,8 @@ def ivf_refresh_if_needed(
     new_centroids: DataFrame | None = None,
     k: int = 16,
     iters: int = 2,
+    report: dict | None = None,
+    props: dict | None = None,
 ) -> bool:
     """The measure→act completion of the IVF maintenance loop (VERDICT
     r9 item 1's second half: ``ann_ivf_balance_report`` measured
@@ -778,8 +787,17 @@ def ivf_refresh_if_needed(
     production k ≥ 8). Returns whether a refresh ran. Crash/replay note: the check is self-healing — a
     replayed trigger batch re-reads the NOW-BALANCED index and skips,
     so double-refresh needs no extra guard; serve stays consistent at
-    every point because the swap itself is the atomic commit."""
+    every point because the swap itself is the atomic commit.
+
+    ``report`` (round 12): when a dict is passed, the MEASURED value
+    and the decision are recorded into it ({"imbalance6": int | None,
+    "fired": bool}) — the observability hook the composed loop's
+    per-step report threads through, so an ops surface (and the
+    registered v3 eval's oracle) sees exactly what the policy saw."""
     imb = ivf_index_imbalance6(spark, index_path)
+    if report is not None:
+        report["imbalance6"] = imb
+        report["fired"] = not (imb is None or imb <= max_balance6)
     if imb is None or imb <= max_balance6:
         return False
     refresh_ivf_index(
@@ -789,6 +807,7 @@ def ivf_refresh_if_needed(
         new_centroids=new_centroids,
         k=k,
         iters=iters,
+        props=props,
     )
     return True
 
@@ -973,6 +992,7 @@ def refresh_quality_model(
     label: F.Column | None = None,
     new_weights: DataFrame | None = None,
     attempts: int = 5,
+    props: dict | None = None,
 ) -> None:
     """MODEL REFRESH for the standing quality table (VERDICT r10 item 1 —
     the trained classifier weights were the last frozen standing
@@ -1031,6 +1051,7 @@ def refresh_quality_model(
                 new_state,
                 quality_path,
                 expected_version=base,
+                props=props,
             )
             return
         except table_store.ConcurrentCommitError:
@@ -1047,6 +1068,8 @@ def quality_refresh_if_needed(
     max_psi6: int = QUALITY_PSI_MAX6_DEFAULT,
     label: F.Column | None = None,
     new_weights: DataFrame | None = None,
+    report: dict | None = None,
+    props: dict | None = None,
 ) -> bool:
     """The measure→act completion of the quality-model loop (the IVF
     twin of ``ivf_refresh_if_needed``): retrain + atomically swap the
@@ -1056,8 +1079,14 @@ def quality_refresh_if_needed(
     Returns whether a refresh ran; False too when no model is installed
     yet (nothing to compare — install via ``refresh_quality_model``).
     Crash/replay: self-healing, because the refresh snapshots the NEW
-    distribution (post-refresh PSI = 0 < any sane threshold)."""
+    distribution (post-refresh PSI = 0 < any sane threshold).
+    ``report`` (round 12): when passed, records what the policy saw —
+    {"psi6": int | None, "fired": bool} — the
+    ``ivf_refresh_if_needed`` observability hook."""
     psi = quality_drift_psi6(spark, quality_path)
+    if report is not None:
+        report["psi6"] = psi
+        report["fired"] = not (psi is None or psi <= max_psi6)
     if psi is None or psi <= max_psi6:
         return False
     refresh_quality_model(
@@ -1067,6 +1096,7 @@ def quality_refresh_if_needed(
         refresh_id,
         label=label,
         new_weights=new_weights,
+        props=props,
     )
     return True
 
@@ -1078,6 +1108,7 @@ def ingest_quality_step(
     batch_id: int,
     weights: DataFrame | None = None,
     buckets: int | None = None,
+    props: dict | None = None,
 ) -> None:
     """ONE ingest step of standing quality-table maintenance: score the
     batch and merge (doc_id, margin_milli, keep). The scoring weights are
@@ -1107,6 +1138,7 @@ def ingest_quality_step(
         pk="doc_id",
         version_col="ver",
         buckets=buckets,
+        props=props,
     )
 
 
@@ -1184,6 +1216,7 @@ def install_bpe_vocab(
     vocab_ver: int,
     ratio_milli: int,
     attempts: int = 5,
+    props: dict | None = None,
 ) -> None:
     """Append one vocabulary version to the standing vocab table via the
     CAS commit (old versions are immutable history — the encodings
@@ -1221,7 +1254,9 @@ def install_bpe_vocab(
                 spark, vocab_path, version=base
             ).unionByName(incoming)
         try:
-            table_store.commit(state, vocab_path, expected_version=base)
+            table_store.commit(
+                state, vocab_path, expected_version=base, props=props
+            )
             return
         except table_store.ConcurrentCommitError:
             if attempt == attempts - 1:
@@ -1250,6 +1285,8 @@ def ingest_bpe_step(
     corpus_provider: Callable[[SparkSession], DataFrame] | None = None,
     margin_milli: int = BPE_REFRESH_MARGIN_MILLI,
     buckets: int | None = None,
+    report: dict | None = None,
+    props: dict | None = None,
 ) -> bool:
     """ONE ingest step of the tokenize-on-ingest loop with the vocab
     measure→act policy. Per batch:
@@ -1284,7 +1321,12 @@ def ingest_bpe_step(
     ``ingest_ivf_step``-across-codebook-refresh contract; rows are
     always bit-valid under their recorded vocab_ver either way,
     pytest-pinned). A vocabulary must be installed before the first
-    batch (day-0 train + ``install_bpe_vocab``)."""
+    batch (day-0 train + ``install_bpe_vocab``).
+
+    ``report`` (round 12): when passed, records what the policy saw —
+    {"vocab_ver_used", "batch_ratio_milli", "snapshot_ratio_milli",
+    "fired", "installed_vocab_ver"} — the refresh-policy
+    observability hook shared with the quality/IVF twins."""
     from realtime_datawarehouse_spark.operators import textops
 
     vocab_ver, merges, snap_ratio = read_bpe_vocab(spark, vocab_path)
@@ -1304,16 +1346,24 @@ def ingest_bpe_step(
             pk="doc_id",
             version_col="ver",
             buckets=buckets,
+            props=props,
         )
         batch_ratio = _bpe_ratio_milli(enc)
     finally:
         enc.unpersist()
-    if (
+    fired = not (
         batch_ratio is None
         or snap_ratio is None
         or batch_ratio <= snap_ratio + margin_milli
         or corpus_provider is None
-    ):
+    )
+    if report is not None:
+        report["vocab_ver_used"] = vocab_ver
+        report["batch_ratio_milli"] = batch_ratio
+        report["snapshot_ratio_milli"] = snap_ratio
+        report["fired"] = fired
+        report["installed_vocab_ver"] = None
+    if not fired:
         return False
     corpus = corpus_provider(spark)
     new_merges = [
@@ -1334,11 +1384,15 @@ def ingest_bpe_step(
     # it is higher keeps the version state-derived, so a crash replay
     # of the trigger batch re-derives the SAME target version and the
     # install's identical-rows check absorbs it (idempotent).
+    target_ver = max(batch_id, vocab_ver + 1)
     install_bpe_vocab(
         spark, vocab_path, new_merges,
-        vocab_ver=max(batch_id, vocab_ver + 1),
+        vocab_ver=target_ver,
         ratio_milli=new_ratio,
+        props=props,
     )
+    if report is not None:
+        report["installed_vocab_ver"] = target_ver
     return True
 
 
@@ -1390,7 +1444,16 @@ def production_ingest_step(
     quality_max_psi6: int = QUALITY_PSI_MAX6_DEFAULT,
     quality_corpus_provider: Callable[[SparkSession], DataFrame]
     | None = None,
+    quality_refresh_weights_provider: Callable[[SparkSession], DataFrame]
+    | None = None,
+    ivf_refresh_centroids_provider: Callable[[SparkSession], DataFrame]
+    | None = None,
+    bpe_vocab_path: str | None = None,
+    bpe_enc_path: str | None = None,
+    bpe_corpus_provider: Callable[[SparkSession], DataFrame] | None = None,
+    bpe_margin_milli: int = BPE_REFRESH_MARGIN_MILLI,
     buckets: int | None = None,
+    report: dict | None = None,
 ) -> None:
     """ONE step of the COMPOSED production corpus-ingest loop (VERDICT r8
     item 5): dup flags, component→split maintenance, and IVF index
@@ -1466,6 +1529,43 @@ def production_ingest_step(
     (:func:`quality_refresh_if_needed`). Both audits are a few-row
     rollup per cadence point; both refreshes are bounded
     compaction-class batch jobs whose swap is one conditional commit.
+    ``quality_refresh_weights_provider`` / ``ivf_refresh_centroids_
+    provider`` (round 12) inject the retrained artifact instead of the
+    default trainers (GD classifier / Lloyd's k-means) — the
+    bring-your-own-trainer knob a deployment retraining out-of-band
+    (GPU cluster, different framework) plugs its export into; the
+    registered v3 eval injects deterministic arithmetic-rule artifacts
+    through them so the WHOLE fired-refresh path is oracle-exact.
+
+    BPE TOKENIZE-ON-INGEST (round 12, VERDICT r11 item 1): pass
+    ``bpe_vocab_path`` + ``bpe_enc_path`` and the step drives the
+    encodings + vocabulary tables as its 6th/7th standing artifacts —
+    :func:`ingest_bpe_step` over the SAME ``docs`` projection the
+    quality/signature stages consume, so one micro-batch read feeds all
+    three measure→act loops (quality-PSI, vocab-ratio, IVF-imbalance)
+    instead of a sibling stream re-reading the corpus
+    (``bpe_corpus_pipeline`` remains for deployments that want the
+    tokenizer loop isolated). The vocab-ratio trigger fires per batch
+    (a ratio read is one map-combined sum over rows the encode pass
+    already computed — no cadence needed); retrain reads
+    ``bpe_corpus_provider`` (the lake, like the quality provider) and
+    installs at max(batch_id, newest+1); past encodings stay valid
+    under their recorded vocab_ver (re-encode-only-new — the 100 TB
+    contract). A vocabulary must be installed at ``bpe_vocab_path``
+    before the first batch (day-0 ``bpe_train`` + ``install_bpe_
+    vocab``). The encodings table joins the compaction cadence
+    (clustered on doc_id); the vocab table never compacts — it is
+    bounded (versions × merges) and every install rewrites it whole.
+
+    ``report`` (round 12): pass a dict and the step fills per-policy
+    sub-reports — ``report["quality"]`` ({"psi6", "fired"}, present
+    only at a quality cadence point), ``report["ivf"]``
+    ({"imbalance6", "fired"}, at an IVF cadence point), and
+    ``report["bpe"]`` ({"vocab_ver_used", "batch_ratio_milli",
+    "snapshot_ratio_milli", "fired", "installed_vocab_ver"}, every
+    batch the BPE tables are enabled). This is the loop's ops
+    surface — what each measure→act policy SAW and DECIDED this step —
+    and the registered v3 eval's oracle pins these exact values.
 
     END-STATE CONTRACT (driver-checked): after replaying a corpus
     through this step, flags ≡ the staged incremental-flags batch
@@ -1477,6 +1577,12 @@ def production_ingest_step(
     stream can never diverge (the ``ingest_split_step`` pattern)."""
     from realtime_datawarehouse_spark.operators import dedup, textops
 
+    # cross-table consistency manifest (round 12, VERDICT r11 item 2):
+    # every standing-table write this step makes carries the batch id as
+    # a commit property, so a reader can pick, per table, the newest
+    # version applied at or before a common frontier (consistent_snapshot)
+    # instead of observing table A at batch n beside table B at n-1
+    manifest = {"applied_batch": batch_id}
     docs = batch.select("doc_id", "text")
     if quality_path is not None:
         # embedded-model-first scoring + merge (shared with the refresh
@@ -1488,6 +1594,7 @@ def production_ingest_step(
             batch_id,
             weights=quality_weights,
             buckets=buckets,
+            props=manifest,
         )
         if (
             quality_refresh_every is not None
@@ -1506,6 +1613,17 @@ def production_ingest_step(
                 quality_corpus_provider(spark),
                 refresh_id=batch_id,
                 max_psi6=quality_max_psi6,
+                new_weights=(
+                    quality_refresh_weights_provider(spark)
+                    if quality_refresh_weights_provider is not None
+                    else None
+                ),
+                report=(
+                    report.setdefault("quality", {})
+                    if report is not None
+                    else None
+                ),
+                props=manifest,
             )
     corpus_sig = table_store.read_state(spark, sig_path)
     corpus_sig = corpus_sig.drop("ver") if corpus_sig is not None else None
@@ -1524,10 +1642,11 @@ def production_ingest_step(
                 pk="doc_id",
                 version_col="ver",
                 buckets=buckets,
+                props=manifest,
             )
         _maintain_split_components(
             spark, batch_sig, corpus_sig, comp_path, batch_id,
-            buckets=buckets,
+            buckets=buckets, props=manifest,
         )
         table_store.merge_upsert(
             spark,
@@ -1536,6 +1655,7 @@ def production_ingest_step(
             pk="doc_id",
             version_col="ver",
             buckets=buckets,
+            props=manifest,
         )
     finally:
         batch_sig.unpersist()
@@ -1544,7 +1664,8 @@ def production_ingest_step(
             F.col("doc_id").alias("vec_id"), "embedding"
         )
         ingest_ivf_step(
-            spark, emb, centroids, index_path, batch_id, buckets=buckets
+            spark, emb, centroids, index_path, batch_id, buckets=buckets,
+            props=manifest,
         )
         if (
             ivf_refresh_every is not None
@@ -1560,7 +1681,39 @@ def production_ingest_step(
                 index_path,
                 refresh_id=batch_id,
                 max_balance6=ivf_max_balance6,
+                new_centroids=(
+                    ivf_refresh_centroids_provider(spark)
+                    if ivf_refresh_centroids_provider is not None
+                    else None
+                ),
+                report=(
+                    report.setdefault("ivf", {})
+                    if report is not None
+                    else None
+                ),
+                props=manifest,
             )
+    if bpe_vocab_path is not None and bpe_enc_path is not None:
+        # 6th/7th standing tables (round 12): tokenize the SAME docs
+        # projection under the standing vocabulary, merge the
+        # encodings, and retrain/install on compression-ratio drift —
+        # the per-batch measure rides the encode pass itself
+        ingest_bpe_step(
+            spark,
+            docs,
+            bpe_vocab_path,
+            bpe_enc_path,
+            batch_id,
+            corpus_provider=bpe_corpus_provider,
+            margin_milli=bpe_margin_milli,
+            buckets=buckets,
+            report=(
+                report.setdefault("bpe", {})
+                if report is not None
+                else None
+            ),
+            props=manifest,
+        )
     if (
         compact_every is not None
         and batch_id > 0
@@ -1572,6 +1725,7 @@ def production_ingest_step(
             (comp_path, "doc_id"),
             (index_path, "centroid_id"),
             (quality_path, "doc_id"),
+            (bpe_enc_path, "doc_id"),
         ):
             if p is None or table_store.current_version(p) is None:
                 continue
@@ -1611,6 +1765,14 @@ def production_corpus_pipeline(
     quality_max_psi6: int = QUALITY_PSI_MAX6_DEFAULT,
     quality_corpus_provider: Callable[[SparkSession], DataFrame]
     | None = None,
+    quality_refresh_weights_provider: Callable[[SparkSession], DataFrame]
+    | None = None,
+    ivf_refresh_centroids_provider: Callable[[SparkSession], DataFrame]
+    | None = None,
+    bpe_vocab_path: str | None = None,
+    bpe_enc_path: str | None = None,
+    bpe_corpus_provider: Callable[[SparkSession], DataFrame] | None = None,
+    bpe_margin_milli: int = BPE_REFRESH_MARGIN_MILLI,
     buckets: int | None = None,
 ):
     """The three standing ingest loops as ONE ``foreachBatch`` stream
@@ -1626,9 +1788,13 @@ def production_corpus_pipeline(
     still idempotent. The measure→act maintenance knobs the step
     supports are plumbed 1:1 (ADVICE r10: the streaming builder could
     not enable the refresh policies): ``ivf_refresh_every`` /
-    ``ivf_max_balance6`` for the codebook, ``quality_refresh_every`` /
-    ``quality_max_psi6`` / ``quality_corpus_provider`` for the
-    classifier model."""
+    ``ivf_max_balance6`` / ``ivf_refresh_centroids_provider`` for the
+    codebook, ``quality_refresh_every`` / ``quality_max_psi6`` /
+    ``quality_corpus_provider`` / ``quality_refresh_weights_provider``
+    for the classifier model, and ``bpe_vocab_path`` /
+    ``bpe_enc_path`` / ``bpe_corpus_provider`` / ``bpe_margin_milli``
+    for the round-12 tokenize-on-ingest tables (6th/7th standing
+    artifacts riding the same micro-batch read)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         production_ingest_step(
@@ -1649,10 +1815,98 @@ def production_corpus_pipeline(
             quality_refresh_every=quality_refresh_every,
             quality_max_psi6=quality_max_psi6,
             quality_corpus_provider=quality_corpus_provider,
+            quality_refresh_weights_provider=(
+                quality_refresh_weights_provider
+            ),
+            ivf_refresh_centroids_provider=ivf_refresh_centroids_provider,
+            bpe_vocab_path=bpe_vocab_path,
+            bpe_enc_path=bpe_enc_path,
+            bpe_corpus_provider=bpe_corpus_provider,
+            bpe_margin_milli=bpe_margin_milli,
             buckets=buckets,
         )
 
     return doc_stream.writeStream.foreachBatch(process_batch)
+
+
+def loop_lag_report(paths: dict[str, str]) -> list[tuple]:
+    """(table, head_version, applied_batch) per standing table — the
+    composed loop's cross-table staleness audit (round 12, VERDICT r11
+    item 2). ``applied_batch`` is None for a table not yet created or
+    whose head commit predates the manifest channel. Pure metadata
+    reads (one head probe + one small JSON per table), no Spark jobs —
+    cheap enough for an ops endpoint to poll between batches."""
+    out = []
+    for name, p in paths.items():
+        v = table_store.current_version(p)
+        pr = table_store.version_props(p, v) if v is not None else None
+        out.append(
+            (name, v, pr.get("applied_batch") if pr else None)
+        )
+    return out
+
+
+def consistent_snapshot(
+    paths: dict[str, str],
+) -> tuple[int | None, dict[str, str | None]]:
+    """(frontier, {table: version}) — the newest CROSS-TABLE-CONSISTENT
+    read point of the composed loop's standing tables (round 12,
+    VERDICT r11 item 2): each table commits independently, so mid-step
+    (or after a crash between tables) a naive reader can see table A at
+    batch n beside table B at n−1. The frontier is the largest batch id
+    applied by EVERY manifested table (= min over head applied_batch);
+    each table's snapshot is its newest retained version whose
+    applied_batch ≤ frontier, found by scanning version history props
+    newest→oldest. Tables whose head carries no manifest are excluded
+    from the frontier and map to None (read them at whatever policy the
+    caller prefers — they are outside the loop's consistency domain).
+
+    RETENTION CONTRACT: the loop writes tables in a fixed order within
+    one step, so the cross-table skew is at most ONE batch — the
+    frontier version is always the head or its immediate predecessor,
+    within the store's default ``retain=2`` window. Readers that poll
+    between batches therefore never miss the frontier snapshot; raise
+    ``retain`` if a deployment layers slower external readers on top.
+
+    A table CREATED after the frontier batch (e.g. the flags table,
+    first written at batch 1 because batch 0 has no corpus to flag
+    against) maps to None at frontier 0 — correctly "this table did
+    not exist at the frontier", not an error."""
+    heads = loop_lag_report(paths)
+    applied = [a for (_, _, a) in heads if a is not None]
+    frontier = min(applied) if applied else None
+    picks: dict[str, str | None] = {}
+    for name, p in paths.items():
+        pick = None
+        if frontier is not None:
+            for v in reversed(table_store.list_versions(p)):
+                pr = table_store.version_props(p, v)
+                a = pr.get("applied_batch") if pr else None
+                if a is not None and a <= frontier:
+                    pick = v
+                    break
+        picks[name] = pick
+    return frontier, picks
+
+
+def read_consistent_state(
+    spark, paths: dict[str, str]
+) -> tuple[int | None, dict[str, DataFrame | None]]:
+    """(frontier, {table: DataFrame}) — :func:`consistent_snapshot`
+    materialized: every returned DataFrame reads its table's frontier
+    version (time-travel read of a retained snapshot), so a consumer
+    joining across the standing tables sees ONE batch boundary, never a
+    mixed frontier. None entries = table absent at the frontier."""
+    frontier, picks = consistent_snapshot(paths)
+    out: dict[str, DataFrame | None] = {}
+    for name, p in paths.items():
+        v = picks[name]
+        out[name] = (
+            table_store.read_state(spark, p, version=v)
+            if v is not None
+            else None
+        )
+    return frontier, out
 
 
 def streaming_corpus_ingest(

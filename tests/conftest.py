@@ -92,6 +92,11 @@ SLOW_TESTS = {
     "test_query_matches_oracle[ann_ivf_refresh_eval]",
     "test_ivf_refresh_policy_triggers_on_planted_drift_only",
     "test_production_ingest_bucketed_matches_flat",
+    "test_v3_stream_matches_replay_through_all_three_refreshes",
+    "test_query_matches_oracle[pipeline_production_ingest_v3_eval]",
+    "test_query_matches_oracle[pipeline_loop_consistency_eval]",
+    "test_crash_between_tables_reader_never_sees_mixed_frontier",
+    "test_two_writers_race_across_quality_and_vocab_refreshes",
     "test_ivf_refresh_on_bucketed_index_then_merge_rebuckets",
 }
 

@@ -2664,3 +2664,46 @@ def test_refresh_eval_oracles_agree_on_non_ascii(spark, tmp_path):
         "FROM documents) x"
     ).fetchone()
     assert chars < octs
+
+    # round 12: the v3 composed-loop eval adds reverse()-PARITY
+    # sensitivity (its quality margins hash REVERSED multi-byte tokens
+    # — DuckDB reverses by grapheme cluster, Spark by code point, which
+    # agree on NFC text without combining marks; the oracle documents
+    # the caveat). A second fixture with short/long classes straddling
+    # the 200-char staging boundary + 64-d float vectors drives all
+    # three triggers on the multi-byte corpus.
+    rows3 = []
+    vecs3 = []
+    for i in range(140):
+        reps = 2 if i % 2 == 0 else 6  # ~97 chars short / ~293 long
+        txt = " ".join([base] * reps)
+        rows3.append((i, txt, "xx", "srcA", len(txt)))
+        vecs3.append(
+            (i, [((i * (d + 3)) % 29) / 29.0 + 0.05 for d in range(64)])
+        )
+    sf3 = str(tmp_path / "sf_nonascii_v3")
+    os.makedirs(sf3, exist_ok=True)
+    spark.createDataFrame(
+        rows3, "doc_id long, text string, lang string, source string, "
+        "n_chars int"
+    ).coalesce(1).write.parquet(f"{sf3}/documents.parquet")
+    spark.createDataFrame(
+        vecs3, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(f"{sf3}/embeddings.parquet")
+    con3 = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con3.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{sf3}/{t}.parquet/*.parquet'"
+        )
+    got = sorted(
+        tuple(r)
+        for r in llm_ops.pipeline_production_ingest_v3_eval(
+            spark, sf3
+        ).collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con3.execute(llm_ops._prod_ingest_v3_oracle()).fetchall()
+    )
+    assert got == exp

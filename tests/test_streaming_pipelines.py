@@ -1292,16 +1292,19 @@ def test_hot_band_spanning_pairs_bound_and_cc_parity(spark, tmp_path):
 
 
 def test_production_ingest_bucketed_matches_flat(spark, tmp_path):
-    """Round 10: the composed loop's five standing tables merged with
-    ``buckets=4`` (touched-bucket rewrite + hardlinks, the O(batch)
-    deployment layout) must end row-identical to the flat O(table)
-    layout across a multi-batch history INCLUDING a replayed batch —
-    bucket-local last-write-wins is the same merge, just partitioned."""
+    """Round 10 (extended round 12 to the 7-table loop): the composed
+    loop's standing tables — sigs/flags/comps/ivf/quality PLUS the
+    round-12 BPE encodings — merged with ``buckets=4`` (touched-bucket
+    rewrite + hardlinks, the O(batch) deployment layout) must end
+    row-identical to the flat O(table) layout across a multi-batch
+    history INCLUDING a replayed batch — bucket-local last-write-wins
+    is the same merge, just partitioned."""
     from pyspark.sql import functions as F  # noqa: F401
 
     from realtime_datawarehouse_spark.operators import (
         similarity,
         table_store,
+        textops,
     )
     from realtime_datawarehouse_spark.streaming import pipelines
     from realtime_datawarehouse_spark.tables import table
@@ -1313,12 +1316,19 @@ def test_production_ingest_bucketed_matches_flat(spark, tmp_path):
         "doc_id", "text", "embedding"
     )
     centroids = similarity._ivf_centroids(emb)
+    m0 = [
+        (r.left, r.right)
+        for r in textops.bpe_train(docs, 16).orderBy("step").collect()
+    ]
+    r0 = pipelines._bpe_ratio_milli(textops.bpe_encode_vocab(docs, merges=m0))
 
     def run(root, buckets):
         paths = tuple(
             f"{root}/{t}" for t in ("sigs", "flags", "comps", "ivf")
         )
-        for i in range(3):
+        pipelines.install_bpe_vocab(spark, f"{root}/vocab", m0, 0, r0)
+
+        def step(i):
             pipelines.production_ingest_step(
                 spark,
                 joined.where(F.pmod(F.col("doc_id"), F.lit(3)) == i),
@@ -1326,20 +1336,17 @@ def test_production_ingest_bucketed_matches_flat(spark, tmp_path):
                 *paths,
                 batch_id=i,
                 quality_path=f"{root}/quality",
+                bpe_vocab_path=f"{root}/vocab",
+                bpe_enc_path=f"{root}/enc",
                 buckets=buckets,
             )
+
+        for i in range(3):
+            step(i)
             if i == 1:  # crash-replay mid-history
-                pipelines.production_ingest_step(
-                    spark,
-                    joined.where(F.pmod(F.col("doc_id"), F.lit(3)) == i),
-                    centroids,
-                    *paths,
-                    batch_id=i,
-                    quality_path=f"{root}/quality",
-                    buckets=buckets,
-                )
+                step(i)
         out = {}
-        for p in paths + (f"{root}/quality",):
+        for p in paths + (f"{root}/quality", f"{root}/enc"):
             df = table_store.read_state(spark, p).drop("ver")
             out[p.rsplit("/", 1)[-1]] = sorted(
                 tuple(r) for r in df.collect()
@@ -1513,6 +1520,8 @@ def test_production_corpus_pipeline_stream_matches_replay(spark, tmp_path):
     from realtime_datawarehouse_spark.tables import table
     from tests.conftest import SF_DIR
 
+    from realtime_datawarehouse_spark.operators import textops as _to
+
     docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
     emb = table(spark, SF_DIR, "embeddings")
     joined = docs.join(emb, docs.doc_id == emb.vec_id, "left").select(
@@ -1520,6 +1529,15 @@ def test_production_corpus_pipeline_stream_matches_replay(spark, tmp_path):
     )
     centroids = similarity._ivf_centroids(emb)
     n_batches = 3
+    # round 12: the 6th/7th standing tables ride the same stream —
+    # day-0 vocab trained on the full corpus, so every batch is warm
+    # (the firing-refresh stream twin is
+    # test_v3_stream_matches_replay_through_all_three_refreshes)
+    m0 = [
+        (r_.left, r_.right)
+        for r_ in _to.bpe_train(docs, 16).orderBy("step").collect()
+    ]
+    r0 = pipelines._bpe_ratio_milli(_to.bpe_encode_vocab(docs, merges=m0))
 
     in_dir = str(tmp_path / "in")
     for i in range(n_batches):
@@ -1529,6 +1547,7 @@ def test_production_corpus_pipeline_stream_matches_replay(spark, tmp_path):
         time.sleep(1.1)  # file source orders micro-batches by mod time
 
     s = str(tmp_path / "stream")
+    pipelines.install_bpe_vocab(spark, f"{s}/vocab", m0, 0, r0)
     stream = (
         spark.readStream.schema(joined.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1541,6 +1560,7 @@ def test_production_corpus_pipeline_stream_matches_replay(spark, tmp_path):
         pipelines.production_corpus_pipeline(
             stream, centroids, f"{s}/sigs", f"{s}/flags", f"{s}/comps",
             f"{s}/ivf", quality_path=f"{s}/quality", compact_every=2,
+            bpe_vocab_path=f"{s}/vocab", bpe_enc_path=f"{s}/enc",
         )
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
@@ -1549,6 +1569,7 @@ def test_production_corpus_pipeline_stream_matches_replay(spark, tmp_path):
     q.awaitTermination()
 
     r = str(tmp_path / "replay")
+    pipelines.install_bpe_vocab(spark, f"{r}/vocab", m0, 0, r0)
     for i in range(n_batches):
         pipelines.production_ingest_step(
             spark,
@@ -1556,6 +1577,7 @@ def test_production_corpus_pipeline_stream_matches_replay(spark, tmp_path):
             centroids,
             f"{r}/sigs", f"{r}/flags", f"{r}/comps", f"{r}/ivf",
             batch_id=i, quality_path=f"{r}/quality",
+            bpe_vocab_path=f"{r}/vocab", bpe_enc_path=f"{r}/enc",
         )
 
     def snap(path, cols):
@@ -1567,8 +1589,18 @@ def test_production_corpus_pipeline_stream_matches_replay(spark, tmp_path):
         ("comps", ["doc_id", "component_id", "split"]),
         ("ivf", ["vec_id", "centroid_id"]),
         ("quality", ["doc_id", "margin_milli", "keep"]),
+        ("enc", ["doc_id", "tokens_before", "tokens_after", "vocab_ver"]),
     ):
         assert snap(f"{s}/{t}", cols) == snap(f"{r}/{t}", cols), t
+
+    # the encodings table equals the batch encoder over the whole corpus
+    want_enc = sorted(
+        (r_.doc_id, r_.tokens_before, r_.tokens_after, 0)
+        for r_ in _to.bpe_encode_vocab(docs, merges=m0).collect()
+    )
+    assert snap(
+        f"{s}/enc", ["doc_id", "tokens_before", "tokens_after", "vocab_ver"]
+    ) == want_enc
 
     # the quality table equals the batch scorer over the whole corpus
     from realtime_datawarehouse_spark.operators import textops
@@ -1610,16 +1642,288 @@ def test_production_corpus_pipeline_stream_matches_replay(spark, tmp_path):
     )
 
 
+def test_v3_stream_matches_replay_through_all_three_refreshes(
+    spark, tmp_path
+):
+    """Round 12 interplay pin for the 7-table composed loop: a REAL
+    foreachBatch stream and the direct step replay must end
+    byte-identical across a history in which ALL THREE measure→act
+    policies FIRE mid-run — the vocab-ratio trigger at batch 2 (drifted
+    text retrains + installs v2), and the quality-PSI + IVF-imbalance
+    triggers at the batch-3 cadence point (both model swaps are
+    conditional commits inside the same foreachBatch). The providers
+    are fixed deterministic frames, so stream and replay retrain on
+    identical corpora."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.functions.vector import l2_norm
+    from realtime_datawarehouse_spark.operators import table_store, textops
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    def cb(rows):
+        return spark.createDataFrame(
+            rows, "centroid_id long, cv array<double>"
+        ).select("centroid_id", "cv", l2_norm(F.col("cv")).alias("cn"))
+
+    def basis(i, dim=8, eps=0.0):
+        v = [eps] * dim
+        v[i] = 1.0
+        return v
+
+    def hot(j):
+        return [1.0] + [
+            0.001 * (j % 6 + 1) if d == 1 + j % 7 else 0.0
+            for d in range(1, 8)
+        ]
+
+    # batch 0: 8 short docs, one per basis direction (balanced index,
+    # narrow margins, 'abab' vocabulary); batches 1-3: 8 long docs
+    # each, all piling onto list 0 (imbalance drift), wide margins
+    # (PSI drift); batch 2's text switches orthography (vocab drift)
+    ab, xy = "abab abab abab", " ".join(["xyxy"] * 24)
+    ab_long = " ".join(["abab"] * 24)
+    rows = [(1 + i, ab, basis(i, eps=0.01)) for i in range(8)]
+    rows += [(100 + j, ab_long, hot(j)) for j in range(8)]
+    rows += [(108 + j, xy, hot(8 + j)) for j in range(8)]
+    rows += [(116 + j, xy, hot(16 + j)) for j in range(8)]
+    all_df = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+    batches = [
+        all_df.where(F.col("doc_id") <= 8),
+        all_df.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 108)),
+        all_df.where((F.col("doc_id") >= 108) & (F.col("doc_id") < 116)),
+        all_df.where(F.col("doc_id") >= 116),
+    ]
+    stale_cb = cb([(i, basis(i)) for i in range(8)])
+    split_cb = cb(
+        [(i, hot(8 + i)) for i in range(7)] + [(7, basis(4))]
+    )
+    stale_w = _const_weights(spark, 500)
+    fresh_w = _const_weights(spark, 300)
+    docs0 = batches[0].select("doc_id", "text")
+    bpe_corpus = (
+        batches[0].unionByName(batches[1]).unionByName(batches[2])
+        .select("doc_id", "text")
+    )
+    q_corpus = all_df.select("doc_id", "text")
+    m0 = [
+        (r.left, r.right)
+        for r in textops.bpe_train(docs0, 4).orderBy("step").collect()
+    ]
+    r0 = pipelines._bpe_ratio_milli(
+        textops.bpe_encode_vocab(docs0, merges=m0)
+    )
+    knobs = dict(
+        quality_weights=stale_w,
+        quality_refresh_every=3,
+        quality_corpus_provider=lambda s: q_corpus,
+        quality_refresh_weights_provider=lambda s: fresh_w,
+        ivf_refresh_every=3,
+        ivf_refresh_centroids_provider=lambda s: split_cb,
+        bpe_corpus_provider=lambda s: bpe_corpus,
+    )
+
+    def day0(root):
+        pipelines.install_bpe_vocab(spark, f"{root}/vocab", m0, 0, r0)
+        pipelines.ingest_quality_step(
+            spark, docs0, f"{root}/quality", 0, weights=stale_w
+        )
+        pipelines.refresh_quality_model(
+            spark, f"{root}/quality", docs0, refresh_id=0,
+            new_weights=stale_w,
+        )
+
+    in_dir = str(tmp_path / "in")
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+        time.sleep(1.1)
+
+    s = str(tmp_path / "stream")
+    day0(s)
+    stream = (
+        spark.readStream.schema(all_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        pipelines.production_corpus_pipeline(
+            stream, stale_cb, f"{s}/sigs", f"{s}/flags", f"{s}/comps",
+            f"{s}/ivf", quality_path=f"{s}/quality",
+            bpe_vocab_path=f"{s}/vocab", bpe_enc_path=f"{s}/enc",
+            **knobs,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    r = str(tmp_path / "replay")
+    day0(r)
+    for i, b in enumerate(batches):
+        pipelines.production_ingest_step(
+            spark, b, stale_cb,
+            f"{r}/sigs", f"{r}/flags", f"{r}/comps", f"{r}/ivf",
+            batch_id=i, quality_path=f"{r}/quality",
+            bpe_vocab_path=f"{r}/vocab", bpe_enc_path=f"{r}/enc",
+            **knobs,
+        )
+
+    for t in ("sigs", "flags", "comps", "ivf", "quality", "vocab", "enc"):
+        a = sorted(
+            tuple(r_)
+            for r_ in table_store.read_state(spark, f"{s}/{t}").collect()
+        )
+        b = sorted(
+            tuple(r_)
+            for r_ in table_store.read_state(spark, f"{r}/{t}").collect()
+        )
+        assert a == b, f"table {t} diverged between stream and replay"
+
+    # all three refreshes actually FIRED in the stream
+    vers = sorted(
+        r_.vocab_ver
+        for r_ in table_store.read_state(spark, f"{s}/vocab")
+        .select("vocab_ver").distinct().collect()
+    )
+    assert vers == [0, 2], "vocab-ratio trigger did not fire at batch 2"
+    w_emb, _, _ = pipelines.read_quality_state(spark, f"{s}/quality")
+    assert {r_.w_milli for r_ in w_emb.collect()} == {300}, (
+        "quality-PSI trigger did not swap the model"
+    )
+    assert pipelines.quality_drift_psi6(spark, f"{s}/quality") == 0
+    stored_cb, _ = pipelines.read_ivf_index(spark, f"{s}/ivf")
+    assert stored_cb is not None and stored_cb.count() == 8, (
+        "IVF-imbalance trigger did not install the refreshed codebook"
+    )
+
+
+def test_commit_props_manifest_and_consistent_snapshot(spark, tmp_path):
+    """Round 12 (VERDICT r11 item 2), the mechanics: commit properties
+    travel atomically with the version (written inside the private
+    claim dir before the CAS flip), merge_upsert forwards them,
+    compact CARRIES THE HEAD'S FORWARD (pure re-layout describes the
+    same applied state), and version_props reads any retained
+    version's."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from realtime_datawarehouse_spark.operators import table_store
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10)], "pk long, ver long")
+    table_store.merge_upsert(
+        spark, df, path, pk="pk", version_col="ver",
+        props={"applied_batch": 0},
+    )
+    assert table_store.version_props(path) == {"applied_batch": 0}
+    v0 = table_store.current_version(path)
+    table_store.merge_upsert(
+        spark,
+        spark.createDataFrame([(2, 11)], "pk long, ver long"),
+        path, pk="pk", version_col="ver", props={"applied_batch": 1},
+    )
+    # both retained versions keep their own manifests
+    assert table_store.version_props(path, v0) == {"applied_batch": 0}
+    assert table_store.version_props(path) == {"applied_batch": 1}
+    # compaction carries the head manifest forward
+    table_store.compact(spark, path, target_files=1, cluster_col="pk")
+    assert table_store.version_props(path) == {"applied_batch": 1}
+    # a commit without props reads back None (pre-manifest tables)
+    other = str(tmp_path / "u")
+    table_store.commit(df, other, expected_version=None)
+    assert table_store.version_props(other) is None
+
+
+def test_crash_between_tables_reader_never_sees_mixed_frontier(
+    spark, tmp_path
+):
+    """Round 12 crash-replay pin for the manifest: a composed-loop step
+    that dies BETWEEN standing-table writes leaves a torn head (quality
+    at batch 2, sigs/comps at 1) — the consistent-snapshot reader must
+    (a) report the lag, (b) serve every table at the common frontier
+    (the ahead table's retained predecessor), never a mixed one, and
+    (c) after the replayed full step, equal an UNINTERRUPTED run
+    byte-for-byte at the advanced frontier."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    def docs(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string"
+        )
+
+    base = " ".join(f"w{i:02d}" for i in range(30))
+    batches = [
+        docs([(1, base), (2, base + " x")]),
+        docs([(3, base), (4, "novel words entirely here now maybe")]),
+        docs([(5, base + " y"), (6, "fresh tokens appear again today")]),
+    ]
+
+    def run(root, crash):
+        p = {n: f"{root}/{n}" for n in ("quality", "sigs", "comps")}
+
+        def step(i):
+            pipelines.production_ingest_step(
+                spark, batches[i], None,
+                p["sigs"], f"{root}/flags", p["comps"], f"{root}/ivf",
+                batch_id=i, quality_path=p["quality"],
+            )
+
+        step(0)
+        step(1)
+        if crash:
+            # batch 2 dies after its first table write
+            pipelines.ingest_quality_step(
+                spark, batches[2], p["quality"], 2,
+                props={"applied_batch": 2},
+            )
+        return p, step
+
+    p, step = run(str(tmp_path / "crash"), crash=True)
+    lag = {n: a for (n, _, a) in pipelines.loop_lag_report(p)}
+    assert lag == {"quality": 2, "sigs": 1, "comps": 1}
+    frontier, frames = pipelines.read_consistent_state(spark, p)
+    assert frontier == 1
+    # the reader serves quality's PREDECESSOR: exactly batches 0-1 docs
+    assert sorted(
+        r.doc_id for r in frames["quality"].collect()
+    ) == [1, 2, 3, 4]
+    assert sorted(r.doc_id for r in frames["sigs"].collect()) == [
+        1, 2, 3, 4,
+    ]
+    # heal: replay batch 2 in full, then compare against an
+    # uninterrupted run of the same three steps
+    step(2)
+    frontier2, frames2 = pipelines.read_consistent_state(spark, p)
+    assert frontier2 == 2
+    q, _ = run(str(tmp_path / "clean"), crash=False)
+    pipelines.production_ingest_step(
+        spark, batches[2], None,
+        q["sigs"], f"{tmp_path}/clean/flags", q["comps"],
+        f"{tmp_path}/clean/ivf", batch_id=2, quality_path=q["quality"],
+    )
+    _, clean_frames = pipelines.read_consistent_state(spark, q)
+    for t in ("quality", "sigs", "comps"):
+        got = sorted(tuple(r) for r in frames2[t].collect())
+        want = sorted(tuple(r) for r in clean_frames[t].collect())
+        assert got == want, f"healed {t} diverged from uninterrupted run"
+
+
 def test_production_ingest_step_replay_is_idempotent(spark, tmp_path):
     """foreachBatch crash-replay contract of the COMPOSED loop: re-running
-    a step with the same batch_id leaves all four standing tables
-    byte-identical (every write is a versioned merge_upsert keyed by the
-    batch id)."""
+    a step with the same batch_id leaves all standing tables (round 12:
+    including the BPE encodings) byte-identical (every write is a
+    versioned merge_upsert keyed by the batch id)."""
     from pyspark.sql import functions as F  # noqa: F401
 
     from realtime_datawarehouse_spark.operators import (
         similarity,
         table_store,
+        textops,
     )
     from realtime_datawarehouse_spark.streaming import pipelines
 
@@ -1640,19 +1944,31 @@ def test_production_ingest_step_replay_is_idempotent(spark, tmp_path):
     )
     s = str(tmp_path / "t")
     paths = (f"{s}/sigs", f"{s}/flags", f"{s}/comps", f"{s}/ivf")
-    pipelines.production_ingest_step(spark, b0, centroids, *paths, 0)
-    pipelines.production_ingest_step(spark, b1, centroids, *paths, 1)
+    full_docs = b0.unionByName(b1).select("doc_id", "text")
+    m0 = [
+        (r.left, r.right)
+        for r in textops.bpe_train(full_docs, 4).orderBy("step").collect()
+    ]
+    pipelines.install_bpe_vocab(
+        spark, f"{s}/vocab", m0, 0,
+        pipelines._bpe_ratio_milli(
+            textops.bpe_encode_vocab(full_docs, merges=m0)
+        ),
+    )
+    bpe = dict(bpe_vocab_path=f"{s}/vocab", bpe_enc_path=f"{s}/enc")
+    pipelines.production_ingest_step(spark, b0, centroids, *paths, 0, **bpe)
+    pipelines.production_ingest_step(spark, b1, centroids, *paths, 1, **bpe)
 
     def snap_all():
         out = {}
-        for p in paths:
+        for p in paths + (f"{s}/enc",):
             df = table_store.read_state(spark, p)
             out[p] = sorted(tuple(r) for r in df.collect())
         return out
 
     before = snap_all()
     # batch 1 crashed after its writes; the stream replays it
-    pipelines.production_ingest_step(spark, b1, centroids, *paths, 1)
+    pipelines.production_ingest_step(spark, b1, centroids, *paths, 1, **bpe)
     assert snap_all() == before
     # replay produced no new store versions beyond the dedup of ver=1
     # rows (merge keyed by version col) — table contents fully stable;
@@ -1670,7 +1986,7 @@ def test_production_ingest_step_replay_is_idempotent(spark, tmp_path):
     # the snapshot's file count drops to the compaction target.
     b2 = docs([(5, base + " tail", [v + 4 for v in vec])])
     pipelines.production_ingest_step(
-        spark, b2, centroids, *paths, 2, compact_every=2
+        spark, b2, centroids, *paths, 2, compact_every=2, **bpe
     )
     after_compact = snap_all()
 
@@ -1682,12 +1998,12 @@ def test_production_ingest_step_replay_is_idempotent(spark, tmp_path):
         return len(glob.glob(os.path.join(p, v, "**", "*.parquet"),
                              recursive=True))
 
-    compacted_files = {p: n_files(p) for p in paths}
+    compacted_files = {p: n_files(p) for p in paths + (f"{s}/enc",)}
     assert all(n <= 8 for n in compacted_files.values()), compacted_files
     # crash AFTER the compaction: the stream replays batch 2 (merges +
     # the cadence compaction re-run) — end state identical
     pipelines.production_ingest_step(
-        spark, b2, centroids, *paths, 2, compact_every=2
+        spark, b2, centroids, *paths, 2, compact_every=2, **bpe
     )
     assert snap_all() == after_compact
 
@@ -2282,6 +2598,203 @@ def test_two_concurrent_composed_loop_writers(spark, tmp_path, backend_kind):
     # the race genuinely happened: barrier-synced writers contending on
     # five shared tables across three rounds must surface at least one
     # CAS conflict, absorbed by merge_upsert's bounded retry
+    assert conflicts["n"] >= 1, "no ConcurrentCommitError was exercised"
+
+
+def test_two_writers_race_across_quality_and_vocab_refreshes(
+    spark, tmp_path
+):
+    """Round 12 (VERDICT r11 item 3): the r11 race covered the
+    five-table loop; this races TWO production_ingest_step writers
+    whose run CROSSES BOTH r11 refresh kinds — writer B's final batch
+    fires the BPE vocab-ratio trigger (retrain + CAS install of v2)
+    while writer A's final batch crosses the quality-PSI cadence
+    (retrain + full-state model swap) — all against ONE set of seven
+    standing tables, barrier-synced per round so the refreshes
+    genuinely overlap the other writer's merges. End state must equal
+    a SERIALIZED execution on every deterministic axis; the one
+    documented nondeterminism — which vocab version a batch racing the
+    install encodes under — is pinned by the r11 contract instead:
+    every encodings row re-encodes bit-identically under its RECORDED
+    vocab_ver. Both retrain corpora are fixed frames (the lake), so
+    refresh outputs are order-independent; a double-fired quality
+    refresh converges through the CAS retry to the identical state."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.operators import (
+        similarity,
+        table_store,
+        textops,
+    )
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    # one word TYPE per family (token-disjoint across families, so the
+    # serialized state is the unique correct dedup answer) and a 4-merge
+    # day-0 vocab that covers both families FULLY — warm batches then
+    # sit strictly below the training snapshot and only the planted
+    # orthography shift fires
+    long_a = " ".join(["abab"] * 30)
+    long_b = " ".join(["cdcd"] * 30)
+    drift = " ".join(["xyxy"] * 30)
+
+    def fam(base_id, texts):
+        vec = [1.0, 0.0, 0.5, 0.0]
+        return [
+            spark.createDataFrame(
+                [
+                    (base_id + 2 * i, t, vec),
+                    (base_id + 2 * i + 1, t + " tail", vec),
+                ],
+                "doc_id long, text string, embedding array<double>",
+            )
+            for i, t in enumerate(texts)
+        ]
+
+    a_batches = fam(0, [long_a, long_a, long_a])
+    b_batches = fam(100, [long_b, long_b, drift])
+    day0 = spark.createDataFrame(
+        [(900, "tiny one"), (901, "tiny two")], "doc_id long, text string"
+    )
+    lake = day0
+    for b in a_batches + b_batches:
+        lake = lake.unionByName(b.select("doc_id", "text"))
+    centroids = similarity._ivf_centroids(
+        spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    stale_w = _const_weights(spark, 500)
+    fresh_w = _const_weights(spark, 300)
+    m0 = [
+        (r.left, r.right)
+        for r in textops.bpe_train(
+            day0.unionByName(
+                a_batches[0].select("doc_id", "text")
+            ).unionByName(b_batches[0].select("doc_id", "text")),
+            4,
+        ).orderBy("step").collect()
+    ]
+
+    def run_writers(root, racing):
+        p = {
+            n: f"{root}/{n}"
+            for n in ("sigs", "flags", "comps", "ivf", "quality",
+                      "vocab", "enc")
+        }
+        pipelines.install_bpe_vocab(
+            spark, p["vocab"], m0, 0,
+            pipelines._bpe_ratio_milli(
+                textops.bpe_encode_vocab(
+                    day0.unionByName(
+                        a_batches[0].select("doc_id", "text")
+                    ).unionByName(b_batches[0].select("doc_id", "text")),
+                    merges=m0,
+                )
+            ),
+        )
+        pipelines.ingest_quality_step(
+            spark, day0, p["quality"], 0, weights=stale_w
+        )
+        pipelines.refresh_quality_model(
+            spark, p["quality"], day0, refresh_id=0, new_weights=stale_w
+        )
+
+        def steps(batches):
+            for i, b in enumerate(batches):
+                if racing:
+                    barrier.wait(timeout=180)
+                pipelines.production_ingest_step(
+                    spark, b, centroids,
+                    p["sigs"], p["flags"], p["comps"], p["ivf"],
+                    batch_id=i, quality_path=p["quality"],
+                    quality_refresh_every=2,
+                    quality_corpus_provider=lambda s: lake,
+                    quality_refresh_weights_provider=lambda s: fresh_w,
+                    bpe_vocab_path=p["vocab"], bpe_enc_path=p["enc"],
+                    bpe_corpus_provider=lambda s: lake,
+                )
+
+        if racing:
+            barrier = threading.Barrier(2)
+            with ThreadPoolExecutor(2) as ex:
+                futs = [
+                    ex.submit(steps, bs) for bs in (a_batches, b_batches)
+                ]
+                for f in futs:
+                    f.result()
+        else:
+            steps(a_batches)
+            steps(b_batches)
+        return p
+
+    conflicts = {"n": 0}
+    real_commit = table_store.commit
+
+    def counting_commit(df, pth, **kw):
+        try:
+            return real_commit(df, pth, **kw)
+        except table_store.ConcurrentCommitError:
+            conflicts["n"] += 1
+            raise
+
+    try:
+        table_store.commit = counting_commit
+        raced = run_writers(str(tmp_path / "raced"), racing=True)
+    finally:
+        table_store.commit = real_commit
+    serial = run_writers(str(tmp_path / "serial"), racing=False)
+
+    def snap(p, name, cols=None):
+        df = table_store.read_state(spark, f"{p[name]}")
+        drop = [c for c in ("ver", "batch_id") if c in df.columns]
+        df = df.drop(*drop)
+        if cols:
+            df = df.select(*cols)
+        return sorted(tuple(r) for r in df.collect())
+
+    # deterministic axes: exact equality (both refresh kinds landed)
+    for t in ("sigs", "flags", "comps", "ivf", "quality", "vocab"):
+        assert snap(raced, t) == snap(serial, t), f"table {t} diverged"
+    vers = sorted(
+        r.vocab_ver
+        for r in table_store.read_state(spark, raced["vocab"])
+        .select("vocab_ver").distinct().collect()
+    )
+    assert vers == [0, 2], "vocab install did not land mid-race"
+    w_emb, _, _ = pipelines.read_quality_state(spark, raced["quality"])
+    assert {r.w_milli for r in w_emb.collect()} == {300}, (
+        "quality refresh did not land mid-race"
+    )
+    # encodings: coverage + vocab-independent counts equal; each row
+    # bit-valid under its RECORDED vocab version (the r11 contract —
+    # which version a batch racing the install used is the one
+    # documented nondeterminism)
+    assert snap(raced, "enc", ["doc_id", "tokens_before"]) == snap(
+        serial, "enc", ["doc_id", "tokens_before"]
+    )
+    enc = table_store.read_state(spark, raced["enc"])
+    for vv in sorted(
+        {r.vocab_ver for r in enc.select("vocab_ver").distinct().collect()}
+    ):
+        _, merges_v, _ = pipelines.read_bpe_vocab(
+            spark, raced["vocab"], vocab_ver=int(vv)
+        )
+        subset = lake.join(
+            enc.where(F.col("vocab_ver") == vv).select("doc_id"), "doc_id"
+        )
+        direct = textops.bpe_encode_vocab(subset, merges=merges_v)
+        stored = enc.where(F.col("vocab_ver") == vv).select(
+            "doc_id", "tokens_before", "tokens_after"
+        )
+        assert (
+            stored.exceptAll(direct).count()
+            + direct.exceptAll(stored).count()
+            == 0
+        ), f"enc rows invalid under recorded vocab_ver {vv}"
     assert conflicts["n"] >= 1, "no ConcurrentCommitError was exercised"
 
 
