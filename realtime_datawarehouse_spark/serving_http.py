@@ -21,6 +21,11 @@ Endpoints (same routes, params, and payload shapes as the reference):
         vocabulary's newest version; a vocab refresh flips the running
         endpoint atomically; neither/both params → 400; unknown
         doc_id → empty data)
+    GET /lag                    → {"status": 0, "data": {"frontier": N,
+        "tables": [{"table": ..., "version": ..., "applied_batch":
+        ...}, ...]}}  (round 12 — the composed loop's cross-table
+        staleness audit over the consistency manifest; pure metadata
+        reads, no Spark jobs; requires loop_paths)
 
 Like the reference, an absent/zero ``date`` defaults to today
 (DateFormatUtil.now()). Unknown routes return 404; handler errors return
@@ -61,6 +66,7 @@ def make_server(
     quality_weights=None,
     bpe_vocab_path: str | None = None,
     bpe_merges=None,
+    loop_paths: dict[str, str] | None = None,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; port=0 picks a free port.
 
@@ -79,7 +85,13 @@ def make_server(
     ``bpe_vocab_path``/``bpe_merges``: same split for GET /encode —
     standing vocab table's newest version (a vocabulary refresh flips
     the running endpoint atomically — the third maintenance loop's
-    serve surface) vs an injected merge table (serving.encode)."""
+    serve surface) vs an injected merge table (serving.encode).
+
+    ``loop_paths`` ({table_name: store_path}): enables GET /lag — the
+    composed loop's cross-table staleness audit (round 12 consistency
+    manifest): per-table head version + applied_batch plus the common
+    frontier a consistent reader would pick. Pure metadata reads (no
+    Spark jobs), safe to poll between batches."""
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict) -> None:
@@ -143,6 +155,42 @@ def make_server(
                             vocab_path=bpe_vocab_path,
                             merges=bpe_merges,
                         ),
+                    )
+                elif url.path == "/lag":
+                    if loop_paths is None:
+                        self._reply(
+                            400,
+                            {"status": 1,
+                             "msg": "no loop_paths configured"},
+                        )
+                        return
+                    from realtime_datawarehouse_spark.streaming import (
+                        pipelines,
+                    )
+
+                    frontier, _ = pipelines.consistent_snapshot(
+                        loop_paths
+                    )
+                    self._reply(
+                        200,
+                        {
+                            "status": 0,
+                            "data": {
+                                "frontier": frontier,
+                                "tables": [
+                                    {
+                                        "table": n,
+                                        "version": v,
+                                        "applied_batch": a,
+                                    }
+                                    for (n, v, a) in (
+                                        pipelines.loop_lag_report(
+                                            loop_paths
+                                        )
+                                    )
+                                ],
+                            },
+                        },
                     )
                 elif url.path == "/quality":
                     if "doc_id" not in q:

@@ -249,6 +249,71 @@ def test_http_quality_serves_standing_table_and_flips_on_refresh(
         server.shutdown()
 
 
+def test_http_lag_reports_torn_frontier_and_heals(spark, tmp_path):
+    """Round 12: GET /lag serves the composed loop's cross-table
+    staleness audit from the consistency manifest — a crash between
+    standing-table writes shows up as a torn frontier on the LIVE
+    endpoint, and the healed replay advances it (pure metadata reads;
+    the consistent-snapshot companion of the /quality//encode serve
+    surface)."""
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    root = str(tmp_path / "loop")
+    p = {n: f"{root}/{n}" for n in ("quality", "sigs", "comps")}
+
+    def step(i, b):
+        pipelines.production_ingest_step(
+            spark, b, None, p["sigs"], f"{root}/flags", p["comps"],
+            f"{root}/ivf", batch_id=i, quality_path=p["quality"],
+        )
+
+    step(0, docs([(1, "a b c"), (2, "d e f")]))
+    # batch 1 dies after its first table write
+    pipelines.ingest_quality_step(
+        spark, docs([(3, "g h i")]), p["quality"], 1,
+        props={"applied_batch": 1},
+    )
+    server = serving_http.make_server(spark, SF_DIR, loop_paths=p)
+    serving_http.start_background(server)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        _, torn = _get(f"{base}/lag")
+        assert torn["status"] == 0
+        assert torn["data"]["frontier"] == 0
+        by_t = {
+            e["table"]: e["applied_batch"]
+            for e in torn["data"]["tables"]
+        }
+        assert by_t == {"quality": 1, "sigs": 0, "comps": 0}
+        # heal: the replayed full step advances the SAME live endpoint
+        step(1, docs([(3, "g h i")]))
+        _, healed = _get(f"{base}/lag")
+        assert healed["data"]["frontier"] == 1
+        assert all(
+            e["applied_batch"] == 1 for e in healed["data"]["tables"]
+        )
+    finally:
+        server.shutdown()
+    # a server without loop_paths 400s the route
+    plain = serving_http.make_server(spark, SF_DIR)
+    serving_http.start_background(plain)
+    h2, p2 = plain.server_address
+    try:
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(f"http://{h2}:{p2}/lag", timeout=60)
+            raise AssertionError("/lag without loop_paths must 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        plain.shutdown()
+
+
 def test_http_encode_serves_standing_vocab_and_flips_on_refresh(
     spark, tmp_path
 ):
