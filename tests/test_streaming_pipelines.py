@@ -1913,6 +1913,123 @@ def test_crash_between_tables_reader_never_sees_mixed_frontier(
         assert got == want, f"healed {t} diverged from uninterrupted run"
 
 
+def test_v3_replay_bucketed_matches_flat_through_refreshes(
+    spark, tmp_path
+):
+    """Round 12 interplay pin closing the buckets × refresh × composed
+    cross product: the 7-table loop replayed with ``buckets=4`` through
+    a history where ALL THREE policies fire must end row-identical to
+    the flat layout — each refresh commits a FLAT full snapshot onto
+    bucketed tables (the documented compact-class migration), the next
+    bucketed merge re-buckets, and no artifact (embedded model,
+    codebook rows, vocab versions, encodings) is disturbed."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.functions.vector import l2_norm
+    from realtime_datawarehouse_spark.operators import table_store, textops
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    def cb(rows):
+        return spark.createDataFrame(
+            rows, "centroid_id long, cv array<double>"
+        ).select("centroid_id", "cv", l2_norm(F.col("cv")).alias("cn"))
+
+    def basis(i, dim=8, eps=0.0):
+        v = [eps] * dim
+        v[i] = 1.0
+        return v
+
+    def hot(j):
+        return [1.0] + [
+            0.001 * (j % 6 + 1) if d == 1 + j % 7 else 0.0
+            for d in range(1, 8)
+        ]
+
+    ab, xy = "abab abab abab", " ".join(["xyxy"] * 24)
+    ab_long = " ".join(["abab"] * 24)
+    rows = [(1 + i, ab, basis(i, eps=0.01)) for i in range(8)]
+    rows += [(100 + j, ab_long, hot(j)) for j in range(8)]
+    rows += [(108 + j, xy, hot(8 + j)) for j in range(8)]
+    rows += [(116 + j, xy, hot(16 + j)) for j in range(8)]
+    all_df = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+    batches = [
+        all_df.where(F.col("doc_id") <= 8),
+        all_df.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 108)),
+        all_df.where((F.col("doc_id") >= 108) & (F.col("doc_id") < 116)),
+        all_df.where(F.col("doc_id") >= 116),
+    ]
+    stale_cb = cb([(i, basis(i)) for i in range(8)])
+    split_cb = cb([(i, hot(8 + i)) for i in range(7)] + [(7, basis(4))])
+    stale_w, fresh_w = _const_weights(spark, 500), _const_weights(spark, 300)
+    docs0 = batches[0].select("doc_id", "text")
+    bpe_corpus = (
+        batches[0].unionByName(batches[1]).unionByName(batches[2])
+        .select("doc_id", "text")
+    )
+    q_corpus = all_df.select("doc_id", "text")
+    m0 = [
+        (r.left, r.right)
+        for r in textops.bpe_train(docs0, 4).orderBy("step").collect()
+    ]
+    r0 = pipelines._bpe_ratio_milli(
+        textops.bpe_encode_vocab(docs0, merges=m0)
+    )
+
+    def run(root, buckets):
+        p = {
+            n: f"{root}/{n}"
+            for n in ("sigs", "flags", "comps", "ivf", "quality",
+                      "vocab", "enc")
+        }
+        pipelines.install_bpe_vocab(spark, p["vocab"], m0, 0, r0)
+        pipelines.ingest_quality_step(
+            spark, docs0, p["quality"], 0, weights=stale_w,
+            buckets=buckets,
+        )
+        pipelines.refresh_quality_model(
+            spark, p["quality"], docs0, refresh_id=0, new_weights=stale_w
+        )
+        for i, b in enumerate(batches):
+            pipelines.production_ingest_step(
+                spark, b, stale_cb,
+                p["sigs"], p["flags"], p["comps"], p["ivf"],
+                batch_id=i, quality_path=p["quality"],
+                quality_weights=stale_w,
+                quality_refresh_every=3,
+                quality_corpus_provider=lambda s: q_corpus,
+                quality_refresh_weights_provider=lambda s: fresh_w,
+                ivf_refresh_every=3,
+                ivf_refresh_centroids_provider=lambda s: split_cb,
+                bpe_vocab_path=p["vocab"], bpe_enc_path=p["enc"],
+                bpe_corpus_provider=lambda s: bpe_corpus,
+                buckets=buckets,
+            )
+        out = {}
+        for t, pth in p.items():
+            df = table_store.read_state(spark, pth).drop("ver")
+            out[t] = sorted(tuple(r) for r in df.collect())
+        return out, p
+
+    flat, _ = run(str(tmp_path / "flat"), None)
+    bucketed, bp = run(str(tmp_path / "bk"), 4)
+    for t in flat:
+        assert flat[t] == bucketed[t], f"table {t} diverged"
+    # the refreshes really fired in the bucketed run, and the next
+    # bucketed merge re-bucketed the refresh's flat snapshot
+    vers = sorted(
+        r.vocab_ver
+        for r in table_store.read_state(spark, bp["vocab"])
+        .select("vocab_ver").distinct().collect()
+    )
+    assert vers == [0, 2]
+    w_emb, _, _ = pipelines.read_quality_state(spark, bp["quality"])
+    assert {r.w_milli for r in w_emb.collect()} == {300}
+    stored_cb, _ = pipelines.read_ivf_index(spark, bp["ivf"])
+    assert stored_cb is not None
+
+
 def test_production_ingest_step_replay_is_idempotent(spark, tmp_path):
     """foreachBatch crash-replay contract of the COMPOSED loop: re-running
     a step with the same batch_id leaves all standing tables (round 12:
