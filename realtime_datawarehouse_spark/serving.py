@@ -234,7 +234,10 @@ def encode(
             .select("doc_id", "text")
             .collect()
         )
-        if not rows:
+        if not rows or rows[0].text is None:
+            # unknown doc_id OR a null-text row: graceful empty data
+            # (the distributed kernel's null branch, serving-side —
+            # code-review r12)
             return {"status": 0, "data": []}
         text = rows[0].text
     tokens = textops.bpe_encode_text(text, merges)

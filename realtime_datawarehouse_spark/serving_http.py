@@ -168,26 +168,27 @@ def make_server(
                         pipelines,
                     )
 
-                    frontier, _ = pipelines.consistent_snapshot(
-                        loop_paths
-                    )
+                    # ONE metadata snapshot feeds both the frontier and
+                    # the per-table list — two separate reads could
+                    # disagree if a commit lands between them
+                    # (code-review r12)
+                    lag = pipelines.loop_lag_report(loop_paths)
+                    applied = [a for (_, _, a) in lag if a is not None]
                     self._reply(
                         200,
                         {
                             "status": 0,
                             "data": {
-                                "frontier": frontier,
+                                "frontier": (
+                                    min(applied) if applied else None
+                                ),
                                 "tables": [
                                     {
                                         "table": n,
                                         "version": v,
                                         "applied_batch": a,
                                     }
-                                    for (n, v, a) in (
-                                        pipelines.loop_lag_report(
-                                            loop_paths
-                                        )
-                                    )
+                                    for (n, v, a) in lag
                                 ],
                             },
                         },

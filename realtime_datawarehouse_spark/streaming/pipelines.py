@@ -626,6 +626,7 @@ def refresh_ivf_index(
     iters: int = 2,
     attempts: int = 5,
     props: dict | None = None,
+    retain: int = 3,
 ) -> None:
     """CODEBOOK REFRESH for the incrementally-maintained IVF index
     (VERDICT r9 item 1 — the last frozen standing artifact): retrain the
@@ -685,7 +686,10 @@ def refresh_ivf_index(
         )
         try:
             table_store.commit(
-                new_state, index_path, expected_version=base, props=props
+                new_state, index_path, expected_version=base, props=props,
+                # retain=3: the refresh double-commits its batch — see
+                # refresh_quality_model's retention note
+                retain=retain,
             )
             return
         except table_store.ConcurrentCommitError:
@@ -795,10 +799,11 @@ def ivf_refresh_if_needed(
     per-step report threads through, so an ops surface (and the
     registered v3 eval's oracle) sees exactly what the policy saw."""
     imb = ivf_index_imbalance6(spark, index_path)
+    fired = imb is not None and imb > max_balance6
     if report is not None:
         report["imbalance6"] = imb
-        report["fired"] = not (imb is None or imb <= max_balance6)
-    if imb is None or imb <= max_balance6:
+        report["fired"] = fired
+    if not fired:
         return False
     refresh_ivf_index(
         spark,
@@ -993,6 +998,7 @@ def refresh_quality_model(
     new_weights: DataFrame | None = None,
     attempts: int = 5,
     props: dict | None = None,
+    retain: int = 3,
 ) -> None:
     """MODEL REFRESH for the standing quality table (VERDICT r10 item 1 —
     the trained classifier weights were the last frozen standing
@@ -1052,6 +1058,13 @@ def refresh_quality_model(
                 quality_path,
                 expected_version=base,
                 props=props,
+                # retain=3, not the store default 2 (code-review r12):
+                # a fired refresh is the SECOND commit of its batch, so
+                # with retain=2 it would evict the PREVIOUS batch's
+                # version — the exact snapshot a consistent-frontier
+                # reader polling mid-step needs (consistent_snapshot's
+                # retention contract)
+                retain=retain,
             )
             return
         except table_store.ConcurrentCommitError:
@@ -1084,10 +1097,11 @@ def quality_refresh_if_needed(
     {"psi6": int | None, "fired": bool} — the
     ``ivf_refresh_if_needed`` observability hook."""
     psi = quality_drift_psi6(spark, quality_path)
+    fired = psi is not None and psi > max_psi6
     if report is not None:
         report["psi6"] = psi
-        report["fired"] = not (psi is None or psi <= max_psi6)
-    if psi is None or psi <= max_psi6:
+        report["fired"] = fired
+    if not fired:
         return False
     refresh_quality_model(
         spark,
@@ -1351,16 +1365,20 @@ def ingest_bpe_step(
         batch_ratio = _bpe_ratio_milli(enc)
     finally:
         enc.unpersist()
-    fired = not (
-        batch_ratio is None
-        or snap_ratio is None
-        or batch_ratio <= snap_ratio + margin_milli
-        or corpus_provider is None
+    drift_exceeded = (
+        batch_ratio is not None
+        and snap_ratio is not None
+        and batch_ratio > snap_ratio + margin_milli
     )
+    # MEASURE vs ACT are reported separately (code-review r12): a
+    # deployment without a corpus_provider still needs the ops surface
+    # to show the vocabulary drifting, even though nothing can act
+    fired = drift_exceeded and corpus_provider is not None
     if report is not None:
         report["vocab_ver_used"] = vocab_ver
         report["batch_ratio_milli"] = batch_ratio
         report["snapshot_ratio_milli"] = snap_ratio
+        report["drift_exceeded"] = drift_exceeded
         report["fired"] = fired
         report["installed_vocab_ver"] = None
     if not fired:
@@ -1385,12 +1403,26 @@ def ingest_bpe_step(
     # of the trigger batch re-derives the SAME target version and the
     # install's identical-rows check absorbs it (idempotent).
     target_ver = max(batch_id, vocab_ver + 1)
-    install_bpe_vocab(
-        spark, vocab_path, new_merges,
-        vocab_ver=target_ver,
-        ratio_milli=new_ratio,
-        props=props,
-    )
+    while True:
+        try:
+            install_bpe_vocab(
+                spark, vocab_path, new_merges,
+                vocab_ver=target_ver,
+                ratio_milli=new_ratio,
+                props=props,
+            )
+            break
+        except ValueError:
+            # content collision: a CONCURRENT writer (different corpus
+            # view) already installed different content at this version
+            # — bump past the new head and retry (code-review r12: the
+            # raise alone made the race non-convergent; a replay of
+            # THIS writer re-derives identical content and still takes
+            # the silent skip path, so idempotence is unchanged). The
+            # head strictly grows on every collision, so this
+            # terminates.
+            newest, _, _ = read_bpe_vocab(spark, vocab_path)
+            target_ver = max(target_ver, (newest or 0)) + 1
     if report is not None:
         report["installed_vocab_ver"] = target_ver
     return True
@@ -1864,21 +1896,40 @@ def consistent_snapshot(
     RETENTION CONTRACT: the loop writes tables in a fixed order within
     one step, so the cross-table skew is at most ONE batch — the
     frontier version is always the head or its immediate predecessor,
-    within the store's default ``retain=2`` window. Readers that poll
-    between batches therefore never miss the frontier snapshot; raise
-    ``retain`` if a deployment layers slower external readers on top.
+    within the store's default ``retain=2`` window. One wrinkle
+    (code-review r12): a FIRED model refresh is a second commit of its
+    batch, which under retain=2 would evict the previous batch's
+    version mid-step — so ``refresh_quality_model`` /
+    ``refresh_ivf_index`` commit with retain=3 (pytest-pinned by
+    test_consistent_read_survives_fired_refresh_double_commit).
+    Readers that poll between batches therefore never miss the
+    frontier snapshot; raise ``retain`` if a deployment layers slower
+    external readers on top.
+
+    DOMAIN: pass the loop's PER-BATCH standing tables
+    (sigs/flags/comps/index/quality/encodings). The vocab table is
+    deliberately OUTSIDE the frontier domain — it commits only when a
+    refresh fires, so its head applied_batch lags by design and would
+    pin the frontier at the last install; its history is versioned by
+    vocab_ver and every encodings row names the exact version that
+    produced it, which is already a stronger consistency contract.
 
     A table CREATED after the frontier batch (e.g. the flags table,
     first written at batch 1 because batch 0 has no corpus to flag
     against) maps to None at frontier 0 — correctly "this table did
     not exist at the frontier", not an error."""
     heads = loop_lag_report(paths)
-    applied = [a for (_, _, a) in heads if a is not None]
+    head_applied = {name: a for (name, _, a) in heads}
+    applied = [a for a in head_applied.values() if a is not None]
     frontier = min(applied) if applied else None
     picks: dict[str, str | None] = {}
     for name, p in paths.items():
         pick = None
-        if frontier is not None:
+        # a table whose HEAD carries no manifest is OUTSIDE the
+        # consistency domain and maps to None as documented — scanning
+        # its history anyway would silently serve a stale manifested
+        # version as "consistent" (code-review r12)
+        if frontier is not None and head_applied.get(name) is not None:
             for v in reversed(table_store.list_versions(p)):
                 pr = table_store.version_props(p, v)
                 a = pr.get("applied_batch") if pr else None

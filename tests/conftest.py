@@ -98,6 +98,9 @@ SLOW_TESTS = {
     "test_crash_between_tables_reader_never_sees_mixed_frontier",
     "test_two_writers_race_across_quality_and_vocab_refreshes",
     "test_http_lag_reports_torn_frontier_and_heals",
+    "test_consistent_read_survives_fired_refresh_double_commit",
+    "test_concurrent_different_content_installs_converge",
+    "test_unmanifested_head_maps_to_none_not_stale_pick",
     "test_v3_replay_bucketed_matches_flat_through_refreshes",
     "test_ivf_refresh_on_bucketed_index_then_merge_rebuckets",
 }

@@ -249,6 +249,26 @@ def test_http_quality_serves_standing_table_and_flips_on_refresh(
         server.shutdown()
 
 
+def test_encode_null_text_doc_returns_empty_not_500(spark, tmp_path):
+    """Code-review r12: the distributed encode kernel has an explicit
+    null-text branch, so NULL text is in the data model — serving.encode
+    on a doc whose text is NULL must return the graceful empty payload
+    (the unknown-doc contract), not crash into a 500."""
+    import os
+
+    sf = str(tmp_path / "sf_null")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(1, None), (2, "ab ab")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    payload = serving.encode(
+        spark, sf, doc_id=1, merges=[("a", "b")]
+    )
+    assert payload == {"status": 0, "data": []}
+    ok = serving.encode(spark, sf, doc_id=2, merges=[("a", "b")])
+    assert ok["data"][0]["tokens"] == ["ab", "ab"]
+
+
 def test_http_lag_reports_torn_frontier_and_heals(spark, tmp_path):
     """Round 12: GET /lag serves the composed loop's cross-table
     staleness audit from the consistency manifest — a crash between

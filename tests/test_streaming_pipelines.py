@@ -2030,6 +2030,145 @@ def test_v3_replay_bucketed_matches_flat_through_refreshes(
     assert stored_cb is not None
 
 
+def test_consistent_read_survives_fired_refresh_double_commit(
+    spark, tmp_path
+):
+    """Code-review r12: a FIRED model refresh is the SECOND commit of
+    its batch; under the store's default retain=2 it would evict the
+    PREVIOUS batch's version — exactly the snapshot a consistent
+    reader polling MID-STEP (after the refresh, before the next
+    table's merge) needs. The refresh commits with retain=3, so the
+    frontier pick survives."""
+    from pyspark.sql import functions as F
+
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    docs = _docs_df(spark, [(1, "a b"), (2, "c d e")])
+    q = str(tmp_path / "quality")
+    s = str(tmp_path / "sigs")
+    # batch 0: quality + sigs both applied=0
+    pipelines.ingest_quality_step(
+        spark, docs, q, 0, weights=_const_weights(spark, 500),
+        props={"applied_batch": 0},
+    )
+    from realtime_datawarehouse_spark.operators import dedup, table_store
+
+    table_store.merge_upsert(
+        spark,
+        dedup.minhash_signatures(docs).withColumn("ver", F.lit(0)),
+        s, pk="doc_id", version_col="ver", props={"applied_batch": 0},
+    )
+    # batch 1 MID-STEP: quality merges (applied=1) AND a fired refresh
+    # commits again (applied=1) — sigs still at 0
+    b1 = _docs_df(spark, [(3, "f g")])
+    pipelines.ingest_quality_step(
+        spark, b1, q, 1, props={"applied_batch": 1}
+    )
+    pipelines.refresh_quality_model(
+        spark, q, docs.unionByName(b1), refresh_id=1,
+        new_weights=_const_weights(spark, 300),
+        props={"applied_batch": 1},
+    )
+    paths = {"quality": q, "sigs": s}
+    frontier, picks = pipelines.consistent_snapshot(paths)
+    assert frontier == 0
+    assert picks["quality"] is not None, (
+        "the double commit evicted the frontier version (retain too "
+        "small on the refresh commit)"
+    )
+    pr = table_store.version_props(q, picks["quality"])
+    assert pr == {"applied_batch": 0}
+    _, frames = pipelines.read_consistent_state(spark, paths)
+    # the frontier quality snapshot = batch-0 docs under the OLD model
+    assert sorted(r.doc_id for r in frames["quality"].collect()) == [1, 2]
+    assert {
+        r.margin_milli
+        for r in frames["quality"].where(F.col("doc_id") >= 0).collect()
+    } == {1000, 1500}  # 500-milli weights × 2/3 tokens
+
+
+def test_unmanifested_head_maps_to_none_not_stale_pick(spark, tmp_path):
+    """Code-review r12: a table whose HEAD commit carries no manifest
+    is OUTSIDE the consistency domain — the reader must return None
+    for it (as documented), not silently serve an OLDER manifested
+    version as 'consistent'."""
+    from realtime_datawarehouse_spark.operators import table_store
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    q = str(tmp_path / "q")
+    docs = _docs_df(spark, [(1, "a b")])
+    pipelines.ingest_quality_step(
+        spark, docs, q, 0, weights=_const_weights(spark, 500),
+        props={"applied_batch": 0},
+    )
+    # an out-of-band refresh WITHOUT props: head is now unmanifested
+    pipelines.refresh_quality_model(
+        spark, q, docs, refresh_id=1,
+        new_weights=_const_weights(spark, 300),
+    )
+    assert table_store.version_props(q) is None
+    frontier, picks = pipelines.consistent_snapshot({"quality": q})
+    assert frontier is None and picks["quality"] is None
+
+
+def test_concurrent_different_content_installs_converge(spark, tmp_path):
+    """Code-review r12: two writers whose drift triggers fire with
+    DIFFERENT corpus views race the same target vocab_ver — the CAS
+    loser must bump past the winner and install as a fresh version
+    (both vocabularies land, monotonically versioned), never fail the
+    batch. Exercised through ingest_bpe_step end-to-end."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from realtime_datawarehouse_spark.operators import table_store, textops
+    from realtime_datawarehouse_spark.streaming import pipelines
+
+    vpath = str(tmp_path / "vocab")
+    day0 = _docs_df(spark, [(900 + i, "abab abab abab") for i in range(4)])
+    m0 = [
+        (r.left, r.right)
+        for r in textops.bpe_train(day0, 4).orderBy("step").collect()
+    ]
+    r0 = pipelines._bpe_ratio_milli(
+        textops.bpe_encode_vocab(day0, merges=m0)
+    )
+    pipelines.install_bpe_vocab(spark, vpath, m0, 0, r0)
+
+    # two drifted families with DISJOINT pair statistics → different
+    # retrained merge tables; both fire at batch_id=1 → same target v2
+    fam = {
+        "x": _docs_df(spark, [(i, " ".join(["xyxy"] * 20))
+                              for i in range(6)]),
+        "q": _docs_df(spark, [(100 + i, " ".join(["qzqz"] * 20))
+                              for i in range(6)]),
+    }
+
+    def run(tag):
+        rep: dict = {}
+        fired = pipelines.ingest_bpe_step(
+            spark, fam[tag], vpath, str(tmp_path / f"enc_{tag}"), 1,
+            corpus_provider=lambda s: day0.unionByName(fam[tag]),
+            report=rep,
+        )
+        return fired, rep["installed_vocab_ver"]
+
+    with ThreadPoolExecutor(2) as ex:
+        futs = {t: ex.submit(run, t) for t in fam}
+        got = {t: f.result() for t, f in futs.items()}
+    assert all(fired for (fired, _) in got.values())
+    installed = sorted(v for (_, v) in got.values())
+    assert len(set(installed)) == 2, f"collided installs: {got}"
+    vers = sorted(
+        r.vocab_ver
+        for r in table_store.read_state(spark, vpath)
+        .select("vocab_ver").distinct().collect()
+    )
+    assert vers == [0] + installed
+    # every installed version reads back intact
+    for v in installed:
+        _, merges_v, ratio_v = pipelines.read_bpe_vocab(spark, vpath, v)
+        assert merges_v and ratio_v is not None
+
+
 def test_production_ingest_step_replay_is_idempotent(spark, tmp_path):
     """foreachBatch crash-replay contract of the COMPOSED loop: re-running
     a step with the same batch_id leaves all standing tables (round 12:
