@@ -181,8 +181,10 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    dfs: dict[str, object] = {}
     for name in BENCH_QUERIES:
         df = queries[name](spark, sf_dir)
+        dfs[name] = df
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
@@ -244,6 +246,31 @@ def main() -> None:
             for n in warm
             if floor.get(n) and warm[n] > 2.0 * floor[n]
         }
+        # Self-adjudicating flags (VERDICT r12 item 2, SCALE.md §28
+        # automated): host throughput is time-varying, so a flag raised
+        # mid-run may be pure host phase. For every flagged query, run a
+        # solo best-of-5 warm re-time NOW plus a fresh calibration loop
+        # and embed both — the recorded BENCH_r{N} then carries its own
+        # adjudication evidence instead of leaving flags for the judge
+        # to chase (r12: tpch_q1 3.44x adjudicated to 1.34x by hand).
+        if out["floor_regressions"]:
+            retimed: dict[str, dict[str, float]] = {}
+            for n in out["floor_regressions"]:
+                best = float("inf")
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    dfs[n].write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                s = 0
+                for i in range(10_000_000):
+                    s += i
+                retimed[n] = {
+                    "best5": round(best, 3),
+                    "calib_py": round(time.perf_counter() - t0, 3),
+                    "retimed_ratio": round(best / floor[n], 2),
+                }
+            out["retimed"] = retimed
     print(json.dumps(out))
     # The driver keeps only the TAIL of stdout; in the full blob above the
     # warm dict prints before cold_queries, so truncation leaves only cold
@@ -262,6 +289,8 @@ def main() -> None:
     }
     if "floor_regressions" in out:
         summary["floor_regressions"] = out["floor_regressions"]
+        if "retimed" in out:
+            summary["retimed"] = out["retimed"]
         # guard the ratio fields: a floor file whose names no longer
         # overlap the run (or a zero floor entry) must not crash here —
         # that would kill this final line and resurrect the exact
@@ -294,7 +323,12 @@ def main() -> None:
         "calib_py_loop_s": calib_py,
         "calib_spark_range_s": calib_spark,
     }
-    for k in ("floor_regressions", "floor_ratio_overall", "floor_ratio_worst"):
+    for k in (
+        "floor_regressions",
+        "retimed",
+        "floor_ratio_overall",
+        "floor_ratio_worst",
+    ):
         if k in summary:
             compact[k] = summary[k]
     print(json.dumps(compact))

@@ -2648,8 +2648,15 @@ def pipeline_production_ingest_v3_eval(
              1.0 if reports[2]["bpe"]["fired"] else 0.0),
             ("bpe", "policy", "fired_post",
              1.0 if reports[3]["bpe"]["fired"] else 0.0),
+            # explicit None check, NOT `or -1`: an installed vocab_ver of
+            # 0 is falsy and would masquerade as "none installed"
+            # (ADVICE r12, low — latent here, the staged install is v2)
             ("bpe", "policy", "installed_ver",
-             float(reports[2]["bpe"]["installed_vocab_ver"] or -1)),
+             float(
+                 -1
+                 if reports[2]["bpe"]["installed_vocab_ver"] is None
+                 else reports[2]["bpe"]["installed_vocab_ver"]
+             )),
             ("bpe", "valid", "encodings_valid", float(valid)),
             ("bpe", "valid", "roundtrip_ok",
              1.0 if (rt.n == rt.rt == rt.mono) else 0.0),

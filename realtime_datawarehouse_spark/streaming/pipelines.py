@@ -509,16 +509,37 @@ _EMBEDDED_CACHE: dict[tuple, object] = {}
 _EMBEDDED_CACHE_MAX = 512
 
 
+_EMBEDDED_NOSTAT_WARNED = False
+
+
 def _embedded_cached(kind: str, path: str, version: str, compute):
     apath = os.path.abspath(path)
     try:
         st = os.stat(os.path.join(apath, version))
-        nonce = (st.st_ino, st.st_ctime_ns)
+        nonce: tuple = (st.st_ino, st.st_ctime_ns)
     except OSError:
-        # version dir not statable (foreign store adapters / races):
-        # fail open — compute without caching rather than risk serving
-        # a stale artifact
-        return compute()
+        # Version dir not statable (foreign store adapters). Failing
+        # OPEN here (compute every call, no cache) silently reintroduced
+        # the per-request Spark job the cache exists to eliminate
+        # (ADVICE r12, low). Version names are themselves immutable
+        # committed-snapshot identifiers, so fall back to the
+        # name-only cache key — the only signal lost is the
+        # table-recreation inode nonce (ADVICE r11), which a
+        # non-statable store cannot provide anyway; warn once so a
+        # deployment on such a store knows recreation detection is off.
+        global _EMBEDDED_NOSTAT_WARNED
+        if not _EMBEDDED_NOSTAT_WARNED:
+            _EMBEDDED_NOSTAT_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "embedded-artifact cache: version dir not statable at "
+                f"{apath}; caching on version name only (table-recreation "
+                "nonce unavailable on this store)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        nonce = ("no-stat",)
     key = (kind, apath, version, nonce)
     if key not in _EMBEDDED_CACHE:
         if len(_EMBEDDED_CACHE) >= _EMBEDDED_CACHE_MAX:
@@ -1609,6 +1630,16 @@ def production_ingest_step(
     stream can never diverge (the ``ingest_split_step`` pattern)."""
     from realtime_datawarehouse_spark.operators import dedup, textops
 
+    if (bpe_vocab_path is None) != (bpe_enc_path is None):
+        # loud failure BEFORE any table write, matching
+        # install_bpe_vocab's convention (ADVICE r12): a half-configured
+        # tokenizer loop would otherwise be indistinguishable from a
+        # disabled one — no encodings written, no report['bpe'], no error
+        raise ValueError(
+            "production_ingest_step: bpe_vocab_path and bpe_enc_path must "
+            "be provided together (got exactly one) — pass both to enable "
+            "the tokenizer loop or neither to disable it"
+        )
     # cross-table consistency manifest (round 12, VERDICT r11 item 2):
     # every standing-table write this step makes carries the batch id as
     # a commit property, so a reader can pick, per table, the newest
@@ -1771,8 +1802,19 @@ def production_ingest_step(
             if table_store.bucket_spec_of(p) is not None:
                 continue
             try:
+                # retain=3, not the store default 2 (ADVICE r12): this
+                # compaction is a SECOND commit of the same batch, so
+                # retain=2 would evict the previous batch's version — the
+                # frontier snapshot a concurrent consistent reader may
+                # have just picked — the same eviction class the model
+                # refreshes already guard (refresh_quality_model /
+                # refresh_ivf_index).
                 table_store.compact(
-                    spark, p, compact_target_files, cluster_col=cluster
+                    spark,
+                    p,
+                    compact_target_files,
+                    cluster_col=cluster,
+                    retain=3,
                 )
             except table_store.ConcurrentCommitError:
                 # a concurrent writer won the race — files stay small

@@ -115,6 +115,34 @@ SLOW_TESTS = {
 # can't flake the gate; genuinely slow newcomers blow well past it.
 SLOW_DRIFT_BUDGET_S = 12.0
 
+# The base budget is wall-clock, calibrated on a QUIET host; the r12 judge
+# session ran the suite on a host reading ~2.2x the quiet single-thread
+# band and the guard converted a bookkeeping tripwire into a red suite
+# (VERDICT r12 "wrong" #1 / item 1). Scale the budget by a per-session
+# host factor measured ONCE at collection start with the same fixed
+# 10M-iteration loop bench.py stamps its runs with (quiet band ~0.43 s,
+# SCALE.md §13); a fast host clamps to 1.0 so the base budget is the floor.
+_CALIB_QUIET_S = 0.43
+
+
+def _measure_host_factor() -> float:
+    import time
+
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    return (time.perf_counter() - t0) / _CALIB_QUIET_S
+
+
+HOST_FACTOR = _measure_host_factor()
+
+
+def drift_budget_s(host_factor: float | None = None) -> float:
+    """The calibrated SLOW-TIER DRIFT budget: base x max(1, host factor)."""
+    f = HOST_FACTOR if host_factor is None else host_factor
+    return SLOW_DRIFT_BUDGET_S * max(1.0, f)
+
 
 def _in_slow_tests(name: str) -> bool:
     return name in SLOW_TESTS or name.split("[", 1)[0] in SLOW_TESTS
@@ -124,16 +152,18 @@ def _in_slow_tests(name: str) -> bool:
 def pytest_runtest_makereport(item, call):
     outcome = yield
     rep = outcome.get_result()
+    budget = drift_budget_s()
     if (
         rep.when == "call"
         and rep.passed
-        and call.duration > SLOW_DRIFT_BUDGET_S
+        and call.duration > budget
         and not _in_slow_tests(item.name)
     ):
         rep.outcome = "failed"
         rep.longrepr = (
             f"SLOW-TIER DRIFT: {item.name} took {call.duration:.1f}s "
-            f"(> {SLOW_DRIFT_BUDGET_S:.0f}s budget) but is not in "
+            f"(> {budget:.1f}s calibrated budget = {SLOW_DRIFT_BUDGET_S:.0f}s "
+            f"base x host factor {max(1.0, HOST_FACTOR):.2f}) but is not in "
             "tests/conftest.py::SLOW_TESTS — add it (the test itself "
             "passed; regenerate membership from `pytest --durations=60` "
             "if the profile shifted)."

@@ -2241,10 +2241,21 @@ def test_production_ingest_step_replay_is_idempotent(spark, tmp_path):
     # whatever the file layout, so contents stay byte-identical while
     # the snapshot's file count drops to the compaction target.
     b2 = docs([(5, base + " tail", [v + 4 for v in vec])])
+    # the frontier a concurrent consistent reader may have picked is the
+    # CURRENT head right before batch 2 runs (batch 1's version)
+    frontier_before_b2 = {p: table_store.current_version(p) for p in paths}
     pipelines.production_ingest_step(
         spark, b2, centroids, *paths, 2, compact_every=2, **bpe
     )
     after_compact = snap_all()
+    # ADVICE r12: the cadence compaction is a SECOND commit of batch 2,
+    # so with the store-default retain=2 it would evict batch 1's
+    # version — the frontier snapshot. The step passes retain=3, so that
+    # version must still be retained (readable) after the compaction.
+    for p, v in frontier_before_b2.items():
+        assert v in table_store.list_versions(p), (
+            f"compaction evicted the pre-batch frontier version {v} of {p}"
+        )
 
     def n_files(p):
         import glob
@@ -3280,3 +3291,24 @@ def test_bpe_ingest_bucketed_encodings_match_flat(spark, tmp_path):
     assert run(str(tmp_path / "flat"), None) == run(
         str(tmp_path / "bk"), 4
     )
+
+
+def test_half_configured_bpe_paths_fail_loud(spark, tmp_path):
+    """ADVICE r12: exactly one of bpe_vocab_path/bpe_enc_path is a
+    misconfiguration, not a disabled tokenizer loop — the step must raise
+    BEFORE any standing-table write, for either half."""
+    s = str(tmp_path / "t")
+    for half in (
+        dict(bpe_vocab_path=f"{s}/vocab"),
+        dict(bpe_enc_path=f"{s}/enc"),
+    ):
+        with pytest.raises(ValueError, match="provided together"):
+            pipelines.production_ingest_step(
+                spark, None, None,
+                f"{s}/sigs", f"{s}/flags", f"{s}/comps", f"{s}/ivf",
+                0, **half,
+            )
+        # loud means EARLY: nothing was written anywhere
+        import os
+
+        assert not os.path.exists(s)
