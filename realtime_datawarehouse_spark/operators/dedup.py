@@ -157,12 +157,32 @@ def ngram_jaccard_pairs(
     or ``dedup_minhash_lsh`` when a banded sketch is acceptable — this
     uncapped exact form is the audit oracle (``dedup_minhash_eval``).
     """
+    return _jaccard_from_index(
+        shingle_inverted_index(docs), threshold, max_doc_freq
+    )
+
+
+def shingle_inverted_index(docs: DataFrame) -> DataFrame:
+    """(h, members): the shingle inverted index — hash → sorted
+    (doc_id, n) member list. The one exchange (on ``h``) every
+    shingle-pair consumer shares: when a composed query builds BOTH an
+    exact-pair side and a MinHash side from the same index DataFrame,
+    Spark's exchange reuse runs the scan + shingle + hash pipeline ONCE
+    (r13: dedup_minhash_eval dropped its duplicate shingle subtree)."""
     e = doc_shingle_hashes(docs)
-    inv = e.groupBy("h").agg(
+    return e.groupBy("h").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("doc_id"), F.col("n")))
         ).alias("members")
     )
+
+
+def _jaccard_from_index(
+    inv: DataFrame,
+    threshold: float,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs from a :func:`shingle_inverted_index` result."""
     # hapax shingles (one member) generate zero pairs — drop them BEFORE
     # the combination expression runs. Safe (members is the agg's output,
     # nothing re-computes). On natural corpora hapax typically dominates
@@ -194,6 +214,41 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def _signatures_from_index(inv: DataFrame) -> DataFrame:
+    """MinHash signatures re-derived from the inverted index.
+
+    Identical values to :func:`minhash_signatures` (min over a doc's
+    distinct shingle hashes — the index holds exactly those, hapax
+    included, so the UNFILTERED index must be passed). Standalone this
+    shape costs one extra exchange vs the direct groupBy(doc_id); its
+    point is composition: built from the SAME index DataFrame as a pair
+    side, the exchange under the index is reused and the whole
+    scan→shingle→hash pipeline is shared instead of duplicated."""
+    e = inv.select("h", F.explode("members").alias("m")).select(
+        F.col("m.doc_id").alias("doc_id"), "h"
+    )
+    return e.groupBy("doc_id").agg(*minhash_signature(F.col("h"), NUM_PERM))
+
+
+def lsh_vs_exact_pair_sides(
+    docs: DataFrame, threshold: float
+) -> tuple[DataFrame, DataFrame]:
+    """(lsh_pairs, exact_jaccard_pairs) built from ONE shared shingle
+    inverted index — the audit-query composition (dedup_minhash_eval).
+
+    Calling :func:`lsh_candidate_pairs` and :func:`ngram_jaccard_pairs`
+    separately duplicates the scan + shingle + hash subtree (two full
+    Exchanges on h/doc_id over independently recomputed shingles);
+    branching both sides off one index DataFrame lets exchange reuse
+    evaluate it once (guide §2.4). Values are identical on both sides —
+    pinned by tests/test_plans.py
+    test_shared_index_pair_sides_equal_direct_forms."""
+    inv = shingle_inverted_index(docs)
+    lsh = _band_pairs(_signatures_from_index(inv))
+    exact = _jaccard_from_index(inv, threshold)
+    return lsh, exact
 
 
 def ngram_jaccard_oracle(

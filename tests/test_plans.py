@@ -1407,6 +1407,30 @@ def test_star_cc_handles_extreme_diameter_chain(spark):
         assert got[iso] == (iso, 1), (iso, got[iso])
 
 
+def test_shared_index_pair_sides_equal_direct_forms(spark):
+    """The shared-shingle-index composition (r13: one inverted-index
+    exchange feeds both the LSH and exact-Jaccard sides of
+    dedup_minhash_eval) must produce row-identical results to the two
+    direct forms it replaced."""
+    from realtime_datawarehouse_spark.operators import dedup
+    from realtime_datawarehouse_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents")
+    lsh_side, ex_side = dedup.lsh_vs_exact_pair_sides(docs, 0.8)
+    direct_lsh = {
+        (r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(docs).collect()
+    }
+    direct_ex = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, 0.8).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in lsh_side.collect()} == direct_lsh
+    assert {
+        (r.doc_a, r.doc_b, r.jaccard) for r in ex_side.collect()
+    } == direct_ex
+    assert direct_lsh, "fixture must produce candidate pairs"
+
+
 def test_star_cc_agrees_with_label_propagation(spark):
     """Both CC formulations must produce identical components over the
     same LSH pair set (the registered oracle pins each independently;
