@@ -72,7 +72,10 @@ def doc_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # No size()>0 pre-filter: explode drops empty arrays for free, and a
     # filter on the array column would be predicate-pushed BELOW this
     # projection, re-inlining the whole shingle expression into a second
-    # evaluation (measured 2× at bench).
+    # evaluation (measured 2× at bench). The optimizer's
+    # InferFiltersFromGenerate rule used to synthesize exactly that
+    # filter on its own; it is excluded session-wide (session.py
+    # _EXCLUDED_OPT_RULES, r13 — measured 2.3× on minhash_signatures).
     with_sh = docs.select(
         "doc_id",
         F.array_distinct(word_shingles(tokenize(text_col), SHINGLE_N)).alias(

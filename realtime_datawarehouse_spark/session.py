@@ -24,6 +24,22 @@ from pyspark.sql import SparkSession
 # overridden (or left to AQE's coalescing with a high initial count).
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# InferFiltersFromGenerate synthesizes `size(e)>0 AND isnotnull(e)` below
+# every explode(e). When e is a COMPUTED array — this engine's hottest
+# shape: tokenize→shingle arrays feeding every dedup/text query — the
+# inferred filter re-inlines the whole array expression below the
+# rebalance exchange, so each document is tokenized+shingled TWICE (the
+# optimizer duplicating expensive expressions, guide §4.4; no cross-
+# operator CSE rescues it). Excluding the rule halves that stage:
+# minhash_signatures at bench sf0.1 1.374 s → 0.604 s, identical output
+# (the filter is semantically implied by explode itself — it only skips
+# rows explode would drop anyway). Cost of exclusion: explodes of STORED
+# arrays lose a scan-level null/empty prune — negligible here (no such
+# nullable columns) and cheap at scale next to a doubled map stage.
+_EXCLUDED_OPT_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
 
 def build_session(
     app_name: str = "realtime_datawarehouse_spark",
@@ -46,6 +62,7 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.optimizer.excludedRules", _EXCLUDED_OPT_RULES)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -66,6 +83,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         ("spark.sql.shuffle.partitions", cpus),
         ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.optimizer.excludedRules", _EXCLUDED_OPT_RULES),
     ):
         try:
             spark.conf.set(k, v)
