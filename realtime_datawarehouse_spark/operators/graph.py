@@ -73,8 +73,11 @@ def pagerank(
     # edge lineage — the registered query's plan carried 80 scans / 212
     # exchanges from exactly this). |V| rows is the same storage class as
     # the already-persisted ej; Pregel systems materialize the vertex
-    # set for the same reason. Measured at bench sf0.1: best-of-5
-    # 3.005 s → 2.524 s same-session, plan 80 scans → 8.
+    # set for the same reason. Each cached relation now materializes
+    # once at runtime (static explain still re-prints the cached
+    # lineage under every InMemoryTableScan reference). Measured at
+    # bench sf0.1 with clearCache between runs: best-of-5
+    # 3.005 s → 2.524 s same-session.
     base_nodes = nodes.crossJoin(F.broadcast(n_df)).persist()
     r = base_nodes.select(
         "node", F.expr(f"CAST({scale} AS BIGINT) div n_nodes").alias("rq")

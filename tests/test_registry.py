@@ -142,3 +142,18 @@ def test_drift_budget_scales_with_host_factor():
     assert cf.drift_budget_s() == _pytest.approx(
         cf.SLOW_DRIFT_BUDGET_S * max(1.0, cf.HOST_FACTOR)
     )
+
+
+def test_drift_breach_cohort_verdict():
+    """r13: a breach cohort of 1-2 fails the session (genuine membership
+    drift — new slow tests enter one commit at a time); >= 3 breaches in
+    ONE session is host pathology (a slow phase hits many tests at once,
+    r13 full run: six 2-6 s tests read 14-28 s) and must demote to a
+    warning so host noise cannot turn a passing suite red."""
+    from tests import conftest as cf
+
+    assert not cf.drift_breaches_fail_session(0)
+    assert cf.drift_breaches_fail_session(1)
+    assert cf.drift_breaches_fail_session(cf.DRIFT_PATHOLOGY_MIN - 1)
+    assert not cf.drift_breaches_fail_session(cf.DRIFT_PATHOLOGY_MIN)
+    assert not cf.drift_breaches_fail_session(cf.DRIFT_PATHOLOGY_MIN + 3)
