@@ -253,6 +253,12 @@ def main() -> None:
         # and embed both — the recorded BENCH_r{N} then carries its own
         # adjudication evidence instead of leaving flags for the judge
         # to chase (r12: tpch_q1 3.44x adjudicated to 1.34x by hand).
+        # calib_spark (warm 50M-row range-sum) is stamped per flag too:
+        # the single-thread loop cannot see MULTI-CORE contention — a
+        # measured degraded phase read calib_py 0.54 (near-quiet) while
+        # this parallel stamp read 0.31-1.12 vs its 0.07 quiet band, and
+        # solo re-times were inflated 2-6x (SCALE.md §41). Interpret
+        # retimed_ratio against calib_spark / 0.07, not calib_py alone.
         if out["floor_regressions"]:
             retimed: dict[str, dict[str, float]] = {}
             for n in out["floor_regressions"]:
@@ -265,9 +271,13 @@ def main() -> None:
                 s = 0
                 for i in range(10_000_000):
                     s += i
+                calib_py_n = round(time.perf_counter() - t0, 3)
+                t0 = time.perf_counter()
+                rng.write.format("noop").mode("overwrite").save()
                 retimed[n] = {
                     "best5": round(best, 3),
-                    "calib_py": round(time.perf_counter() - t0, 3),
+                    "calib_py": calib_py_n,
+                    "calib_spark": round(time.perf_counter() - t0, 3),
                     "retimed_ratio": round(best / floor[n], 2),
                 }
             out["retimed"] = retimed
