@@ -1415,9 +1415,29 @@ def jaccard_prefix_filter_pairs(
     side), one per-doc regroup, prefix-only posting lists (the pair
     combinatorics run over ~(1−τ)·n tokens per doc), then a pair-keyed
     verification join carrying each doc's hash array once. The length
-    filter (τ·max(n) ≤ min(n)) drops cross-size candidates before the
-    verify join ships any array.
+    filter (τ·max(n) ≤ min(n)) and the r14 POSITIONAL filter (see
+    ``_pf_candidates``) drop candidates before the verify join ships any
+    array.
     """
+    sets = _pf_sets(docs)
+    cand = _pf_candidates(sets, positional=True)
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    v = cand.join(a.hint("shuffle_hash"), "doc_a").join(
+        b.hint("shuffle_hash"), "doc_b"
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        v.withColumn("jaccard", pround(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _pf_sets(docs: DataFrame) -> DataFrame:
+    """Per-doc frequency-ordered shingle-hash arrays + prefix length:
+    (doc_id, n, hs sorted by global (df, h) order, p = n − ⌈τ_eff·n⌉ + 1)."""
     e = doc_shingle_hashes(docs)
     dfreq = e.groupBy("h").agg(F.count("*").alias("df"))
     # both sides are corpus-scale: a shuffle is inevitable, but hash-join
@@ -1434,21 +1454,44 @@ def jaccard_prefix_filter_pairs(
     ceil_tn = F.floor(
         (F.lit(_PF_NUM) * F.col("n") + F.lit(_PF_DEN - 1)) / F.lit(_PF_DEN)
     )
-    sets = sets.select(
+    return sets.select(
         "doc_id",
         "n",
         F.transform("ord", lambda x: x["h"]).alias("hs"),
         (F.col("n") - ceil_tn + F.lit(1)).cast("int").alias("p"),
     )
+
+
+def _pf_candidates(sets: DataFrame, positional: bool = True) -> DataFrame:
+    """Candidate pairs (doc_a, doc_b, na, nb) from the prefix inverted
+    index, pruned by the length filter and (``positional=True``) the
+    positional filter. ``positional=False`` keeps the pre-r14 length-only
+    form — exercised by the equality/pruning pin test."""
     pre = sets.select(
-        "doc_id", "n", F.explode(F.slice("hs", F.lit(1), F.col("p"))).alias("h")
-    )
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("hs", F.lit(1), F.col("p"))).alias("pos", "h"),
+    ).select("doc_id", "n", (F.col("pos") + F.lit(1)).alias("i"), "h")
     inv = pre.groupBy("h").agg(
         F.sort_array(
-            F.collect_list(F.struct(F.col("doc_id"), F.col("n")))
+            F.collect_list(F.struct(F.col("doc_id"), F.col("n"), F.col("i")))
         ).alias("members")
     )
     inv = inv.where(F.size("members") >= 2)
+    # POSITIONAL prefix filter (r14; PPJoin, Xiao et al. WWW'08 §3.2,
+    # made integer-exact for τ_eff): prefixes are sorted by the global
+    # (df, h) token order, so for a pair's FIRST common prefix token at
+    # 1-based positions (i*, j*) no earlier token of either doc can be
+    # common at all (an earlier common token would sit in both prefixes
+    # and precede it), hence overlap ≤ 1 + min(na−i*, nb−j*); dually,
+    # every common token ordered before the LAST common prefix token
+    # (i_max, j_max) is itself a common prefix token, hence overlap ≤
+    # c + min(na−i_max, nb−j_max) with c = the observed match count.
+    # J ≥ τ_eff forces overlap·(NUM+DEN) ≥ NUM·(na+nb); candidates whose
+    # bound fails are provably below threshold, so the prune is lossless
+    # and the exact-pairs oracle is unchanged. This drops candidate pairs
+    # BEFORE the verify join ships any hash array — the §2.3 "shuffle
+    # fewer bytes" lever on the one remaining quadratic-risk stage.
     cand = (
         inv.select(
             F.explode(_pairs_from_sorted_members(F.col("members"))).alias("p")
@@ -1458,27 +1501,41 @@ def jaccard_prefix_filter_pairs(
             F.col("p.b.doc_id").alias("doc_b"),
             F.col("p.a.n").alias("na"),
             F.col("p.b.n").alias("nb"),
+            F.col("p.a.i").alias("ia"),
+            F.col("p.b.i").alias("ib"),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.first("na").alias("na"), F.first("nb").alias("nb"))
+        .agg(
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+            F.min("ia").alias("ia_min"),
+            F.min("ib").alias("ib_min"),
+            F.max("ia").alias("ia_max"),
+            F.max("ib").alias("ib_max"),
+            F.count("*").alias("c"),
+        )
     )
     # length filter: J ≥ τ ⇒ τ·max ≤ min (integer-exact with τ_eff)
     cand = cand.where(
         F.lit(_PF_NUM) * F.greatest("na", "nb")
         <= F.lit(_PF_DEN) * F.least("na", "nb")
     )
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
-    v = cand.join(a.hint("shuffle_hash"), "doc_a").join(
-        b.hint("shuffle_hash"), "doc_b"
+    if not positional:
+        return cand.select("doc_a", "doc_b", "na", "nb")
+    ub = F.least(
+        F.lit(1)
+        + F.least(
+            F.col("na") - F.col("ia_min"), F.col("nb") - F.col("ib_min")
+        ),
+        F.col("c")
+        + F.least(
+            F.col("na") - F.col("ia_max"), F.col("nb") - F.col("ib_max")
+        ),
     )
-    inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    jac = inter / (F.col("na") + F.col("nb") - inter)
-    return (
-        v.withColumn("jaccard", pround(jac, 4))
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return cand.where(
+        ub * F.lit(_PF_NUM + _PF_DEN)
+        >= F.lit(_PF_NUM) * (F.col("na") + F.col("nb"))
+    ).select("doc_a", "doc_b", "na", "nb")
 
 
 def fuzzy_name_pairs(

@@ -2968,7 +2968,18 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = v1.where(F.col("status") == "kept").select(
         F.col("doc_id").alias("sid")
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # r14 (guide §2.4, VERDICT r13 item 4): restrict the assignment to
+    # survivors ONCE and pair-join that single DataFrame with itself —
+    # before, each pair side carried its own assignment⋉survivors semi-
+    # join subtree; the subtrees were only runtime-deduplicated by AQE
+    # stage reuse (ReusedExchange). Branching both sides off one `sa`
+    # makes the shared work structural, not a runtime cache property.
+    sa = assigned.join(
+        surv.hint("shuffle_hash"),
+        F.col("vec_id") == F.col("sid"),
+        "left_semi",
+    )
+    a, b = sa.alias("a"), sa.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / (
         F.col("a.vn") * F.col("b.vn")
     )
@@ -2976,16 +2987,7 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sem = (
         a.join(
-            surv.hint("shuffle_hash"),
-            F.col("a.vec_id") == F.col("sid"),
-            "left_semi",
-        )
-        .join(
-            b.join(
-                surv.hint("shuffle_hash"),
-                F.col("b.vec_id") == F.col("sid"),
-                "left_semi",
-            ).hint("shuffle_hash"),
+            b.hint("shuffle_hash"),
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
@@ -3050,20 +3052,18 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = v1.where(F.col("status") == "kept").select(
         F.col("doc_id").alias("sid")
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # r14: one survivors-restricted assignment feeds both pair sides
+    # (same restructure as v2 — see pipeline_corpus_curation_v2)
+    sa = assigned.join(
+        surv.hint("shuffle_hash"),
+        F.col("vec_id") == F.col("sid"),
+        "left_semi",
+    )
+    a, b = sa.alias("a"), sa.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.vn") * F.col("b.vn"))
     sem = (
         a.join(
-            surv.hint("shuffle_hash"),
-            F.col("a.vec_id") == F.col("sid"),
-            "left_semi",
-        )
-        .join(
-            b.join(
-                surv.hint("shuffle_hash"),
-                F.col("b.vec_id") == F.col("sid"),
-                "left_semi",
-            ).hint("shuffle_hash"),
+            b.hint("shuffle_hash"),
             (F.col("a.bucket_id") == F.col("b.bucket_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )

@@ -34,8 +34,12 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # minhash_signatures at bench sf0.1 1.374 s → 0.604 s, identical output
 # (the filter is semantically implied by explode itself — it only skips
 # rows explode would drop anyway). Cost of exclusion: explodes of STORED
-# arrays lose a scan-level null/empty prune — negligible here (no such
-# nullable columns) and cheap at scale next to a doubled map stage.
+# arrays lose a scan-level null/empty prune. Three embed_* queries do
+# explode the stored ``embeddings.embedding`` array directly (r14 audit);
+# the store is non-null by construction, so the lost prune is worthless
+# there — and cheap at scale next to a doubled map stage. The precondition
+# is pinned structurally by tests/test_plans.py::
+# test_no_query_explodes_a_stored_array (allowlist = those three).
 _EXCLUDED_OPT_RULES = (
     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
 )

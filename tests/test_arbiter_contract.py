@@ -139,6 +139,28 @@ def backend(request):
         put_client = boto3.client(
             "s3", config=Config(retries={"total_max_attempts": 1}), **kw
         )
+
+        # moto's IfNoneMatch handling is check-then-set Python with no
+        # internal lock, so two racing threads can BOTH win a conditional
+        # PUT (observed r14: wins=[6,1] in the 8-thread CAS race — a moto
+        # emulation gap, not an arbiter bug; real S3 serializes
+        # conditional PUTs server-side and returns 412 to all but one).
+        # Serialize the emulator's conditional PUTs so the contract suite
+        # tests OUR client-side mapping against moto's response shapes
+        # without depending on moto's (absent) thread-safety.
+        class _SerializedPuts:
+            def __init__(self, inner):
+                self._inner = inner
+                self._lock = threading.Lock()
+
+            def put_object(self, **kwargs):
+                with self._lock:
+                    return self._inner.put_object(**kwargs)
+
+            def __getattr__(self, name):
+                return getattr(self._inner, name)
+
+        put_client = _SerializedPuts(put_client)
         client.create_bucket(Bucket="contract-bucket")
         plant_store = object_store.S3ObjectStore(
             bucket="contract-bucket", client=client, put_client=put_client

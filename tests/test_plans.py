@@ -2731,3 +2731,155 @@ def test_refresh_eval_oracles_agree_on_non_ascii(spark, tmp_path):
         for r in con3.execute(llm_ops._prod_ingest_v3_oracle()).fetchall()
     )
     assert got == exp
+
+
+def _stored_explode_offenders(df) -> list[str]:
+    """Names of generator inputs that ARE a bare stored (scanned) column.
+
+    Walks the analyzed logical plan: collects every leaf relation's output
+    exprIds, then checks each Generate node's generator's DIRECT child
+    expressions against them. A computed array (tokenize→shingle etc.) is
+    produced by an Alias and carries a fresh exprId, so it never matches a
+    leaf output; a generator over an expression of stored scalars (e.g.
+    ``explode(split(text, ' '))``) has a non-attribute child and is the
+    exact shape the rule exclusion FIXES, so it is not an offender. Only a
+    generator whose input is the stored array attribute itself (e.g.
+    ``posexplode(embedding)``) loses a scan-level prune to the exclusion.
+    """
+    import json as _json
+
+    nodes = _json.loads(df._jdf.queryExecution().analyzed().toJSON())
+
+    def _subtree_size(flat, i):
+        n = flat[i].get("num-children", 0)
+        j = i + 1
+        for _ in range(n):
+            j += _subtree_size(flat, j)
+        return j - i
+
+    def _direct_children(flat):
+        out, j = [], 1
+        for _ in range(flat[0].get("num-children", 0)):
+            out.append(flat[j])
+            j += _subtree_size(flat, j)
+        return out
+
+    leaf_ids = set()
+    for n in nodes:
+        if n.get("num-children", 0) == 0:
+            for expr in n.get("output") or []:
+                a = expr[0] if isinstance(expr, list) else expr
+                if "exprId" in a:
+                    leaf_ids.add(a["exprId"]["id"])
+    offenders = []
+    for n in nodes:
+        if not n.get("class", "").endswith(".Generate"):
+            continue
+        for a in _direct_children(n["generator"]):
+            if (
+                a.get("class", "").endswith(".AttributeReference")
+                and a.get("exprId", {}).get("id") in leaf_ids
+            ):
+                offenders.append(a["name"])
+    return offenders
+
+
+# The measured, accepted exceptions: these explode the stored (nullable in
+# the parquet schema, non-null by construction of the embedding store)
+# ``embeddings.embedding`` array directly. For them the excluded
+# InferFiltersFromGenerate rule would have pushed an isnotnull/size>0
+# prune to the scan — worthless on a store with no null rows, and far
+# cheaper than the double tokenize the exclusion removes everywhere else.
+# Any NEW direct explode of a stored array must be added here consciously
+# (or restructured), keeping the r13 session-wide exclusion honest.
+STORED_EXPLODE_ALLOWLIST = {
+    "embed_dimension_stats": ("embedding",),
+    "embed_source_centroid_drift": ("embedding", "embedding"),
+    "embed_int8_quantize_eval": ("embedding", "embedding"),
+}
+
+
+def test_no_query_explodes_a_stored_array(spark):
+    """Registry guard for the session-wide InferFiltersFromGenerate
+    exclusion (r13 §1, VERDICT r13 item 7): excluding the rule is safe
+    while no registered query explodes a STORED array column — for a
+    computed array the synthesized size>0/isnotnull filter re-inlines the
+    whole producing expression (the double-tokenize bug the exclusion
+    fixed); only for a stored column could it have pruned at the scan.
+    This pins the precondition structurally instead of by comment, with
+    the three measured embed_* exceptions allowlisted above."""
+    bad = {}
+    for name, fn in registry.get_queries().items():
+        offenders = _stored_explode_offenders(fn(spark, SF_DIR))
+        if tuple(offenders) != STORED_EXPLODE_ALLOWLIST.get(name, ()):
+            bad[name] = offenders
+    assert not bad, (
+        "queries exploding stored array columns (InferFiltersFromGenerate "
+        f"exclusion precondition violated, or allowlist stale): {bad}"
+    )
+
+
+def test_positional_prefix_filter_is_lossless_and_prunes(spark):
+    """r14 positional filter (PPJoin, VERDICT r13 item 3): the positional
+    bound must prune a planted late-prefix single-match pair that the
+    length filter alone keeps, while keeping a first-position match pair.
+    (On the sf0.001/0.01 fixtures every candidate is a true near-dup —
+    losslessness there is pinned end-to-end by
+    ``test_jaccard_prefix_matches_full_inverted_index``; at sf0.1 the
+    measured prune is 71%: 43 410 → 12 594 candidates,
+    OPTIMIZATION_r14.md.)"""
+    from realtime_datawarehouse_spark.operators import dedup
+
+    # planted case: doc 1 and doc 2 share hash 100 at positions (1, 1)
+    # → overlap bound 1 + min(9, 9) = 10 ≥ α = ⌈0.79995·20/1.79995⌉ ≈ 8.9
+    # → kept; doc 1 and doc 3 share hash 100 at positions (3, 3) →
+    # bound 1 + min(7, 7) = 8 < 8.9 → pruned, though their lengths are
+    # identical so the length filter alone keeps them.
+    synth = spark.createDataFrame(
+        [
+            (1, 10, [100, 1, 2], 3),
+            (2, 10, [100, 11, 12], 3),
+            (3, 10, [21, 22, 100], 3),
+        ],
+        "doc_id long, n long, hs array<long>, p int",
+    )
+    keep = {
+        (r.doc_a, r.doc_b)
+        for r in dedup._pf_candidates(synth, positional=True).collect()
+    }
+    keep_nopos = {
+        (r.doc_a, r.doc_b)
+        for r in dedup._pf_candidates(synth, positional=False).collect()
+    }
+    assert (1, 2) in keep and (1, 3) not in keep, keep
+    assert {(1, 2), (1, 3)} <= keep_nopos
+
+
+def test_pagerank_caches_are_generation_scoped(spark):
+    """r14 persist lifecycle (VERDICT r13 item 6): pagerank's two persisted
+    relations (ej, base_nodes) are released when the NEXT pagerank call
+    builds — a long-lived session holds at most one dead generation — and
+    a rotated-away generation still computes correctly (unpersist only
+    drops the cache, never the lineage)."""
+    from realtime_datawarehouse_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 2)], "src long, dst long"
+    )
+    r1 = graph.pagerank(edges, iters=2)
+    out1 = sorted(tuple(r) for r in r1.collect())
+    gen1 = list(graph._PREV_CACHES)
+    assert len(gen1) == 2
+    assert all(
+        df.storageLevel.useMemory or df.storageLevel.useDisk for df in gen1
+    )
+    r2 = graph.pagerank(edges, iters=2)
+    assert all(
+        not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+        for df in gen1
+    ), "previous generation must be unpersisted by the next call"
+    assert len(graph._PREV_CACHES) == 2
+    out2 = sorted(tuple(r) for r in r2.collect())
+    assert out1 == out2
+    # the rotated-away first result is still recomputable and identical
+    assert sorted(tuple(r) for r in r1.collect()) == out1

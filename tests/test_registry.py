@@ -157,3 +157,23 @@ def test_drift_breach_cohort_verdict():
     assert cf.drift_breaches_fail_session(cf.DRIFT_PATHOLOGY_MIN - 1)
     assert not cf.drift_breaches_fail_session(cf.DRIFT_PATHOLOGY_MIN)
     assert not cf.drift_breaches_fail_session(cf.DRIFT_PATHOLOGY_MIN + 3)
+
+
+def test_driver_budget_tier_switch():
+    """r14 (VERDICT r13 item 1): the driver's budgeted `pytest tests/ -x -q`
+    sets no env, so the DEFAULT must be the quick tier — slow tests skipped,
+    suite completes inside the driver's budget. RDW_FULL_SUITE=1 (or any
+    non-"0" value) opts into the full tier locally."""
+    from tests import conftest as cf
+
+    assert not cf.full_suite_enabled(None)
+    assert not cf.full_suite_enabled("")
+    assert not cf.full_suite_enabled("0")
+    assert cf.full_suite_enabled("1")
+    assert cf.full_suite_enabled("yes")
+    # the session's own tier matches the env it was collected under
+    import os as _os
+
+    assert cf.FULL_SUITE == cf.full_suite_enabled(
+        _os.environ.get("RDW_FULL_SUITE")
+    )
