@@ -259,9 +259,18 @@ def main() -> None:
         # this parallel stamp read 0.31-1.12 vs its 0.07 quiet band, and
         # solo re-times were inflated 2-6x (SCALE.md §41). Interpret
         # retimed_ratio against calib_spark / 0.07, not calib_py alone.
+        # ADVICE r13: the stamps BRACKET each re-time (calib_spark_pre
+        # immediately before the best-of-5, calib_spark after) so the
+        # flag's evidence covers the window the re-time actually ran in —
+        # a host-phase edge between the re-time and a single post-stamp
+        # can no longer mislabel the window. Additions-only: the existing
+        # fields keep their meaning (post-window stamps).
         if out["floor_regressions"]:
             retimed: dict[str, dict[str, float]] = {}
             for n in out["floor_regressions"]:
+                t0 = time.perf_counter()
+                rng.write.format("noop").mode("overwrite").save()
+                calib_spark_pre = round(time.perf_counter() - t0, 3)
                 best = float("inf")
                 for _ in range(5):
                     t0 = time.perf_counter()
@@ -277,6 +286,7 @@ def main() -> None:
                 retimed[n] = {
                     "best5": round(best, 3),
                     "calib_py": calib_py_n,
+                    "calib_spark_pre": calib_spark_pre,
                     "calib_spark": round(time.perf_counter() - t0, 3),
                     "retimed_ratio": round(best / floor[n], 2),
                 }

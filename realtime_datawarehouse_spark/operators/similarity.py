@@ -66,6 +66,15 @@ def brute_topk(
     The query side is broadcast — the corpus never shuffles; the only wide
     operation is the per-query top-k window over candidate rows.
     """
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # r14: the |corpus| × |queries| cosine fan-out runs at the SCAN's
+    # parallelism — a single-row-group embeddings file fed it 1-2 tasks
+    # regardless of core count (the same narrow-scan failure mode as
+    # doc_shingles; no-op on wide 100 TB layouts).
+    emb = rebalance_narrow_scan(emb)
     cand = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("v"),
@@ -322,8 +331,17 @@ def ivf_assign(
     """
     if centroids is None:
         centroids = _ivf_centroids(emb)
-    v = emb.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v"), *carry
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # r14: the |corpus| × |centroids| scoring fan-out (the arithmetic
+    # codebook is |corpus|/61 centroids, so this is quadratic-ish) ran at
+    # the scan's parallelism — measured at sf1: 44.8 s on a 2-partition
+    # embeddings scan, the entire cost of pipeline_corpus_curation_v2's
+    # 47.7 s flat-scaling reading. No-op on wide scans.
+    v = rebalance_narrow_scan(
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"), *carry)
     ).select("vec_id", "v", l2_norm(F.col("v")).alias("vn"), *carry)
     scored = v.join(F.broadcast(centroids)).select(
         "vec_id",
@@ -757,8 +775,15 @@ def sem_lsh_assign(emb: DataFrame) -> DataFrame:
     bucket expression (declarative — no driver-side count action), so the
     SAME plan stays near-linear from sf0.001 through 100 TB: buckets
     multiply with the data while per-bucket work stays constant."""
-    v0 = emb.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # r14: up to SEM_LSH_MAX_PLANES 32-dim fold products per vector ran
+    # at the scan's parallelism (narrow-scan failure mode; no-op on wide
+    # scans).
+    v0 = rebalance_narrow_scan(
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     ).select("vec_id", "v", l2_norm(F.col("v")).alias("vn"))
     n1 = v0.agg(F.count("*").alias("n")).select(
         _sem_lsh_needed_planes_col(F.col("n")).alias("needed")
@@ -1233,8 +1258,14 @@ def pq_encode(emb: DataFrame) -> DataFrame:
     (vec_id, codes) — M bytes of payload per vector — and every query
     thereafter scans codes only; the n×M-row exchanges here amortize over
     the index lifetime exactly like the IVF layout write."""
-    es = emb.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # r14: the M-subspace × K-codeword argmin encode ran at the scan's
+    # parallelism (narrow-scan failure mode; no-op on wide scans).
+    es = rebalance_narrow_scan(
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     ).select(
         "vec_id",
         F.posexplode(

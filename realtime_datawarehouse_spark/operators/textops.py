@@ -557,7 +557,15 @@ def bigram_logprob(
     from the output on both engines.
     """
     from realtime_datawarehouse_spark.functions.text import word_shingles
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
 
+    # r14: the tokenize+bigram explode is this query's CPU center and ran
+    # at the SCAN's parallelism — a single-row-group documents file fed it
+    # one task no matter the core count (measured at sf1: 7.3 s at 32c ≈
+    # 7.2 s at 8c — zero parallel speedup). No-op on wide scans.
+    docs = rebalance_narrow_scan(docs)
     bgs = docs.select(
         "doc_id", F.explode(word_shingles(tokenize(text_col), 2)).alias("bg")
     )
@@ -1848,7 +1856,13 @@ def dup_ngram_coverage(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from pyspark.sql import Window
 
     from realtime_datawarehouse_spark.functions.text import word_shingles
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
 
+    # r14: the positional-shingle + md5 explode ran at the scan's
+    # parallelism (sf1: 6.3 s at 32c ≈ 6.8 s at 8c). No-op on wide scans.
+    docs = rebalance_narrow_scan(docs)
     toks = docs.select(
         "doc_id", tokenize(text_col).alias("toks")
     ).select(
@@ -2108,7 +2122,15 @@ def dsir_weights(
     same production fix: materialize the tiny weight table once from one
     engine)."""
     from realtime_datawarehouse_spark.functions.text import word_shingles
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
 
+    # r14: both histogram and scorer consume this tokenize+bigram+md5
+    # explode — the query's CPU center — and it ran at the scan's
+    # parallelism (sf1: 14.7 s at 32c ≈ 14.3 s at 8c, i.e. one task on a
+    # single-row-group file). No-op on wide scans.
+    docs = rebalance_narrow_scan(docs)
     grams = docs.select(
         "doc_id",
         target_pred.alias("is_target"),

@@ -2979,6 +2979,12 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") == F.col("sid"),
         "left_semi",
     )
+    # (r14 note: a SEM_PAIR_SALT salting of this self-join was prototyped
+    # for the flat sf1 scaling and measured SLOWER once ivf_assign's
+    # narrow-scan rebalance landed — the pair key is centroid_id with
+    # |corpus|/61 distinct values, plenty of parallelism on its own; the
+    # b-side replication only added shuffle. Rejected, see
+    # OPTIMIZATION_r14.md.)
     a, b = sa.alias("a"), sa.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / (
         F.col("a.vn") * F.col("b.vn")

@@ -1368,12 +1368,15 @@ def test_bigram_lm_model_broadcasts_and_bounded_scans(spark):
 
 def test_concurrent_intervals_sweep_shares_partitioning(spark):
     """olap_max_concurrent_intervals: the sweep must be day-pre-aggregated
-    boundary events (no interval self-join), and the running sum, the
-    partition max, and the final peak-date aggregation must all run on the
-    single suppkey partitioning — exactly two hash exchanges total
-    ((suppkey, d) pre-agg + suppkey sweep), no Exchange above the Window."""
+    boundary events (no interval self-join), and the daily aggregation,
+    the running sum, the partition max, and the final peak-date
+    aggregation must ALL run on one suppkey partitioning — exactly ONE
+    hash exchange total since r14 (the explicit suppkey repartition
+    satisfies the agg's clustered(suppkey, d) and both windows'
+    clustered(suppkey); interleaved A/B 1.35–1.37 → 0.98–0.99 s,
+    OPTIMIZATION_r14.md §5), no Exchange above the Window."""
     plan = _explain(spark, "olap_max_concurrent_intervals", "simple")
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SortMergeJoin" not in plan, plan  # orderkey join broadcasts at
     # bench scale; at 100 TB AQE picks the shuffle join — the gate pins the
     # fixture-scale plan

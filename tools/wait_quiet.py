@@ -3,13 +3,31 @@
 
 Polls the two §28/§41 calibration workloads — the single-thread Python
 loop (quiet ≈ 0.34-0.43 s) and the warm 50M-row Spark range-sum (quiet
-≈ 0.07-0.10 s) — every ``INTERVAL_S`` seconds and exits success when
-BOTH read under their thresholds, or exits 1 after ``MAX_WAIT_S``.
-SCALE.md §41: the pair diverges exactly when external vCPU contention
-degrades parallel stages, so gating a recorded bench on both avoids
-recording (or re-recording floors from) a degraded window.
+≈ 0.07-0.10 s) — and exits success when BOTH read under their thresholds
+on ``CONSECUTIVE_QUIET`` consecutive polls, or exits 1 after
+``MAX_WAIT_S``. SCALE.md §41: the pair diverges exactly when external
+vCPU contention degrades parallel stages, so gating a recorded bench on
+both avoids recording (or re-recording floors from) a degraded window.
 
-Usage: python tools/wait_quiet.py [max_wait_s]  && python bench.py ...
+Two gates (ADVICE r13):
+
+- DEFAULT (thresholds 0.55 / 0.20): excludes *severe* degradation only —
+  right for flag-adjudication regression benches, where the per-flag
+  calib stamps inside the run carry the fine-grained evidence. A run
+  opened by this gate can still sit ~1.5-2x above the true quiet band.
+- ``--strict`` (thresholds 0.45 / 0.10 — the measured quiet band itself):
+  REQUIRED for any run that re-records BENCH_FLOOR.json or claims a
+  quiet-band reference number.
+
+The consecutive-poll requirement closes the single-lucky-sample hole:
+SCALE.md §41's own data shows calib_py oscillating 0.38 ↔ 1.65 within
+two minutes, so one quiet poll can open the gate into a loud window that
+begins seconds later. Consecutive polls are spaced ``RECHECK_DELAY_S``
+apart (shorter than the loud-poll interval — we only need to span the
+oscillation edge, not wait out a whole period).
+
+Usage:
+    python tools/wait_quiet.py [max_wait_s] [--strict]  && python bench.py ...
 """
 
 from __future__ import annotations
@@ -24,7 +42,11 @@ from realtime_datawarehouse_spark.session import build_session  # noqa: E402
 
 PY_QUIET_S = 0.55
 SPARK_QUIET_S = 0.20
+STRICT_PY_QUIET_S = 0.45
+STRICT_SPARK_QUIET_S = 0.10
 INTERVAL_S = 90
+RECHECK_DELAY_S = 20
+CONSECUTIVE_QUIET = 2
 
 
 def calib_py() -> float:
@@ -36,29 +58,38 @@ def calib_py() -> float:
 
 
 def main() -> None:
-    max_wait = float(sys.argv[1]) if len(sys.argv) > 1 else 2400.0
+    args = sys.argv[1:]
+    strict = "--strict" in args
+    args = [a for a in args if a != "--strict"]
+    max_wait = float(args[0]) if args else 2400.0
+    py_bar = STRICT_PY_QUIET_S if strict else PY_QUIET_S
+    spark_bar = STRICT_SPARK_QUIET_S if strict else SPARK_QUIET_S
     spark = build_session(app_name="wait-quiet")
     spark.sparkContext.setLogLevel("ERROR")
     rng = spark.range(50_000_000).selectExpr("sum(id) AS s")
     rng.write.format("noop").mode("overwrite").save()  # warm the plan
     t_start = time.perf_counter()
+    streak = 0
     while True:
         cp = calib_py()
         t0 = time.perf_counter()
         rng.write.format("noop").mode("overwrite").save()
         cs = round(time.perf_counter() - t0, 3)
-        quiet = cp < PY_QUIET_S and cs < SPARK_QUIET_S
+        quiet = cp < py_bar and cs < spark_bar
+        streak = streak + 1 if quiet else 0
         print(
-            f"calib_py={cp} calib_spark={cs} quiet={quiet}", flush=True
+            f"calib_py={cp} calib_spark={cs} quiet={quiet} "
+            f"streak={streak}/{CONSECUTIVE_QUIET} strict={strict}",
+            flush=True,
         )
-        if quiet:
+        if streak >= CONSECUTIVE_QUIET:
             spark.stop()
             sys.exit(0)
         if time.perf_counter() - t_start > max_wait:
             print("max wait exceeded; host still loud", flush=True)
             spark.stop()
             sys.exit(1)
-        time.sleep(INTERVAL_S)
+        time.sleep(RECHECK_DELAY_S if quiet else INTERVAL_S)
 
 
 if __name__ == "__main__":
