@@ -45,7 +45,11 @@ def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
-def rebalance_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def rebalance_narrow_scan(
+    df: DataFrame,
+    min_parts: int | None = None,
+    min_bytes: int = 0,
+) -> DataFrame:
     """Round-robin-redistribute a scan that has fewer partitions than the
     session's parallelism, so CPU-amplifying operators downstream (shingle
     explode + hashing, vector folds, Arrow decode kernels) run at full
@@ -59,11 +63,46 @@ def rebalance_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFr
     the downstream explode/codec produces from them. When the scan already
     has ≥ min_parts partitions (the healthy 100 TB layout), this is a
     no-op: no shuffle is added.
+
+    ``min_bytes`` (r14): for operators whose per-row map work is LIGHT
+    (a plain tokenize+count, one small explode), the redistribution
+    shuffle only pays for itself once the narrow input is big enough that
+    serial map time dominates it — below that the query is already
+    sub-second and the exchange is pure overhead (measured at sf0.1:
+    u1_tokenize 0.19 → 0.45 s WITH an unconditional rebalance, while the
+    same op at sf1 goes 0.94 → 0.45 s). Callers with light amplification
+    pass ``min_bytes=REBALANCE_LIGHT_MIN_BYTES``: the rebalance engages
+    only when the optimizer's size estimate for the input exceeds it —
+    scale-adaptive (derived from input size), not a fixed-SF tuning.
+    Heavy-amplification callers (per-char explodes, |corpus|×|centroids|
+    scoring) keep the unconditional form — measured wins at every scale.
     """
+    if min_bytes:
+        try:
+            est = int(
+                str(
+                    df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+            if est < min_bytes:
+                return df
+        except Exception:
+            pass  # no estimate → fall through to the partition-count rule
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+# Crossover for LIGHT-map-work callers of rebalance_narrow_scan: measured
+# between sf0.1 (documents estimate 0.25-0.59 MB depending on projection;
+# rebalance LOSES ~2x there) and sf1 (2.6-6.0 MB; rebalance WINS ~2x) —
+# see OPTIMIZATION_r14.md §11. Estimates come from the optimizer's
+# sizeInBytes, which for a bare parquet scan tracks the file size.
+REBALANCE_LIGHT_MIN_BYTES = 2 << 20
 
 
 def zorder_key(cols: list, bits: int = 16):

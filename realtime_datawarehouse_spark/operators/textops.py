@@ -43,6 +43,17 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, token_ct, bpe_ish_ct, char_ct): whitespace token count, the
     BPE-ish pre-token count (the better LLM-cost proxy — punctuation and
     digit runs count as their own tokens), and character length."""
+    from realtime_datawarehouse_spark.operators import layout
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # r14: LIGHT per-row map work — bytes-gated narrow-scan redistribution
+    # (engages at sf1-class narrow inputs, stays out of the way below the
+    # crossover; no-op on wide scans — OPTIMIZATION_r14.md §11).
+    docs = rebalance_narrow_scan(
+        docs, min_bytes=layout.REBALANCE_LIGHT_MIN_BYTES
+    )
     toks = tokenize(text_col)
     bpe = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_RE), 0)
     return docs.select(
@@ -76,6 +87,14 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality signals: token count, stopword ratio, mean token
     length, and a composite keep/drop flag — the standard cheap pre-filter
     stage of a corpus pipeline."""
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # r14: CPU-amplifying map work over the raw scan — parallelize a
+    # narrow (few-row-group) input first; no-op on wide scans
+    # (OPTIMIZATION_r14.md §9/§11).
+    docs = rebalance_narrow_scan(docs)
     toks = tokenize(text_col)
     token_ct = F.size(toks)
     stop_ct = F.size(F.filter(toks, _stop_in))
@@ -120,6 +139,17 @@ FROM m
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-token language ID with fixed precedence en > de > es."""
+    from realtime_datawarehouse_spark.operators import layout
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # r14: LIGHT per-row map work — bytes-gated narrow-scan redistribution
+    # (engages at sf1-class narrow inputs, stays out of the way below the
+    # crossover; no-op on wide scans — OPTIMIZATION_r14.md §11).
+    docs = rebalance_narrow_scan(
+        docs, min_bytes=layout.REBALANCE_LIGHT_MIN_BYTES
+    )
     toks = tokenize(text_col)
 
     def marker_filter(markers: tuple[str, ...]):
@@ -176,6 +206,17 @@ FROM s
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint:
     fold((acc*31 + hash64(token)) mod FP_MOD) over the token sequence."""
+    from realtime_datawarehouse_spark.operators import layout
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # r14: LIGHT per-row map work — bytes-gated narrow-scan redistribution
+    # (engages at sf1-class narrow inputs, stays out of the way below the
+    # crossover; no-op on wide scans — OPTIMIZATION_r14.md §11).
+    docs = rebalance_narrow_scan(
+        docs, min_bytes=layout.REBALANCE_LIGHT_MIN_BYTES
+    )
     toks = tokenize(text_col)
     hashes = F.transform(toks, lambda t: hash64(t))
     fp = F.aggregate(
@@ -206,6 +247,18 @@ def tokenize_explode_count(docs: DataFrame, text_col: str = "text") -> DataFrame
     """U1 analog: tokenize + explode (≡ LATERAL TABLE(ik_analyze(...))) then
     count per keyword (rt/app/func/KeywordUDTF.java:14-22 +
     rt/app/dws/DwsTrafficSourceKeywordPageViewWindow.java:55-69)."""
+    from realtime_datawarehouse_spark.operators import layout
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # r14: LIGHT per-row map work — redistribute a narrow scan only when
+    # the input is big enough that serial map time beats the one-time
+    # shuffle (bytes-gated; measured crossover in OPTIMIZATION_r14.md
+    # §11). No-op on wide scans at any size.
+    docs = rebalance_narrow_scan(
+        docs, min_bytes=layout.REBALANCE_LIGHT_MIN_BYTES
+    )
     return (
         docs.select(F.explode(tokenize(text_col)).alias("keyword"))
         .groupBy("keyword")
@@ -466,6 +519,18 @@ def unigram_logprob(
     data-dependent literals, so the libm-agreement assumption is accepted
     and documented instead.
     """
+    from realtime_datawarehouse_spark.operators import layout
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # r14: LIGHT per-row map work — redistribute a narrow scan only when
+    # the input is big enough that serial map time beats the one-time
+    # shuffle (bytes-gated; measured crossover in OPTIMIZATION_r14.md
+    # §11). No-op on wide scans at any size.
+    docs = rebalance_narrow_scan(
+        docs, min_bytes=layout.REBALANCE_LIGHT_MIN_BYTES
+    )
     toks = docs.select("doc_id", F.explode(tokenize(text_col)).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))
@@ -1086,6 +1151,17 @@ def token_budget_sample(
     (source, key-range) token subtotals to locate the cut point and
     broadcast it — same contract, two cheap passes.
     """
+    from realtime_datawarehouse_spark.operators import layout
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # r14: LIGHT per-row map work — bytes-gated narrow-scan redistribution
+    # (engages at sf1-class narrow inputs, stays out of the way below the
+    # crossover; no-op on wide scans — OPTIMIZATION_r14.md §11).
+    docs = rebalance_narrow_scan(
+        docs, min_bytes=layout.REBALANCE_LIGHT_MIN_BYTES
+    )
     from pyspark.sql import Window
 
     n_tok = F.size(tokenize("text"))
@@ -1210,6 +1286,17 @@ def chunk_documents(
     sequence/slice expressions — per-row work, no shuffle at all, and the
     output count is ~tokens/stride rows per doc. At 100 TB this runs as a
     map-only stage writing straight to the chunk store."""
+    from realtime_datawarehouse_spark.operators import layout
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # r14: LIGHT per-row map work — bytes-gated narrow-scan redistribution
+    # (engages at sf1-class narrow inputs, stays out of the way below the
+    # crossover; no-op on wide scans — OPTIMIZATION_r14.md §11).
+    docs = rebalance_narrow_scan(
+        docs, min_bytes=layout.REBALANCE_LIGHT_MIN_BYTES
+    )
     stride = size - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than size")
@@ -1645,6 +1732,14 @@ def cdc_chunks(
     text first (sanitization is part of the operator contract, mirrored
     in the oracle) so no token can collide with the sentinel.
     """
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # r14: CPU-amplifying map work over the raw scan — parallelize a
+    # narrow (few-row-group) input first; no-op on wide scans
+    # (OPTIMIZATION_r14.md S9/S11).
+    docs = rebalance_narrow_scan(docs)
     _SEP = "\x01"
     toks = tokenize(
         F.replace(F.col(text_col), F.lit(_SEP), F.lit(""))
@@ -1983,6 +2078,14 @@ def shared_substring_runs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     100 TB: identical cost shape to dup_ngram_coverage — the gram-hash
     exchange dominates and is the only corpus-wide shuffle; the fold is
     map-side, per-doc."""
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # r14: CPU-amplifying map work over the raw scan — parallelize a
+    # narrow (few-row-group) input first; no-op on wide scans
+    # (OPTIMIZATION_r14.md S9/S11).
+    docs = rebalance_narrow_scan(docs)
     from realtime_datawarehouse_spark.functions.text import word_shingles
 
     toks = docs.select(
@@ -2242,6 +2345,18 @@ def substring_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     covered exactly by its L−n+1 duplicated grams for L ≥ n), which is
     the standard streaming-friendly relaxation.
     """
+    from realtime_datawarehouse_spark.operators import layout
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # r14: LIGHT per-row map work — redistribute a narrow scan only when
+    # the input is big enough that serial map time beats the one-time
+    # shuffle (bytes-gated; measured crossover in OPTIMIZATION_r14.md
+    # §11). No-op on wide scans at any size.
+    docs = rebalance_narrow_scan(
+        docs, min_bytes=layout.REBALANCE_LIGHT_MIN_BYTES
+    )
     from pyspark.sql import Window
 
     from realtime_datawarehouse_spark.functions.text import word_shingles
@@ -3056,6 +3171,14 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     rollup summing per-character −(c/n)·ln(c/n) terms 1e-6-quantized
     BEFORE the int64 sum (order-free; the quantize-after-ln libm caveat
     of unigram_logprob applies)."""
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
+
+    # r14: CPU-amplifying map work over the raw scan — parallelize a
+    # narrow (few-row-group) input first; no-op on wide scans
+    # (OPTIMIZATION_r14.md S9/S11).
+    docs = rebalance_narrow_scan(docs)
     chars = F.transform(
         F.sequence(F.lit(1), F.length(text_col)),
         lambda i: F.col(text_col).substr(i, F.lit(1)),

@@ -3902,8 +3902,13 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenize,
         word_shingles,
     )
+    from realtime_datawarehouse_spark.operators.layout import (
+        rebalance_narrow_scan,
+    )
 
-    docs = _docs(spark, sf_dir)
+    # r14: the shingle-hash + W-way sliding-min map work ran at the
+    # scan's parallelism (measured 6.8 s at sf1/32c); no-op on wide scans.
+    docs = rebalance_narrow_scan(_docs(spark, sf_dir))
     hs = F.transform(
         word_shingles(tokenize(F.col("text")), WINNOW_K), lambda s: hash64(s)
     )

@@ -348,3 +348,32 @@ def test_hive_partitioned_write_prunes_partitions(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{path}/dt=*")) == n_days
+
+
+def test_rebalance_narrow_scan_bytes_gate(spark):
+    """r14: rebalance_narrow_scan(min_bytes=...) engages only when the
+    optimizer's size estimate exceeds the bar — light-map-work operators
+    (u1_tokenize, unigram_logprob, substring_dedup) pay the redistribution
+    shuffle only where serial map time would dominate it (measured
+    crossover: sf0.1 rebalance loses ~2x, sf1 wins ~2x —
+    OPTIMIZATION_r14.md §11)."""
+    from realtime_datawarehouse_spark.operators import layout
+    from realtime_datawarehouse_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents")  # tiny: far under any bar
+    narrow = docs.coalesce(1)
+    # gated: estimate below min_bytes -> identity (same plan object result)
+    gated = layout.rebalance_narrow_scan(narrow, min_bytes=1 << 30)
+    assert gated is narrow
+    # ungated: narrow scan is redistributed to session parallelism
+    wide = layout.rebalance_narrow_scan(narrow)
+    assert (
+        wide.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # a tiny min_bytes engages the same way as the unconditional form
+    wide2 = layout.rebalance_narrow_scan(narrow, min_bytes=1)
+    assert wide2.rdd.getNumPartitions() == wide.rdd.getNumPartitions()
+    # the shared constant the light callers use exists and sits between
+    # the measured sf0.1 (<1 MB) and sf1 (>2.5 MB) estimates
+    assert 1 << 20 <= layout.REBALANCE_LIGHT_MIN_BYTES <= 3 << 20

@@ -264,10 +264,16 @@ def test_r4c_no_sort_merge_join(spark, name):
 
 
 def test_winnowing_is_map_only(spark):
-    """The fingerprint pass must be a pure scan→project pipeline: no
-    exchange of any kind (the whole point of a per-doc fingerprint)."""
+    """The fingerprint LOGIC must stay per-doc map work: no keyed
+    exchange anywhere (the whole point of a per-doc fingerprint). Since
+    r14 the plan may carry ONE round-robin rebalance directly over a
+    narrow scan (few-row-group input; measured 6.8 → 1.1 s at sf1/32c —
+    OPTIMIZATION_r14.md §11); that redistribution is data-independent
+    and disappears on wide production scans."""
     plan = _explain(spark, "text_winnowing_fingerprint", "simple")
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan  # the rebalance only
 
 
 def test_pmi_topk_is_take_ordered(spark):
